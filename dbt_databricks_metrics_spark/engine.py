@@ -1,0 +1,183 @@
+"""MetricEngine — the whole lifecycle on one SparkSession.
+
+Ties together the model DAG runner (``dbt run``), the metric-view catalog
+(``on-run-end`` registration, ``dbt_project.yml:19-21``), rollup
+materialization + routing, and the query API. The reference splits these
+across dbt, Jinja macros, a REST refresh script, and the Databricks
+warehouse; here it is one Python control plane over Catalyst.
+
+Typical use::
+
+    eng = MetricEngine(spark, registry, warehouse_dir="/tmp/wh")
+    eng.run()                          # build models, register metric views
+    mv = eng.metric_view("mv_order_metrics")
+    df = mv.query(dimensions=["market_segment"],
+                  measures=["total_revenue", "total_orders"])
+    eng.refresh("mv_order_metrics")    # rebuild rollups (O5, SURVEY §2.7)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import MetricViewCatalog, RegisteredView
+from .models import ModelRegistry, Runner
+from .plans.compiler import MetricQuery, QueryCompiler, QueryError
+from .plans.rollup import RollupManager
+from .specs import MetricViewSpec
+
+
+class MetricView:
+    """Queryable handle — the analyst-facing surface of one metric view."""
+
+    def __init__(self, engine: "MetricEngine", rv: RegisteredView) -> None:
+        self._engine = engine
+        self._rv = rv
+
+    @property
+    def spec(self) -> MetricViewSpec:
+        return self._rv.spec
+
+    def query(
+        self,
+        dimensions: Sequence[str] = (),
+        measures: Sequence[str] = (),
+        where: Optional[str] = None,
+        order_by: Optional[Sequence[str]] = None,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """``SELECT dims, MEASURE(measures) FROM mv GROUP BY dims``.
+
+        *where* filters on **dimension values** (filters on group keys
+        commute with grouping, so it is applied to the aggregated result —
+        the rollup router still sees the full dimension set).
+        """
+        df, _route = self.query_routed(dimensions, measures, where=where)
+        if order_by:
+            df = df.orderBy(*order_by)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def query_routed(
+        self,
+        dimensions: Sequence[str] = (),
+        measures: Sequence[str] = (),
+        where: Optional[str] = None,
+    ) -> tuple[DataFrame, str]:
+        """Like :meth:`query` but also returns the chosen route
+        ('rollup:<name>' | 'baseline' | 'live') — the EXPLAIN-visible
+        routing decision of ``README.md:417-431``."""
+        from pyspark.sql import functions as F
+
+        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures))
+        df, route = self._engine._rollups.compile_routed(q, self._rv.state)
+        if where:
+            df = df.filter(F.expr(where))
+        return df, route
+
+    def explain_routing(self, dimensions: Sequence[str], measures: Sequence[str]) -> str:
+        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures))
+        route, built = self._engine._rollups.route(q, self._rv.state)
+        return f"rollup:{built.spec.name}" if route == "rollup" else route
+
+    def describe(self) -> dict[str, Any]:
+        return self._engine.catalog.describe(self.spec.name)
+
+
+class MetricEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: Optional[ModelRegistry] = None,
+        warehouse_dir: Optional[str] = None,
+    ) -> None:
+        self.spark = spark
+        self.registry = registry or ModelRegistry()
+        self.warehouse_dir = warehouse_dir
+        self.catalog = MetricViewCatalog()
+        self._runner = Runner(spark, self.registry, warehouse_dir=warehouse_dir)
+        self._compiler = QueryCompiler(resolve=self._resolve)
+        rollup_dir = os.path.join(warehouse_dir or "/tmp/metric_engine", "_rollups")
+        self._rollups = RollupManager(spark, self._compiler, storage_dir=rollup_dir)
+
+    # ---------------- name resolution ----------------
+
+    def _resolve(self, name: str) -> DataFrame:
+        """Resolve a source reference: built model first, then Spark table."""
+        try:
+            return self._runner.ref(name)
+        except Exception:
+            return self.spark.table(name)
+
+    # ---------------- lifecycle ----------------
+
+    def run(
+        self,
+        select: Optional[list[str]] = None,
+        materialize_rollups: bool = False,
+    ) -> dict[str, DataFrame]:
+        """``dbt run``: build models topologically, then (on-run-end hook)
+        register every model's declared metric view
+        (``dbt_project.yml:19-21``; walk ≡
+        ``macros/generate_metric_views.sql:19-29``)."""
+        built = self._runner.run(select=select)
+        for name in self.registry.names():
+            model = self.registry[name]
+            mv_meta = model.meta.get("metric_view")
+            if not mv_meta or not mv_meta.get("enabled", False):
+                continue
+            spec = self._spec_from_meta(model.name, mv_meta)
+            self.register(spec)
+            if materialize_rollups and spec.materialization:
+                self.refresh(spec.name)
+        return built
+
+    def _spec_from_meta(self, model_name: str, mv: dict[str, Any]) -> MetricViewSpec:
+        """Both input modes of ``macros/generate_metric_views.sql:40-76``."""
+        name = mv.get("name") or f"mv_{model_name}"
+        desc = mv.get("description")
+        if "yaml" in mv:  # raw YAML mode with __SOURCE__ substitution
+            return MetricViewSpec.from_yaml(
+                mv["yaml"], name=name, source=model_name, description=desc
+            )
+        return MetricViewSpec.from_structured(
+            mv, name=name, source=model_name, description=desc
+        )
+
+    def register(self, spec: MetricViewSpec) -> MetricView:
+        rv = self.catalog.register(spec)
+        return MetricView(self, rv)
+
+    def drop(self, name: str, if_exists: bool = False) -> None:
+        rv = self.catalog.drop(name, if_exists=if_exists)
+        if rv is not None:
+            self._rollups.drop(name)
+
+    def metric_view(self, name: str) -> MetricView:
+        return MetricView(self, self.catalog.get(name))
+
+    def refresh(self, name: str) -> None:
+        """Rebuild the view's rollups (≡ pipeline ``start_update``,
+        ``scripts/refresh_metric_views.py:109-119``)."""
+        rv = self.catalog.get(name)
+        rv.state = self._rollups.build(rv.spec, rv.state)
+
+    def refresh_all(self) -> None:
+        for name in self.catalog.names():
+            if self.catalog.get(name).spec.materialization:
+                self.refresh(name)
+
+    # ---------------- SQL front-end ----------------
+
+    def sql(self, text: str) -> DataFrame:
+        """Thin ``MEASURE()`` SQL front-end (``README.md:124-141``)."""
+        from .sql_frontend import execute_measure_sql
+
+        return execute_measure_sql(self, text)
+
+    def ref(self, name: str) -> DataFrame:
+        return self._runner.ref(name)

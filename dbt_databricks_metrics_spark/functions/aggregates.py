@@ -1,0 +1,133 @@
+"""Aggregate-expression decomposition into partial states.
+
+The reference's pre-aggregated rollups (``models/schema.yml:114-129``,
+``README.md:336-352``) must answer queries over any *subset* of the rollup's
+dimensions. That only works if the stored values are **partial aggregation
+states** that re-aggregate correctly:
+
+* ``sum → sum`` of partial sums
+* ``count / count_if → sum`` of partial counts
+* ``min/max → min/max`` of partials
+* ``avg → (sum, count)`` pair, finalized as ``sum / count`` at query time
+
+The same decomposition powers the scale path for window measures (grain
+pre-aggregation before windowing) and incremental refresh (fold new
+partitions into partials). It is the Spark-native analogue of what the
+Databricks warehouse does inside its metric-view optimizer.
+
+Implementation: a small tokenizer finds the *outermost* aggregate calls in
+the measure's SQL expression (nested parens consumed, string literals
+skipped) and replaces each with references to generated partial columns.
+Everything outside the aggregate calls (arithmetic, ``nullif``, casts, …)
+becomes the *finalize* expression evaluated after merging. Expressions with
+``DISTINCT`` aggregates or aggregate-free text are reported
+non-decomposable (``None``) — the router then refuses to serve them from a
+rollup and falls back to baseline/live (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# merge function applied when re-aggregating a partial column
+_AGG_FNS = {
+    "sum": "sum",
+    "count": "sum",
+    "count_if": "sum",
+    "min": "min",
+    "max": "max",
+    "avg": None,  # special-cased: (sum, count) pair
+}
+
+_CALL_RE = re.compile(r"\b(sum|count|count_if|min|max|avg)\s*\(", re.IGNORECASE)
+
+
+@dataclass(frozen=True)
+class Decomposition:
+    """Partial-state plan for one measure expression.
+
+    partials: ``(source_sql_expr, partial_col)`` computed at build/grain time
+    merges:   ``partial_col -> merge_fn`` (sum|min|max) for re-aggregation
+    finalize: SQL expr over the merged partial columns producing the measure
+    """
+
+    partials: tuple[tuple[str, str], ...]
+    merges: dict[str, str]
+    finalize: str
+
+    @property
+    def trivial(self) -> bool:
+        """True when finalize is just the single partial column."""
+        return len(self.partials) == 1 and self.finalize == self.partials[0][1]
+
+
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``s[open_idx] == '('`` (string-aware)."""
+    depth = 0
+    i = open_idx
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 2 if s[i] == "\\" else 1
+        elif c == '"':
+            i += 1
+            while i < n and s[i] != '"':
+                i += 2 if s[i] == "\\" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"unbalanced parentheses in expression: {s!r}")
+
+
+def decompose_aggregate(expr: str, prefix: str) -> Decomposition | None:
+    """Decompose *expr* into partial states, or ``None`` if not possible.
+
+    *prefix* namespaces the generated partial column names so multiple
+    measures can coexist in one rollup table (e.g. ``_p_total_revenue_0``).
+    """
+    partials: list[tuple[str, str]] = []
+    merges: dict[str, str] = {}
+    out: list[str] = []
+    i = 0
+    found_agg = False
+    while i < len(expr):
+        m = _CALL_RE.search(expr, i)
+        if not m:
+            out.append(expr[i:])
+            break
+        fn = m.group(1).lower()
+        open_idx = expr.find("(", m.end() - 1)
+        close_idx = _find_matching_paren(expr, open_idx)
+        arg = expr[open_idx + 1 : close_idx].strip()
+        out.append(expr[i : m.start()])
+        found_agg = True
+        if re.match(r"(?i)^\s*distinct\b", arg):
+            return None  # count(distinct x) does not decompose
+        k = len(partials)
+        if fn == "avg":
+            ps = f"{prefix}_{k}s"
+            pc = f"{prefix}_{k}c"
+            partials.append((f"sum({arg})", ps))
+            partials.append((f"count({arg})", pc))
+            merges[ps] = "sum"
+            merges[pc] = "sum"
+            out.append(f"({ps} / {pc})")
+        else:
+            p = f"{prefix}_{k}"
+            partials.append((f"{fn}({arg})", p))
+            merges[p] = _AGG_FNS[fn]
+            out.append(p)
+        i = close_idx + 1
+    if not found_agg:
+        return None
+    return Decomposition(
+        partials=tuple(partials), merges=dict(merges), finalize="".join(out).strip()
+    )

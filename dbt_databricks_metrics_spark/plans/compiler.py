@@ -1,0 +1,355 @@
+"""Query compiler: ``MEASURE()`` expansion as a Catalyst logical plan.
+
+Implements the analyst query path of the reference
+(``README.md:124-141, 399-422``): ``SELECT dim, MEASURE(m) FROM mv GROUP BY
+dim`` expands each measure's declared aggregate over the metric view's
+(filtered, joined) source, grouped by whatever dimensions the *query*
+chooses. Here the expansion produces a DataFrame plan built entirely from
+``F.expr`` so Catalyst performs pushdown / pruning / join selection —
+Catalyst plays the role the Databricks SQL warehouse plays for the
+reference.
+
+Window measures (``models/schema.yml:92-103``, ``README.md:250-278``)
+compile to Spark ``Window`` range frames + a semiadditive-last reduction
+(``F.max_by``). Scale path: when the base aggregate decomposes into partial
+states the plan pre-aggregates to the (dims × order) grain *before*
+windowing, so the window sort touches |dims × dates| rows instead of raw
+source rows — the difference between sorting ~2k rows and ~600k at sf0.1,
+and between gigabytes and terabytes at 100 TB.
+
+Declared joins (``README.md:282-300``) compile to left equi-joins with the
+base relation aliased ``source`` and each join by its name; snowflake
+(nested) joins chain aliases and dotted dimension paths
+(``customer.nation.name``) are rewritten to the leaf alias.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import decompose_aggregate
+from ..specs import JoinSpec, Measure, MetricViewSpec, SpecError, WindowClause
+
+
+class QueryError(ValueError):
+    pass
+
+
+@dataclass
+class MetricQuery:
+    """A validated (dimensions × measures) request against a metric view."""
+
+    spec: MetricViewSpec
+    dimensions: tuple[str, ...]
+    measures: tuple[str, ...]
+
+    def __post_init__(self) -> None:
+        seen: set[str] = set()
+        for d in self.dimensions:
+            if d in seen:
+                raise QueryError(f"duplicate dimension {d!r} in query")
+            seen.add(d)
+            self.spec.dimension(d)  # raises SpecError if undeclared
+        for m in self.measures:
+            if m in seen:
+                raise QueryError(f"name {m!r} appears twice in query")
+            seen.add(m)
+            self.spec.measure(m)
+        if not self.measures:
+            raise QueryError("query needs at least one measure (MEASURE() contract)")
+
+
+ResolveFn = Callable[[str], DataFrame]
+
+
+class QueryCompiler:
+    """Compiles MetricQuery → DataFrame against a resolver of table names."""
+
+    def __init__(self, resolve: ResolveFn) -> None:
+        self.resolve = resolve
+
+    # ---------------- source assembly (filter + joins) ----------------
+
+    @staticmethod
+    def strip_source_prefix(expr: str) -> str:
+        """Drop the ``source.`` relation qualifier for flattened relations
+        (baseline snapshots / rollup tables store plain columns)."""
+        return re.sub(r"\bsource\.", "", expr)
+
+    def baseline_projection(self, spec: MetricViewSpec, src: DataFrame) -> DataFrame:
+        """Projection persisted as the ``unaggregated`` baseline snapshot.
+
+        All base-source columns plus every declared dimension materialized
+        under its name, so any (dims × measures) query — including window
+        measures — expands against the snapshot without re-running joins.
+        """
+        if spec.joins:
+            base_names = src.select("source.*").columns
+            ref = lambda n: F.col(f"source.{n}")  # noqa: E731
+        else:
+            base_names = src.columns
+            ref = F.col
+        extra_dims = [
+            d for d in spec.dimensions if not (d.expr == d.name and d.name in base_names)
+        ]
+        # a dimension whose expr differs but whose name collides with a base
+        # column shadows it (the dim definition wins for metric queries)
+        collide = {d.name for d in extra_dims}
+        kept = [ref(n) for n in base_names if n not in collide]
+        extra = [
+            F.expr(self._rewrite_dim_expr(spec, d.expr)).alias(d.name)
+            for d in extra_dims
+        ]
+        return src.select(*kept, *extra)
+
+    def source_plan(self, spec: MetricViewSpec, source_df: Optional[DataFrame] = None) -> DataFrame:
+        """(filtered, joined) source relation — the input to any expansion.
+
+        Mirrors the order the metric-view expander applies: ``filter:``
+        first (``macros/generate_metric_views.sql:53-55`` emits it as part
+        of the spec), then declared joins.
+        """
+        df = source_df if source_df is not None else self.resolve(spec.source)
+        if spec.filter:
+            df = df.filter(F.expr(spec.filter))
+        if spec.joins:
+            df = df.alias("source")
+            df = self._apply_joins(df, spec.joins, parent_alias="source")
+        return df
+
+    def _apply_joins(
+        self, df: DataFrame, joins: Sequence[JoinSpec], parent_alias: str
+    ) -> DataFrame:
+        for j in joins:
+            right = self.resolve(j.source).alias(j.name)
+            on = F.expr(self._rewrite_join_paths(j.on))
+            # declared joins are left joins: unmatched source rows survive
+            # with null dimension values (README.md:282-300 grammar).
+            df = df.join(right, on, "left")
+            if j.joins:
+                df = self._apply_joins(df, j.joins, parent_alias=j.name)
+        return df
+
+    @staticmethod
+    def _collect_join_paths(joins: Sequence[JoinSpec], prefix: tuple[str, ...] = ()) -> list[tuple[str, ...]]:
+        out: list[tuple[str, ...]] = []
+        for j in joins:
+            p = prefix + (j.name,)
+            out.append(p)
+            out.extend(QueryCompiler._collect_join_paths(j.joins, p))
+        return out
+
+    def _rewrite_dim_expr(self, spec: MetricViewSpec, expr: str) -> str:
+        """Flatten snowflake dotted paths to the leaf join alias.
+
+        ``customer.nation.name`` → ``nation.name`` (README.md:297-299): in
+        the compiled plan every join level is its own alias, so a path is
+        addressed by its innermost alias.
+        """
+        if not spec.joins:
+            return expr
+        paths = self._collect_join_paths(spec.joins)
+        # longest paths first so nested prefixes win over their parents
+        for p in sorted(paths, key=len, reverse=True):
+            if len(p) < 2:
+                continue
+            dotted = re.escape(".".join(p)) + r"\."
+            expr = re.sub(rf"\b{dotted}", f"{p[-1]}.", expr)
+        return expr
+
+    def _rewrite_join_paths(self, on: str) -> str:
+        return on  # join `on` already references parent alias / own name
+
+    # ---------------- expansion ----------------
+
+    def compile(
+        self,
+        query: MetricQuery,
+        source_df: Optional[DataFrame] = None,
+        flattened: bool = False,
+    ) -> DataFrame:
+        """Expand the query against the (filtered, joined) source.
+
+        With ``flattened=True`` *source_df* is a pre-resolved relation
+        (baseline snapshot): filter and joins are already applied, every
+        dimension exists as a plain column, and ``source.`` qualifiers in
+        measure expressions are dropped.
+        """
+        spec = query.spec
+        if flattened:
+            assert source_df is not None
+            base = source_df
+            dim_expr = lambda d: d.name  # noqa: E731
+            meas_expr = self.strip_source_prefix
+        else:
+            base = self.source_plan(spec, source_df=source_df)
+            dim_expr = lambda d: self._rewrite_dim_expr(spec, d.expr)  # noqa: E731
+            meas_expr = lambda e: self._rewrite_dim_expr(spec, e)  # noqa: E731
+        dim_cols = [
+            F.expr(dim_expr(spec.dimension(d))).alias(d) for d in query.dimensions
+        ]
+        plain = [spec.measure(m) for m in query.measures if not spec.measure(m).is_windowed]
+        windowed = [spec.measure(m) for m in query.measures if spec.measure(m).is_windowed]
+
+        result: Optional[DataFrame] = None
+        if plain or not windowed:
+            agg_cols = [F.expr(meas_expr(m.expr)).alias(m.name) for m in plain]
+            result = base.groupBy(*dim_cols).agg(*agg_cols) if agg_cols else None
+            if result is None and not windowed:
+                raise QueryError("no measures to compute")
+
+        for m in windowed:
+            wdf = self._window_measure(
+                spec, base, list(query.dimensions), m, flattened=flattened
+            )
+            if result is None:
+                result = wdf
+            else:
+                result = self._join_on_dims(result, wdf, list(query.dimensions))
+
+        assert result is not None
+        # present columns in query order
+        return result.select(*query.dimensions, *query.measures)
+
+    @staticmethod
+    def _join_on_dims(left: DataFrame, right: DataFrame, dims: list[str]) -> DataFrame:
+        if not dims:
+            return left.crossJoin(right)
+        l, r = left.alias("_l"), right.alias("_r")
+        cond = None
+        for d in dims:
+            c = F.col(f"_l.{d}").eqNullSafe(F.col(f"_r.{d}"))
+            cond = c if cond is None else (cond & c)
+        keep_right = [c for c in right.columns if c not in dims]
+        return l.join(r, cond, "left").select(
+            *[F.col(f"_l.{c}") for c in left.columns],
+            *[F.col(f"_r.{c}") for c in keep_right],
+        )
+
+    # ---------------- window measures ----------------
+
+    def _window_measure(
+        self,
+        spec: MetricViewSpec,
+        base: DataFrame,
+        dims: list[str],
+        measure: Measure,
+        flattened: bool = False,
+    ) -> DataFrame:
+        """Compile one window measure to ``dims + [measure.name]``.
+
+        Semantics (README.md:250-278): evaluate the aggregate over ordered
+        frames along the ``order`` dimension within each query-dim
+        partition, then collapse the order dimension semiadditively —
+        ``last`` = the most-recent frame's value (``F.max_by``).
+
+        ``range: current`` clauses add partition keys (the YTD restart
+        pattern, README.md:268-277); exactly one frame clause (trailing or
+        cumulative) defines the ordered frame.
+        """
+        frame_clauses = [w for w in measure.windows if w.kind in ("trailing", "cumulative")]
+        current_clauses = [w for w in measure.windows if w.kind == "current"]
+        if len(frame_clauses) != 1:
+            raise QueryError(
+                f"measure {measure.name!r}: need exactly one trailing/cumulative window "
+                f"clause, got {len(frame_clauses)}"
+            )
+        frame = frame_clauses[0]
+        order_dim = spec.dimension(frame.order)
+        extra_parts = [spec.dimension(w.order) for w in current_clauses]
+
+        if flattened:
+            dim_exprs = {d: d for d in dims}
+            order_expr = order_dim.name
+            part_exprs = {p.name: p.name for p in extra_parts}
+            base_expr = self.strip_source_prefix(measure.expr)
+        else:
+            dim_exprs = {d: self._rewrite_dim_expr(spec, spec.dimension(d).expr) for d in dims}
+            order_expr = self._rewrite_dim_expr(spec, order_dim.expr)
+            part_exprs = {p.name: self._rewrite_dim_expr(spec, p.expr) for p in extra_parts}
+            base_expr = self._rewrite_dim_expr(spec, measure.expr)
+
+        # columns that partition the window: query dims + `current` orders.
+        # The frame's own order dimension never partitions — when the query
+        # groups by it, each group is a single order value and the
+        # semiadditive-last reduction returns that frame's value.
+        part_cols = [d for d in dims if d != order_dim.name] + [
+            p.name for p in extra_parts if p.name not in dims and p.name != order_dim.name
+        ]
+        grain_cols = part_cols + [order_dim.name]
+
+        dec = decompose_aggregate(base_expr, prefix=f"_p_{measure.name}")
+
+        def named(name: str) -> Column:
+            if name in dim_exprs:
+                return F.expr(dim_exprs[name]).alias(name)
+            if name == order_dim.name:
+                return F.expr(order_expr).alias(name)
+            return F.expr(part_exprs[name]).alias(name)
+
+        if dec is not None:
+            # SCALE PATH: pre-aggregate to the (partition × order) grain so
+            # the window sort runs over grain rows, not raw source rows.
+            grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+                *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
+            )
+            w = self._build_window(grain, part_cols, order_dim.name, frame)
+            merged = grain
+            merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
+            for p_col, fn in dec.merges.items():
+                merged = merged.withColumn(p_col, merge_fn[fn](F.col(p_col)).over(w))
+            valued = merged.withColumn("_wval", F.expr(dec.finalize))
+        else:
+            # fallback: window directly over source rows (range frames treat
+            # equal order values as peers, so no grain agg is required for
+            # correctness — only for scale).
+            enriched = base.select(
+                "*", *[named(c) for c in grain_cols if c not in base.columns]
+            )
+            w = self._build_window(enriched, part_cols, order_dim.name, frame)
+            valued = enriched.withColumn("_wval", F.expr(base_expr).over(w))
+
+        out = valued.groupBy(*[F.col(d) for d in dims]).agg(
+            F.max_by("_wval", F.col(order_dim.name)).alias(measure.name)
+        )
+        return out
+
+    @staticmethod
+    def _order_key(df: DataFrame, order_col: str) -> tuple[Column, int]:
+        """Numeric sort key + seconds-per-unit for range framing.
+
+        Dates sort by epoch-day (day granularity); timestamps by epoch
+        second. Numeric orders (e.g. ``order_year``) sort by value.
+        """
+        dtype = dict(df.dtypes)[order_col]
+        if dtype == "date":
+            return F.unix_date(F.col(order_col)), 86400
+        if dtype.startswith("timestamp"):
+            return F.col(order_col).cast("long"), 1
+        return F.col(order_col).cast("long"), 0  # numeric order dimension
+
+    @classmethod
+    def _build_window(
+        cls, df: DataFrame, part_cols: list[str], order_col: str, frame: WindowClause
+    ):
+        key, unit_sec = cls._order_key(df, order_col)
+        w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(key)
+        if frame.kind == "cumulative":
+            return w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        n, unit = frame.trailing_parts
+        total_sec = frame.trailing_seconds()
+        if unit_sec == 86400:
+            # date granularity: trailing N day = [current-(N-1), current]
+            lo = -(total_sec // 86400 - 1)
+        elif unit_sec == 1:
+            lo = -(total_sec - 1)
+        else:
+            raise QueryError(
+                f"trailing range over non-temporal order {order_col!r} unsupported"
+            )
+        return w.rangeBetween(lo, 0)

@@ -1,0 +1,205 @@
+"""Materialized rollups + aggregate routing.
+
+Re-implements the reference's materialization layer
+(``models/schema.yml:104-129``, ``README.md:326-352``) and its query
+routing (``README.md:424-431``):
+
+* ``type: unaggregated`` (**baseline**) — a persisted snapshot of the
+  metric view's (filtered, joined) source. Serves *any* non-window query at
+  cached-scan speed ("~1x (cached)", ``README.md:430``).
+* ``type: aggregated`` — a persisted ``groupBy(rollup dims)`` carrying
+  **partial states** (sum/count/min/max pairs — see
+  ``functions/aggregates.py``) so a query grouping by any *subset* of the
+  rollup's dimensions re-aggregates correctly ("10-100x faster",
+  ``README.md:424-429``).
+
+Routing rules (``README.md:424-431``):
+
+1. window measures are never served from rollups — always on the fly;
+2. an aggregated rollup is eligible iff query dims ⊆ rollup dims and every
+   requested measure is stored (decomposable) in it; smallest eligible
+   rollup wins;
+3. otherwise the baseline snapshot if present;
+4. otherwise the live source.
+
+Refresh (= ``scripts/refresh_metric_views.py`` semantics, O5 in SURVEY §2.7)
+recomputes each rollup with write-temp-then-swap so readers never see a
+half-written table; ``CREATE OR REPLACE`` of an unchanged spec preserves
+rollup state (``macros/generate_metric_views.sql:78-79``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import Decomposition, decompose_aggregate
+from ..specs import MetricViewSpec, RollupSpec
+from .compiler import MetricQuery, QueryCompiler, QueryError
+
+
+@dataclass
+class BuiltRollup:
+    spec: RollupSpec
+    path: str
+    # measure name -> its decomposition (partial col layout in the table)
+    decompositions: dict[str, Decomposition] = field(default_factory=dict)
+
+
+@dataclass
+class MaterializationState:
+    """Physical state backing one metric view's materialization block."""
+
+    baseline: Optional[str] = None  # parquet path of the unaggregated snapshot
+    rollups: dict[str, BuiltRollup] = field(default_factory=dict)
+
+
+def _swap_write(df: DataFrame, spark: SparkSession, path: str) -> None:
+    """Write parquet atomically-ish: temp dir, then swap into place."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+class RollupManager:
+    """Builds, refreshes, and routes to a metric view's rollups."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        compiler: QueryCompiler,
+        storage_dir: str,
+    ) -> None:
+        self.spark = spark
+        self.compiler = compiler
+        self.storage_dir = storage_dir
+
+    # ---------------- build / refresh ----------------
+
+    def build(self, spec: MetricViewSpec, state: Optional[MaterializationState] = None) -> MaterializationState:
+        """(Re)compute every declared materialized view for *spec*.
+
+        Equivalent of a Lakeflow pipeline refresh
+        (``scripts/refresh_metric_views.py:109-119``): full recompute with
+        write-then-swap. Incremental folding of new partitions into partial
+        states lives in ``streaming/refresh.py``.
+        """
+        state = state or MaterializationState()
+        if not spec.materialization:
+            return state
+        src = self.compiler.source_plan(spec)
+        for r in spec.materialization.materialized_views:
+            if r.type == "unaggregated":
+                path = self._path(spec.name, r.name)
+                _swap_write(self.compiler.baseline_projection(spec, src), self.spark, path)
+                state.baseline = path
+            else:
+                built = self._build_aggregated(spec, r, src)
+                state.rollups[r.name] = built
+        return state
+
+    def _path(self, mv_name: str, rollup_name: str) -> str:
+        return os.path.join(self.storage_dir, mv_name, rollup_name)
+
+    def _build_aggregated(
+        self, spec: MetricViewSpec, r: RollupSpec, src: DataFrame
+    ) -> BuiltRollup:
+        decs: dict[str, Decomposition] = {}
+        partial_cols: dict[str, str] = {}  # col name -> source expr
+        for mname in r.measures:
+            m = spec.measure(mname)
+            dec = decompose_aggregate(m.expr, prefix=f"_p_{mname}")
+            if dec is None:
+                raise QueryError(
+                    f"rollup {r.name!r}: measure {mname!r} ({m.expr}) is not "
+                    f"decomposable into partial states — serve it from baseline"
+                )
+            decs[mname] = dec
+            for p_expr, p_col in dec.partials:
+                partial_cols[p_col] = p_expr
+        dim_cols = [
+            F.expr(self.compiler._rewrite_dim_expr(spec, spec.dimension(d).expr)).alias(d)
+            for d in r.dimensions
+        ]
+        agg_cols = [F.expr(e).alias(c) for c, e in partial_cols.items()]
+        rolled = src.groupBy(*dim_cols).agg(*agg_cols)
+        path = self._path(spec.name, r.name)
+        _swap_write(rolled, self.spark, path)
+        return BuiltRollup(spec=r, path=path, decompositions=decs)
+
+    def drop(self, spec_name: str) -> None:
+        d = os.path.join(self.storage_dir, spec_name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    # ---------------- routing ----------------
+
+    def route(
+        self, query: MetricQuery, state: Optional[MaterializationState]
+    ) -> tuple[str, Optional[BuiltRollup]]:
+        """Pick the physical source for *query*: ('rollup'|'baseline'|'live')."""
+        spec = query.spec
+        if state is None:
+            return "live", None
+        windowed = any(spec.measure(m).is_windowed for m in query.measures)
+        if not windowed:
+            candidates = [
+                b
+                for b in state.rollups.values()
+                if set(query.dimensions) <= set(b.spec.dimensions)
+                and set(query.measures) <= set(b.spec.measures)
+            ]
+            if candidates:
+                best = min(candidates, key=lambda b: len(b.spec.dimensions))
+                return "rollup", best
+        if state.baseline:
+            return "baseline", None
+        return "live", None
+
+    def compile_routed(
+        self, query: MetricQuery, state: Optional[MaterializationState]
+    ) -> tuple[DataFrame, str]:
+        """Compile *query* against the best physical source; returns
+        (plan, route) where route ∈ {'rollup:<name>', 'baseline', 'live'}."""
+        route, built = self.route(query, state)
+        if route == "rollup":
+            assert built is not None
+            return self._compile_from_rollup(query, built), f"rollup:{built.spec.name}"
+        if route == "baseline":
+            assert state is not None and state.baseline
+            # the snapshot already has filter+joins applied and dims
+            # materialized — expand in flattened mode (no re-join/re-filter)
+            base = self.spark.read.parquet(state.baseline)
+            return self.compiler.compile(query, source_df=base, flattened=True), "baseline"
+        return self.compiler.compile(query), "live"
+
+    def _compile_from_rollup(self, query: MetricQuery, built: BuiltRollup) -> DataFrame:
+        """Re-aggregate partial states over the query's dimension subset.
+
+        The rollup table's dim columns are already named — no expression
+        re-evaluation; merging is ``sum``/``min``/``max`` of partial
+        columns, then each measure's finalize expression.
+        """
+        df = self.spark.read.parquet(built.path)
+        merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
+        agg_cols: list = []
+        seen: set[str] = set()
+        for mname in query.measures:
+            dec = built.decompositions[mname]
+            for p_col in dec.merges:
+                if p_col not in seen:
+                    seen.add(p_col)
+                    agg_cols.append(merge_fn[dec.merges[p_col]](F.col(p_col)).alias(p_col))
+        merged = df.groupBy(*[F.col(d) for d in query.dimensions]).agg(*agg_cols)
+        out_cols = [F.col(d) for d in query.dimensions] + [
+            F.expr(built.decompositions[m].finalize).alias(m) for m in query.measures
+        ]
+        return merged.select(*out_cols)

@@ -1,0 +1,297 @@
+"""The reference dbt project, re-expressed on the engine.
+
+Every model/metric-view below mirrors one reference artifact:
+
+* ``stg_orders``  ≡ ``models/staging/stg_orders.sql`` (rename projection;
+  fixture lacks ``o_clerk``/``o_shippriority``/``o_comment`` — see
+  FIXTURES.md — so only the metric-relevant columns are selected).
+* ``stg_customers`` ≡ ``models/staging/stg_customers.sql``.
+* ``fct_orders`` ≡ ``models/marts/fct_orders.sql`` (left join + date parts).
+* ``fct_customer_summary`` ≡ ``models/marts/fct_customer_summary.sql``.
+* metric-view YAML blocks ≡ ``models/schema.yml`` ``meta.metric_view``
+  entries (raw-YAML mode, ``__SOURCE__`` placeholder).
+
+The staging casts ``o_orderdate`` (fixture: timestamp) to ``date``, matching
+TPC-H's DATE column that the reference models consume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .models import ModelRegistry
+
+# ---- metric-view YAML (≡ models/schema.yml:6-209) -----------------------
+
+MV_ORDERS_SIMPLE_YAML = """
+version: 0.1
+source: __SOURCE__
+
+dimensions:
+  - name: order_status
+    expr: order_status
+  - name: order_priority
+    expr: order_priority
+  - name: order_date
+    expr: order_date
+
+measures:
+  - name: order_count
+    expr: count(*)
+  - name: total_revenue
+    expr: sum(total_price)
+  - name: avg_order_value
+    expr: avg(total_price)
+
+materialization:
+  schedule: every 8 weeks
+  mode: relaxed
+  materialized_views:
+    - name: baseline
+      type: unaggregated
+    - name: orders_by_status
+      type: aggregated
+      dimensions:
+        - order_status
+      measures:
+        - order_count
+        - total_revenue
+"""
+
+MV_ORDER_METRICS_YAML = """
+version: 0.1
+source: __SOURCE__
+
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_status
+    expr: order_status
+  - name: order_priority
+    expr: order_priority
+  - name: order_date
+    expr: order_date
+  - name: order_year
+    expr: order_year
+  - name: order_month
+    expr: order_month
+
+measures:
+  - name: total_orders
+    expr: count(*)
+  - name: total_revenue
+    expr: sum(total_price)
+  - name: avg_order_value
+    expr: avg(total_price)
+  - name: max_order_value
+    expr: max(total_price)
+  - name: trailing_7d_revenue
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: last
+  - name: cumulative_revenue
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: cumulative
+        semiadditive: last
+
+materialization:
+  schedule: every 6 hours
+  mode: relaxed
+  materialized_views:
+    - name: baseline
+      type: unaggregated
+    - name: revenue_by_segment
+      type: aggregated
+      dimensions:
+        - market_segment
+        - order_status
+      measures:
+        - total_revenue
+        - total_orders
+    - name: monthly_revenue
+      type: aggregated
+      dimensions:
+        - order_year
+        - order_month
+      measures:
+        - total_revenue
+"""
+
+MV_CUSTOMER_METRICS_YAML = """
+version: 1.1
+source: __SOURCE__
+
+dimensions:
+  - name: market_segment
+    expr: market_segment
+    display_name: "Market Segment"
+    comment: "Customer market segment classification"
+    synonyms:
+      - "segment"
+      - "business segment"
+      - "customer type"
+
+measures:
+  - name: total_customers
+    expr: count(*)
+    display_name: "Total Customers"
+    comment: "Count of unique customers"
+    synonyms:
+      - "customer count"
+      - "number of customers"
+  - name: total_revenue
+    expr: sum(total_spent)
+    display_name: "Total Revenue"
+    comment: "Sum of all customer spending"
+    synonyms:
+      - "revenue"
+      - "total sales"
+    format:
+      type: currency
+      currency_code: USD
+  - name: avg_customer_value
+    expr: avg(total_spent)
+    display_name: "Average Customer Lifetime Value"
+    synonyms:
+      - "CLV"
+      - "customer value"
+      - "ARPU"
+    format:
+      type: currency
+      currency_code: USD
+  - name: avg_orders_per_customer
+    expr: avg(total_orders)
+    display_name: "Average Orders per Customer"
+  - name: high_value_customers
+    expr: count_if(total_spent > 100000)
+    display_name: "High Value Customers"
+    comment: "Count of customers with total spending over $100,000"
+  - name: avg_order_frequency
+    expr: avg(total_orders / nullif(datediff(last_order_date, first_order_date), 0))
+    display_name: "Average Order Frequency"
+    comment: "Average orders per day between first and last order"
+"""
+
+
+def build_registry(sf_dir: str) -> ModelRegistry:
+    """Model DAG over the fixture tables at *sf_dir*."""
+    reg = ModelRegistry()
+
+    def read(spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    @reg.model(
+        "stg_orders",
+        materialized="view",
+        description="Staging layer for TPC-H orders data",
+        meta={
+            "metric_view": {
+                "enabled": True,
+                "name": "mv_orders_simple",
+                "description": "Simple metric view with long schedule (manual refresh preferred)",
+                "yaml": MV_ORDERS_SIMPLE_YAML,
+            }
+        },
+    )
+    def stg_orders(spark: SparkSession, ref) -> DataFrame:
+        # ≡ models/staging/stg_orders.sql:10-20 (available columns only)
+        return read(spark, "orders").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+
+    @reg.model(
+        "stg_customers",
+        materialized="view",
+        description="Staging layer for TPC-H customer data",
+    )
+    def stg_customers(spark: SparkSession, ref) -> DataFrame:
+        # ≡ models/staging/stg_customers.sql:10-19 (available columns only)
+        return read(spark, "customer").select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_nationkey").alias("nation_id"),
+            F.col("c_acctbal").alias("account_balance"),
+            F.col("c_mktsegment").alias("market_segment"),
+        )
+
+    @reg.model(
+        "fct_orders",
+        deps=["stg_orders", "stg_customers"],
+        materialized="table",
+        description="Fact table with order details and customer information",
+        meta={
+            "metric_view": {
+                "enabled": True,
+                "name": "mv_order_metrics",
+                "description": "Order KPIs and metrics for business analysis",
+                "yaml": MV_ORDER_METRICS_YAML,
+            }
+        },
+    )
+    def fct_orders(spark: SparkSession, ref) -> DataFrame:
+        # ≡ models/marts/fct_orders.sql:10-24
+        o = ref("stg_orders").alias("o")
+        c = ref("stg_customers").alias("c")
+        return o.join(c, F.col("o.customer_id") == F.col("c.customer_id"), "left").select(
+            F.col("o.order_id").alias("order_id"),
+            F.col("o.customer_id").alias("customer_id"),
+            F.col("c.customer_name").alias("customer_name"),
+            F.col("c.market_segment").alias("market_segment"),
+            F.col("o.order_status").alias("order_status"),
+            F.col("o.total_price").alias("total_price"),
+            F.col("o.order_date").alias("order_date"),
+            F.col("o.order_priority").alias("order_priority"),
+            F.year("o.order_date").alias("order_year"),
+            F.month("o.order_date").alias("order_month"),
+            F.quarter("o.order_date").alias("order_quarter"),
+        )
+
+    @reg.model(
+        "fct_customer_summary",
+        deps=["stg_customers", "stg_orders"],
+        materialized="table",
+        description="Customer summary with aggregated order metrics",
+        meta={
+            "metric_view": {
+                "enabled": True,
+                "name": "mv_customer_metrics",
+                "description": "Customer KPIs for segmentation and analysis",
+                "yaml": MV_CUSTOMER_METRICS_YAML,
+            }
+        },
+    )
+    def fct_customer_summary(spark: SparkSession, ref) -> DataFrame:
+        # ≡ models/marts/fct_customer_summary.sql:10-23 — left join keeps
+        # zero-order customers (count=0, sum/avg/min/max NULL)
+        c = ref("stg_customers").alias("c")
+        o = ref("stg_orders").alias("o")
+        return (
+            c.join(o, F.col("c.customer_id") == F.col("o.customer_id"), "left")
+            .groupBy(
+                F.col("c.customer_id").alias("customer_id"),
+                F.col("c.customer_name").alias("customer_name"),
+                F.col("c.market_segment").alias("market_segment"),
+                F.col("c.account_balance").alias("account_balance"),
+            )
+            .agg(
+                F.count("o.order_id").alias("total_orders"),
+                F.sum("o.total_price").alias("total_spent"),
+                F.avg("o.total_price").alias("avg_order_value"),
+                F.min("o.order_date").alias("first_order_date"),
+                F.max("o.order_date").alias("last_order_date"),
+            )
+        )
+
+    return reg

@@ -1,0 +1,47 @@
+"""Source connectors for the test fixture tables.
+
+The reference reads Unity Catalog tables (``samples.tpch.orders``,
+``models/staging/stg_orders.sql:20``); our sources are parquet directories
+(TESTDATA.md): one file per table under ``/root/testdata/sf*/``. Reads go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and (for partitioned layouts) partition pruning for free — check
+``PushedFilters`` / ``ReadSchema`` in ``df.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (catalog-scan analogue)."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,456 @@
+"""Metric-view spec model: the declarative semantic layer.
+
+Re-expresses the Databricks Unity Catalog *metric view* YAML grammar used by
+the reference project (``models/schema.yml:6-209``, grammar documented in
+``README.md:143-353``) as plain Python dataclasses, plus the two parsing
+modes implemented by the reference's Jinja macro
+(``macros/generate_metric_views.sql:40-76``):
+
+* **raw-YAML mode** — the full Databricks YAML document with a
+  ``__SOURCE__`` placeholder substituted for the backing table reference
+  (``macros/generate_metric_views.sql:42-43``).
+* **structured mode** — ``dimensions`` / ``measures`` / ``filter`` given as
+  structured properties; ``version`` defaults to ``0.1`` and a dimension's
+  ``expr`` defaults to its ``name``
+  (``macros/generate_metric_views.sql:45-76``).
+
+Both normalize into one :class:`MetricViewSpec`. Expression fields
+(``expr``, ``filter``, ``on``) are kept as *unparsed SQL strings*: the query
+compiler hands them to Spark via ``F.expr`` so Catalyst sees the raw
+expression tree and can optimize end-to-end (pushdown, pruning, codegen).
+
+v1.1 semantic metadata (``display_name`` / ``comment`` / ``synonyms`` /
+``format`` — ``models/schema.yml:144-209``, ``README.md:226-246``) is
+carried on the dataclasses for ``describe()`` and has zero query-semantics
+impact.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+SOURCE_PLACEHOLDER = "__SOURCE__"
+
+# window `range:` grammar (README.md:250-278): "trailing <n> <unit>",
+# "cumulative", or "current".
+_TRAILING_RE = re.compile(
+    r"^\s*trailing\s+(\d+)\s+(day|week|month|quarter|year|hour|minute|second)s?\s*$",
+    re.IGNORECASE,
+)
+
+_SECONDS_PER = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 7 * 86400,
+}
+
+
+class SpecError(ValueError):
+    """Raised for malformed or semantically invalid metric-view specs."""
+
+
+@dataclass(frozen=True)
+class MeasureFormat:
+    """Presentation metadata only (``models/schema.yml:170-172``)."""
+
+    type: str
+    currency_code: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "MeasureFormat":
+        return cls(type=str(d.get("type", "")), currency_code=d.get("currency_code"))
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """A named scalar expression usable in GROUP BY (``README.md:231-237``)."""
+
+    name: str
+    expr: str
+    display_name: Optional[str] = None
+    comment: Optional[str] = None
+    synonyms: tuple[str, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Dimension":
+        name = d.get("name")
+        if not name:
+            raise SpecError(f"dimension missing 'name': {d!r}")
+        return cls(
+            name=str(name),
+            # expr defaults to name (macros/generate_metric_views.sql:61-62)
+            expr=str(d.get("expr", name)),
+            display_name=d.get("display_name"),
+            comment=d.get("comment"),
+            synonyms=tuple(d.get("synonyms", ()) or ()),
+        )
+
+
+@dataclass(frozen=True)
+class WindowClause:
+    """One entry of a measure's ``window:`` list (``README.md:250-278``).
+
+    ``range`` is one of:
+
+    * ``trailing <n> <unit>`` — frame covering the trailing *n* units
+      (inclusive of the current order value),
+    * ``cumulative`` — unbounded-preceding running frame,
+    * ``current`` — restrict to the current value of ``order``; when
+      stacked with another window clause this acts as an extra partition
+      key (the YTD pattern, ``README.md:268-277``).
+
+    ``semiadditive: last`` collapses the ordered dimension by taking the
+    most-recent frame's value (``models/schema.yml:97,103``).
+    """
+
+    order: str
+    range: str
+    semiadditive: str = "last"
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "WindowClause":
+        order = d.get("order")
+        rng = d.get("range")
+        if not order or not rng:
+            raise SpecError(f"window clause needs 'order' and 'range': {d!r}")
+        semi = str(d.get("semiadditive", "last")).lower()
+        if semi != "last":
+            raise SpecError(f"unsupported semiadditive mode {semi!r} (only 'last')")
+        clause = cls(order=str(order), range=str(rng).strip(), semiadditive=semi)
+        clause.kind  # validate range grammar eagerly
+        return clause
+
+    @property
+    def kind(self) -> str:
+        r = self.range.lower()
+        if r == "cumulative":
+            return "cumulative"
+        if r == "current":
+            return "current"
+        if _TRAILING_RE.match(r):
+            return "trailing"
+        raise SpecError(f"unsupported window range {self.range!r}")
+
+    @property
+    def trailing_parts(self) -> tuple[int, str]:
+        m = _TRAILING_RE.match(self.range.lower())
+        if not m:
+            raise SpecError(f"not a trailing range: {self.range!r}")
+        return int(m.group(1)), m.group(2).lower()
+
+    def trailing_seconds(self) -> int:
+        """Frame extent in seconds for time-unit ranges.
+
+        ``trailing 7 day`` means a 7-day span *inclusive* of the current
+        day: the frame lower bound is ``current - (7-1) days`` when the
+        order column has day granularity.
+        """
+        n, unit = self.trailing_parts
+        if unit not in _SECONDS_PER:
+            raise SpecError(f"unit {unit!r} needs calendar arithmetic, not seconds")
+        return n * _SECONDS_PER[unit]
+
+
+@dataclass(frozen=True)
+class Measure:
+    """A named aggregate expression expanded at query time by ``MEASURE()``
+    (``README.md:124-141``; defs ``models/schema.yml:83-103,154-209``)."""
+
+    name: str
+    expr: str
+    windows: tuple[WindowClause, ...] = ()
+    display_name: Optional[str] = None
+    comment: Optional[str] = None
+    synonyms: tuple[str, ...] = ()
+    format: Optional[MeasureFormat] = None
+
+    @property
+    def is_windowed(self) -> bool:
+        return bool(self.windows)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Measure":
+        name = d.get("name")
+        expr = d.get("expr")
+        if not name or not expr:
+            raise SpecError(f"measure needs 'name' and 'expr': {d!r}")
+        windows = tuple(WindowClause.from_dict(w) for w in d.get("window", ()) or ())
+        fmt = d.get("format")
+        return cls(
+            name=str(name),
+            expr=str(expr).strip(),
+            windows=windows,
+            display_name=d.get("display_name"),
+            comment=d.get("comment"),
+            synonyms=tuple(d.get("synonyms", ()) or ()),
+            format=MeasureFormat.from_dict(fmt) if isinstance(fmt, dict) else None,
+        )
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    """A declared star/snowflake join (``README.md:282-300``).
+
+    ``source`` names a registered model/table; ``on`` is a SQL predicate
+    referencing the base relation as ``source`` and this join by its
+    ``name`` (e.g. ``source.customer_id = customer.id``). ``joins`` nests
+    snowflake hops whose ``on`` references the *parent* join's name
+    (``README.md:290-294``); nested columns are addressed by dotted path
+    (``customer.nation.name``).
+    """
+
+    name: str
+    source: str
+    on: str
+    joins: tuple["JoinSpec", ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "JoinSpec":
+        name, source, on = d.get("name"), d.get("source"), d.get("on")
+        if not name or not source or not on:
+            raise SpecError(f"join needs 'name', 'source', 'on': {d!r}")
+        nested = tuple(JoinSpec.from_dict(j) for j in d.get("joins", ()) or ())
+        return cls(name=str(name), source=str(source), on=str(on), joins=nested)
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """One ``materialized_views:`` entry (``models/schema.yml:110-129``).
+
+    ``type: unaggregated`` = baseline snapshot of the (filtered, joined)
+    source; ``type: aggregated`` = pre-aggregated cube slice keyed by
+    ``dimensions`` carrying partial states for ``measures``.
+    """
+
+    name: str
+    type: str  # 'unaggregated' | 'aggregated'
+    dimensions: tuple[str, ...] = ()
+    measures: tuple[str, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "RollupSpec":
+        name = d.get("name")
+        typ = str(d.get("type", "")).lower()
+        if not name or typ not in ("unaggregated", "aggregated"):
+            raise SpecError(f"materialized view needs name + type in (unaggregated|aggregated): {d!r}")
+        dims = tuple(str(x) for x in d.get("dimensions", ()) or ())
+        meas = tuple(str(x) for x in d.get("measures", ()) or ())
+        if typ == "aggregated" and not dims:
+            raise SpecError(f"aggregated rollup {name!r} needs dimensions")
+        return cls(name=str(name), type=typ, dimensions=dims, measures=meas)
+
+
+@dataclass(frozen=True)
+class Materialization:
+    """``materialization:`` block (``models/schema.yml:104-129``)."""
+
+    schedule: Optional[str] = None
+    mode: Optional[str] = None
+    materialized_views: tuple[RollupSpec, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Materialization":
+        return cls(
+            schedule=d.get("schedule"),
+            mode=d.get("mode"),
+            materialized_views=tuple(
+                RollupSpec.from_dict(x) for x in d.get("materialized_views", ()) or ()
+            ),
+        )
+
+
+@dataclass(frozen=True)
+class MetricViewSpec:
+    """The full semantic model of one metric view."""
+
+    name: str
+    source: str
+    version: str = "0.1"
+    description: Optional[str] = None
+    filter: Optional[str] = None
+    dimensions: tuple[Dimension, ...] = ()
+    measures: tuple[Measure, ...] = ()
+    joins: tuple[JoinSpec, ...] = ()
+    materialization: Optional[Materialization] = None
+
+    def __post_init__(self) -> None:
+        names = [d.name for d in self.dimensions] + [m.name for m in self.measures]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise SpecError(f"duplicate dimension/measure names: {sorted(dupes)}")
+        dim_names = {d.name for d in self.dimensions}
+        meas_names = {m.name for m in self.measures}
+        windowed = {m.name for m in self.measures if m.is_windowed}
+        for m in self.measures:
+            orders = [w.order for w in m.windows]
+            for o in orders:
+                if o not in dim_names:
+                    raise SpecError(
+                        f"measure {m.name!r}: window order {o!r} is not a declared dimension"
+                    )
+        if self.materialization:
+            for r in self.materialization.materialized_views:
+                for dname in r.dimensions:
+                    if dname not in dim_names:
+                        raise SpecError(f"rollup {r.name!r}: unknown dimension {dname!r}")
+                for mname in r.measures:
+                    if mname not in meas_names:
+                        raise SpecError(f"rollup {r.name!r}: unknown measure {mname!r}")
+                    if mname in windowed:
+                        # window measures are computed on the fly, never
+                        # materialized (README.md:431)
+                        raise SpecError(
+                            f"rollup {r.name!r}: window measure {mname!r} cannot be materialized"
+                        )
+
+    # -- lookups -------------------------------------------------------
+
+    def dimension(self, name: str) -> Dimension:
+        for d in self.dimensions:
+            if d.name == name:
+                return d
+        raise SpecError(f"metric view {self.name!r} has no dimension {name!r}")
+
+    def measure(self, name: str) -> Measure:
+        for m in self.measures:
+            if m.name == name:
+                return m
+        raise SpecError(f"metric view {self.name!r} has no measure {name!r}")
+
+    @property
+    def dimension_names(self) -> tuple[str, ...]:
+        return tuple(d.name for d in self.dimensions)
+
+    @property
+    def measure_names(self) -> tuple[str, ...]:
+        return tuple(m.name for m in self.measures)
+
+    # -- parsing -------------------------------------------------------
+
+    @classmethod
+    def from_yaml(
+        cls,
+        text: str,
+        *,
+        name: str,
+        source: Optional[str] = None,
+        description: Optional[str] = None,
+    ) -> "MetricViewSpec":
+        """Raw-YAML mode: parse a full Databricks metric-view YAML doc.
+
+        ``__SOURCE__`` is replaced with *source* before parsing
+        (``macros/generate_metric_views.sql:42-43``).
+        """
+        if source is not None:
+            text = text.replace(SOURCE_PLACEHOLDER, source)
+        doc = yaml.safe_load(text)
+        if not isinstance(doc, dict):
+            raise SpecError(f"metric-view YAML must be a mapping, got {type(doc).__name__}")
+        return cls._from_doc(doc, name=name, description=description)
+
+    @classmethod
+    def from_structured(
+        cls,
+        props: dict[str, Any],
+        *,
+        name: str,
+        source: str,
+        description: Optional[str] = None,
+    ) -> "MetricViewSpec":
+        """Structured mode (``macros/generate_metric_views.sql:45-76``):
+        ``version`` defaults to '0.1'; dimension ``expr`` defaults to its
+        ``name``; only filter/dimensions/measures supported."""
+        doc: dict[str, Any] = {
+            "version": str(props.get("version", "0.1")),
+            "source": source,
+        }
+        if "filter" in props:
+            doc["filter"] = props["filter"]
+        if props.get("dimensions"):
+            doc["dimensions"] = [
+                {"name": d["name"], "expr": d.get("expr", d["name"])}
+                for d in props["dimensions"]
+            ]
+        if props.get("measures"):
+            doc["measures"] = [
+                {"name": m["name"], "expr": m["expr"]} for m in props["measures"]
+            ]
+        return cls._from_doc(doc, name=name, description=description)
+
+    @classmethod
+    def _from_doc(
+        cls, doc: dict[str, Any], *, name: str, description: Optional[str]
+    ) -> "MetricViewSpec":
+        source = doc.get("source")
+        if not source:
+            raise SpecError("metric-view spec missing 'source'")
+        if SOURCE_PLACEHOLDER in str(source):
+            raise SpecError("unresolved __SOURCE__ placeholder — pass source=")
+        mat = doc.get("materialization")
+        return cls(
+            name=name,
+            source=str(source),
+            version=str(doc.get("version", "0.1")),
+            description=description,
+            filter=(str(doc["filter"]).strip() if doc.get("filter") is not None else None),
+            dimensions=tuple(Dimension.from_dict(d) for d in doc.get("dimensions", ()) or ()),
+            measures=tuple(Measure.from_dict(m) for m in doc.get("measures", ()) or ()),
+            joins=tuple(JoinSpec.from_dict(j) for j in doc.get("joins", ()) or ()),
+            materialization=Materialization.from_dict(mat) if isinstance(mat, dict) else None,
+        )
+
+    # -- introspection (v1.1 semantic catalog, README.md:226-246) ------
+
+    def describe(self) -> dict[str, Any]:
+        """Metadata catalog for discovery — mirrors what ``DESCRIBE`` on a
+        metric view would surface (``README.md:385-397``)."""
+        return {
+            "name": self.name,
+            "version": self.version,
+            "source": self.source,
+            "description": self.description,
+            "filter": self.filter,
+            "dimensions": [
+                {
+                    "name": d.name,
+                    "expr": d.expr,
+                    "display_name": d.display_name,
+                    "comment": d.comment,
+                    "synonyms": list(d.synonyms),
+                }
+                for d in self.dimensions
+            ],
+            "measures": [
+                {
+                    "name": m.name,
+                    "expr": m.expr,
+                    "windowed": m.is_windowed,
+                    "display_name": m.display_name,
+                    "comment": m.comment,
+                    "synonyms": list(m.synonyms),
+                    "format": (
+                        {"type": m.format.type, "currency_code": m.format.currency_code}
+                        if m.format
+                        else None
+                    ),
+                }
+                for m in self.measures
+            ],
+            "materialized_views": [
+                {
+                    "name": r.name,
+                    "type": r.type,
+                    "dimensions": list(r.dimensions),
+                    "measures": list(r.measures),
+                }
+                for r in (
+                    self.materialization.materialized_views if self.materialization else ()
+                )
+            ],
+        }

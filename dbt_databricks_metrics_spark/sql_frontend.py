@@ -1,0 +1,136 @@
+"""Thin SQL front-end for ``MEASURE()`` queries.
+
+Lets analysts run the exact query shape the reference documents
+(``README.md:124-141``)::
+
+    SELECT market_segment, MEASURE(total_revenue) AS revenue
+    FROM mv_order_metrics
+    GROUP BY market_segment
+    ORDER BY revenue DESC
+    LIMIT 10
+
+against our catalog. This is deliberately a *thin* parser over that shape —
+arbitrary SQL around metric views (subqueries, joins of metric views, …)
+is out of scope, matching how the reference exposes them. The parsed query
+is executed through the engine's compiler, so rollup routing applies
+identically to SQL and the Python API.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .engine import MetricEngine
+
+
+class MeasureSQLError(ValueError):
+    pass
+
+
+_QUERY_RE = re.compile(
+    r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<view>[A-Za-z_][\w.]*)"
+    r"(?:\s+where\s+(?P<where>.*?))?"
+    r"(?:\s+group\s+by\s+(?P<group>.*?))?"
+    r"(?:\s+order\s+by\s+(?P<order>.*?))?"
+    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MEASURE_RE = re.compile(r"^measure\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
+    m = _QUERY_RE.match(text)
+    if not m:
+        raise MeasureSQLError(
+            "expected: SELECT <dims | MEASURE(m) [AS alias]> FROM <metric_view> "
+            "[WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n]"
+        )
+    view_name = m.group("view").split(".")[-1]  # catalog.schema.name → name
+    mv = engine.metric_view(view_name)
+
+    dims: list[str] = []
+    measures: list[str] = []
+    renames: dict[str, str] = {}  # canonical name -> output alias
+    for item in _split_top_level(m.group("items")):
+        alias = None
+        am = re.match(r"^(.*?)\s+as\s+([A-Za-z_]\w*)$", item, re.IGNORECASE)
+        if am:
+            item, alias = am.group(1).strip(), am.group(2)
+        mm = _MEASURE_RE.match(item)
+        if mm:
+            name = mm.group(1)
+            measures.append(name)
+        else:
+            if not re.match(r"^[A-Za-z_]\w*$", item):
+                raise MeasureSQLError(
+                    f"select item {item!r}: only dimension names and "
+                    f"MEASURE(name) are valid against a metric view"
+                )
+            name = item
+            dims.append(name)
+        if alias:
+            renames[name] = alias
+
+    group = m.group("group")
+    if group:
+        group_items = _split_top_level(group)
+        resolved = []
+        for g in group_items:
+            if re.match(r"^\d+$", g):  # ordinal GROUP BY (fct_customer_summary style)
+                idx = int(g) - 1
+                sel = dims + measures
+                if idx >= len(sel):
+                    raise MeasureSQLError(f"GROUP BY ordinal {g} out of range")
+                resolved.append(sel[idx])
+            else:
+                resolved.append(g)
+        if set(resolved) != set(dims):
+            raise MeasureSQLError(
+                f"GROUP BY {resolved} must match the non-measure select items {dims}"
+            )
+    elif dims:
+        raise MeasureSQLError("bare dimensions in SELECT require GROUP BY")
+
+    df, _route = mv.query_routed(dims, measures, where=m.group("where"))
+    if renames:
+        df = df.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+        )
+    order = m.group("order")
+    if order:
+        order_cols = []
+        for o in _split_top_level(order):
+            om = re.match(r"^(\S+)(?:\s+(asc|desc))?$", o.strip(), re.IGNORECASE)
+            if not om:
+                raise MeasureSQLError(f"bad ORDER BY item {o!r}")
+            col = F.col(om.group(1))
+            if om.group(2) and om.group(2).lower() == "desc":
+                col = col.desc()
+            order_cols.append(col)
+        df = df.orderBy(*order_cols)
+    if m.group("limit"):
+        df = df.limit(int(m.group("limit")))
+    return df

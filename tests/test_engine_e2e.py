@@ -1,0 +1,198 @@
+"""End-to-end: model DAG → metric views → MEASURE() queries vs DuckDB oracle.
+
+Mirrors the reference's documented verification queries (README.md:124-141)
+but checked mechanically against DuckDB on the same parquet (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_databricks_metrics_spark.engine import MetricEngine
+from dbt_databricks_metrics_spark.project import build_registry
+
+from .conftest import assert_df_matches_oracle
+
+STG_ORDERS_SQL = """
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           o_orderstatus AS order_status, o_totalprice AS total_price,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority AS order_priority
+    FROM orders
+"""
+
+FCT_ORDERS_SQL = f"""
+    SELECT o.order_id, o.customer_id, c.customer_name, c.market_segment,
+           o.order_status, o.total_price, o.order_date, o.order_priority,
+           year(o.order_date) AS order_year, month(o.order_date) AS order_month,
+           quarter(o.order_date) AS order_quarter
+    FROM ({STG_ORDERS_SQL}) o
+    LEFT JOIN (SELECT c_custkey AS customer_id, c_name AS customer_name,
+                      c_nationkey AS nation_id, c_acctbal AS account_balance,
+                      c_mktsegment AS market_segment FROM customer) c
+    ON o.customer_id = c.customer_id
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = MetricEngine(
+        spark,
+        build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("wh")),
+    )
+    eng.run()
+    return eng
+
+
+def test_models_built(engine):
+    fct = engine.ref("fct_orders")
+    assert fct.count() > 0
+    assert "order_year" in fct.columns
+    summary = engine.ref("fct_customer_summary")
+    assert summary.count() > 0
+
+
+def test_flagship_query_vs_oracle(engine, duck):
+    # ≡ README.md:125-132 — revenue by market segment
+    mv = engine.metric_view("mv_order_metrics")
+    df = mv.query(
+        dimensions=["market_segment"],
+        measures=["total_orders", "total_revenue", "avg_order_value"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, count(*) AS total_orders,
+               sum(total_price) AS total_revenue,
+               avg(total_price) AS avg_order_value
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        """,
+    )
+
+
+def test_multi_dim_query(engine, duck):
+    mv = engine.metric_view("mv_order_metrics")
+    df = mv.query(
+        dimensions=["order_year", "order_status"],
+        measures=["total_revenue", "max_order_value"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT CAST(year(order_date) AS INT) AS order_year, order_status,
+               sum(total_price) AS total_revenue, max(total_price) AS max_order_value
+        FROM ({STG_ORDERS_SQL}) GROUP BY 1, 2
+        """,
+    )
+
+
+def test_no_dim_global_aggregate(engine, duck):
+    mv = engine.metric_view("mv_orders_simple")
+    df = mv.query(measures=["order_count", "total_revenue"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"SELECT count(*) AS order_count, sum(total_price) AS total_revenue FROM ({STG_ORDERS_SQL})",
+    )
+
+
+def test_customer_metrics_vs_oracle(engine, duck):
+    # mv_customer_metrics incl. count_if and avg-over-expression (A7, A8)
+    mv = engine.metric_view("mv_customer_metrics")
+    df = mv.query(
+        dimensions=["market_segment"],
+        measures=[
+            "total_customers",
+            "total_revenue",
+            "avg_customer_value",
+            "avg_orders_per_customer",
+            "high_value_customers",
+            "avg_order_frequency",
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        WITH summary AS (
+            SELECT c.customer_id, c.customer_name, c.market_segment, c.account_balance,
+                   count(o.order_id) AS total_orders, sum(o.total_price) AS total_spent,
+                   avg(o.total_price) AS avg_order_value,
+                   min(o.order_date) AS first_order_date, max(o.order_date) AS last_order_date
+            FROM (SELECT c_custkey AS customer_id, c_name AS customer_name,
+                         c_acctbal AS account_balance, c_mktsegment AS market_segment
+                  FROM customer) c
+            LEFT JOIN ({STG_ORDERS_SQL}) o ON c.customer_id = o.customer_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT market_segment,
+               count(*) AS total_customers,
+               sum(total_spent) AS total_revenue,
+               avg(total_spent) AS avg_customer_value,
+               avg(total_orders) AS avg_orders_per_customer,
+               count_if(total_spent > 100000) AS high_value_customers,
+               avg(total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)) AS avg_order_frequency
+        FROM summary GROUP BY market_segment
+        """,
+    )
+
+
+def test_undeclared_dim_rejected(engine):
+    from dbt_databricks_metrics_spark.specs import SpecError
+
+    mv = engine.metric_view("mv_order_metrics")
+    with pytest.raises(SpecError, match="no dimension"):
+        mv.query(dimensions=["customer_name"], measures=["total_revenue"])
+
+
+def test_bare_column_not_selectable(engine):
+    # MEASURE() contract: only declared dims/measures are exposed (SURVEY §2.4)
+    from dbt_databricks_metrics_spark.specs import SpecError
+
+    mv = engine.metric_view("mv_order_metrics")
+    with pytest.raises(SpecError):
+        mv.query(dimensions=["total_price"], measures=["total_revenue"])
+
+
+def test_where_on_dimensions(engine, duck):
+    mv = engine.metric_view("mv_order_metrics")
+    df = mv.query(
+        dimensions=["order_status"],
+        measures=["total_revenue"],
+        where="order_status = 'F'",
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT order_status, sum(total_price) AS total_revenue
+        FROM ({STG_ORDERS_SQL}) WHERE order_status = 'F' GROUP BY 1
+        """,
+    )
+
+
+def test_sql_frontend(engine, duck):
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        """,
+    )
+
+
+def test_describe_surfaces_metadata(engine):
+    d = engine.metric_view("mv_customer_metrics").describe()
+    assert d["version"] == "1.1"
+    assert d["measures"][1]["format"]["currency_code"] == "USD"

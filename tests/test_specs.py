@@ -1,0 +1,149 @@
+"""Spec parsing unit tests — raw-YAML and structured modes, defaulting
+rules of macros/generate_metric_views.sql:40-76, validation errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_databricks_metrics_spark.specs import (
+    MetricViewSpec,
+    SpecError,
+    WindowClause,
+)
+from dbt_databricks_metrics_spark.project import (
+    MV_CUSTOMER_METRICS_YAML,
+    MV_ORDER_METRICS_YAML,
+    MV_ORDERS_SIMPLE_YAML,
+)
+
+
+def test_raw_yaml_source_substitution():
+    spec = MetricViewSpec.from_yaml(
+        MV_ORDERS_SIMPLE_YAML, name="mv_orders_simple", source="stg_orders"
+    )
+    assert spec.source == "stg_orders"
+    assert spec.version == "0.1"
+    assert spec.dimension_names == ("order_status", "order_priority", "order_date")
+    assert spec.measure_names == ("order_count", "total_revenue", "avg_order_value")
+    mat = spec.materialization
+    assert mat is not None and mat.schedule == "every 8 weeks" and mat.mode == "relaxed"
+    assert [r.name for r in mat.materialized_views] == ["baseline", "orders_by_status"]
+    assert mat.materialized_views[0].type == "unaggregated"
+    assert mat.materialized_views[1].dimensions == ("order_status",)
+
+
+def test_unresolved_source_placeholder_rejected():
+    with pytest.raises(SpecError, match="__SOURCE__"):
+        MetricViewSpec.from_yaml(MV_ORDERS_SIMPLE_YAML, name="x")
+
+
+def test_window_measures_parsed():
+    spec = MetricViewSpec.from_yaml(
+        MV_ORDER_METRICS_YAML, name="mv_order_metrics", source="fct_orders"
+    )
+    t7 = spec.measure("trailing_7d_revenue")
+    assert t7.is_windowed
+    w = t7.windows[0]
+    assert w.kind == "trailing" and w.trailing_parts == (7, "day")
+    assert w.order == "order_date" and w.semiadditive == "last"
+    cum = spec.measure("cumulative_revenue").windows[0]
+    assert cum.kind == "cumulative"
+
+
+def test_v11_semantic_metadata():
+    spec = MetricViewSpec.from_yaml(
+        MV_CUSTOMER_METRICS_YAML, name="mv_customer_metrics", source="fct_customer_summary"
+    )
+    assert spec.version == "1.1"
+    seg = spec.dimension("market_segment")
+    assert seg.display_name == "Market Segment"
+    assert "segment" in seg.synonyms
+    rev = spec.measure("total_revenue")
+    assert rev.format and rev.format.type == "currency" and rev.format.currency_code == "USD"
+    d = spec.describe()
+    assert d["measures"][1]["format"]["currency_code"] == "USD"
+
+
+def test_structured_mode_defaults():
+    spec = MetricViewSpec.from_structured(
+        {
+            "dimensions": [{"name": "seg"}, {"name": "yr", "expr": "year(order_date)"}],
+            "measures": [{"name": "n", "expr": "count(*)"}],
+            "filter": "order_status = 'F'",
+        },
+        name="mv_x",
+        source="fct_orders",
+    )
+    assert spec.version == "0.1"  # default (generate_metric_views.sql:49)
+    assert spec.dimension("seg").expr == "seg"  # expr defaults to name (:61-62)
+    assert spec.dimension("yr").expr == "year(order_date)"
+    assert spec.filter == "order_status = 'F'"
+
+
+def test_validation_errors():
+    with pytest.raises(SpecError, match="duplicate"):
+        MetricViewSpec(
+            name="x",
+            source="s",
+            dimensions=(),
+            measures=(
+                __import__(
+                    "dbt_databricks_metrics_spark.specs", fromlist=["Measure"]
+                ).Measure(name="a", expr="count(*)"),
+            )
+            * 2,
+        )
+    with pytest.raises(SpecError, match="not a declared dimension"):
+        MetricViewSpec.from_yaml(
+            """
+version: 0.1
+source: t
+measures:
+  - name: m
+    expr: sum(x)
+    window:
+      - order: missing_dim
+        range: cumulative
+""",
+            name="x",
+        )
+    with pytest.raises(SpecError, match="unsupported window range"):
+        WindowClause.from_dict({"order": "d", "range": "sliding 3 day"})
+    # window measures can never be materialized (README.md:431)
+    with pytest.raises(SpecError, match="cannot be materialized"):
+        MetricViewSpec.from_yaml(
+            """
+version: 0.1
+source: t
+dimensions:
+  - name: d
+    expr: d
+measures:
+  - name: m
+    expr: sum(x)
+    window:
+      - order: d
+        range: cumulative
+materialization:
+  materialized_views:
+    - name: r
+      type: aggregated
+      dimensions: [d]
+      measures: [m]
+""",
+            name="x",
+        )
+
+
+def test_describe_roundtrip():
+    spec = MetricViewSpec.from_yaml(
+        MV_ORDER_METRICS_YAML, name="mv_order_metrics", source="fct_orders"
+    )
+    d = spec.describe()
+    assert d["name"] == "mv_order_metrics"
+    assert len(d["dimensions"]) == 6 and len(d["measures"]) == 6
+    assert [r["name"] for r in d["materialized_views"]] == [
+        "baseline",
+        "revenue_by_segment",
+        "monthly_revenue",
+    ]
