@@ -212,7 +212,8 @@ class JoinSpec:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "JoinSpec":
-        name, source, on = d.get("name"), d.get("source"), d.get("on")
+        # YAML 1.1 parses a bare `on:` key as boolean True — accept both
+        name, source, on = d.get("name"), d.get("source"), d.get("on", d.get(True))
         if not name or not source or not on:
             raise SpecError(f"join needs 'name', 'source', 'on': {d!r}")
         nested = tuple(JoinSpec.from_dict(j) for j in d.get("joins", ()) or ())
