@@ -249,6 +249,161 @@ def _q_measure_sql(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# [EXT] LLM-pipeline operators (dedup / similarity / text / sessions)
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_stats(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import textstats
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.with_language_id(textstats.with_token_stats(docs)).select(
+        "doc_id", "char_len", "ws_token_count", "bpe_piece_count", "lang_guess"
+    )
+
+
+def _q_dedup_exact_summary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs)
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    # rows-only oracle: candidate set depends on xxhash64 banding (recall
+    # < 1 by construction); verified output is ⊆ ngram_jaccard_pairs
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, k=5, threshold=0.7)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.9)
+
+
+def _q_topk_similar(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.topk_similar(emb, qv, k=10)
+
+
+def _q_topk_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.topk_join(queries_df, emb, k=3)
+
+
+def _q_srp_pairs(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_similar_pairs(emb, dim=64, threshold=0.9)
+
+
+def _q_sessionize(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize.sessionize(ev).select("event_id", "user_id", "session_id")
+
+
+def _q_session_stats(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return sessionize.session_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_tumbling_window(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return sessionize.tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+def _q_user_activity(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return sessionize.user_activity(load_table(spark, sf_dir, "events"))
+
+
+def _q_media_features(spark, sf_dir):
+    # rows-only: feature extraction uses the stubbed decode kernel
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.media_from_documents(docs))
+
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(length({t}) - 4, 1)), "
+    "i -> substring({t}, i, 5)))"
+)
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+_SESSION_CTE = """
+WITH ordered AS (
+    SELECT *,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM ordered
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stg_orders": _q_stg_orders,
@@ -266,6 +421,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_segment": _q_routed_segment,
         "routed_monthly": _q_routed_monthly,
         "measure_sql": _q_measure_sql,
+        # [EXT] LLM-pipeline operators
+        "doc_stats": _q_doc_stats,
+        "dedup_exact_summary": _q_dedup_exact_summary,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "topk_similar": _q_topk_similar,
+        "topk_join": _q_topk_join,
+        "srp_similar_pairs": _q_srp_pairs,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "tumbling_window": _q_tumbling_window,
+        "user_activity": _q_user_activity,
+        "media_features": _q_media_features,
     }
 
 
@@ -354,5 +524,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, sum(total_price) AS total_revenue,
                    avg(total_price) AS avg_order_value
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # ---- [EXT] oracles (LSH/SRP/IVF/stub entries are rows-only) ----
+        "doc_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS char_len,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                       AS ws_token_count,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS INT) AS bpe_piece_count,
+                   CASE WHEN _best = 0 THEN 'und'
+                        WHEN _en = _best THEN 'en'
+                        WHEN _fr = _best THEN 'fr'
+                        WHEN _de = _best THEN 'de'
+                        WHEN _es = _best THEN 'es'
+                        WHEN _it = _best THEN 'it'
+                        ELSE 'und' END AS lang_guess
+            FROM (
+                SELECT *,
+                    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS _en,
+                    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')) AS _fr,
+                    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS _de,
+                    len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')) AS _es,
+                    len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b')) AS _it,
+                    greatest(
+                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
+                        len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
+                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')),
+                        len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')),
+                        len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
+                    ) AS _best
+                FROM documents)
+        """,
+        "dedup_exact_summary": f"""
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
+                       AS n_unique
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       {_SHINGLES.format(t=_NORM.format(c='text'))} AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "topk_similar": """
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+                       AS cosine
+            FROM embeddings b
+            ORDER BY cosine DESC, b.vec_id
+            LIMIT 10
+        """,
+        "topk_join": """
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 5
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+                             DESC,
+                         c.vec_id
+            ) <= 3
+        """,
+        "sessionize": _SESSION_CTE
+        + """
+            SELECT event_id, user_id,
+                   concat(CAST(user_id AS VARCHAR), '-',
+                          CAST(session_seq AS VARCHAR)) AS session_id
+            FROM sess
+        """,
+        "session_stats": _SESSION_CTE
+        + """
+            SELECT user_id,
+                   concat(CAST(user_id AS VARCHAR), '-',
+                          CAST(session_seq AS VARCHAR)) AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                       - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+                   count(*) AS n_events,
+                   sum(value) AS total_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type, count(*) AS n_events, sum(value) AS total_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "user_activity": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   sum(value) AS total_value, avg(value) AS avg_value
+            FROM events GROUP BY 1
         """,
     }

@@ -33,7 +33,9 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, warm: bool = False):
+        if warm:
+            fn()  # steady-state: measure the second run
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -62,8 +64,8 @@ def main() -> None:
         q = MetricQuery(mv.spec, ("market_segment",), ("total_revenue", "total_orders"))
         return eng._compiler.compile(q).collect()
 
-    timed("q_segment_routed", routed)
-    timed("q_segment_live", live)
+    timed("q_segment_routed", routed, warm=True)
+    timed("q_segment_live", live, warm=True)
     timed(
         "q_monthly_routed",
         lambda: mv.query(["order_year", "order_month"], ["total_revenue"]).collect(),
@@ -100,6 +102,13 @@ def main() -> None:
         .collect(),
     )
 
+    # scale-invariant routing evidence: rows scanned by each plan (at sf0.1
+    # both queries are scheduling-bound ~0.2s; the scan ratio is what
+    # predicts the 10-100x at warehouse scale, README.md:424-429)
+    state = eng.catalog.get("mv_order_metrics").state
+    routed_rows = spark.read.parquet(state.rollups["revenue_by_segment"].path).count()
+    live_rows = eng.ref("fct_orders").count()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -112,6 +121,8 @@ def main() -> None:
                 "routed_speedup": round(
                     timings["q_segment_live"] / max(timings["q_segment_routed"], 1e-9), 2
                 ),
+                "routed_rows_scanned": routed_rows,
+                "live_rows_scanned": live_rows,
             }
         )
     )

@@ -1,0 +1,382 @@
+"""Deduplication operators for LLM training-data pipelines ([EXT]).
+
+Five families, each chosen for a different scale/recall point:
+
+* **exact** — 64-bit fingerprint of normalized text; groupBy the 8-byte
+  hash (never the text) and keep the lowest doc id. One shuffle of
+  (hash, id) pairs — at 100 TB this shuffles gigabytes, not terabytes.
+* **MinHash + LSH** — shingle → per-permutation min-hash signature →
+  banded bucket keys → candidate pairs via equi-join on (band, key) →
+  exact n-gram-Jaccard verification of candidates only. The equi-join
+  replaces the O(n²) similarity join; all expressed with native array
+  functions (`transform`/`array_min`/`xxhash64`) — no Python UDFs.
+* **SimHash** — 64-bit signature whose Hamming distance tracks cosine
+  similarity of token multisets; near-dup candidates via the pigeonhole
+  band trick (split signature into b chunks; distance ≤ d pairs share a
+  chunk when b > d), verified by exact `bit_count(xor)`.
+* **n-gram Jaccard (exact)** — the brute-force similarity join
+  (`crossJoin` + filter) used as the small-scale oracle for the LSH
+  paths and directly when one side is tiny.
+* **embedding cosine** — near-dup by cosine ≥ τ over `array<float>`
+  embeddings; brute pairs at small scale (see `similarity.py` for the
+  bucketed scale path).
+
+Determinism: every hash is `xxhash64(..., seed_lit)` — no RNG, so results
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (lowest id) per normalized-text fingerprint."""
+    with_fp = df.withColumn("_fp", F.xxhash64(normalized_text(text_col)))
+    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keep, [ "_fp", id_col], "inner")  # semi-join on (fp, min id)
+        .drop("_fp")
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every duplicated normalized text."""
+    return (
+        df.withColumn("_fp", F.xxhash64(normalized_text(text_col)))
+        .groupBy(F.col("_fp").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text (native exprs)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)), "
+            f"i -> substring({_norm_sql(text_col)}, i, {k}))"
+        )
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    return f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact similarity self-join: all pairs with shingle-Jaccard ≥ τ.
+
+    O(n²) compare — correct at any scale but only *runnable* when one
+    side fits; it is the verification oracle for the LSH paths below.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    jac = inter / union
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_hash(i: int):
+    # NB: must be a single-parameter lambda — pyspark treats a second
+    # (defaulted) parameter as the array-index argument of transform()
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 128) -> Column:
+    """num_perm-wide MinHash signature: per permutation i, the min of
+    xxhash64(shingle, i) over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _perm_hash(i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signature is split into `bands` rows of `num_perm // bands` values;
+    docs sharing any band-hash are candidates. The only shuffles are the
+    explode + equi-join on the 16-byte (band, key) — this is the 100 TB
+    path (the O(n²) comparison never materializes).
+    """
+    rows = num_perm // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+    banded = sh.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("_sig"), b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification (candidates only).
+
+    Output ⊆ `ngram_jaccard_pairs(..., threshold)`; recall depends on
+    (num_perm, bands) — 128 perms / 32 bands (4-row bands) puts the
+    s-curve midpoint at Jaccard ≈ (1/32)^(1/4) ≈ 0.42, so a τ=0.8 pair
+    is missed with probability (1-0.8^4)^32 ≈ 5e-8.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, k, num_perm, bands)
+    sh = df.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
+    )
+    j = (
+        cand.join(sh.alias("sa"), cand.id_a == F.col("sa._id"))
+        .join(sh.alias("sb"), cand.id_b == F.col("sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect(F.col("sa._sh"), F.col("sb._sh")))
+                / F.size(F.array_union(F.col("sa._sh"), F.col("sb._sh"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop every doc that near-duplicates a lower-id doc (greedy keep)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, num_perm, bands, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash(text_col: str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens, fully native:
+
+    per token t: h = xxhash64(t); for each bit j accumulate +1/-1;
+    signature bit j = sign of the accumulated counter.
+    """
+    # the Python shiftleft/shiftright wrappers require int shift amounts;
+    # call_function reaches the SQL functions, which accept column shifts
+    _shr = lambda c, j: F.call_function("shiftright", c, j)  # noqa: E731
+    _shl = lambda c, j: F.call_function("shiftleft", c, j)  # noqa: E731
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    counters = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
+                lambda j: F.when(
+                    _shr(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
+            lambda c, j: F.when(c > 0, _shl(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ d via the pigeonhole trick:
+    split 64 bits into `bands` chunks; any pair at distance ≤ bands-1
+    shares at least one exact chunk → equi-join on (chunk_idx, chunk),
+    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    width = _SIMHASH_BITS // bands
+    sg = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sim"))
+    chunks = sg.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_sim"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("_id", "_sim", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float/double> columns with native array ops."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ τ (brute; see similarity.srp_candidates for
+    the LSH-bucketed scale path). Returns (id_a, id_b, cosine)."""
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for LLM training-data pipelines ([EXT], SURVEY §0).
+
+All operators are pure `pyspark.sql.functions` column expressions — no
+Python UDFs — so they run inside whole-stage codegen and scale linearly
+with executors (a 100 TB scan is embarrassingly parallel; the only shuffle
+is an optional final aggregate). Operates on the `documents` fixture table
+(`doc_id, text, lang, source, n_chars` — FIXTURES.md).
+
+Operators:
+* token_count         — whitespace tokens + BPE-ish word/number/punct pieces
+* text_quality        — length / punctuation-ratio / stopword-ratio /
+                        word-length features + a composite quality score
+* language_id         — n-gram/stopword-profile heuristic over en/fr/de/es/it
+* fingerprint         — 64-bit document fingerprint of normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenization: word pieces, numbers, or single non-space symbols.
+# Mirrors the common pre-tokenizer regex (letters | digits | punct runs).
+BPE_PIECE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny deterministic stopword profiles for language ID (public-knowledge
+# function-word lists; enough signal for a heuristic classifier)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with", "for", "was"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une", "dans", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es": ("el", "la", "los", "de", "y", "es", "una", "en", "que", "por"),
+    "it": ("il", "la", "di", "e", "che", "una", "per", "non", "con", "sono"),
+}
+
+
+def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of profile-word occurrences (word-bounded, case-insensitive)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 1))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count + char length."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    return (
+        df.withColumn("char_len", F.length(t))
+        .withColumn(
+            "ws_token_count",
+            F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws_tokens),
+        )
+        .withColumn(
+            "bpe_piece_count",
+            F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_REGEX), 0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features (all codegen-able):
+    * punct_ratio    — non-alnum-non-space chars / chars
+    * stopword_ratio — English stopword hits / whitespace tokens
+    * mean_word_len  — chars / tokens
+    Score: penalizes very short docs, punctuation soup, and stopword-free
+    (unnatural) text — the standard cheap pre-filter before model-based
+    quality classifiers.
+    """
+    t = F.col(text_col)
+    df = with_token_stats(df, text_col)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    tokens = F.greatest(F.col("ws_token_count"), F.lit(1))
+    chars = F.greatest(F.col("char_len"), F.lit(1))
+    df = (
+        df.withColumn("punct_ratio", punct / chars)
+        .withColumn(
+            "stopword_ratio",
+            _stopword_hits(t, LANG_PROFILES["en"]) / tokens,
+        )
+        .withColumn("mean_word_len", F.col("char_len") / tokens)
+    )
+    len_score = F.least(F.col("char_len") / F.lit(200.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
+    stop_score = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        F.round((len_score + punct_score + stop_score) / 3.0, 6),
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax-over-profiles language guess + per-language hit counts.
+
+    Ties break by profile order (en > fr > de > es > it), 'und' when no
+    profile word matches — deterministic, so oracle-checkable in SQL.
+    """
+    t = F.col(text_col)
+    out = df
+    for lang, words in LANG_PROFILES.items():
+        out = out.withColumn(f"hits_{lang}", _stopword_hits(t, words))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_PROFILES])
+    guess = F.lit("und")
+    # build reverse so earlier profiles win ties via later overwrite
+    for lang in reversed(list(LANG_PROFILES)):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit fingerprint of whitespace/case-normalized text.
+
+    Normalization (lower, collapse whitespace) makes trivially-reformatted
+    duplicates collide — the cheap exact-dedup key for 100 TB scans
+    (shuffle only the 8-byte fingerprint + doc id, never the text).
+    """
+    t = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.xxhash64(normalized))
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full per-document feature set in one pass."""
+    return with_fingerprint(
+        with_language_id(with_quality_score(df, text_col), text_col), text_col
+    )

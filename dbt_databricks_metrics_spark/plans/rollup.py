@@ -81,6 +81,24 @@ class RollupManager:
         self.spark = spark
         self.compiler = compiler
         self.storage_dir = storage_dir
+        # rollup tables are tiny by construction (|dim combinations| rows)
+        # — keep them cached in memory so a routed query costs no file
+        # listing / schema inference / scan
+        self._df_cache: dict[str, DataFrame] = {}
+
+    def _read_rollup(self, built: BuiltRollup) -> DataFrame:
+        df = self._df_cache.get(built.path)
+        if df is None:
+            df = self.spark.read.parquet(built.path).cache()
+            self._df_cache[built.path] = df
+        return df
+
+    def _invalidate(self, path_prefix: str) -> None:
+        for p in [p for p in self._df_cache if p.startswith(path_prefix)]:
+            try:
+                self._df_cache.pop(p).unpersist()
+            except Exception:
+                pass
 
     # ---------------- build / refresh ----------------
 
@@ -95,6 +113,7 @@ class RollupManager:
         state = state or MaterializationState()
         if not spec.materialization:
             return state
+        self._invalidate(os.path.join(self.storage_dir, spec.name))
         src = self.compiler.source_plan(spec)
         for r in spec.materialization.materialized_views:
             if r.type == "unaggregated":
@@ -137,6 +156,7 @@ class RollupManager:
 
     def drop(self, spec_name: str) -> None:
         d = os.path.join(self.storage_dir, spec_name)
+        self._invalidate(d)
         if os.path.exists(d):
             shutil.rmtree(d)
 
@@ -188,7 +208,7 @@ class RollupManager:
         re-evaluation; merging is ``sum``/``min``/``max`` of partial
         columns, then each measure's finalize expression.
         """
-        df = self.spark.read.parquet(built.path)
+        df = self._read_rollup(built)
         merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
         agg_cols: list = []
         seen: set[str] = set()

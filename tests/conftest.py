@@ -63,11 +63,14 @@ def duck_oracle():
     con.close()
 
 
-def assert_df_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-6):
+def assert_df_matches_oracle(spark_df, duck_con, sql: str, rel_tol: float = 1e-6):
     """Order-insensitive compare of a Spark DataFrame vs a DuckDB query —
     the same contract the driver's CORRECTNESS gate applies (row count +
-    schema column names + values)."""
+    schema column names + values). Floats compare with relative tolerance
+    (summation order differs between engines); rows sort by a coarse key
+    so float noise cannot reorder them."""
     import math
+    from decimal import Decimal
 
     spark_rows = [tuple(r) for r in spark_df.collect()]
     cols = spark_df.columns
@@ -80,22 +83,43 @@ def assert_df_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e
         f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
 
-    # align column order by name, normalize values, sort rows
     sidx = [cols.index(c) for c in sorted(cols)]
     didx = [duck_cols.index(c) for c in sorted(cols)]
 
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return round(v, 6) if abs(v) < 1 else round(v, max(0, 6 - int(math.log10(abs(v)))))
+    def conv(v):
         if hasattr(v, "isoformat"):
             return v.isoformat()[:19]
-        if isinstance(v, int):
-            return float(v) if abs(v) < 2**52 else v
+        if isinstance(v, Decimal):
+            return float(v)
+        if isinstance(v, list):
+            return tuple(v)
         return v
 
-    s_sorted = sorted(tuple(norm(r[i]) for i in sidx) for r in spark_rows)
-    d_sorted = sorted(tuple(norm(r[i]) for i in didx) for r in duck_rows)
+    def key(t):
+        out = []
+        for v in t:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    out.append("nan")
+                elif v == 0:
+                    out.append("0")
+                else:
+                    out.append(str(round(v, max(0, 5 - int(math.log10(abs(v)))))))
+            else:
+                out.append(str(v))
+        return tuple(out)
+
+    def close(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) or math.isnan(fb):
+                return math.isnan(fa) == math.isnan(fb)
+            return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=1e-9)
+        return a == b
+
+    s_sorted = sorted((tuple(conv(r[i]) for i in sidx) for r in spark_rows), key=key)
+    d_sorted = sorted((tuple(conv(r[i]) for i in didx) for r in duck_rows), key=key)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
-        assert a == b, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
+        assert len(a) == len(b) and all(close(x, y) for x, y in zip(a, b)), (
+            f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
+        )

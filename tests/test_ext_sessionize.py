@@ -1,0 +1,116 @@
+"""Sessionization + time-window aggregation vs DuckDB oracle ([EXT])."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_databricks_metrics_spark.ext import sessionize
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+SESSION_ORACLE = """
+WITH ordered AS (
+    SELECT *,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM ordered
+)
+"""
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_sessionize_vs_oracle(events, duck):
+    df = sessionize.sessionize(events).select(
+        "event_id", "user_id", "session_id"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        SESSION_ORACLE.format(gap=30 * 60 * 1_000_000)
+        + """
+        SELECT event_id, user_id,
+               concat(CAST(user_id AS VARCHAR), '-', CAST(session_seq AS VARCHAR))
+                   AS session_id
+        FROM sess
+        """,
+    )
+
+
+def test_session_stats_vs_oracle(events, duck):
+    df = sessionize.session_stats(events)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        SESSION_ORACLE.format(gap=30 * 60 * 1_000_000)
+        + """
+        SELECT user_id,
+               concat(CAST(user_id AS VARCHAR), '-', CAST(session_seq AS VARCHAR))
+                   AS session_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)
+                   AS duration_sec,
+               count(*) AS n_events,
+               sum(value) AS total_value
+        FROM sess GROUP BY 1, 2
+        """,
+    )
+
+
+def test_tumbling_window_vs_oracle(events, duck):
+    df = sessionize.tumbling_window_agg(events, "1 hour")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n_events, sum(value) AS total_value
+        FROM events GROUP BY 1, 2, 3
+        """,
+    )
+
+
+def test_user_activity_vs_oracle(events, duck):
+    df = sessionize.user_activity(events)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types,
+               min(ts) AS first_seen, max(ts) AS last_seen,
+               sum(value) AS total_value, avg(value) AS avg_value
+        FROM events GROUP BY 1
+        """,
+    )
+
+
+def test_session_gap_boundary(spark):
+    """Events exactly at the gap boundary stay in one session; 1s over
+    splits."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 30, 0), 7, "a", 1.0, "{}"),  # == gap
+        (3, datetime(2024, 1, 1, 1, 0, 1), 7, "a", 1.0, "{}"),  # gap + 1s
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["event_id"]: r["session_id"] for r in sessionize.sessionize(df).collect()}
+    assert out[1] == out[2]
+    assert out[2] != out[3]

@@ -1,0 +1,110 @@
+"""Similarity-search operators vs DuckDB oracle / exact brute force ([EXT])."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import similarity
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+
+def test_topk_vs_oracle(emb, duck, query_vec):
+    df = similarity.topk_similar(emb, query_vec, k=10)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT b.vec_id,
+               round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+                   AS cosine
+        FROM embeddings b
+        ORDER BY cosine DESC, b.vec_id
+        LIMIT 10
+        """,
+    )
+
+
+def test_topk_join_vs_oracle(emb, duck):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = similarity.topk_join(queries, emb, k=3)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                     c.vec_id
+        ) <= 3
+        """,
+    )
+
+
+def test_topk_includes_self(emb, query_vec):
+    top = similarity.topk_similar(emb, query_vec, k=1).first()
+    assert top["vec_id"] == 0 and top["cosine"] == pytest.approx(1.0)
+
+
+def test_srp_pairs_subset_of_brute(emb):
+    from dbt_databricks_metrics_spark.ext.dedup import embedding_dup_pairs
+
+    sub = emb.filter(F.col("vec_id") < 150)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(sub, threshold=0.5).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.srp_similar_pairs(
+            sub, DIM, threshold=0.5, n_planes=16, bands=4
+        ).collect()
+    }
+    assert set(srp) <= set(brute)  # verification → no false positives
+    if brute:
+        # recall sanity: high-cosine pairs should mostly collide in a band
+        high = {k for k, v in brute.items() if v >= 0.8}
+        if high:
+            assert len(set(srp) & high) >= 0.5 * len(high)
+
+
+def test_ivf_topk_reasonable_recall(emb, query_vec):
+    exact = [r["vec_id"] for r in similarity.topk_similar(emb, query_vec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, query_vec, k=10, n_cells=8, n_probe=4
+        ).collect()
+    ]
+    assert len(approx) == 10
+    # probing half the cells should recover a majority of true neighbors
+    assert len(set(exact) & set(approx)) >= 5, (exact, approx)
+
+
+def test_ivf_assign_total(emb):
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    assert cents.count() == 8
+    assign = similarity.ivf_assign(emb, cents)
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()

@@ -1,0 +1,97 @@
+"""Text-analysis operators vs DuckDB oracle ([EXT])."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import textstats
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_token_stats_vs_oracle(docs, duck):
+    df = textstats.with_token_stats(docs).select(
+        "doc_id", "char_len", "ws_token_count", "bpe_piece_count"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        r"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS char_len,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                   AS ws_token_count,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS INT) AS bpe_piece_count
+        FROM documents
+        """,
+    )
+
+
+def test_quality_score_range_and_monotonicity(docs):
+    df = textstats.with_quality_score(docs)
+    rows = df.select("doc_id", "quality_score", "punct_ratio", "stopword_ratio").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["punct_ratio"] <= 1.0 for r in rows)
+
+
+def test_language_id_vs_oracle(docs, duck):
+    df = textstats.with_language_id(docs).select("doc_id", "lang_guess")
+    hits = {
+        lang: r"len(regexp_extract_all(lower(text), '\b("
+        + "|".join(words)
+        + r")\b'))"
+        for lang, words in textstats.LANG_PROFILES.items()
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"WHEN {hits[lang]} = _best THEN '{lang}'" for lang in textstats.LANG_PROFILES
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT doc_id,
+               CASE WHEN _best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_guess
+        FROM (SELECT doc_id, text, {greatest} AS _best FROM documents)
+        """,
+    )
+
+
+def test_fingerprint_collides_only_on_normalized_equality(spark, docs):
+    df = textstats.with_fingerprint(docs)
+    n = df.select("fingerprint").distinct().count()
+    assert n == docs.count()  # all distinct texts → all distinct fingerprints
+    mangled = docs.select(
+        F.upper(F.concat(F.lit("  "), F.col("text"))).alias("text")
+    )
+    fp1 = sorted(
+        r["fingerprint"] for r in textstats.with_fingerprint(docs).select("fingerprint").collect()
+    )
+    fp2 = sorted(
+        r["fingerprint"]
+        for r in textstats.with_fingerprint(mangled).select("fingerprint").collect()
+    )
+    assert fp1 == fp2  # normalization-invariant
+
+
+def test_document_stats_one_pass(docs):
+    df = textstats.document_stats(docs)
+    cols = set(df.columns)
+    assert {
+        "char_len",
+        "ws_token_count",
+        "bpe_piece_count",
+        "quality_score",
+        "lang_guess",
+        "fingerprint",
+    } <= cols
+    assert df.count() == docs.count()
