@@ -292,7 +292,44 @@ class QueryCompiler:
                 return F.expr(order_expr).alias(name)
             return F.expr(part_exprs[name]).alias(name)
 
-        if dec is not None:
+        calendar_trailing = (
+            frame.kind == "trailing"
+            and frame.trailing_parts[1] in ("month", "quarter", "year")
+        )
+        if calendar_trailing:
+            if dec is None:
+                raise QueryError(
+                    f"measure {measure.name!r}: calendar-unit trailing windows "
+                    f"require a decomposable aggregate"
+                )
+            # variable-length calendar units can't be a fixed RANGE frame —
+            # compile to a range self-join over the (partition × order)
+            # grain: frame(d) = (add_months(d, -N), d]. The grain is small
+            # (|dims × dates|), so the range join stays cheap at any source
+            # scale.
+            n, unit = frame.trailing_parts
+            months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+                *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
+            )
+            left = grain.select(
+                *[F.col(c).alias(f"_l_{c}") for c in grain_cols]
+            )
+            cond = (
+                (F.col(order_dim.name) > F.add_months(F.col(f"_l_{order_dim.name}"), -months))
+                & (F.col(order_dim.name) <= F.col(f"_l_{order_dim.name}"))
+            )
+            for p in part_cols:
+                cond = cond & F.col(f"_l_{p}").eqNullSafe(F.col(p))
+            merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
+            joined = left.join(grain, cond, "left")
+            windowed = joined.groupBy(
+                *[F.col(f"_l_{c}").alias(c) for c in grain_cols]
+            ).agg(
+                *[merge_fn[fn](F.col(p_col)).alias(p_col) for p_col, fn in dec.merges.items()]
+            )
+            valued = windowed.withColumn("_wval", F.expr(dec.finalize))
+        elif dec is not None:
             # SCALE PATH: pre-aggregate to the (partition × order) grain so
             # the window sort runs over grain rows, not raw source rows.
             grain = base.groupBy(*[named(c) for c in grain_cols]).agg(

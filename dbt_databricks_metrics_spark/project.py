@@ -230,6 +230,9 @@ def build_registry(sf_dir: str) -> ModelRegistry:
         "fct_orders",
         deps=["stg_orders", "stg_customers"],
         materialized="table",
+        # partition the mart by year so date-constrained queries prune
+        # whole partitions at the parquet scan (100 TB posture; SURVEY §4)
+        partition_by=("order_year",),
         description="Fact table with order details and customer information",
         meta={
             "metric_view": {

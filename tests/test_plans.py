@@ -1,0 +1,139 @@
+"""Physical-plan quality gates (SURVEY §4, 100 TB posture).
+
+These tests pin the *plan*, not the result: pushdown reaching the parquet
+scan, column pruning, bounded shuffle counts, grain pre-aggregation before
+windows, partition pruning on the partitioned mart. A regression here is a
+scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.engine import MetricEngine
+from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
+from dbt_databricks_metrics_spark.project import build_registry
+from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=str(tmp_path_factory.mktemp("whq"))
+    )
+    eng.run(materialize_rollups=True)
+    return eng
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_single_shuffle_and_pruned_scan(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    q = MetricQuery(mv.spec, ("market_segment",), ("total_revenue",))
+    df = engine._compiler.compile(q)
+    plan = _physical(df)
+    # one shuffle: the groupBy. No join at query time (mart is pre-joined).
+    assert plan.count("Exchange") == 1, plan[:1500]
+    fmt = _formatted(df)
+    assert "ReadSchema" in fmt
+    read = [l for l in fmt.splitlines() if "ReadSchema" in l][0]
+    # column pruning: only the dimension + measure input survive
+    assert "market_segment" in read and "total_price" in read
+    assert "customer_name" not in read and "order_priority" not in read
+
+
+def test_spec_filter_pushed_to_parquet(engine):
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: fct_orders
+filter: order_status = 'F'
+dimensions:
+  - name: market_segment
+    expr: market_segment
+measures:
+  - name: total_revenue
+    expr: sum(total_price)
+""",
+        name="mv_plan_filter",
+    )
+    mv = engine.register(spec)
+    fmt = _formatted(mv.query(["market_segment"], ["total_revenue"]))
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert pushed and "order_status" in pushed[0], fmt[:2000]
+
+
+def test_partition_pruning_on_year(engine):
+    """fct_orders is partitioned by order_year — a year-constrained query
+    must prune partitions at scan planning."""
+    fct = engine.ref("fct_orders")
+    years = [r[0] for r in fct.select("order_year").distinct().collect()]
+    assert len(years) > 1
+    one = fct.filter(F.col("order_year") == years[0])
+    fmt = _formatted(one.select(F.sum("total_price")))
+    part_lines = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "order_year" in part_lines[0], fmt[:2000]
+
+
+def test_window_measure_grain_preagg(engine):
+    """Decomposable window measures aggregate to the grain BEFORE the
+    window sort (the plan shows HashAggregate feeding Window, and at most
+    2 exchanges: grain agg + window partition)."""
+    mv = engine.metric_view("mv_order_metrics")
+    q = MetricQuery(mv.spec, ("market_segment",), ("trailing_7d_revenue",))
+    df = engine._compiler.compile(q)
+    plan = _physical(df)
+    assert plan.count("Exchange") <= 3, plan[:2000]
+    assert "Window" in plan
+    before_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in before_window  # grain agg below the window
+
+
+def test_routed_query_no_source_scan(engine):
+    """A rollup-routed query's plan must read the rollup table only —
+    the fact table path must not appear in the scan nodes."""
+    mv = engine.metric_view("mv_order_metrics")
+    df, route = mv.query_routed(["market_segment"], ["total_revenue"])
+    assert route == "rollup:revenue_by_segment"
+    fmt = _formatted(df)
+    assert "fct_orders" not in fmt
+
+
+def test_declared_join_broadcasts_dim_side(engine, spark, sf_dir):
+    from dbt_databricks_metrics_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, ("nation",))
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: stg_orders
+joins:
+  - name: customer
+    source: stg_customers
+    on: source.customer_id = customer.customer_id
+dimensions:
+  - name: market_segment
+    expr: customer.market_segment
+measures:
+  - name: n
+    expr: count(*)
+""",
+        name="mv_plan_join",
+    )
+    mv = engine.register(spec)
+    plan = _physical(mv.query(["market_segment"], ["n"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
