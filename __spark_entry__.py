@@ -55,6 +55,23 @@ measures:
     expr: count(*)
 """
 
+TRAILING_MONTH_SPEC_YAML = """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: order_status
+    expr: order_status
+  - name: order_date
+    expr: order_date
+measures:
+  - name: t1m_revenue
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 1 month
+        semiadditive: last
+"""
+
 
 def _engine(spark: SparkSession, sf_dir: str):
     from dbt_databricks_metrics_spark.engine import MetricEngine
@@ -71,6 +88,9 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng.run(materialize_rollups=True)
         eng.register(MetricViewSpec.from_yaml(YTD_SPEC_YAML, name="mv_ytd"))
         eng.register(MetricViewSpec.from_yaml(FILTERED_SPEC_YAML, name="mv_filtered"))
+        eng.register(
+            MetricViewSpec.from_yaml(TRAILING_MONTH_SPEC_YAML, name="mv_trailing_month")
+        )
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -372,6 +392,42 @@ def _q_user_activity(spark, sf_dir):
     return sessionize.user_activity(load_table(spark, sf_dir, "events"))
 
 
+def _q_trailing_month(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_trailing_month").query(
+        dimensions=["order_status"], measures=["t1m_revenue"]
+    )
+
+
+def _q_salted_join_agg(spark, sf_dir):
+    # salting must not change results — oracle is the plain join+agg
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators.salted import salted_join
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, on="o_custkey", salt_buckets=8, fact_id_cols=["o_orderkey"])
+        .groupBy(F.col("c_mktsegment").alias("market_segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def _q_distinct_count_salted(spark, sf_dir):
+    from dbt_databricks_metrics_spark.operators.salted import distinct_count_salted
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return distinct_count_salted(o, ["o_orderstatus"], "o_custkey")
+
+
 def _q_media_features(spark, sf_dir):
     # rows-only: feature extraction uses the stubbed decode kernel
     from dbt_databricks_metrics_spark.ext import multimodal
@@ -436,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _q_tumbling_window,
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
+        "trailing_month_revenue": _q_trailing_month,
+        "salted_join_agg": _q_salted_join_agg,
+        "distinct_count_salted": _q_distinct_count_salted,
     }
 
 
@@ -638,5 +697,32 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_seen, max(ts) AS last_seen,
                    sum(value) AS total_value, avg(value) AS avg_value
             FROM events GROUP BY 1
+        """,
+        "trailing_month_revenue": f"""
+            WITH grain AS (
+                SELECT order_status, order_date, sum(total_price) AS rev
+                FROM ({_STG_ORDERS}) GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT l.order_status, l.order_date, sum(r.rev) AS w
+                FROM grain l
+                LEFT JOIN grain r
+                  ON r.order_status = l.order_status
+                 AND r.order_date > (l.order_date - INTERVAL 1 MONTH)
+                 AND r.order_date <= l.order_date
+                GROUP BY 1, 2
+            )
+            SELECT order_status, arg_max(w, order_date) AS t1m_revenue
+            FROM win GROUP BY 1
+        """,
+        "salted_join_agg": """
+            SELECT c.c_mktsegment AS market_segment,
+                   count(*) AS n_orders, sum(o.o_totalprice) AS revenue
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "distinct_count_salted": """
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_o_custkey
+            FROM orders GROUP BY 1
         """,
     }

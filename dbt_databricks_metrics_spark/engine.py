@@ -166,6 +166,27 @@ class MetricEngine:
         rv = self.catalog.get(name)
         rv.state = self._rollups.build(rv.spec, rv.state)
 
+    def refresh_incremental(self, name: str, delta_source_rows: DataFrame) -> None:
+        """Fold new source rows into the view's rollups without a full
+        recompute (``rollup(S ∪ ΔS) = merge(rollup(S), rollup(ΔS))`` —
+        the reference's "incremental refresh whenever possible",
+        ``README.md:118``). *delta_source_rows* must be the new rows in
+        the shape of the view's filtered+joined source (e.g. the latest
+        date partition). The baseline snapshot, if any, gets the delta
+        appended."""
+        from .streaming.refresh import fold_increment
+
+        rv = self.catalog.get(name)
+        if rv.state is None:
+            raise QueryError(f"metric view {name!r} has no materialized state to fold into")
+        self._rollups._invalidate(os.path.join(self._rollups.storage_dir, name))
+        for built in rv.state.rollups.values():
+            fold_increment(self.spark, built, delta_source_rows)
+        if rv.state.baseline:
+            self._compiler.baseline_projection(rv.spec, delta_source_rows).write.mode(
+                "append"
+            ).parquet(rv.state.baseline)
+
     def refresh_all(self) -> None:
         for name in self.catalog.names():
             if self.catalog.get(name).spec.materialization:

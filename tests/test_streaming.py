@@ -135,3 +135,65 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT count(*) FROM sess_stream").first()[0]
     batch = ssessions.session_window_stats(ev, gap="30 minutes").count()
     assert got == batch
+
+
+def test_engine_refresh_incremental(spark, sf_dir, tmp_path):
+    """engine.refresh_incremental folds a delta into rollups + baseline and
+    answers queries identically to a full rebuild."""
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    full = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    prefix = full.filter(F.col("order_date") < "1996-01-01")
+    delta = full.filter(F.col("order_date") >= "1996-01-01")
+    assert prefix.count() > 0 and delta.count() > 0
+
+    spec_yaml = """
+version: 0.1
+source: inc_src
+dimensions:
+  - name: order_status
+    expr: order_status
+measures:
+  - name: revenue
+    expr: sum(total_price)
+  - name: n
+    expr: count(*)
+  - name: avg_price
+    expr: avg(total_price)
+materialization:
+  materialized_views:
+    - name: baseline
+      type: unaggregated
+    - name: by_status
+      type: aggregated
+      dimensions: [order_status]
+      measures: [revenue, n, avg_price]
+"""
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh_inc"))
+    prefix.createOrReplaceTempView("inc_src")
+    mv = eng.register(MetricViewSpec.from_yaml(spec_yaml, name="mv_inc"))
+    eng.refresh("mv_inc")
+    eng.refresh_incremental("mv_inc", delta)
+
+    # reference: a fresh engine built directly on the full data
+    eng2 = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh_full"))
+    full.createOrReplaceTempView("inc_src")
+    mv2 = eng2.register(MetricViewSpec.from_yaml(spec_yaml, name="mv_inc"))
+    eng2.refresh("mv_inc")
+
+    for dims, meas in [
+        (["order_status"], ["revenue", "n", "avg_price"]),
+        ([], ["revenue", "n"]),
+    ]:
+        got, route = mv.query_routed(dims, meas)
+        want, route2 = mv2.query_routed(dims, meas)
+        assert route == route2 == "rollup:by_status"
+        assert _rows(got) == _rows(want), (dims, meas)
+
+    # baseline also folded: un-routable query (not in rollup) via baseline
+    got_b, route_b = mv.query_routed(["order_status"], ["revenue"])
+    assert route_b == "rollup:by_status"
