@@ -428,6 +428,30 @@ def _q_distinct_count_salted(spark, sf_dir):
     return distinct_count_salted(o, ["o_orderstatus"], "o_custkey")
 
 
+def _q_curation_stats(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import pipeline
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.curation_stats(
+        docs, min_quality=0.5, langs=("en",), dedup_mode="exact"
+    )
+
+
+def _q_topk_docs_per_lang(spark, sf_dir):
+    from dbt_databricks_metrics_spark.operators.topk import topk_per_group
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        group_cols=["lang"],
+        order_col="n_chars",
+        k=5,
+        tiebreakers=["doc_id"],
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # rows-only: feature extraction uses the stubbed decode kernel
     from dbt_databricks_metrics_spark.ext import multimodal
@@ -495,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_month_revenue": _q_trailing_month,
         "salted_join_agg": _q_salted_join_agg,
         "distinct_count_salted": _q_distinct_count_salted,
+        "curation_stats": _q_curation_stats,
+        "topk_docs_per_lang": _q_topk_docs_per_lang,
     }
 
 
@@ -724,5 +750,63 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count_salted": """
             SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_o_custkey
             FROM orders GROUP BY 1
+        """,
+        "curation_stats": rf"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       length(text) AS char_len,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                           AS ws_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                           AS bpe_pieces,
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                           AS punct,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS en_hits,
+                       {_NORM.format(c='text')} AS norm_text
+                FROM documents
+            ),
+            q AS (
+                SELECT *,
+                       round((least(char_len / 200.0, 1.0)
+                              + greatest(0.0, 1.0 - (punct / greatest(char_len, 1)) * 4)
+                              + least((en_hits / greatest(ws_tokens, 1)) * 4, 1.0)
+                             ) / 3.0, 6) AS quality_score,
+                       CASE WHEN greatest(
+                                len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
+                                len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
+                                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')),
+                                len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')),
+                                len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
+                            ) = 0 THEN 'und'
+                            WHEN en_hits = greatest(
+                                len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
+                                len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
+                                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')),
+                                len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')),
+                                len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
+                            ) THEN 'en' ELSE 'other' END AS lang_guess
+                FROM scored
+            ),
+            after_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+            after_l AS (SELECT * FROM after_q WHERE lang_guess = 'en'),
+            curated AS (
+                SELECT arg_min(ws_tokens, doc_id) AS ws_tokens,
+                       arg_min(bpe_pieces, doc_id) AS bpe_pieces
+                FROM after_l GROUP BY norm_text
+            )
+            SELECT (SELECT count(*) FROM scored) AS n_raw,
+                   (SELECT count(*) FROM after_q) AS n_quality,
+                   (SELECT count(*) FROM after_l) AS n_lang,
+                   (SELECT count(*) FROM curated) AS n_curated,
+                   (SELECT CAST(sum(ws_tokens) AS BIGINT) FROM curated) AS total_ws_tokens,
+                   (SELECT CAST(sum(bpe_pieces) AS BIGINT) FROM curated) AS total_bpe_pieces
+        """,
+        "topk_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id
+            ) <= 5
         """,
     }

@@ -102,6 +102,42 @@ def main() -> None:
         .collect(),
     )
 
+    # [EXT] operator throughput at sf0.1
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import pipeline as ext_pipeline
+    from dbt_databricks_metrics_spark.ext import sessionize as ext_sessions
+    from dbt_databricks_metrics_spark.ext import textstats as ext_text
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed(
+        "ext_doc_stats",
+        lambda: ext_text.document_stats(docs)
+        .agg(F.sum("ws_token_count"), F.avg("quality_score"))
+        .collect(),
+    )
+    timed(
+        "ext_curation_funnel",
+        lambda: ext_pipeline.curation_stats(docs, min_quality=0.5, langs=("en",)).collect(),
+    )
+    timed(
+        "ext_session_stats",
+        lambda: ext_sessions.session_stats(events)
+        .agg(F.count(F.lit(1)), F.avg("n_events"))
+        .collect(),
+    )
+    timed(
+        "ext_topk_similar",
+        lambda: __import__(
+            "dbt_databricks_metrics_spark.ext.similarity", fromlist=["topk_similar"]
+        ).topk_similar(
+            emb, emb.filter(F.col("vec_id") == 0).first()["embedding"], k=10
+        ).collect(),
+    )
+
     # scale-invariant routing evidence: rows scanned by each plan (at sf0.1
     # both queries are scheduling-bound ~0.2s; the scan ratio is what
     # predicts the 10-100x at warehouse scale, README.md:424-429)

@@ -17,7 +17,7 @@ Spark has no ``CREATE VIEW … WITH METRICS`` DDL, so the catalog is ours:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 from .plans.rollup import MaterializationState

@@ -73,11 +73,23 @@ def exact_duplicate_groups(
 
 def char_shingles(text_col: str, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text (native exprs)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)), "
             f"i -> substring({_norm_sql(text_col)}, i, {k}))"
+        )
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-grams of the normalized text — the shingle unit most
+    document-dedup pipelines use (char shingles catch reformatting; word
+    shingles catch copied passages)."""
+    toks = f"split({_norm_sql(text_col)}, ' ')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {k}), ' '))"
         )
     )
 

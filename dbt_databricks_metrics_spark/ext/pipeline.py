@@ -1,0 +1,84 @@
+"""End-to-end training-data curation pipeline ([EXT] north star).
+
+Composes the text/dedup operators into the canonical pre-training data
+flow, entirely as one lazy DataFrame plan (Catalyst fuses the filter
+stages into a single scan pass; the only shuffles are the dedup key and
+the final stats aggregate):
+
+    raw documents
+      → quality filter   (length / punctuation / stopword heuristics)
+      → language filter  (n-gram/stopword language ID)
+      → dedup            (exact normalized-fingerprint, or MinHash-LSH)
+      → token accounting (whitespace + BPE-ish piece counts)
+
+`curate()` returns the curated DataFrame; `curation_stats()` the one-row
+funnel summary (counts per stage + token totals) a pipeline operator
+would emit to its run ledger.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import textstats as ts
+
+
+def curate(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    langs: Optional[Sequence[str]] = ("en",),
+    dedup_mode: str = "exact",  # 'exact' | 'minhash' | 'none'
+    minhash_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curated corpus: quality-filtered, language-filtered, deduped,
+    with token/quality/language columns attached."""
+    scored = ts.document_stats(documents, text_col)
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    if langs:
+        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    if dedup_mode == "exact":
+        kept = dd.exact_dedup(kept, id_col, text_col)
+    elif dedup_mode == "minhash":
+        kept = dd.minhash_dedup(kept, id_col, text_col, threshold=minhash_threshold)
+    elif dedup_mode != "none":
+        raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
+    return kept
+
+
+def curation_stats(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    langs: Optional[Sequence[str]] = ("en",),
+    dedup_mode: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row funnel: counts after each stage + curated token totals."""
+    scored = ts.document_stats(documents, text_col).cache()
+    after_q = scored.filter(F.col("quality_score") >= min_quality)
+    after_l = after_q.filter(F.col("lang_guess").isin(list(langs))) if langs else after_q
+    curated = (
+        dd.exact_dedup(after_l, id_col, text_col)
+        if dedup_mode == "exact"
+        else curate(
+            documents, min_quality, langs, dedup_mode, text_col=text_col, id_col=id_col
+        )
+    )
+    return (
+        scored.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(after_q.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(after_l.agg(F.count(F.lit(1)).alias("n_lang")))
+        .crossJoin(
+            curated.agg(
+                F.count(F.lit(1)).alias("n_curated"),
+                F.sum("ws_token_count").alias("total_ws_tokens"),
+                F.sum("bpe_piece_count").alias("total_bpe_pieces"),
+            )
+        )
+    )

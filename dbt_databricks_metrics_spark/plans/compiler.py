@@ -26,14 +26,14 @@ base relation aliased ``source`` and each join by its name; snowflake
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggregates import decompose_aggregate
-from ..specs import JoinSpec, Measure, MetricViewSpec, SpecError, WindowClause
+from ..specs import JoinSpec, Measure, MetricViewSpec, WindowClause
 
 
 class QueryError(ValueError):

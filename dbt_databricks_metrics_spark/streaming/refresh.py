@@ -21,12 +21,12 @@ place:
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import Decomposition
+
 from ..plans.rollup import BuiltRollup, _swap_write
 
 _MERGE_FN = {"sum": F.sum, "min": F.min, "max": F.max}

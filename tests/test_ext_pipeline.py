@@ -1,0 +1,77 @@
+"""Curation pipeline + word shingles + grouped top-k vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import pipeline, textstats
+from dbt_databricks_metrics_spark.ext.dedup import word_shingles
+from dbt_databricks_metrics_spark.operators.topk import topk_per_group
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_curate_monotone_funnel(docs):
+    stats = pipeline.curation_stats(docs, min_quality=0.4, langs=("en",)).first()
+    assert stats["n_raw"] >= stats["n_quality"] >= stats["n_lang"] >= stats["n_curated"]
+    assert stats["n_curated"] > 0
+    assert stats["total_ws_tokens"] > 0
+
+
+def test_curate_matches_manual_composition(docs):
+    cur = pipeline.curate(docs, min_quality=0.4, langs=("en",), dedup_mode="exact")
+    manual = textstats.document_stats(docs)
+    manual = manual.filter(
+        (F.col("quality_score") >= 0.4) & (F.col("lang_guess") == "en")
+    )
+    # exact dedup keeps all rows here (all fixture texts distinct)
+    assert cur.count() == manual.count()
+    assert set(r["doc_id"] for r in cur.select("doc_id").collect()) == set(
+        r["doc_id"] for r in manual.select("doc_id").collect()
+    )
+
+
+def test_curate_minhash_mode_runs(docs):
+    n = pipeline.curate(
+        docs.limit(100), min_quality=0.0, langs=None, dedup_mode="minhash"
+    ).count()
+    assert 0 < n <= 100
+
+
+def test_curate_bad_mode(docs):
+    with pytest.raises(ValueError, match="unknown dedup_mode"):
+        pipeline.curate(docs, dedup_mode="fuzzy")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("the quick brown fox jumps",)], "text string")
+    rows = df.select(word_shingles("text", 3).alias("s")).first()["s"]
+    assert "the quick brown" in rows and "brown fox jumps" in rows
+    assert len(rows) == 3
+
+
+def test_topk_per_group_vs_oracle(docs, duck):
+    df = topk_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        group_cols=["lang"],
+        order_col="n_chars",
+        k=3,
+        tiebreakers=["doc_id"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        ) <= 3
+        """,
+    )
