@@ -428,6 +428,19 @@ def _q_distinct_count_salted(spark, sf_dir):
     return distinct_count_salted(o, ["o_orderstatus"], "o_custkey")
 
 
+def _q_data_checks(spark, sf_dir):
+    # dbt-test analogue: every declared schema check with its failure count
+    eng = _engine(spark, sf_dir)
+    results = eng.test()
+    rows = sorted(
+        (r.model, r.check, str(r.column), bool(r.passed), int(r.failures))
+        for r in results
+    )
+    return spark.createDataFrame(
+        rows, "model string, check string, column string, passed boolean, failures long"
+    )
+
+
 def _q_curation_stats(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import pipeline
     from dbt_databricks_metrics_spark.sources import load_table
@@ -521,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count_salted": _q_distinct_count_salted,
         "curation_stats": _q_curation_stats,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
+        "data_checks": _q_data_checks,
     }
 
 
@@ -808,5 +822,40 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
             ) <= 5
+        """,
+        "data_checks": f"""
+            WITH stg AS ({_STG_ORDERS}), cust AS ({_STG_CUSTOMERS}),
+            fct AS ({_FCT_ORDERS}),
+            rows_ AS (
+                SELECT 'stg_orders' AS model, 'not_null' AS check_, 'order_id' AS column_,
+                       (SELECT count(*) FROM stg WHERE order_id IS NULL) AS failures
+                UNION ALL
+                SELECT 'stg_orders', 'unique', 'order_id',
+                       (SELECT coalesce(sum(c), 0) FROM
+                           (SELECT count(*) AS c FROM stg GROUP BY order_id HAVING count(*) > 1))
+                UNION ALL
+                SELECT 'stg_orders', 'accepted_values', 'order_status',
+                       (SELECT count(*) FROM stg
+                        WHERE order_status NOT IN ('F','O','P') OR order_status IS NULL)
+                UNION ALL
+                SELECT 'stg_orders', 'expression', 'total_price >= 0',
+                       (SELECT count(*) FROM stg
+                        WHERE NOT (total_price >= 0) OR (total_price >= 0) IS NULL)
+                UNION ALL
+                SELECT 'fct_orders', 'not_null', 'order_id',
+                       (SELECT count(*) FROM fct WHERE order_id IS NULL)
+                UNION ALL
+                SELECT 'fct_orders', 'unique', 'order_id',
+                       (SELECT coalesce(sum(c), 0) FROM
+                           (SELECT count(*) AS c FROM fct GROUP BY order_id HAVING count(*) > 1))
+                UNION ALL
+                SELECT 'fct_orders', 'relationships→stg_customers.customer_id', 'customer_id',
+                       (SELECT count(*) FROM fct
+                        WHERE customer_id IS NOT NULL
+                          AND customer_id NOT IN (SELECT customer_id FROM cust))
+            )
+            SELECT model, check_ AS "check", column_ AS "column",
+                   failures = 0 AS passed, CAST(failures AS BIGINT) AS failures
+            FROM rows_
         """,
     }

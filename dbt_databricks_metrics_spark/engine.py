@@ -164,7 +164,13 @@ class MetricEngine:
         """Rebuild the view's rollups (≡ pipeline ``start_update``,
         ``scripts/refresh_metric_views.py:109-119``)."""
         rv = self.catalog.get(name)
-        rv.state = self._rollups.build(rv.spec, rv.state)
+        src_materialized = (
+            rv.spec.source in self.registry
+            and self.registry[rv.spec.source].materialized == "table"
+        )
+        rv.state = self._rollups.build(
+            rv.spec, rv.state, source_is_materialized=src_materialized
+        )
 
     def refresh_incremental(self, name: str, delta_source_rows: DataFrame) -> None:
         """Fold new source rows into the view's rollups without a full
@@ -191,6 +197,26 @@ class MetricEngine:
         for name in self.catalog.names():
             if self.catalog.get(name).spec.materialization:
                 self.refresh(name)
+
+    def test(self, select: Optional[list[str]] = None) -> list:
+        """``dbt test`` analogue: run every data check declared in model
+        ``meta['checks']`` against the built models (``dbt_project.yml:9``
+        declares test-paths; the four built-in schema tests + expression
+        checks are supported — see ``checks.py``)."""
+        from .checks import run_checks
+
+        results = []
+        for name in self.registry.names():
+            if select is not None and name not in select:
+                continue
+            model = self.registry[name]
+            declared = model.meta.get("checks")
+            if not declared:
+                continue
+            results.extend(
+                run_checks(name, self.ref(name), declared, resolve=self._resolve)
+            )
+        return results
 
     # ---------------- SQL front-end ----------------
 

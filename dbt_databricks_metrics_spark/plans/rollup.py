@@ -102,27 +102,61 @@ class RollupManager:
 
     # ---------------- build / refresh ----------------
 
-    def build(self, spec: MetricViewSpec, state: Optional[MaterializationState] = None) -> MaterializationState:
+    def build(
+        self,
+        spec: MetricViewSpec,
+        state: Optional[MaterializationState] = None,
+        source_is_materialized: bool = False,
+    ) -> MaterializationState:
         """(Re)compute every declared materialized view for *spec*.
 
         Equivalent of a Lakeflow pipeline refresh
         (``scripts/refresh_metric_views.py:109-119``): full recompute with
         write-then-swap. Incremental folding of new partitions into partial
         states lives in ``streaming/refresh.py``.
+
+        The (filtered, joined) source is cached for the duration of the
+        build so N rollups cost one source scan, not N.
+        *source_is_materialized* marks a source that is already a physical
+        table with no filter/joins/derived dims — its ``unaggregated``
+        baseline would be a byte-identical copy, so the build skips it and
+        the router's live path (which scans that same table) serves those
+        queries at identical cost.
         """
         state = state or MaterializationState()
         if not spec.materialization:
             return state
         self._invalidate(os.path.join(self.storage_dir, spec.name))
         src = self.compiler.source_plan(spec)
-        for r in spec.materialization.materialized_views:
-            if r.type == "unaggregated":
-                path = self._path(spec.name, r.name)
-                _swap_write(self.compiler.baseline_projection(spec, src), self.spark, path)
-                state.baseline = path
-            else:
-                built = self._build_aggregated(spec, r, src)
-                state.rollups[r.name] = built
+        redundant_baseline = (
+            source_is_materialized
+            and not spec.filter
+            and not spec.joins
+            and all(d.expr == d.name for d in spec.dimensions)
+        )
+        rollup_specs = spec.materialization.materialized_views
+        cache = len([r for r in rollup_specs if r.type == "aggregated"]) > 1 or (
+            any(r.type == "unaggregated" for r in rollup_specs) and not redundant_baseline
+        )
+        if cache:
+            src = src.cache()
+        try:
+            for r in rollup_specs:
+                if r.type == "unaggregated":
+                    if redundant_baseline:
+                        state.baseline = None  # router falls through to live
+                        continue
+                    path = self._path(spec.name, r.name)
+                    _swap_write(
+                        self.compiler.baseline_projection(spec, src), self.spark, path
+                    )
+                    state.baseline = path
+                else:
+                    built = self._build_aggregated(spec, r, src)
+                    state.rollups[r.name] = built
+        finally:
+            if cache:
+                src.unpersist()
         return state
 
     def _path(self, mv_name: str, rollup_name: str) -> str:

@@ -192,6 +192,12 @@ def build_registry(sf_dir: str) -> ModelRegistry:
         materialized="view",
         description="Staging layer for TPC-H orders data",
         meta={
+            "checks": [
+                {"not_null": "order_id"},
+                {"unique": "order_id"},
+                {"accepted_values": {"column": "order_status", "values": ["F", "O", "P"]}},
+                {"expression": "total_price >= 0"},
+            ],
             "metric_view": {
                 "enabled": True,
                 "name": "mv_orders_simple",
@@ -235,6 +241,11 @@ def build_registry(sf_dir: str) -> ModelRegistry:
         partition_by=("order_year",),
         description="Fact table with order details and customer information",
         meta={
+            "checks": [
+                {"not_null": "order_id"},
+                {"unique": "order_id"},
+                {"relationships": {"column": "customer_id", "to": "stg_customers", "field": "customer_id"}},
+            ],
             "metric_view": {
                 "enabled": True,
                 "name": "mv_order_metrics",

@@ -56,12 +56,21 @@ def test_routing_decisions(engine):
         mv.explain_routing(["order_year", "order_month"], ["total_revenue"])
         == "rollup:monthly_revenue"
     )
-    # measure not in rollup → baseline
-    assert mv.explain_routing(["market_segment"], ["max_order_value"]) == "baseline"
-    # dim not covered → baseline
-    assert mv.explain_routing(["order_priority"], ["total_revenue"]) == "baseline"
+    # mv_order_metrics' source is a materialized table with plain dims →
+    # its `baseline` snapshot would be a byte-identical copy; the build
+    # skips it and uncovered queries serve from the live table at the
+    # same cost (route = 'live')
+    assert mv.explain_routing(["market_segment"], ["max_order_value"]) == "live"
+    assert mv.explain_routing(["order_priority"], ["total_revenue"]) == "live"
     # window measures never routed to rollups (README.md:431)
-    assert mv.explain_routing(["market_segment"], ["trailing_7d_revenue"]) == "baseline"
+    assert mv.explain_routing(["market_segment"], ["trailing_7d_revenue"]) == "live"
+
+    # mv_orders_simple's source is a VIEW (recomputed per read) → its
+    # baseline snapshot is a real cache and uncovered queries route to it
+    simple = engine.metric_view("mv_orders_simple")
+    assert simple.explain_routing(["order_status"], ["order_count"]) == "rollup:orders_by_status"
+    assert simple.explain_routing(["order_priority"], ["total_revenue"]) == "baseline"
+    assert simple.explain_routing(["order_status"], ["avg_order_value"]) == "baseline"
 
 
 def test_rollup_scan_is_tiny(engine, spark):
@@ -140,26 +149,53 @@ materialization:
 
 
 def test_baseline_query_matches_live(engine):
-    mv = engine.metric_view("mv_order_metrics")
-    routed, route = mv.query_routed(["order_priority"], ["max_order_value"])
+    # mv_orders_simple: view-backed source → baseline is a real cache
+    mv = engine.metric_view("mv_orders_simple")
+    routed, route = mv.query_routed(["order_priority"], ["avg_order_value"])
     assert route == "baseline"
     from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
 
     live = engine._compiler.compile(
-        MetricQuery(mv.spec, ("order_priority",), ("max_order_value",))
+        MetricQuery(mv.spec, ("order_priority",), ("avg_order_value",))
     )
     assert _rows(routed) == _rows(live)
 
 
 def test_window_over_baseline_matches_live(engine):
-    mv = engine.metric_view("mv_order_metrics")
-    routed, route = mv.query_routed(["market_segment"], ["trailing_7d_revenue"])
+    """Window measures compiled against a baseline snapshot (flattened
+    mode) must equal the live plan — exercised via a view-backed spec."""
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: stg_orders
+dimensions:
+  - name: order_status
+    expr: order_status
+  - name: order_date
+    expr: order_date
+measures:
+  - name: t7
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: last
+materialization:
+  materialized_views:
+    - name: baseline
+      type: unaggregated
+""",
+        name="mv_win_base",
+    )
+    mv = engine.register(spec)
+    engine.refresh("mv_win_base")
+    routed, route = mv.query_routed(["order_status"], ["t7"])
     assert route == "baseline"
     from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
 
-    live = engine._compiler.compile(
-        MetricQuery(mv.spec, ("market_segment",), ("trailing_7d_revenue",))
-    )
+    live = engine._compiler.compile(MetricQuery(spec, ("order_status",), ("t7",)))
     assert _rows(routed) == _rows(live)
 
 

@@ -231,3 +231,44 @@ measures:
         FROM win GROUP BY 1
         """,
     )
+
+
+def test_two_window_measures_one_query(engine, duck):
+    """trailing + cumulative + plain measures in a single MEASURE() query
+    — compiled as independent window plans joined on the dims."""
+    mv = engine.metric_view("mv_order_metrics")
+    df = mv.query(
+        dimensions=["market_segment"],
+        measures=["trailing_7d_revenue", "cumulative_revenue", "total_orders"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        WITH fct AS ({FCT_ORDERS_SQL}),
+        grain AS (
+            SELECT market_segment, order_date, sum(total_price) AS rev
+            FROM fct GROUP BY 1, 2
+        ),
+        t7 AS (
+            SELECT market_segment,
+                   arg_max(w, order_date) AS trailing_7d_revenue
+            FROM (
+                SELECT market_segment, order_date,
+                       sum(rev) OVER (PARTITION BY market_segment ORDER BY order_date
+                           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w
+                FROM grain) GROUP BY 1
+        ),
+        cum AS (
+            SELECT market_segment, sum(total_price) AS cumulative_revenue
+            FROM fct GROUP BY 1
+        ),
+        plain AS (
+            SELECT market_segment, count(*) AS total_orders FROM fct GROUP BY 1
+        )
+        SELECT plain.market_segment, trailing_7d_revenue, cumulative_revenue, total_orders
+        FROM plain
+        JOIN t7 ON plain.market_segment = t7.market_segment
+        JOIN cum ON plain.market_segment = cum.market_segment
+        """,
+    )
