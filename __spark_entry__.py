@@ -428,6 +428,37 @@ def _q_distinct_count_salted(spark, sf_dir):
     return distinct_count_salted(o, ["o_orderstatus"], "o_custkey")
 
 
+def _q_redact_documents(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import redact
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact.redact_documents(docs).select("doc_id", "text", "n_email", "n_url")
+
+
+def _q_quantize_roundtrip(spark, sf_dir):
+    # rows-only: int8 round-trip cosine per vector (banker's-rounding
+    # differences make a cross-engine oracle flaky at byte precision)
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import quantize
+    from dbt_databricks_metrics_spark.ext.dedup import cosine_similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                quantize.dequantize(F.col("embedding_q8")),
+            ),
+            4,
+        ).alias("roundtrip_cosine"),
+    )
+
+
 def _q_data_checks(spark, sf_dir):
     # dbt-test analogue: every declared schema check with its failure count
     eng = _engine(spark, sf_dir)
@@ -535,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stats": _q_curation_stats,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
         "data_checks": _q_data_checks,
+        "redact_documents": _q_redact_documents,
+        "quantize_roundtrip": _q_quantize_roundtrip,
     }
 
 
@@ -857,5 +890,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT model, check_ AS "check", column_ AS "column",
                    failures = 0 AS passed, CAST(failures AS BIGINT) AS failures
             FROM rows_
+        """,
+        "redact_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+?\(?[0-9]{1,3}\)?[\s\-][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g'),
+                   '\b[0-9]{9,}\b', '<NUM>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                       AS n_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
+                       AS n_url
+            FROM documents
         """,
     }

@@ -357,7 +357,11 @@ def simhash_pairs(
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine over two array<float/double> columns with native array ops."""
+    """Cosine over two array<float/double> columns with native array ops.
+
+    NULL (not an ANSI divide-by-zero error) when either vector has zero
+    norm — degenerate vectors simply never match a threshold.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -367,7 +371,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     norm_b = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
-    return dot / (norm_a * norm_b)
+    return F.try_divide(dot, norm_a * norm_b)
 
 
 def embedding_dup_pairs(

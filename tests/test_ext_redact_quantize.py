@@ -1,0 +1,118 @@
+"""PII redaction + embedding quantization tests ([EXT])."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import quantize, redact
+from dbt_databricks_metrics_spark.ext.dedup import cosine_similarity
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+
+def test_redaction_patterns(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk today"),
+        (2, "see https://example.com/a?b=1 and http://x.io"),
+        (3, "server at 192.168.0.1 port"),
+        (4, "call +1 (555) 123-4567 now"),
+        (5, "card 4111111111111111 leaked"),
+        (6, "clean text with nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact.redact_documents(df).collect()}
+    assert "<EMAIL>" in out[1]["text"] and "@" not in out[1]["text"]
+    assert out[2]["text"].count("<URL>") == 2
+    assert "<IP>" in out[3]["text"]
+    assert "<PHONE>" in out[4]["text"]
+    assert "<NUM>" in out[5]["text"]
+    assert out[6]["text"] == "clean text with nothing"
+    assert out[1]["n_email"] == 1 and out[2]["n_url"] == 2 and out[5]["n_digits"] == 1
+
+
+def test_redaction_vs_oracle(spark, sf_dir, duck):
+    """Same regexes in DuckDB (RE2) must agree with Spark (Java) on the
+    fixture corpus — the patterns are written dialect-neutral."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = redact.redact_documents(docs).select("doc_id", "text", "n_email", "n_url")
+    pats = dict((n, p) for n, p, _t in redact.PII_PATTERNS)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{pats["url"]}', '<URL>', 'g'),
+                     '{pats["email"]}', '<EMAIL>', 'g'),
+                   '{pats["ipv4"]}', '<IP>', 'g'),
+                 '{pats["phone"]}', '<PHONE>', 'g'),
+               '{pats["digits"]}', '<NUM>', 'g') AS text,
+               CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{pats["url"]}')) AS INT) AS n_url
+        FROM documents
+        """,
+    )
+
+
+def test_l2_normalize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    normed = emb.select(
+        quantize.l2_norm(quantize.l2_normalize(F.col("embedding").cast("array<double>"))).alias("n")
+    )
+    for r in normed.collect():
+        assert math.isclose(r["n"], 1.0, rel_tol=1e-9)
+
+
+def test_quantize_roundtrip_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = quantize.quantize_embeddings(emb)
+    rt = q.select(
+        cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            quantize.dequantize(F.col("embedding_q8")),
+        ).alias("cos")
+    )
+    for r in rt.collect():
+        assert r["cos"] >= 0.999, r
+
+
+def test_quantized_values_are_int8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    q = quantize.quantize_embeddings(emb).select("embedding_q8")
+    assert "array<tinyint>" in dict(q.selectExpr("embedding_q8.values as v").dtypes)["v"]
+    vals = q.selectExpr("embedding_q8.values as v").collect()
+    flat = [x for r in vals for x in r["v"]]
+    assert all(-127 <= x <= 127 for x in flat)
+    assert max(abs(x) for x in flat) == 127  # scale uses the full range
+
+
+def test_zero_vector_quantize_and_cosine(spark):
+    """Degenerate (zero) vectors must not raise under ANSI mode: quantize
+    round-trips to zeros, cosine is NULL."""
+    z = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0, -2.0, 3.0, 0.5, 0.1, -0.7, 2.5, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize.quantize_embeddings(z)
+    rows = {r["vec_id"]: r["embedding_q8"] for r in q.collect()}
+    assert rows[1]["scale"] == 0.0 and all(v == 0 for v in rows[1]["values"])
+    assert rows[2]["scale"] > 0
+
+    rt = q.select(
+        "vec_id",
+        quantize.dequantize(F.col("embedding_q8")).alias("back"),
+        cosine_similarity(
+            F.col("embedding"), quantize.dequantize(F.col("embedding_q8"))
+        ).alias("cos"),
+    ).collect()
+    by = {r["vec_id"]: r for r in rt}
+    assert by[1]["back"] == [0.0] * 8
+    assert by[1]["cos"] is None  # zero-norm → NULL, not an error
+    assert by[2]["cos"] >= 0.999
