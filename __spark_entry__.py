@@ -528,6 +528,26 @@ sess AS (
 """
 
 
+def _redact_oracle_sql() -> str:
+    """Oracle derived from redact.PII_PATTERNS (single source of truth —
+    the patterns are RE2-compatible so DuckDB applies them verbatim)."""
+    from dbt_databricks_metrics_spark.ext.redact import PII_PATTERNS
+
+    pats = {name: (pattern, token) for name, pattern, token in PII_PATTERNS}
+    redacted = "text"
+    for name, pattern, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {redacted} AS text,
+               CAST(len(regexp_extract_all(text, '{pats["email"][0]}')) AS INT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{pats["url"][0]}')) AS INT)
+                   AS n_url
+        FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stg_orders": _q_stg_orders,
@@ -891,22 +911,5 @@ def oracle_sql() -> dict[str, str]:
                    failures = 0 AS passed, CAST(failures AS BIGINT) AS failures
             FROM rows_
         """,
-        "redact_documents": r"""
-            SELECT doc_id,
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-                     '\+?\(?[0-9]{1,3}\)?[\s\-][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g'),
-                   '\b[0-9]{9,}\b', '<NUM>', 'g') AS text,
-                   CAST(len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
-                       AS n_email,
-                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
-                       AS n_url
-            FROM documents
-        """,
+        "redact_documents": _redact_oracle_sql(),
     }

@@ -40,16 +40,25 @@ def l2_normalize(vec: Column) -> Column:
 def quantize_int8(vec: Column) -> Column:
     """(scale, values) struct: values = round(x / scale), scale = max|x|/127.
 
-    A zero vector gets scale 0 and all-zero values (round-trips to itself)
-    instead of an ANSI divide-by-zero error.
+    Degenerate inputs never abort the job (ANSI mode is on by default in
+    Spark 4):
+
+    * zero vector → scale 0, all-zero values (round-trips to itself);
+    * NULL / NaN / ±Inf components → NULL quantized components (missing
+      data stays missing — never fabricated as 0).
     """
     vmax = F.array_max(F.transform(vec, F.abs))
     scale = vmax / F.lit(127.0)
-    q = F.transform(
-        vec,
-        lambda x: F.coalesce(F.round(F.try_divide(x, scale)), F.lit(0.0)).cast("byte"),
+
+    def qv(x: Column) -> Column:
+        y = F.round(F.try_divide(x, scale))
+        y = F.when(F.isnan(y), F.lit(None)).otherwise(y)  # NaN (inf/inf, NaN scale)
+        y = F.when(scale == 0, F.lit(0.0)).otherwise(y)  # zero vector
+        return y.cast("byte")  # finite y is in [-127, 127] by construction
+
+    return F.struct(
+        scale.alias("scale"), F.transform(vec, qv).alias("values")
     )
-    return F.struct(scale.alias("scale"), q.alias("values"))
 
 
 def dequantize(quant: Column) -> Column:
@@ -60,6 +69,15 @@ def dequantize(quant: Column) -> Column:
 
 
 def quantize_embeddings(
-    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q8"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    normalize: bool = False,
 ) -> DataFrame:
-    return df.withColumn(out_col, quantize_int8(_as_double(F.col(vec_col))))
+    """Quantize an embedding column; with ``normalize=True`` vectors are
+    L2-normalized first so dot products over dequantized vectors
+    approximate cosine directly."""
+    v = _as_double(F.col(vec_col))
+    if normalize:
+        v = l2_normalize(v)
+    return df.withColumn(out_col, quantize_int8(v))

@@ -141,3 +141,53 @@ def test_join_is_broadcast(engine):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_rollup_over_joined_spec(engine, spark):
+    """Aggregated rollups built from a joined source: routed result must
+    equal the live join+aggregate."""
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: stg_orders
+joins:
+  - name: customer
+    source: stg_customers
+    on: source.customer_id = customer.customer_id
+dimensions:
+  - name: market_segment
+    expr: customer.market_segment
+  - name: order_status
+    expr: order_status
+measures:
+  - name: total_revenue
+    expr: sum(total_price)
+  - name: total_orders
+    expr: count(*)
+materialization:
+  materialized_views:
+    - name: seg_status
+      type: aggregated
+      dimensions: [market_segment, order_status]
+      measures: [total_revenue, total_orders]
+""",
+        name="mv_join_rollup",
+    )
+    mv = engine.register(spec)
+    engine.refresh("mv_join_rollup")
+    routed, route = mv.query_routed(["market_segment"], ["total_revenue", "total_orders"])
+    assert route == "rollup:seg_status"
+    from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
+
+    live = engine._compiler.compile(
+        MetricQuery(spec, ("market_segment",), ("total_revenue", "total_orders"))
+    )
+    import math
+
+    def rows(df):
+        out = []
+        for r in sorted(df.collect(), key=lambda x: str(x[0])):
+            out.append((r[0], round(r[1], 4), r[2]))
+        return out
+
+    assert rows(routed) == rows(live)

@@ -116,3 +116,27 @@ def test_zero_vector_quantize_and_cosine(spark):
     assert by[1]["back"] == [0.0] * 8
     assert by[1]["cos"] is None  # zero-norm → NULL, not an error
     assert by[2]["cos"] >= 0.999
+
+
+def test_nonfinite_components_quantize_to_null(spark):
+    """NaN/Inf/NULL components: NULL quantized values (never fabricated
+    zeros, never a CAST_OVERFLOW job abort)."""
+    rows = [
+        (1, [float("nan"), 1.0]),
+        (2, [float("inf"), 1.0]),
+        (3, [None, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["embedding_q8"] for r in quantize.quantize_embeddings(df).collect()}
+    assert out[1]["values"][0] is None  # NaN → NULL
+    assert out[2]["values"][0] is None  # inf/inf → NULL
+    assert out[3]["values"][0] is None  # NULL stays NULL (not 0)
+    assert out[3]["values"][1] is not None  # finite component survives
+
+
+def test_quantize_with_normalization(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    q = quantize.quantize_embeddings(emb, normalize=True)
+    back = q.select(quantize.l2_norm(quantize.dequantize(F.col("embedding_q8"))).alias("n"))
+    for r in back.collect():
+        assert abs(r["n"] - 1.0) < 0.02  # unit length within int8 error
