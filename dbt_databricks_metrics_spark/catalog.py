@@ -73,3 +73,40 @@ class MetricViewCatalog:
             "rollups": sorted(rv.state.rollups) if rv.state else [],
         }
         return d
+
+    # ---- persistence (specs as YAML files, schema.yml-style) ----------
+
+    def save(self, directory: str) -> list[str]:
+        """Write every registered spec as ``<name>.yml`` under *directory*
+        — the YAML-file workflow of the reference's ``models/schema.yml``
+        as a standalone catalog export."""
+        import os
+
+        import yaml as _yaml
+
+        from .specs import spec_to_yaml_doc
+
+        os.makedirs(directory, exist_ok=True)
+        paths = []
+        for name, rv in self._views.items():
+            p = os.path.join(directory, f"{name}.yml")
+            with open(p, "w") as f:
+                _yaml.safe_dump(spec_to_yaml_doc(rv.spec), f, sort_keys=False)
+            paths.append(p)
+        return paths
+
+    def load(self, directory: str) -> list[str]:
+        """Register every ``*.yml`` spec in *directory* (CREATE OR REPLACE
+        semantics — unchanged specs keep their materialization state)."""
+        import glob
+        import os
+
+        from .specs import MetricViewSpec
+
+        loaded = []
+        for p in sorted(glob.glob(os.path.join(directory, "*.yml"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            with open(p) as f:
+                self.register(MetricViewSpec.from_yaml(f.read(), name=name))
+            loaded.append(name)
+        return loaded

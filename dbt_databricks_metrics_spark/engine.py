@@ -218,6 +218,15 @@ class MetricEngine:
             )
         return results
 
+    def save_catalog(self, directory: str) -> list[str]:
+        """Export every registered metric view as a YAML spec file."""
+        return self.catalog.save(directory)
+
+    def load_catalog(self, directory: str) -> list[str]:
+        """Register every YAML spec file in *directory* (CREATE OR
+        REPLACE semantics)."""
+        return self.catalog.load(directory)
+
     # ---------------- SQL front-end ----------------
 
     def sql(self, text: str) -> DataFrame:

@@ -388,6 +388,8 @@ class MetricViewSpec:
     def _from_doc(
         cls, doc: dict[str, Any], *, name: str, description: Optional[str]
     ) -> "MetricViewSpec":
+        if description is None:
+            description = doc.get("comment")  # round-trip of spec_to_yaml_doc
         source = doc.get("source")
         if not source:
             raise SpecError("metric-view spec missing 'source'")
@@ -405,6 +407,9 @@ class MetricViewSpec:
             joins=tuple(JoinSpec.from_dict(j) for j in doc.get("joins", ()) or ()),
             materialization=Materialization.from_dict(mat) if isinstance(mat, dict) else None,
         )
+
+    def to_yaml_doc(self) -> dict[str, Any]:
+        return spec_to_yaml_doc(self)
 
     # -- introspection (v1.1 semantic catalog, README.md:226-246) ------
 
@@ -455,3 +460,78 @@ class MetricViewSpec:
                 )
             ],
         }
+
+
+def spec_to_yaml_doc(spec: MetricViewSpec) -> dict:
+    """Serialize a spec back to the Databricks metric-view YAML doc shape
+    (inverse of :meth:`MetricViewSpec.from_yaml`; round-trip tested).
+
+    The grammar has no top-level description field (descriptions live in
+    the view DDL's COMMENT, ``macros/generate_metric_views.sql:84``) —
+    ours is carried as ``comment:`` and restored on load.
+    """
+
+    def _dim(d: Dimension) -> dict:
+        out: dict = {"name": d.name, "expr": d.expr}
+        if d.display_name:
+            out["display_name"] = d.display_name
+        if d.comment:
+            out["comment"] = d.comment
+        if d.synonyms:
+            out["synonyms"] = list(d.synonyms)
+        return out
+
+    def _meas(m: Measure) -> dict:
+        out: dict = {"name": m.name, "expr": m.expr}
+        if m.windows:
+            out["window"] = [
+                {"order": w.order, "range": w.range, "semiadditive": w.semiadditive}
+                for w in m.windows
+            ]
+        if m.display_name:
+            out["display_name"] = m.display_name
+        if m.comment:
+            out["comment"] = m.comment
+        if m.synonyms:
+            out["synonyms"] = list(m.synonyms)
+        if m.format:
+            fmt: dict = {"type": m.format.type}
+            if m.format.currency_code:
+                fmt["currency_code"] = m.format.currency_code
+            out["format"] = fmt
+        return out
+
+    def _join(j: JoinSpec) -> dict:
+        out: dict = {"name": j.name, "source": j.source, "on": j.on}
+        if j.joins:
+            out["joins"] = [_join(x) for x in j.joins]
+        return out
+
+    doc: dict = {"version": spec.version, "source": spec.source}
+    if spec.description:
+        doc["comment"] = spec.description
+    if spec.filter:
+        doc["filter"] = spec.filter
+    if spec.joins:
+        doc["joins"] = [_join(j) for j in spec.joins]
+    if spec.dimensions:
+        doc["dimensions"] = [_dim(d) for d in spec.dimensions]
+    if spec.measures:
+        doc["measures"] = [_meas(m) for m in spec.measures]
+    if spec.materialization:
+        mat: dict = {}
+        if spec.materialization.schedule:
+            mat["schedule"] = spec.materialization.schedule
+        if spec.materialization.mode:
+            mat["mode"] = spec.materialization.mode
+        mat["materialized_views"] = [
+            {
+                "name": r.name,
+                "type": r.type,
+                **({"dimensions": list(r.dimensions)} if r.dimensions else {}),
+                **({"measures": list(r.measures)} if r.measures else {}),
+            }
+            for r in spec.materialization.materialized_views
+        ]
+        doc["materialization"] = mat
+    return doc

@@ -147,3 +147,43 @@ def test_describe_roundtrip():
         "revenue_by_segment",
         "monthly_revenue",
     ]
+
+
+def test_yaml_roundtrip_all_project_specs():
+    """spec → YAML doc → spec must be identity for every project spec
+    (catalog save/load contract)."""
+    import yaml as _yaml
+
+    from dbt_databricks_metrics_spark.specs import spec_to_yaml_doc
+
+    for name, text, src in [
+        ("mv_orders_simple", MV_ORDERS_SIMPLE_YAML, "stg_orders"),
+        ("mv_order_metrics", MV_ORDER_METRICS_YAML, "fct_orders"),
+        ("mv_customer_metrics", MV_CUSTOMER_METRICS_YAML, "fct_customer_summary"),
+    ]:
+        spec = MetricViewSpec.from_yaml(text, name=name, source=src, description="d")
+        doc = spec_to_yaml_doc(spec)
+        back = MetricViewSpec.from_yaml(_yaml.safe_dump(doc, sort_keys=False), name=name)
+        assert back == spec, name
+
+
+def test_catalog_save_load(tmp_path):
+    from dbt_databricks_metrics_spark.catalog import MetricViewCatalog
+
+    cat = MetricViewCatalog()
+    spec = MetricViewSpec.from_yaml(
+        MV_ORDER_METRICS_YAML, name="mv_order_metrics", source="fct_orders"
+    )
+    rv = cat.register(spec)
+    rv.state = object()  # pretend materialized
+    paths = cat.save(str(tmp_path))
+    assert len(paths) == 1
+
+    cat2 = MetricViewCatalog()
+    loaded = cat2.load(str(tmp_path))
+    assert loaded == ["mv_order_metrics"]
+    assert cat2.get("mv_order_metrics").spec == spec
+
+    # CREATE OR REPLACE on reload of the UNCHANGED spec preserves state
+    cat.load(str(tmp_path))
+    assert cat.get("mv_order_metrics").state is rv.state
