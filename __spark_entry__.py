@@ -428,6 +428,46 @@ def _q_distinct_count_salted(spark, sf_dir):
     return distinct_count_salted(o, ["o_orderstatus"], "o_custkey")
 
 
+EVENTS_MV_YAML = """
+version: 0.1
+source: events
+dimensions:
+  - name: event_type
+    expr: event_type
+  - name: event_date
+    expr: cast(ts as date)
+measures:
+  - name: n_events
+    expr: count(*)
+  - name: total_value
+    expr: sum(value)
+  - name: n_users
+    expr: count(distinct user_id)
+  - name: trailing_3d_value
+    expr: sum(value)
+    window:
+      - order: event_date
+        range: trailing 3 day
+        semiadditive: last
+"""
+
+
+def _q_events_mv(spark, sf_dir):
+    # semantic layer over the event stream: derived dims + distinct +
+    # trailing window in one metric view
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.sources import register_tables
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    eng = _engine(spark, sf_dir)
+    if "mv_events" not in eng.catalog:
+        register_tables(spark, sf_dir, ("events",))
+        eng.register(MetricViewSpec.from_yaml(EVENTS_MV_YAML, name="mv_events"))
+    return eng.metric_view("mv_events").query(
+        ["event_type"], ["n_events", "total_value", "n_users", "trailing_3d_value"]
+    )
+
+
 def _q_redact_documents(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import redact
     from dbt_databricks_metrics_spark.sources import load_table
@@ -588,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": _q_data_checks,
         "redact_documents": _q_redact_documents,
         "quantize_roundtrip": _q_quantize_roundtrip,
+        "events_metric_view": _q_events_mv,
     }
 
 
@@ -912,4 +953,27 @@ def oracle_sql() -> dict[str, str]:
             FROM rows_
         """,
         "redact_documents": _redact_oracle_sql(),
+        "events_metric_view": """
+            WITH plain AS (
+                SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+                       count(DISTINCT user_id) AS n_users
+                FROM events GROUP BY 1
+            ),
+            grain AS (
+                SELECT event_type, CAST(ts AS DATE) AS event_date, sum(value) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT event_type, event_date,
+                       sum(v) OVER (PARTITION BY event_type ORDER BY event_date
+                           RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS w
+                FROM grain
+            ),
+            wl AS (
+                SELECT event_type, arg_max(w, event_date) AS trailing_3d_value
+                FROM win GROUP BY 1
+            )
+            SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value
+            FROM plain JOIN wl ON plain.event_type = wl.event_type
+        """,
     }
