@@ -452,6 +452,14 @@ measures:
 """
 
 
+def _q_keyword_search(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import search
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.keyword_search(docs, "spark filter window", k=10)
+
+
 def _q_events_mv(spark, sf_dir):
     # semantic layer over the event stream: derived dims + distinct +
     # trailing window in one metric view
@@ -629,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": _q_redact_documents,
         "quantize_roundtrip": _q_quantize_roundtrip,
         "events_metric_view": _q_events_mv,
+        "keyword_search": _q_keyword_search,
     }
 
 
@@ -975,5 +984,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value
             FROM plain JOIN wl ON plain.event_type = wl.event_type
+        """,
+        "keyword_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+')) AS t
+                FROM documents
+            ),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'spark')) AS df1,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'filter')) AS df2,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'window')) AS df3
+            )
+            SELECT doc_id,
+                   round(CAST(list_contains(t, 'spark') AS INT)
+                             * round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9)
+                       + CAST(list_contains(t, 'filter') AS INT)
+                             * round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9)
+                       + CAST(list_contains(t, 'window') AS INT)
+                             * round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9), 6)
+                       AS score,
+                   CAST(list_contains(t, 'spark') AS INT)
+                       + CAST(list_contains(t, 'filter') AS INT)
+                       + CAST(list_contains(t, 'window') AS INT) AS n_matched
+            FROM toks, consts
+            WHERE list_contains(t, 'spark') OR list_contains(t, 'filter')
+               OR list_contains(t, 'window')
+            ORDER BY score DESC, doc_id
+            LIMIT 10
         """,
     }
