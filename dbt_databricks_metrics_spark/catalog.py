@@ -68,9 +68,16 @@ class MetricViewCatalog:
     def describe(self, name: str) -> dict[str, Any]:
         rv = self.get(name)
         d = rv.spec.describe()
+        mat = rv.spec.materialization
         d["materialized"] = {
+            "schedule": mat.schedule if mat else None,
+            "mode": mat.mode if mat else None,
             "baseline": rv.state.baseline if rv.state else None,
-            "rollups": sorted(rv.state.rollups) if rv.state else [],
+            "rollups": (
+                {n: {"rows": b.n_rows} for n, b in rv.state.rollups.items()}
+                if rv.state
+                else {}
+            ),
         }
         return d
 

@@ -50,6 +50,8 @@ class BuiltRollup:
     path: str
     # measure name -> its decomposition (partial col layout in the table)
     decompositions: dict[str, Decomposition] = field(default_factory=dict)
+    # row count recorded at build time — the router's cost estimate
+    n_rows: Optional[int] = None
 
 
 @dataclass
@@ -135,7 +137,8 @@ class RollupManager:
             and all(d.expr == d.name for d in spec.dimensions)
         )
         rollup_specs = spec.materialization.materialized_views
-        cache = len([r for r in rollup_specs if r.type == "aggregated"]) > 1 or (
+        aggregated = [r for r in rollup_specs if r.type == "aggregated"]
+        cache = len(aggregated) > 1 or (
             any(r.type == "unaggregated" for r in rollup_specs) and not redundant_baseline
         )
         if cache:
@@ -151,13 +154,92 @@ class RollupManager:
                         self.compiler.baseline_projection(spec, src), self.spark, path
                     )
                     state.baseline = path
-                else:
-                    built = self._build_aggregated(spec, r, src)
-                    state.rollups[r.name] = built
+            if len(aggregated) > 1:
+                # single source pass for ALL grains via GROUPING SETS
+                for name, built in self._build_grouping_sets(spec, aggregated, src).items():
+                    state.rollups[name] = built
+            else:
+                for r in aggregated:
+                    state.rollups[r.name] = self._build_aggregated(spec, r, src)
         finally:
             if cache:
                 src.unpersist()
         return state
+
+    def _build_grouping_sets(
+        self, spec: MetricViewSpec, rollups: list[RollupSpec], src: DataFrame
+    ) -> dict[str, BuiltRollup]:
+        """Build every aggregated rollup from ONE aggregation job.
+
+        ``df.groupingSets`` computes all grains in a single scan +
+        shuffle; ``grouping_id()`` disambiguates which grain each output
+        row belongs to (a real NULL dim value and a rolled-up dim are
+        otherwise indistinguishable). Per-grain slices are then split to
+        their own tables. At 100 TB this turns N full scans into one.
+        """
+        # flatten so every dim is a plain named column (same projection
+        # the baseline snapshot uses); measure exprs lose their `source.`
+        # qualifier accordingly
+        flat = self.compiler.baseline_projection(spec, src)
+        all_dims: list[str] = []
+        for r in rollups:
+            for d in r.dimensions:
+                if d not in all_dims:
+                    all_dims.append(d)
+
+        decs_per_rollup: dict[str, dict[str, Decomposition]] = {}
+        partial_cols: dict[str, str] = {}
+        for r in rollups:
+            decs: dict[str, Decomposition] = {}
+            for mname in r.measures:
+                m = spec.measure(mname)
+                expr = self.compiler.strip_source_prefix(m.expr)
+                dec = decompose_aggregate(expr, prefix=f"_p_{mname}")
+                if dec is None:
+                    raise QueryError(
+                        f"rollup {r.name!r}: measure {mname!r} ({m.expr}) is not "
+                        f"decomposable into partial states — serve it from baseline"
+                    )
+                decs[mname] = dec
+                for p_expr, p_col in dec.partials:
+                    partial_cols[p_col] = p_expr
+            decs_per_rollup[r.name] = decs
+
+        sets = [[d for d in all_dims if d in r.dimensions] for r in rollups]
+        grouped = flat.groupingSets(sets, *[F.col(d) for d in all_dims]).agg(
+            *[F.expr(e).alias(c) for c, e in partial_cols.items()],
+            F.grouping_id().alias("_gid"),
+        )
+        if len(rollups) > 1:
+            grouped = grouped.cache()
+        out: dict[str, BuiltRollup] = {}
+        try:
+            n = len(all_dims)
+            for r in rollups:
+                # grouping_id: leftmost grouping column = most significant
+                # bit; bit set ⇔ column aggregated away in this grain
+                gid = sum(
+                    1 << (n - 1 - i)
+                    for i, d in enumerate(all_dims)
+                    if d not in r.dimensions
+                )
+                decs = decs_per_rollup[r.name]
+                cols = list(r.dimensions) + [
+                    p for dec in decs.values() for _, p in dec.partials
+                ]
+                seen: set[str] = set()
+                cols = [c for c in cols if not (c in seen or seen.add(c))]
+                slice_df = grouped.filter(F.col("_gid") == gid).select(*cols)
+                path = self._path(spec.name, r.name)
+                _swap_write(slice_df, self.spark, path)
+                row_count = self.spark.read.parquet(path).count()
+                out[r.name] = BuiltRollup(
+                    spec=r, path=path, decompositions=decs, n_rows=row_count
+                )
+        finally:
+            if len(rollups) > 1:
+                grouped.unpersist()
+        return out
 
     def _path(self, mv_name: str, rollup_name: str) -> str:
         return os.path.join(self.storage_dir, mv_name, rollup_name)
@@ -186,7 +268,8 @@ class RollupManager:
         rolled = src.groupBy(*dim_cols).agg(*agg_cols)
         path = self._path(spec.name, r.name)
         _swap_write(rolled, self.spark, path)
-        return BuiltRollup(spec=r, path=path, decompositions=decs)
+        n = self.spark.read.parquet(path).count()
+        return BuiltRollup(spec=r, path=path, decompositions=decs, n_rows=n)
 
     def drop(self, spec_name: str) -> None:
         d = os.path.join(self.storage_dir, spec_name)
@@ -212,7 +295,15 @@ class RollupManager:
                 and set(query.measures) <= set(b.spec.measures)
             ]
             if candidates:
-                best = min(candidates, key=lambda b: len(b.spec.dimensions))
+                # cost-based pick: fewest stored rows wins (recorded at
+                # build); dim count is the fallback proxy
+                best = min(
+                    candidates,
+                    key=lambda b: (
+                        b.n_rows if b.n_rows is not None else float("inf"),
+                        len(b.spec.dimensions),
+                    ),
+                )
                 return "rollup", best
         if state.baseline:
             return "baseline", None

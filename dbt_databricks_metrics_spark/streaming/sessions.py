@@ -74,3 +74,23 @@ def streaming_tumbling_counts(
             "total_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup for at-least-once sources.
+
+    Streaming: `dropDuplicatesWithinWatermark` — state for a key is kept
+    only until the watermark passes it, so memory stays bounded while
+    duplicates arriving within the lateness window are dropped. Batch:
+    plain `dropDuplicates` (same contract, no state bound needed).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))

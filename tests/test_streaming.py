@@ -197,3 +197,29 @@ materialization:
     # baseline also folded: un-routable query (not in rollup) via baseline
     got_b, route_b = mv.query_routed(["order_status"], ["revenue"])
     assert route_b == "rollup:by_status"
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """Duplicated append-only source → exactly-once output via
+    dropDuplicatesWithinWatermark."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    doubled = ev.unionByName(ev)
+    src_dir = str(tmp_path / "dup_src")
+    doubled.write.mode("overwrite").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = ssessions.streaming_dedup(stream, key_cols=("event_id",))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM dedup_stream").first()[0]
+    assert got == ev.count()
+
+    # batch form: same contract
+    assert ssessions.streaming_dedup(doubled).count() == ev.count()
