@@ -203,10 +203,15 @@ class QueryCompiler:
             if result is None and not windowed:
                 raise QueryError("no measures to compute")
 
-        for m in windowed:
-            wdf = self._window_measure(
-                spec, base, list(query.dimensions), m, flattened=flattened
-            )
+        for group in self._group_shareable_windows(spec, windowed, flattened):
+            if len(group) > 1:
+                wdf = self._window_measures_shared(
+                    spec, base, list(query.dimensions), group, flattened=flattened
+                )
+            else:
+                wdf = self._window_measure(
+                    spec, base, list(query.dimensions), group[0], flattened=flattened
+                )
             if result is None:
                 result = wdf
             else:
@@ -232,6 +237,132 @@ class QueryCompiler:
         )
 
     # ---------------- window measures ----------------
+
+    def _window_frame_info(self, spec: MetricViewSpec, m: Measure):
+        """(frame_clause, order_dim_name, sorted current-part names) or
+        None when the measure's window shape is unsupported for sharing."""
+        frames = [w for w in m.windows if w.kind in ("trailing", "cumulative")]
+        if len(frames) != 1:
+            return None
+        frame = frames[0]
+        if frame.kind == "trailing" and frame.trailing_parts[1] in (
+            "month",
+            "quarter",
+            "year",
+        ):
+            return None  # calendar path is a range join, not a frame
+        parts = tuple(sorted(w.order for w in m.windows if w.kind == "current"))
+        return (frame.order, parts)
+
+    def _group_shareable_windows(
+        self, spec: MetricViewSpec, windowed: list[Measure], flattened: bool
+    ) -> list[list[Measure]]:
+        """Batch window measures that share (order dim, current-partition
+        keys) and decompose into partials — they can share one grain
+        aggregation and one window sort (Catalyst reuses the exchange+sort
+        for multiple window functions over the same partitioning)."""
+        groups: dict = {}
+        order: list = []
+        for m in windowed:
+            expr = (
+                self.strip_source_prefix(m.expr)
+                if flattened
+                else self._rewrite_dim_expr(spec, m.expr)
+            )
+            info = self._window_frame_info(spec, m)
+            key = (
+                info
+                if info is not None and decompose_aggregate(expr, "_probe") is not None
+                else ("__solo__", m.name)
+            )
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(m)
+        return [groups[k] for k in order]
+
+    def _window_measures_shared(
+        self,
+        spec: MetricViewSpec,
+        base: DataFrame,
+        dims: list[str],
+        measures: list[Measure],
+        flattened: bool = False,
+    ) -> DataFrame:
+        """N window measures over one shared grain: one grain aggregation
+        carrying the union of partial states, one window partitioning
+        (frames may differ per measure — Spark shares the sort), one
+        semiadditive-last reduction producing all N columns."""
+        order_name, part_names = self._window_frame_info(spec, measures[0])
+        order_dim = spec.dimension(order_name)
+        extra_parts = [spec.dimension(p) for p in part_names]
+
+        if flattened:
+            dim_exprs = {d: d for d in dims}
+            order_expr = order_dim.name
+            part_exprs = {p.name: p.name for p in extra_parts}
+            base_exprs = {m.name: self.strip_source_prefix(m.expr) for m in measures}
+        else:
+            dim_exprs = {d: self._rewrite_dim_expr(spec, spec.dimension(d).expr) for d in dims}
+            order_expr = self._rewrite_dim_expr(spec, order_dim.expr)
+            part_exprs = {p.name: self._rewrite_dim_expr(spec, p.expr) for p in extra_parts}
+            base_exprs = {m.name: self._rewrite_dim_expr(spec, m.expr) for m in measures}
+
+        part_cols = [d for d in dims if d != order_dim.name] + [
+            p.name for p in extra_parts if p.name not in dims and p.name != order_dim.name
+        ]
+        grain_cols = part_cols + [order_dim.name]
+
+        def named(name: str) -> Column:
+            if name in dim_exprs:
+                return F.expr(dim_exprs[name]).alias(name)
+            if name == order_dim.name:
+                return F.expr(order_expr).alias(name)
+            return F.expr(part_exprs[name]).alias(name)
+
+        decs = {
+            m.name: decompose_aggregate(base_exprs[m.name], prefix=f"_p_{m.name}")
+            for m in measures
+        }
+        partials: dict[str, str] = {}
+        for dec in decs.values():
+            for p_expr, p_col in dec.partials:
+                partials[p_col] = p_expr
+        grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+            *[F.expr(e).alias(c) for c, e in partials.items()]
+        )
+
+        merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
+        # emit every measure's window merges in ONE projection: Catalyst
+        # groups window functions by (partition, order) spec, so differing
+        # frames (trailing-7d + cumulative) still collapse into a single
+        # Window node over one sort. Sequential withColumn chains would
+        # interleave Projects and defeat that grouping.
+        win_exprs: list[Column] = []
+        finalizes: dict[str, str] = {}
+        for m in measures:
+            frame = [w for w in m.windows if w.kind in ("trailing", "cumulative")][0]
+            w = self._build_window(grain, part_cols, order_dim.name, frame)
+            dec = decs[m.name]
+            finalize = dec.finalize
+            for p_col, fn in dec.merges.items():
+                merged_col = f"_w_{m.name}_{p_col}"
+                win_exprs.append(merge_fn[fn](F.col(p_col)).over(w).alias(merged_col))
+                finalize = finalize.replace(p_col, merged_col)
+            finalizes[m.name] = finalize
+        valued = grain.select("*", *win_exprs)
+        val_cols = [f"_wval_{m.name}" for m in measures]
+        valued = valued.select(
+            "*",
+            *[F.expr(finalizes[m.name]).alias(vc) for vc, m in zip(val_cols, measures)],
+        )
+
+        return valued.groupBy(*[F.col(d) for d in dims]).agg(
+            *[
+                F.max_by(vc, F.col(order_dim.name)).alias(m.name)
+                for vc, m in zip(val_cols, measures)
+            ]
+        )
 
     def _window_measure(
         self,

@@ -102,6 +102,24 @@ def test_window_measure_grain_preagg(engine):
     assert "HashAggregate" in before_window  # grain agg below the window
 
 
+def test_shared_window_measures_one_sort(engine):
+    """Two window measures over the same order dimension (trailing 7d +
+    cumulative) must share one grain aggregation and one window
+    partitioning: a single Window node evaluating both frames, not two
+    exchange+sort pairs."""
+    mv = engine.metric_view("mv_order_metrics")
+    q = MetricQuery(
+        mv.spec,
+        ("market_segment",),
+        ("trailing_7d_revenue", "cumulative_revenue"),
+    )
+    df = engine._compiler.compile(q)
+    plan = _physical(df)
+    # grain agg + window partition + final agg; no per-measure duplication
+    assert plan.count("Exchange") <= 3, plan[:2500]
+    assert plan.count("Window") == 1, plan[:2500]
+
+
 def test_routed_query_no_source_scan(engine):
     """A rollup-routed query's plan must read the rollup table only —
     the fact table path must not appear in the scan nodes."""
