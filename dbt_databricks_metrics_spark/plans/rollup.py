@@ -334,6 +334,18 @@ class RollupManager:
         columns, then each measure's finalize expression.
         """
         df = self._read_rollup(built)
+        if set(query.dimensions) == set(built.spec.dimensions):
+            # exact cover: stored rows are already at the query grain — no
+            # re-aggregation, the plan is a single-stage projection with
+            # zero exchanges (matters at any scale: no shuffle, no codegen
+            # for an aggregate).
+            return df.select(
+                *[F.col(d) for d in query.dimensions],
+                *[
+                    F.expr(built.decompositions[m].finalize).alias(m)
+                    for m in query.measures
+                ],
+            )
         merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
         agg_cols: list = []
         seen: set[str] = set()

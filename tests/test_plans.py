@@ -120,6 +120,34 @@ def test_shared_window_measures_one_sort(engine):
     assert plan.count("Window") == 1, plan[:2500]
 
 
+def test_exact_cover_rollup_zero_exchange(engine):
+    """Query dims exactly matching a rollup's dims need no re-aggregation:
+    the routed plan is a projection over the stored rows — zero Exchange
+    nodes — and still matches the live plan's values."""
+    mv = engine.metric_view("mv_order_metrics")
+    df, route = mv.query_routed(
+        ["market_segment", "order_status"], ["total_revenue", "total_orders"]
+    )
+    assert route == "rollup:revenue_by_segment"
+    plan = _physical(df)
+    assert plan.count("Exchange") == 0, plan[:2000]
+    q = MetricQuery(
+        mv.spec, ("market_segment", "order_status"), ("total_revenue", "total_orders")
+    )
+    live = {
+        (r["market_segment"], r["order_status"]): (r["total_revenue"], r["total_orders"])
+        for r in engine._compiler.compile(q).collect()
+    }
+    routed = {
+        (r["market_segment"], r["order_status"]): (r["total_revenue"], r["total_orders"])
+        for r in df.collect()
+    }
+    assert routed.keys() == live.keys()
+    for k, (rev, cnt) in routed.items():
+        assert cnt == live[k][1]
+        assert abs(rev - live[k][0]) <= 1e-6 * max(1.0, abs(live[k][0]))
+
+
 def test_routed_query_no_source_scan(engine):
     """A rollup-routed query's plan must read the rollup table only —
     the fact table path must not appear in the scan nodes."""
