@@ -64,7 +64,16 @@ def main() -> None:
         q = MetricQuery(mv.spec, ("market_segment",), ("total_revenue", "total_orders"))
         return eng._compiler.compile(q).collect()
 
+    def routed_exact():
+        # dims exactly match the rollup grain → zero-exchange projection
+        df, route = mv.query_routed(
+            ["market_segment", "order_status"], ["total_revenue", "total_orders"]
+        )
+        assert route == "rollup:revenue_by_segment", route
+        return df.collect()
+
     timed("q_segment_routed", routed, warm=True)
+    timed("q_segment_exact_cover", routed_exact, warm=True)
     timed("q_segment_live", live, warm=True)
     timed(
         "q_monthly_routed",
