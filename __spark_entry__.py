@@ -223,6 +223,17 @@ def _q_cumulative(spark, sf_dir):
     )
 
 
+def _q_multi_window_shared(spark, sf_dir):
+    # trailing + cumulative over the same order dim: compiles to ONE shared
+    # grain aggregation and ONE window sort (plans/compiler.py
+    # _window_measures_shared; plan shape pinned in tests/test_plans.py)
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_order_metrics").query(
+        dimensions=["market_segment"],
+        measures=["trailing_7d_revenue", "cumulative_revenue"],
+    )
+
+
 def _q_ytd(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.metric_view("mv_ytd").query(
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_metrics": _q_customer_metrics,
         "trailing_7d_revenue": _q_trailing_7d,
         "cumulative_revenue": _q_cumulative,
+        "multi_window_shared": _q_multi_window_shared,
         "ytd_revenue": _q_ytd,
         "filtered_mv": _q_filtered_mv,
         "routed_segment": _q_routed_segment,
@@ -691,6 +703,24 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_revenue": f"""
             SELECT order_status, sum(total_price) AS cumulative_revenue
             FROM ({_STG_ORDERS}) GROUP BY 1
+        """,
+        "multi_window_shared": f"""
+            WITH grain AS (
+                SELECT market_segment, order_date, sum(total_price) AS rev
+                FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT market_segment, order_date,
+                       sum(rev) OVER (PARTITION BY market_segment ORDER BY order_date
+                           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w7,
+                       sum(rev) OVER (PARTITION BY market_segment ORDER BY order_date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wc
+                FROM grain
+            )
+            SELECT market_segment,
+                   arg_max(w7, order_date) AS trailing_7d_revenue,
+                   arg_max(wc, order_date) AS cumulative_revenue
+            FROM win GROUP BY 1
         """,
         "ytd_revenue": f"""
             WITH grain AS (
