@@ -313,11 +313,22 @@ class RollupManager:
         self, query: MetricQuery, state: Optional[MaterializationState]
     ) -> tuple[DataFrame, str]:
         """Compile *query* against the best physical source; returns
-        (plan, route) where route ∈ {'rollup:<name>', 'baseline', 'live'}."""
+        (plan, route) where route ∈ {'rollup:<name>', 'baseline', 'live'}
+        (or 'rollup:<name>+<route>' for a split mixed query).
+
+        Window measures are never rollup-served (``README.md:431``), but a
+        mixed query (plain + window measures) need not go fully live: the
+        plain measures route to a covering rollup and join on the query
+        dims with the on-the-fly window plan. At scale this replaces one of
+        the two full source scans with a |dim-combination|-row read.
+        """
         route, built = self.route(query, state)
         if route == "rollup":
             assert built is not None
             return self._compile_from_rollup(query, built), f"rollup:{built.spec.name}"
+        split = self._compile_split_mixed(query, state)
+        if split is not None:
+            return split
         if route == "baseline":
             assert state is not None and state.baseline
             # the snapshot already has filter+joins applied and dims
@@ -325,6 +336,48 @@ class RollupManager:
             base = self.spark.read.parquet(state.baseline)
             return self.compiler.compile(query, source_df=base, flattened=True), "baseline"
         return self.compiler.compile(query), "live"
+
+    def _compile_split_mixed(
+        self, query: MetricQuery, state: Optional[MaterializationState]
+    ) -> Optional[tuple[DataFrame, str]]:
+        """Split a mixed plain+window query when a rollup covers the plain
+        part; None when not applicable (not mixed, or no covering rollup).
+
+        Both sides group the same source by the same dims, so the dim-combo
+        sets are identical — an inner null-safe equi-join reassembles the
+        row. The rollup side is tiny (≤ |dim combos| rows) and broadcasts.
+        """
+        if state is None:
+            return None
+        spec = query.spec
+        plain = tuple(m for m in query.measures if not spec.measure(m).is_windowed)
+        windowed = tuple(m for m in query.measures if spec.measure(m).is_windowed)
+        if not plain or not windowed:
+            return None
+        pq = MetricQuery(spec, query.dimensions, plain)
+        proute, pbuilt = self.route(pq, state)
+        if proute != "rollup":
+            return None
+        left = self._compile_from_rollup(pq, pbuilt).alias("_p")
+        wq = MetricQuery(spec, query.dimensions, windowed)
+        right, wroute = self.compile_routed(wq, state)
+        right = right.alias("_w")
+        dims = list(query.dimensions)
+        if dims:
+            cond = F.lit(True)
+            for d in dims:
+                cond = cond & F.col(f"_p.{d}").eqNullSafe(F.col(f"_w.{d}"))
+            joined = F.broadcast(left).join(right, cond, "inner")
+        else:
+            joined = left.crossJoin(right)
+        out = joined.select(
+            *[F.col(f"_p.{d}").alias(d) for d in dims],
+            *[
+                F.col(f"_p.{m}") if m in plain else F.col(f"_w.{m}")
+                for m in query.measures
+            ],
+        )
+        return out, f"rollup:{pbuilt.spec.name}+{wroute}"
 
     def _compile_from_rollup(self, query: MetricQuery, built: BuiltRollup) -> DataFrame:
         """Re-aggregate partial states over the query's dimension subset.

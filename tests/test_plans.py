@@ -148,6 +148,26 @@ def test_exact_cover_rollup_zero_exchange(engine):
         assert abs(rev - live[k][0]) <= 1e-6 * max(1.0, abs(live[k][0]))
 
 
+def test_mixed_query_split_routing(engine):
+    """A plain+window query splits: plain measures from the covering
+    rollup (in-memory, broadcast), window measures live — exactly one
+    parquet FileScan (the window side's source pass) in the whole plan."""
+    mv = engine.metric_view("mv_order_metrics")
+    df, route = mv.query_routed(
+        ["market_segment"], ["total_revenue", "trailing_7d_revenue", "total_orders"]
+    )
+    assert route == "rollup:revenue_by_segment+live"
+    plan = _physical(df)
+    # one source-table scan (the window side); the plain side reads the
+    # cached rollup (the FileScan inside InMemoryRelation is its cache-miss
+    # provenance, not a query-time source pass)
+    fact_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "fct_orders" in l
+    ]
+    assert len(fact_scans) == 1, plan[:2500]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2500]
+
+
 def test_routed_query_no_source_scan(engine):
     """A rollup-routed query's plan must read the rollup table only —
     the fact table path must not appear in the scan nodes."""
