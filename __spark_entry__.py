@@ -916,10 +916,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
                 SELECT *,
-                       round((least(char_len / 200.0, 1.0)
+                       -- unrounded: same IEEE op order as the Spark side, so
+                       -- the >= threshold compare is bit-identical (rounding
+                       -- first would create engine-dependent boundary ties)
+                       (least(char_len / 200.0, 1.0)
                               + greatest(0.0, 1.0 - (punct / greatest(char_len, 1)) * 4)
                               + least((en_hits / greatest(ws_tokens, 1)) * 4, 1.0)
-                             ) / 3.0, 6) AS quality_score,
+                             ) / 3.0 AS quality_raw,
                        CASE WHEN greatest(
                                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
                                 len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
@@ -936,7 +939,7 @@ def oracle_sql() -> dict[str, str]:
                             ) THEN 'en' ELSE 'other' END AS lang_guess
                 FROM scored
             ),
-            after_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+            after_q AS (SELECT * FROM q WHERE quality_raw >= 0.5),
             after_l AS (SELECT * FROM after_q WHERE lang_guess = 'en'),
             curated AS (
                 SELECT arg_min(ws_tokens, doc_id) AS ws_tokens,

@@ -39,7 +39,7 @@ def curate(
     """The curated corpus: quality-filtered, language-filtered, deduped,
     with token/quality/language columns attached."""
     scored = ts.document_stats(documents, text_col)
-    kept = scored.filter(F.col("quality_score") >= min_quality)
+    kept = scored.filter(F.col("quality_score_raw") >= min_quality)
     if langs:
         kept = kept.filter(F.col("lang_guess").isin(list(langs)))
     if dedup_mode == "exact":
@@ -61,7 +61,7 @@ def curation_stats(
 ) -> DataFrame:
     """One-row funnel: counts after each stage + curated token totals."""
     scored = ts.document_stats(documents, text_col).cache()
-    after_q = scored.filter(F.col("quality_score") >= min_quality)
+    after_q = scored.filter(F.col("quality_score_raw") >= min_quality)
     after_l = after_q.filter(F.col("lang_guess").isin(list(langs))) if langs else after_q
     curated = (
         dd.exact_dedup(after_l, id_col, text_col)

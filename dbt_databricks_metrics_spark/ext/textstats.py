@@ -84,10 +84,13 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     len_score = F.least(F.col("char_len") / F.lit(200.0), F.lit(1.0))
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
     stop_score = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    # quality_score_raw is the exact IEEE double (same operation order as
+    # the SQL oracle → bit-identical cross-engine); threshold filters must
+    # compare against it, NOT the rounded display value — rounding first
+    # creates engine-dependent ties exactly at the threshold boundary.
     return df.withColumn(
-        "quality_score",
-        F.round((len_score + punct_score + stop_score) / 3.0, 6),
-    )
+        "quality_score_raw", (len_score + punct_score + stop_score) / F.lit(3.0)
+    ).withColumn("quality_score", F.round(F.col("quality_score_raw"), 6))
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

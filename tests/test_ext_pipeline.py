@@ -29,7 +29,7 @@ def test_curate_matches_manual_composition(docs):
     cur = pipeline.curate(docs, min_quality=0.4, langs=("en",), dedup_mode="exact")
     manual = textstats.document_stats(docs)
     manual = manual.filter(
-        (F.col("quality_score") >= 0.4) & (F.col("lang_guess") == "en")
+        (F.col("quality_score_raw") >= 0.4) & (F.col("lang_guess") == "en")
     )
     # exact dedup keeps all rows here (all fixture texts distinct)
     assert cur.count() == manual.count()
