@@ -125,6 +125,7 @@ class MetricEngine:
         (``dbt_project.yml:19-21``; walk ≡
         ``macros/generate_metric_views.sql:19-29``)."""
         built = self._runner.run(select=select)
+        to_refresh: list[str] = []
         for name in self.registry.names():
             model = self.registry[name]
             mv_meta = model.meta.get("metric_view")
@@ -133,8 +134,24 @@ class MetricEngine:
             spec = self._spec_from_meta(model.name, mv_meta)
             self.register(spec)
             if materialize_rollups and spec.materialization:
-                self.refresh(spec.name)
+                to_refresh.append(spec.name)
+        self._refresh_many(to_refresh)
         return built
+
+    def _refresh_many(self, names: Sequence[str]) -> None:
+        """Refresh several views' rollups concurrently — each build is an
+        independent Spark job chain, and the scheduler interleaves them
+        (same pattern a Lakeflow pipeline uses for independent flows)."""
+        if len(names) <= 1:
+            for n in names:
+                self.refresh(n)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(names))) as ex:
+            futures = {n: ex.submit(self.refresh, n) for n in names}
+            for n in names:
+                futures[n].result()
 
     def _spec_from_meta(self, model_name: str, mv: dict[str, Any]) -> MetricViewSpec:
         """Both input modes of ``macros/generate_metric_views.sql:40-76``."""
@@ -194,9 +211,13 @@ class MetricEngine:
             ).parquet(rv.state.baseline)
 
     def refresh_all(self) -> None:
-        for name in self.catalog.names():
-            if self.catalog.get(name).spec.materialization:
-                self.refresh(name)
+        self._refresh_many(
+            [
+                name
+                for name in self.catalog.names()
+                if self.catalog.get(name).spec.materialization
+            ]
+        )
 
     def test(self, select: Optional[list[str]] = None) -> list:
         """``dbt test`` analogue: run every data check declared in model

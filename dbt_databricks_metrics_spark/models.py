@@ -152,8 +152,18 @@ class Runner:
             )
         return self._built[name]
 
-    def run(self, select: Optional[list[str]] = None) -> dict[str, DataFrame]:
-        """Build all (or selected + upstream) models in topo order."""
+    def run(
+        self, select: Optional[list[str]] = None, parallel: bool = True
+    ) -> dict[str, DataFrame]:
+        """Build all (or selected + upstream) models in topo order.
+
+        With *parallel* (default), models whose dependencies are satisfied
+        build concurrently — Spark's scheduler accepts job submissions from
+        multiple threads, so independent marts (e.g. ``fct_orders`` and
+        ``fct_customer_summary``) materialize side by side instead of
+        serially, exactly as dbt's ``threads:`` setting does against a
+        warehouse. Dependency order is still honored via topological waves.
+        """
         order = self.registry.topo_order()
         if select is not None:
             needed: set[str] = set()
@@ -168,8 +178,29 @@ class Runner:
             for s in select:
                 visit(s)
             order = [n for n in order if n in needed]
+
+        # topological waves: wave(m) = 1 + max(wave(deps)); every model in a
+        # wave depends only on earlier waves, so a wave can run concurrently
+        wave: dict[str, int] = {}
         for name in order:
-            self._built[name] = self._materialize(self.registry[name])
+            deps = [d for d in self.registry[name].deps]
+            wave[name] = 1 + max((wave[d] for d in deps), default=-1)
+        n_waves = max(wave.values(), default=-1) + 1
+        for w in range(n_waves):
+            members = [n for n in order if wave[n] == w]
+            if len(members) == 1 or not parallel:
+                for name in members:
+                    self._built[name] = self._materialize(self.registry[name])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(members)) as ex:
+                    futures = {
+                        n: ex.submit(self._materialize, self.registry[n])
+                        for n in members
+                    }
+                    for n in members:  # deterministic insertion order
+                        self._built[n] = futures[n].result()
         return dict(self._built)
 
     def _materialize(self, model: Model) -> DataFrame:

@@ -85,22 +85,29 @@ class RollupManager:
         self.storage_dir = storage_dir
         # rollup tables are tiny by construction (|dim combinations| rows)
         # — keep them cached in memory so a routed query costs no file
-        # listing / schema inference / scan
+        # listing / schema inference / scan. Guarded by a lock: refreshes
+        # of different views may run concurrently (engine._refresh_many).
+        import threading
+
         self._df_cache: dict[str, DataFrame] = {}
+        self._cache_lock = threading.Lock()
 
     def _read_rollup(self, built: BuiltRollup) -> DataFrame:
-        df = self._df_cache.get(built.path)
-        if df is None:
-            df = self.spark.read.parquet(built.path).cache()
-            self._df_cache[built.path] = df
+        with self._cache_lock:
+            df = self._df_cache.get(built.path)
+            if df is None:
+                df = self.spark.read.parquet(built.path).cache()
+                self._df_cache[built.path] = df
         return df
 
     def _invalidate(self, path_prefix: str) -> None:
-        for p in [p for p in self._df_cache if p.startswith(path_prefix)]:
-            try:
-                self._df_cache.pop(p).unpersist()
-            except Exception:
-                pass
+        with self._cache_lock:
+            stale = [p for p in self._df_cache if p.startswith(path_prefix)]
+            for p in stale:
+                try:
+                    self._df_cache.pop(p).unpersist()
+                except Exception:
+                    pass
 
     # ---------------- build / refresh ----------------
 
