@@ -268,6 +268,20 @@ def _q_routed_monthly(spark, sf_dir):
     return df
 
 
+def _q_distinct_median_measures(spark, sf_dir):
+    # count(distinct) and median are NON-decomposable aggregates: the router
+    # must refuse rollup service and answer from the live source even though
+    # plain measures over the same dims would route (SURVEY §4 decomposition
+    # table; aggregates.py returns None for DISTINCT / unknown aggregates)
+    eng = _engine(spark, sf_dir)
+    df, route = eng.metric_view("mv_order_metrics").query_routed(
+        ["order_status"],
+        ["distinct_customers", "median_order_value", "total_orders"],
+    )
+    assert route == "live", route
+    return df
+
+
 def _q_measure_sql(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.sql(
@@ -624,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_mv": _q_filtered_mv,
         "routed_segment": _q_routed_segment,
         "routed_monthly": _q_routed_monthly,
+        "distinct_median_measures": _q_distinct_median_measures,
         "measure_sql": _q_measure_sql,
         # [EXT] LLM-pipeline operators
         "doc_stats": _q_doc_stats,
@@ -751,6 +766,13 @@ def oracle_sql() -> dict[str, str]:
         "routed_monthly": f"""
             SELECT order_year, order_month, sum(total_price) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        "distinct_median_measures": f"""
+            SELECT order_status,
+                   count(DISTINCT customer_id) AS distinct_customers,
+                   median(total_price) AS median_order_value,
+                   count(*) AS total_orders
+            FROM ({_FCT_ORDERS}) GROUP BY order_status
         """,
         "measure_sql": f"""
             SELECT market_segment, sum(total_price) AS total_revenue,

@@ -88,6 +88,10 @@ measures:
     expr: avg(total_price)
   - name: max_order_value
     expr: max(total_price)
+  - name: distinct_customers
+    expr: count(distinct customer_id)
+  - name: median_order_value
+    expr: median(total_price)
   - name: trailing_7d_revenue
     expr: sum(total_price)
     window:

@@ -73,6 +73,35 @@ def test_routing_decisions(engine):
     assert simple.explain_routing(["order_status"], ["avg_order_value"]) == "baseline"
 
 
+def test_non_decomposable_measures_never_routed(engine):
+    """count(distinct) / median cannot be served from partial states: the
+    router must fall back to live even when the query dims are covered by
+    a rollup, and the live answer must match a direct aggregation."""
+    mv = engine.metric_view("mv_order_metrics")
+    # plain measure over the same dims routes...
+    assert (
+        mv.explain_routing(["market_segment"], ["total_revenue"])
+        == "rollup:revenue_by_segment"
+    )
+    # ...but mixing in a non-decomposable measure forces live
+    for measures in (
+        ["distinct_customers"],
+        ["median_order_value"],
+        ["distinct_customers", "total_revenue"],
+    ):
+        assert mv.explain_routing(["market_segment"], measures) == "live", measures
+    df, route = mv.query_routed(["market_segment"], ["distinct_customers"])
+    assert route == "live"
+    import pyspark.sql.functions as F
+
+    expected = _rows(
+        engine.ref("fct_orders")
+        .groupBy("market_segment")
+        .agg(F.countDistinct("customer_id").alias("distinct_customers"))
+    )
+    assert _rows(df) == expected
+
+
 def test_rollup_scan_is_tiny(engine, spark):
     # BASELINE.md: routed segment query reads ≤ |dim combinations| rows
     state = engine.catalog.get("mv_order_metrics").state
