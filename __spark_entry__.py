@@ -294,6 +294,21 @@ def _q_measure_sql(spark, sf_dir):
     )
 
 
+def _q_measure_expr_sql(spark, sf_dir):
+    # metric arithmetic: scalar expression over MEASURE() calls, computed
+    # after aggregation (sum(x)/count(*), NOT avg of ratios)
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT market_segment,
+               MEASURE(total_revenue) / MEASURE(total_orders) AS revenue_per_order,
+               MEASURE(max_order_value) - MEASURE(avg_order_value) AS max_minus_avg
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # [EXT] LLM-pipeline operators (dedup / similarity / text / sessions)
 # ---------------------------------------------------------------------------
@@ -640,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_monthly": _q_routed_monthly,
         "distinct_median_measures": _q_distinct_median_measures,
         "measure_sql": _q_measure_sql,
+        "measure_expr_sql": _q_measure_expr_sql,
         # [EXT] LLM-pipeline operators
         "doc_stats": _q_doc_stats,
         "dedup_exact_summary": _q_dedup_exact_summary,
@@ -766,6 +782,12 @@ def oracle_sql() -> dict[str, str]:
         "routed_monthly": f"""
             SELECT order_year, order_month, sum(total_price) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        "measure_expr_sql": f"""
+            SELECT market_segment,
+                   sum(total_price) / count(*) AS revenue_per_order,
+                   max(total_price) - avg(total_price) AS max_minus_avg
+            FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "distinct_median_measures": f"""
             SELECT order_status,

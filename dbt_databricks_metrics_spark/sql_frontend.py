@@ -19,7 +19,7 @@ identically to SQL and the Python API.
 from __future__ import annotations
 
 import re
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +42,9 @@ _QUERY_RE = re.compile(
 )
 
 _MEASURE_RE = re.compile(r"^measure\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE)
+# any MEASURE(name) call inside a larger scalar expression, e.g.
+# MEASURE(total_revenue) / MEASURE(total_orders)
+_MEASURE_CALL_RE = re.compile(r"\bmeasure\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -73,7 +76,10 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
 
     dims: list[str] = []
     measures: list[str] = []
-    renames: dict[str, str] = {}  # canonical name -> output alias
+    # (kind, payload, alias): kind 'dim'/'measure' → payload = canonical
+    # name; kind 'expr' → payload = scalar SQL over measure/dim columns
+    # (MEASURE(x) calls already rewritten to the column name x)
+    items: list[tuple[str, str, Optional[str]]] = []
     for item in _split_top_level(m.group("items")):
         alias = None
         am = re.match(r"^(.*?)\s+as\s+([A-Za-z_]\w*)$", item, re.IGNORECASE)
@@ -82,17 +88,29 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
         mm = _MEASURE_RE.match(item)
         if mm:
             name = mm.group(1)
-            measures.append(name)
+            if name not in measures:
+                measures.append(name)
+            items.append(("measure", name, alias))
+        elif _MEASURE_CALL_RE.search(item):
+            # scalar expression over MEASURE() calls (metric arithmetic):
+            # SELECT MEASURE(total_revenue) / MEASURE(total_orders) AS aov
+            for used in _MEASURE_CALL_RE.findall(item):
+                if used not in measures:
+                    measures.append(used)
+            if alias is None:
+                raise MeasureSQLError(
+                    f"expression over MEASURE() needs an alias: {item!r} AS <name>"
+                )
+            items.append(("expr", _MEASURE_CALL_RE.sub(r"\1", item), alias))
         else:
             if not re.match(r"^[A-Za-z_]\w*$", item):
                 raise MeasureSQLError(
-                    f"select item {item!r}: only dimension names and "
-                    f"MEASURE(name) are valid against a metric view"
+                    f"select item {item!r}: only dimension names, MEASURE(name), "
+                    f"and scalar expressions over MEASURE(...) are valid against "
+                    f"a metric view"
                 )
-            name = item
-            dims.append(name)
-        if alias:
-            renames[name] = alias
+            dims.append(item)
+            items.append(("dim", item, alias))
 
     group = m.group("group")
     if group:
@@ -101,10 +119,14 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
         for g in group_items:
             if re.match(r"^\d+$", g):  # ordinal GROUP BY (fct_customer_summary style)
                 idx = int(g) - 1
-                sel = dims + measures
-                if idx >= len(sel):
+                if idx >= len(items):
                     raise MeasureSQLError(f"GROUP BY ordinal {g} out of range")
-                resolved.append(sel[idx])
+                kind, payload, _ = items[idx]
+                if kind != "dim":
+                    raise MeasureSQLError(
+                        f"GROUP BY ordinal {g} refers to a measure select item"
+                    )
+                resolved.append(payload)
             else:
                 resolved.append(g)
         if set(resolved) != set(dims):
@@ -115,10 +137,15 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
         raise MeasureSQLError("bare dimensions in SELECT require GROUP BY")
 
     df, _route = mv.query_routed(dims, measures, where=m.group("where"))
-    if renames:
-        df = df.select(
-            *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
-        )
+    # project in SELECT-item order; expression items evaluate over the
+    # aggregated frame (dims + canonical measure columns)
+    df = df.select(
+        *[
+            F.expr(payload).alias(alias) if kind == "expr"
+            else F.col(payload).alias(alias or payload)
+            for kind, payload, alias in items
+        ]
+    )
     order = m.group("order")
     if order:
         order_cols = []

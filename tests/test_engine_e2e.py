@@ -192,6 +192,47 @@ def test_sql_frontend(engine, duck):
     )
 
 
+def test_sql_frontend_measure_arithmetic(engine, duck):
+    """Scalar expressions over MEASURE() calls (metric arithmetic)."""
+    df = engine.sql(
+        """
+        SELECT market_segment,
+               MEASURE(total_revenue) / MEASURE(total_orders) AS revenue_per_order,
+               MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        """
+    )
+    assert df.columns == ["market_segment", "revenue_per_order", "revenue"]
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment,
+               sum(total_price) / count(*) AS revenue_per_order,
+               sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        """,
+    )
+
+
+def test_sql_frontend_measure_expr_requires_alias(engine):
+    import pytest
+
+    from dbt_databricks_metrics_spark.sql_frontend import MeasureSQLError
+
+    with pytest.raises(MeasureSQLError, match="alias"):
+        engine.sql(
+            "SELECT MEASURE(total_revenue) / MEASURE(total_orders) "
+            "FROM mv_order_metrics"
+        )
+    with pytest.raises(MeasureSQLError, match="ordinal"):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrics GROUP BY 2"
+        )
+
+
 def test_describe_surfaces_metadata(engine):
     d = engine.metric_view("mv_customer_metrics").describe()
     assert d["version"] == "1.1"
