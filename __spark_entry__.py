@@ -403,6 +403,20 @@ def _q_srp_pairs(spark, sf_dir):
     return similarity.srp_similar_pairs(emb, dim=64, threshold=0.9)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # rows-only oracle: centroid choice keys off Spark's xxhash64, which
+    # DuckDB cannot replicate. Correctness evidence: recall-vs-brute-force
+    # bound in tests/test_ext_similarity.py::test_ivf_topk_reasonable_recall
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=4)
+
+
 def _q_sessionize(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
@@ -666,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
         "srp_similar_pairs": _q_srp_pairs,
+        "ivf_topk": _q_ivf_topk,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "tumbling_window": _q_tumbling_window,
