@@ -41,6 +41,23 @@ measures:
         semiadditive: last
 """
 
+FIRST_SPEC_YAML = """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_date
+    expr: order_date
+measures:
+  - name: opening_trailing_7d
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: first
+"""
+
 FILTERED_SPEC_YAML = """
 version: 0.1
 source: fct_orders
@@ -91,6 +108,7 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng.register(
             MetricViewSpec.from_yaml(TRAILING_MONTH_SPEC_YAML, name="mv_trailing_month")
         )
+        eng.register(MetricViewSpec.from_yaml(FIRST_SPEC_YAML, name="mv_first"))
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -238,6 +256,13 @@ def _q_ytd(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.metric_view("mv_ytd").query(
         dimensions=["market_segment"], measures=["ytd_revenue"]
+    )
+
+
+def _q_semiadditive_first(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_first").query(
+        dimensions=["market_segment"], measures=["opening_trailing_7d"]
     )
 
 
@@ -664,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue": _q_cumulative,
         "multi_window_shared": _q_multi_window_shared,
         "ytd_revenue": _q_ytd,
+        "semiadditive_first": _q_semiadditive_first,
         "filtered_mv": _q_filtered_mv,
         "routed_segment": _q_routed_segment,
         "routed_monthly": _q_routed_monthly,
@@ -797,6 +823,20 @@ def oracle_sql() -> dict[str, str]:
         "routed_monthly": f"""
             SELECT order_year, order_month, sum(total_price) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        "semiadditive_first": f"""
+            WITH grain AS (
+                SELECT market_segment, order_date, sum(total_price) AS rev
+                FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT market_segment, order_date,
+                       sum(rev) OVER (PARTITION BY market_segment ORDER BY order_date
+                           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w
+                FROM grain
+            )
+            SELECT market_segment, arg_min(w, order_date) AS opening_trailing_7d
+            FROM win GROUP BY 1
         """,
         "measure_expr_sql": f"""
             SELECT market_segment,

@@ -340,8 +340,10 @@ class QueryCompiler:
         # interleave Projects and defeat that grouping.
         win_exprs: list[Column] = []
         finalizes: dict[str, str] = {}
+        semis: dict[str, str] = {}
         for m in measures:
             frame = [w for w in m.windows if w.kind in ("trailing", "cumulative")][0]
+            semis[m.name] = frame.semiadditive
             w = self._build_window(grain, part_cols, order_dim.name, frame)
             dec = decs[m.name]
             finalize = dec.finalize
@@ -357,9 +359,10 @@ class QueryCompiler:
             *[F.expr(finalizes[m.name]).alias(vc) for vc, m in zip(val_cols, measures)],
         )
 
+        reduce_by = {"last": F.max_by, "first": F.min_by}
         return valued.groupBy(*[F.col(d) for d in dims]).agg(
             *[
-                F.max_by(vc, F.col(order_dim.name)).alias(m.name)
+                reduce_by[semis[m.name]](vc, F.col(order_dim.name)).alias(m.name)
                 for vc, m in zip(val_cols, measures)
             ]
         )
@@ -482,8 +485,11 @@ class QueryCompiler:
             w = self._build_window(enriched, part_cols, order_dim.name, frame)
             valued = enriched.withColumn("_wval", F.expr(base_expr).over(w))
 
+        reduce_by = {"last": F.max_by, "first": F.min_by}
         out = valued.groupBy(*[F.col(d) for d in dims]).agg(
-            F.max_by("_wval", F.col(order_dim.name)).alias(measure.name)
+            reduce_by[frame.semiadditive]("_wval", F.col(order_dim.name)).alias(
+                measure.name
+            )
         )
         return out
 

@@ -106,7 +106,9 @@ class WindowClause:
       key (the YTD pattern, ``README.md:268-277``).
 
     ``semiadditive: last`` collapses the ordered dimension by taking the
-    most-recent frame's value (``models/schema.yml:97,103``).
+    most-recent frame's value (``models/schema.yml:97,103``);
+    ``semiadditive: first`` takes the earliest frame's value (the natural
+    complement — e.g. opening balance instead of closing balance).
     """
 
     order: str
@@ -120,8 +122,10 @@ class WindowClause:
         if not order or not rng:
             raise SpecError(f"window clause needs 'order' and 'range': {d!r}")
         semi = str(d.get("semiadditive", "last")).lower()
-        if semi != "last":
-            raise SpecError(f"unsupported semiadditive mode {semi!r} (only 'last')")
+        if semi not in ("last", "first"):
+            raise SpecError(
+                f"unsupported semiadditive mode {semi!r} (only 'last'/'first')"
+            )
         clause = cls(order=str(order), range=str(rng).strip(), semiadditive=semi)
         clause.kind  # validate range grammar eagerly
         return clause

@@ -141,7 +141,7 @@ def test_describe_roundtrip():
     )
     d = spec.describe()
     assert d["name"] == "mv_order_metrics"
-    assert len(d["dimensions"]) == 6 and len(d["measures"]) == 6
+    assert len(d["dimensions"]) == 6 and len(d["measures"]) == 8
     assert [r["name"] for r in d["materialized_views"]] == [
         "baseline",
         "revenue_by_segment",

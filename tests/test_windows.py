@@ -191,6 +191,76 @@ measures:
     )
 
 
+def test_semiadditive_first(engine, duck):
+    # `semiadditive: first` collapses to the EARLIEST frame's value —
+    # e.g. the opening trailing-7d figure per group (arg_min in DuckDB)
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_date
+    expr: order_date
+measures:
+  - name: opening_trailing_7d
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: first
+""",
+        name="mv_first",
+    )
+    mv = engine.register(spec)
+    df = mv.query(dimensions=["market_segment"], measures=["opening_trailing_7d"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        WITH fct AS ({FCT_ORDERS_SQL}),
+        grain AS (
+            SELECT market_segment, order_date, sum(total_price) AS rev
+            FROM fct GROUP BY ALL
+        ),
+        win AS (
+            SELECT market_segment, order_date,
+                   sum(rev) OVER (PARTITION BY market_segment ORDER BY order_date
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w
+            FROM grain
+        )
+        SELECT market_segment, arg_min(w, order_date) AS opening_trailing_7d
+        FROM win GROUP BY 1
+        """,
+    )
+
+
+def test_semiadditive_mode_validation():
+    import pytest as _pytest
+
+    from dbt_databricks_metrics_spark.specs import SpecError
+
+    with _pytest.raises(SpecError, match="semiadditive"):
+        MetricViewSpec.from_yaml(
+            """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: order_date
+    expr: order_date
+measures:
+  - name: m
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: cumulative
+        semiadditive: average
+""",
+            name="mv_bad",
+        )
+
+
 def test_avg_window_measure_non_decomposed_path_consistency(engine, duck):
     # avg under a window: decomposes to (sum, count) partials at the grain —
     # must equal the window-over-raw-rows semantics (range frames peer all
