@@ -450,6 +450,37 @@ def _q_sessionize(spark, sf_dir):
     return sessionize.sessionize(ev).select("event_id", "user_id", "session_id")
 
 
+def _q_stateful_sessions(spark, sf_dir):
+    # custom stateful streaming operator (applyInPandasWithState): run the
+    # events table through an availableNow stream; emitted rows = every
+    # CLOSED session (a successor event arrived > gap later). Deterministic:
+    # one micro-batch, close-on-successor contract.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming import sessions as ssessions
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = _tf.mkdtemp(prefix="stateful_src_")
+    ev.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    name = f"stateful_sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        ssessions.stateful_sessionizer(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
 def _q_session_stats(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
@@ -708,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_similar_pairs": _q_srp_pairs,
         "ivf_topk": _q_ivf_topk,
         "sessionize": _q_sessionize,
+        "stateful_sessions": _q_stateful_sessions,
         "session_stats": _q_session_stats,
         "tumbling_window": _q_tumbling_window,
         "user_activity": _q_user_activity,
@@ -956,6 +988,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(value) AS total_value
             FROM sess GROUP BY 1, 2
+        """,
+        "stateful_sessions": _SESSION_CTE
+        + """
+            , agg AS (
+                SELECT user_id, session_seq,
+                       min(ts) AS session_start,
+                       max(ts) AS session_end,
+                       count(*) AS n_events,
+                       coalesce(sum(value), 0.0) AS total_value
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, session_start, session_end, n_events, total_value
+            FROM agg
+            QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
         """,
         "tumbling_window": """
             SELECT date_trunc('hour', ts) AS window_start,

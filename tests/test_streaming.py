@@ -137,6 +137,48 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream must equal the batch sessionize result minus each user's final
+    (still-open) session."""
+    from dbt_databricks_metrics_spark.ext import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_state_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    out = ssessions.stateful_sessionizer(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _rows(
+        spark.sql(
+            "SELECT user_id, session_start, session_end, n_events, total_value "
+            "FROM stateful_sess"
+        )
+    )
+
+    # expected: every batch session except each user's last (still open)
+    stats = sessionize.session_stats(ev, gap_minutes=30)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    expected = _rows(
+        stats.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_engine_refresh_incremental(spark, sf_dir, tmp_path):
     """engine.refresh_incremental folds a delta into rollups + baseline and
     answers queries identically to a full rebuild."""
