@@ -141,6 +141,16 @@ _STG_CUSTOMERS = """
     FROM customer
 """
 
+_STG_LINEITEM = """
+    SELECT l_orderkey AS order_id, l_partkey AS part_id,
+           l_suppkey AS supplier_id, l_linenumber AS line_number,
+           l_quantity AS quantity, l_extendedprice AS extended_price,
+           l_discount AS discount, l_tax AS tax,
+           l_returnflag AS return_flag, l_linestatus AS line_status,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+"""
+
 _FCT_ORDERS = f"""
     SELECT o.order_id, o.customer_id, c.customer_name, c.market_segment,
            o.order_status, o.total_price, o.order_date, o.order_priority,
@@ -291,6 +301,51 @@ def _q_routed_monthly(spark, sf_dir):
     )
     assert route == "rollup:monthly_revenue", route
     return df
+
+
+def _q_lineitem_pricing(spark, sf_dir):
+    # TPC-H Q1-style pricing summary via MEASURE() over the big fact
+    # (spec filter + sum-over-expr + avg measures; project.py
+    # MV_LINEITEM_PRICING_YAML)
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_lineitem_pricing").query(
+        dimensions=["return_flag", "line_status"],
+        measures=[
+            "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+            "avg_qty", "avg_price", "avg_disc", "count_order",
+        ],
+    )
+
+
+def _q_routed_pricing(spark, sf_dir):
+    # same query answered from the pricing_by_flag_status rollup: partial
+    # states re-aggregated (avg -> sum/count pair), 6 rows read instead of
+    # the full fact scan
+    eng = _engine(spark, sf_dir)
+    df, route = eng.metric_view("mv_lineitem_pricing").query_routed(
+        ["return_flag", "line_status"],
+        ["sum_qty", "sum_disc_price", "avg_price", "avg_disc", "count_order"],
+    )
+    assert route == "rollup:pricing_by_flag_status", route
+    return df
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    # snowflake star: fact -> orders -> customer -> nation -> region via
+    # declared joins; dims resolve through dotted alias paths
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_sales_star").query(
+        dimensions=["nation_name", "region_name"],
+        measures=["revenue", "line_count", "avg_discount"],
+    )
+
+
+def _q_star_segment_year(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_sales_star").query(
+        dimensions=["market_segment", "order_year"],
+        measures=["revenue", "line_count"],
+    )
 
 
 def _q_distinct_median_measures(spark, sf_dir):
@@ -724,6 +779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_mv": _q_filtered_mv,
         "routed_segment": _q_routed_segment,
         "routed_monthly": _q_routed_monthly,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "routed_pricing": _q_routed_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "star_segment_year": _q_star_segment_year,
         "distinct_median_measures": _q_distinct_median_measures,
         "measure_sql": _q_measure_sql,
         "measure_expr_sql": _q_measure_expr_sql,
@@ -855,6 +914,53 @@ def oracle_sql() -> dict[str, str]:
         "routed_monthly": f"""
             SELECT order_year, order_month, sum(total_price) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        "lineitem_pricing": f"""
+            SELECT return_flag, line_status,
+                   sum(quantity) AS sum_qty,
+                   sum(extended_price) AS sum_base_price,
+                   sum(extended_price * (1 - discount)) AS sum_disc_price,
+                   sum(extended_price * (1 - discount) * (1 + tax)) AS sum_charge,
+                   avg(quantity) AS avg_qty,
+                   avg(extended_price) AS avg_price,
+                   avg(discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM ({_STG_LINEITEM})
+            WHERE ship_date <= DATE '2001-09-02'
+            GROUP BY 1, 2
+        """,
+        "routed_pricing": f"""
+            SELECT return_flag, line_status,
+                   sum(quantity) AS sum_qty,
+                   sum(extended_price * (1 - discount)) AS sum_disc_price,
+                   avg(extended_price) AS avg_price,
+                   avg(discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM ({_STG_LINEITEM})
+            WHERE ship_date <= DATE '2001-09-02'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_nation": f"""
+            SELECT n.n_name AS nation_name, r.r_name AS region_name,
+                   sum(l.extended_price * (1 - l.discount)) AS revenue,
+                   count(*) AS line_count,
+                   avg(l.discount) AS avg_discount
+            FROM ({_STG_LINEITEM}) l
+            LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
+            LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
+            LEFT JOIN nation n ON c.nation_id = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "star_segment_year": f"""
+            SELECT c.market_segment,
+                   CAST(year(o.order_date) AS INT) AS order_year,
+                   sum(l.extended_price * (1 - l.discount)) AS revenue,
+                   count(*) AS line_count
+            FROM ({_STG_LINEITEM}) l
+            LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
+            LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
+            GROUP BY 1, 2
         """,
         "semiadditive_first": f"""
             WITH grain AS (
@@ -1106,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "data_checks": f"""
             WITH stg AS ({_STG_ORDERS}), cust AS ({_STG_CUSTOMERS}),
-            fct AS ({_FCT_ORDERS}),
+            fct AS ({_FCT_ORDERS}), li AS ({_STG_LINEITEM}),
             rows_ AS (
                 SELECT 'stg_orders' AS model, 'not_null' AS check_, 'order_id' AS column_,
                        (SELECT count(*) FROM stg WHERE order_id IS NULL) AS failures
@@ -1134,6 +1240,18 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT count(*) FROM fct
                         WHERE customer_id IS NOT NULL
                           AND customer_id NOT IN (SELECT customer_id FROM cust))
+                UNION ALL
+                SELECT 'stg_lineitem', 'not_null', 'order_id',
+                       (SELECT count(*) FROM li WHERE order_id IS NULL)
+                UNION ALL
+                SELECT 'stg_lineitem', 'accepted_values', 'return_flag',
+                       (SELECT count(*) FROM li
+                        WHERE return_flag NOT IN ('A','N','R') OR return_flag IS NULL)
+                UNION ALL
+                SELECT 'stg_lineitem', 'expression', 'quantity > 0 AND discount BETWEEN 0 AND 1',
+                       (SELECT count(*) FROM li
+                        WHERE NOT (quantity > 0 AND discount BETWEEN 0 AND 1)
+                           OR (quantity > 0 AND discount BETWEEN 0 AND 1) IS NULL)
             )
             SELECT model, check_ AS "check", column_ AS "column",
                    failures = 0 AS passed, CAST(failures AS BIGINT) AS failures

@@ -111,6 +111,38 @@ def main() -> None:
         .collect(),
     )
 
+    # big-fact surface: Q1-style pricing (full lineitem scan), its routed
+    # counterpart (rollup read), and the snowflake star join
+    mvp = eng.metric_view("mv_lineitem_pricing")
+    timed(
+        "q_lineitem_pricing_live",
+        lambda: eng._compiler.compile(
+            MetricQuery(
+                mvp.spec,
+                ("return_flag", "line_status"),
+                ("sum_qty", "sum_disc_price", "avg_price", "count_order"),
+            )
+        ).collect(),
+        warm=True,
+    )
+
+    def pricing_routed():
+        df, route = mvp.query_routed(
+            ["return_flag", "line_status"],
+            ["sum_qty", "sum_disc_price", "avg_price", "count_order"],
+        )
+        assert route == "rollup:pricing_by_flag_status", route
+        return df.collect()
+
+    timed("q_pricing_routed", pricing_routed, warm=True)
+    timed(
+        "q_star_nation",
+        lambda: eng.metric_view("mv_sales_star")
+        .query(["nation_name", "region_name"], ["revenue", "line_count"])
+        .collect(),
+        warm=True,
+    )
+
     # [EXT] operator throughput at sf0.1
     from pyspark.sql import functions as F
 

@@ -157,12 +157,15 @@ class MetricEngine:
         """Both input modes of ``macros/generate_metric_views.sql:40-76``."""
         name = mv.get("name") or f"mv_{model_name}"
         desc = mv.get("description")
+        # `source` in the meta overrides the attaching model — lets a dim
+        # model declare a star MV whose __SOURCE__ is the fact table
+        src = mv.get("source") or model_name
         if "yaml" in mv:  # raw YAML mode with __SOURCE__ substitution
             return MetricViewSpec.from_yaml(
-                mv["yaml"], name=name, source=model_name, description=desc
+                mv["yaml"], name=name, source=src, description=desc
             )
         return MetricViewSpec.from_structured(
-            mv, name=name, source=model_name, description=desc
+            mv, name=name, source=src, description=desc
         )
 
     def register(self, spec: MetricViewSpec) -> MetricView:

@@ -183,6 +183,120 @@ measures:
     comment: "Average orders per day between first and last order"
 """
 
+# Big-fact surface beyond the reference's own 4 models: the reference runs on
+# `samples.tpch` (README.md:452) where LINEITEM is the dominant fact. These
+# views exercise the same spec grammar (dims/measures/filter/joins,
+# README.md:143-353) on the largest fixture table — the 100 TB posture.
+
+MV_LINEITEM_PRICING_YAML = """
+version: 0.1
+source: __SOURCE__
+filter: ship_date <= date '2001-09-02'
+
+dimensions:
+  - name: return_flag
+    expr: return_flag
+  - name: line_status
+    expr: line_status
+  - name: ship_date
+    expr: ship_date
+  - name: ship_year
+    expr: year(ship_date)
+  - name: ship_month
+    expr: month(ship_date)
+
+measures:
+  - name: sum_qty
+    expr: sum(quantity)
+  - name: sum_base_price
+    expr: sum(extended_price)
+  - name: sum_disc_price
+    expr: sum(extended_price * (1 - discount))
+  - name: sum_charge
+    expr: sum(extended_price * (1 - discount) * (1 + tax))
+  - name: avg_qty
+    expr: avg(quantity)
+  - name: avg_price
+    expr: avg(extended_price)
+  - name: avg_disc
+    expr: avg(discount)
+  - name: count_order
+    expr: count(*)
+
+materialization:
+  schedule: every 6 hours
+  mode: relaxed
+  materialized_views:
+    - name: pricing_by_flag_status
+      type: aggregated
+      dimensions:
+        - return_flag
+        - line_status
+      measures:
+        - sum_qty
+        - sum_base_price
+        - sum_disc_price
+        - sum_charge
+        - avg_qty
+        - avg_price
+        - avg_disc
+        - count_order
+    - name: pricing_monthly
+      type: aggregated
+      dimensions:
+        - ship_year
+        - ship_month
+      measures:
+        - sum_disc_price
+        - count_order
+"""
+
+# Snowflake star over the big fact: lineitem → orders → customer → nation →
+# region, declared with the `joins:` grammar (README.md:282-300, nested form
+# README.md:290-299). Dimension paths flatten to the leaf alias. At scale:
+# orders joins shuffle-on-key; customer/nation/region are broadcast dims.
+MV_SALES_STAR_YAML = """
+version: 0.1
+source: __SOURCE__
+
+joins:
+  - name: orders
+    source: stg_orders
+    on: source.order_id = orders.order_id
+    joins:
+      - name: customer
+        source: stg_customers
+        on: orders.customer_id = customer.customer_id
+        joins:
+          - name: nation
+            source: dim_nation
+            on: customer.nation_id = nation.nation_id
+            joins:
+              - name: region
+                source: dim_region
+                on: nation.region_id = region.region_id
+
+dimensions:
+  - name: nation_name
+    expr: orders.customer.nation.nation_name
+  - name: region_name
+    expr: orders.customer.nation.region.region_name
+  - name: market_segment
+    expr: orders.customer.market_segment
+  - name: order_year
+    expr: year(orders.order_date)
+  - name: return_flag
+    expr: return_flag
+
+measures:
+  - name: revenue
+    expr: sum(extended_price * (1 - discount))
+  - name: line_count
+    expr: count(*)
+  - name: avg_discount
+    expr: avg(discount)
+"""
+
 
 def build_registry(sf_dir: str) -> ModelRegistry:
     """Model DAG over the fixture tables at *sf_dir*."""
@@ -310,6 +424,74 @@ def build_registry(sf_dir: str) -> ModelRegistry:
                 F.min("o.order_date").alias("first_order_date"),
                 F.max("o.order_date").alias("last_order_date"),
             )
+        )
+
+    @reg.model(
+        "stg_lineitem",
+        materialized="view",
+        description="Staging layer for TPC-H lineitem (the dominant fact)",
+        meta={
+            "checks": [
+                {"not_null": "order_id"},
+                {"accepted_values": {"column": "return_flag", "values": ["A", "N", "R"]}},
+                {"expression": "quantity > 0 AND discount BETWEEN 0 AND 1"},
+            ],
+            "metric_view": {
+                "enabled": True,
+                "name": "mv_lineitem_pricing",
+                "description": "TPC-H Q1-style pricing summary over the big fact",
+                "yaml": MV_LINEITEM_PRICING_YAML,
+            },
+        },
+    )
+    def stg_lineitem(spark: SparkSession, ref) -> DataFrame:
+        # same staging discipline as stg_orders: raw l_* names appear only here
+        return read(spark, "lineitem").select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+            F.col("l_suppkey").alias("supplier_id"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extended_price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+
+    @reg.model(
+        "dim_nation",
+        materialized="view",
+        description="Nation dimension (broadcast-sized)",
+        meta={
+            "metric_view": {
+                "enabled": True,
+                "name": "mv_sales_star",
+                "description": "Snowflake star: lineitem x orders x customer x nation x region",
+                "yaml": MV_SALES_STAR_YAML,
+                # star MV reads stg_lineitem as its source, not this model;
+                # attach here only so registration happens after dims exist
+                "source": "stg_lineitem",
+            },
+        },
+    )
+    def dim_nation(spark: SparkSession, ref) -> DataFrame:
+        return read(spark, "nation").select(
+            F.col("n_nationkey").alias("nation_id"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").alias("region_id"),
+        )
+
+    @reg.model(
+        "dim_region",
+        materialized="view",
+        description="Region dimension (broadcast-sized)",
+    )
+    def dim_region(spark: SparkSession, ref) -> DataFrame:
+        return read(spark, "region").select(
+            F.col("r_regionkey").alias("region_id"),
+            F.col("r_name").alias("region_name"),
         )
 
     return reg
