@@ -348,6 +348,16 @@ def _q_star_segment_year(spark, sf_dir):
     )
 
 
+def _q_revenue_by_brand(spark, sf_dir):
+    # multi-branch star: the part branch supplies both a dimension and a
+    # measure input (retail_value references part.retail_price)
+    eng = _engine(spark, sf_dir)
+    return eng.metric_view("mv_sales_star").query(
+        dimensions=["part_brand", "return_flag"],
+        measures=["revenue", "retail_value", "line_count"],
+    )
+
+
 def _q_distinct_median_measures(spark, sf_dir):
     # count(distinct) and median are NON-decomposable aggregates: the router
     # must refuse rollup service and answer from the live source even though
@@ -783,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_pricing": _q_routed_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "star_segment_year": _q_star_segment_year,
+        "revenue_by_brand": _q_revenue_by_brand,
         "distinct_median_measures": _q_distinct_median_measures,
         "measure_sql": _q_measure_sql,
         "measure_expr_sql": _q_measure_expr_sql,
@@ -960,6 +971,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_STG_LINEITEM}) l
             LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
             LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
+            GROUP BY 1, 2
+        """,
+        "revenue_by_brand": f"""
+            SELECT p.p_brand AS part_brand, l.return_flag,
+                   sum(l.extended_price * (1 - l.discount)) AS revenue,
+                   sum(l.quantity * p.p_retailprice) AS retail_value,
+                   count(*) AS line_count
+            FROM ({_STG_LINEITEM}) l
+            LEFT JOIN part p ON l.part_id = p.p_partkey
             GROUP BY 1, 2
         """,
         "semiadditive_first": f"""

@@ -275,6 +275,12 @@ joins:
               - name: region
                 source: dim_region
                 on: nation.region_id = region.region_id
+  - name: part
+    source: stg_part
+    on: source.part_id = part.part_id
+  - name: supplier
+    source: stg_supplier
+    on: source.supplier_id = supplier.supplier_id
 
 dimensions:
   - name: nation_name
@@ -287,6 +293,12 @@ dimensions:
     expr: year(orders.order_date)
   - name: return_flag
     expr: return_flag
+  - name: part_brand
+    expr: part.brand
+  - name: part_type
+    expr: part.part_type
+  - name: supplier_name
+    expr: supplier.supplier_name
 
 measures:
   - name: revenue
@@ -295,6 +307,8 @@ measures:
     expr: count(*)
   - name: avg_discount
     expr: avg(discount)
+  - name: retail_value
+    expr: sum(quantity * part.retail_price)
 """
 
 
@@ -492,6 +506,34 @@ def build_registry(sf_dir: str) -> ModelRegistry:
         return read(spark, "region").select(
             F.col("r_regionkey").alias("region_id"),
             F.col("r_name").alias("region_name"),
+        )
+
+    @reg.model(
+        "stg_part",
+        materialized="view",
+        description="Part dimension (broadcast-sized)",
+    )
+    def stg_part(spark: SparkSession, ref) -> DataFrame:
+        return read(spark, "part").select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").alias("part_size"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+
+    @reg.model(
+        "stg_supplier",
+        materialized="view",
+        description="Supplier dimension (broadcast-sized)",
+    )
+    def stg_supplier(spark: SparkSession, ref) -> DataFrame:
+        return read(spark, "supplier").select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_nationkey").alias("supplier_nation_id"),
+            F.col("s_acctbal").alias("supplier_balance"),
         )
 
     return reg

@@ -203,3 +203,34 @@ measures:
     plan = _physical(mv.query(["market_segment"], ["n"]))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lineitem_filter_pushed_and_pruned(engine):
+    """Q1 spec filter must reach the lineitem parquet scan as a pushed
+    predicate, and only the 4 referenced columns may be read — at 100 TB
+    the difference between this and a full-width scan is the whole game."""
+    mv = engine.metric_view("mv_lineitem_pricing")
+    q = MetricQuery(mv.spec, ("return_flag", "line_status"), ("sum_disc_price",))
+    df = engine._compiler.compile(q)
+    fmt = _formatted(df)
+    read = [l for l in fmt.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read and "l_extendedprice" in read
+    assert "l_partkey" not in read and "l_quantity" not in read
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed, pushed
+    # a single shuffle (the groupBy); the filter is not a post-scan stage
+    assert _physical(df).count("Exchange") == 1
+
+
+def test_star_broadcasts_all_dim_branches(engine):
+    """Every dimension branch of the multi-branch star (part, supplier,
+    customer-nation-region chain) must arrive as a broadcast join — a
+    shuffle on a broadcast-sized dim is a plan regression."""
+    df = engine.metric_view("mv_sales_star").query(
+        ["nation_name", "part_brand", "supplier_name"],
+        ["revenue", "retail_value"],
+    )
+    plan = _physical(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # no sort-merge join at this scale factor
+    assert "SortMergeJoin" not in plan

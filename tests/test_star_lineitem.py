@@ -17,7 +17,8 @@ from dbt_databricks_metrics_spark.project import build_registry
 from .conftest import assert_df_matches_oracle
 
 _STG_LINEITEM = """
-    SELECT l_orderkey AS order_id, l_quantity AS quantity,
+    SELECT l_orderkey AS order_id, l_partkey AS part_id,
+           l_suppkey AS supplier_id, l_quantity AS quantity,
            l_extendedprice AS extended_price, l_discount AS discount,
            l_tax AS tax, l_returnflag AS return_flag,
            l_linestatus AS line_status, CAST(l_shipdate AS DATE) AS ship_date
@@ -142,3 +143,25 @@ def test_star_plan_broadcasts_dimensions(engine):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_star_brand_measure_from_join_branch(engine, duck):
+    """The part branch supplies a measure input (retail_value) as well as a
+    dimension — measure exprs may reference joined-alias columns."""
+    df = engine.metric_view("mv_sales_star").query(
+        dimensions=["part_brand", "return_flag"],
+        measures=["revenue", "retail_value", "line_count"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT p.p_brand AS part_brand, l.return_flag,
+               sum(l.extended_price * (1 - l.discount)) AS revenue,
+               sum(l.quantity * p.p_retailprice) AS retail_value,
+               count(*) AS line_count
+        FROM ({_STG_LINEITEM}) l
+        LEFT JOIN part p ON l.part_id = p.p_partkey
+        GROUP BY 1, 2
+        """,
+    )
