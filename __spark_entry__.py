@@ -358,6 +358,56 @@ def _q_revenue_by_brand(spark, sf_dir):
     )
 
 
+_BUCKETED: dict[tuple[int, str], dict] = {}
+
+
+def _q_bucketed_revenue(spark, sf_dir):
+    # co-located fact-to-fact join: both marts hash-bucketed on order_id at
+    # write time, so the lineitem⋈orders join runs with NO shuffle on
+    # either side (the only exchange is the final groupBy) — the paid-once
+    # exchange lever for the dominant join at 100 TB (models.py bucket_by)
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.models import ModelRegistry, Runner
+
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED:
+        reg = ModelRegistry()
+
+        @reg.model("bkt_orders", materialized="table",
+                   bucket_by=(8, ["order_id"]), sort_by=["order_id"])
+        def bkt_orders(spark_, ref):
+            return spark_.read.parquet(f"{sf_dir}/orders.parquet").select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("order_status"),
+            )
+
+        @reg.model("bkt_lineitem", materialized="table",
+                   bucket_by=(8, ["order_id"]), sort_by=["order_id"])
+        def bkt_lineitem(spark_, ref):
+            return spark_.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("order_id"),
+                F.col("l_extendedprice").alias("extended_price"),
+                F.col("l_discount").alias("discount"),
+            )
+
+        runner = Runner(spark, reg, warehouse_dir=tempfile.mkdtemp(prefix="bkt_wh_"))
+        _BUCKETED[key] = runner.run()
+    built = _BUCKETED[key]
+    agg = (
+        built["bkt_lineitem"].hint("merge")
+        .join(built["bkt_orders"], "order_id")
+        .groupBy("order_status")
+        .agg(
+            F.sum(F.col("extended_price") * (1 - F.col("discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and plan.count("Exchange") == 1, plan[:1500]
+    return agg
+
+
 def _q_distinct_median_measures(spark, sf_dir):
     # count(distinct) and median are NON-decomposable aggregates: the router
     # must refuse rollup service and answer from the live source even though
@@ -794,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "star_segment_year": _q_star_segment_year,
         "revenue_by_brand": _q_revenue_by_brand,
+        "bucketed_revenue": _q_bucketed_revenue,
         "distinct_median_measures": _q_distinct_median_measures,
         "measure_sql": _q_measure_sql,
         "measure_expr_sql": _q_measure_expr_sql,
@@ -972,6 +1023,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
             LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
             GROUP BY 1, 2
+        """,
+        "bucketed_revenue": """
+            SELECT o.o_orderstatus AS order_status,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                   count(*) AS line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "revenue_by_brand": f"""
             SELECT p.p_brand AS part_brand, l.return_flag,

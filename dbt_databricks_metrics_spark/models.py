@@ -41,6 +41,11 @@ class Model:
     deps: tuple[str, ...] = ()
     materialized: str = "view"  # 'view' | 'table'
     partition_by: tuple[str, ...] = ()
+    # (num_buckets, key_columns): hash-bucket the table on the join key so
+    # equi-joins between tables bucketed the same way need NO shuffle on
+    # either side — the co-location lever for fact-to-fact joins at scale
+    bucket_by: Optional[tuple[int, tuple[str, ...]]] = None
+    sort_by: tuple[str, ...] = ()  # within-bucket sort (skips the SMJ sort)
     description: Optional[str] = None
     # metric_view metadata attached via meta (schema.yml meta.metric_view)
     meta: dict[str, Any] = field(default_factory=dict)
@@ -65,6 +70,8 @@ class ModelRegistry:
         deps: tuple[str, ...] | list[str] = (),
         materialized: str = "view",
         partition_by: tuple[str, ...] | list[str] = (),
+        bucket_by: Optional[tuple[int, tuple[str, ...] | list[str]]] = None,
+        sort_by: tuple[str, ...] | list[str] = (),
         description: Optional[str] = None,
         meta: Optional[dict[str, Any]] = None,
     ) -> Callable[[ModelFn], ModelFn]:
@@ -74,6 +81,8 @@ class ModelRegistry:
             mname = name or fn.__name__
             if materialized not in ("view", "table"):
                 raise ModelError(f"model {mname!r}: materialized must be view|table")
+            if bucket_by is not None and materialized != "table":
+                raise ModelError(f"model {mname!r}: bucket_by requires materialized='table'")
             if mname in self._models:
                 raise ModelError(f"duplicate model {mname!r}")
             self._models[mname] = Model(
@@ -82,6 +91,8 @@ class ModelRegistry:
                 deps=tuple(deps),
                 materialized=materialized,
                 partition_by=tuple(partition_by),
+                bucket_by=(bucket_by[0], tuple(bucket_by[1])) if bucket_by else None,
+                sort_by=tuple(sort_by),
                 description=description,
                 meta=dict(meta or {}),
             )
@@ -214,6 +225,17 @@ class Runner:
             writer = df.write.mode("overwrite")
             if model.partition_by:
                 writer = writer.partitionBy(*model.partition_by)
+            if model.bucket_by:
+                # bucket metadata only survives through the session catalog,
+                # so bucketed tables go through saveAsTable (external, with
+                # an explicit path under this engine's warehouse dir)
+                n, cols = model.bucket_by
+                writer = writer.bucketBy(n, *cols).format("parquet")
+                if model.sort_by:
+                    writer = writer.sortBy(*model.sort_by)
+                self.spark.sql(f"DROP TABLE IF EXISTS {model.name}")
+                writer.option("path", path).saveAsTable(model.name)
+                return self.spark.table(model.name)
             writer.parquet(path)
             df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(model.name)
