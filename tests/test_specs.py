@@ -156,10 +156,18 @@ def test_yaml_roundtrip_all_project_specs():
 
     from dbt_databricks_metrics_spark.specs import spec_to_yaml_doc
 
+    from dbt_databricks_metrics_spark.project import (
+        MV_LINEITEM_PRICING_YAML,
+        MV_SALES_STAR_YAML,
+    )
+
     for name, text, src in [
         ("mv_orders_simple", MV_ORDERS_SIMPLE_YAML, "stg_orders"),
         ("mv_order_metrics", MV_ORDER_METRICS_YAML, "fct_orders"),
         ("mv_customer_metrics", MV_CUSTOMER_METRICS_YAML, "fct_customer_summary"),
+        ("mv_lineitem_pricing", MV_LINEITEM_PRICING_YAML, "stg_lineitem"),
+        # 4-level nested joins must survive serialization
+        ("mv_sales_star", MV_SALES_STAR_YAML, "stg_lineitem"),
     ]:
         spec = MetricViewSpec.from_yaml(text, name=name, source=src, description="d")
         doc = spec_to_yaml_doc(spec)
