@@ -72,6 +72,25 @@ measures:
     expr: count(*)
 """
 
+SKETCH_SPEC_YAML = """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_status
+    expr: order_status
+measures:
+  - name: distinct_customers
+    expr: hll_sketch_estimate(hll_sketch_agg(customer_id))
+materialization:
+  materialized_views:
+    - name: sketch_by_seg_status
+      type: aggregated
+      dimensions: [market_segment, order_status]
+      measures: [distinct_customers]
+"""
+
 TRAILING_MONTH_SPEC_YAML = """
 version: 0.1
 source: fct_orders
@@ -109,6 +128,8 @@ def _engine(spark: SparkSession, sf_dir: str):
             MetricViewSpec.from_yaml(TRAILING_MONTH_SPEC_YAML, name="mv_trailing_month")
         )
         eng.register(MetricViewSpec.from_yaml(FIRST_SPEC_YAML, name="mv_first"))
+        eng.register(MetricViewSpec.from_yaml(SKETCH_SPEC_YAML, name="mv_sketch"))
+        eng.refresh("mv_sketch")
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -300,6 +321,21 @@ def _q_routed_monthly(spark, sf_dir):
         ["order_year", "order_month"], ["total_revenue"]
     )
     assert route == "rollup:monthly_revenue", route
+    return df
+
+
+def _q_sketch_distinct(spark, sf_dir):
+    # routable distinct count: hll_sketch_estimate(hll_sketch_agg(x))
+    # answered from per-cell binary sketches in the rollup (hll_union_agg
+    # re-agg — bit-identical to the live estimate; test_hll_measures.py).
+    # No DuckDB oracle: sketch implementations differ across engines, so
+    # the driver records the rows-only check; value correctness is pytest's
+    # routed≡live + <3% error-vs-exact assertions.
+    eng = _engine(spark, sf_dir)
+    df, route = eng.metric_view("mv_sketch").query_routed(
+        ["market_segment"], ["distinct_customers"]
+    )
+    assert route == "rollup:sketch_by_seg_status", route
     return df
 
 
@@ -839,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_mv": _q_filtered_mv,
         "routed_segment": _q_routed_segment,
         "routed_monthly": _q_routed_monthly,
+        "sketch_distinct": _q_sketch_distinct,
         "lineitem_pricing": _q_lineitem_pricing,
         "routed_pricing": _q_routed_pricing,
         "revenue_by_nation": _q_revenue_by_nation,

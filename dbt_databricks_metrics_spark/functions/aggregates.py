@@ -9,6 +9,15 @@ states** that re-aggregate correctly:
 * ``count / count_if → sum`` of partial counts
 * ``min/max → min/max`` of partials
 * ``avg → (sum, count)`` pair, finalized as ``sum / count`` at query time
+* ``hll_sketch_agg → hll_union_agg`` of partial DataSketches HLL sketches,
+  finalized by whatever scalar wraps it (normally ``hll_sketch_estimate``)
+  — this is what makes *distinct counts* routable through rollups: exact
+  ``count(distinct x)`` can never be served from pre-aggregated state, but
+  a mergeable sketch can (union of per-cell sketches ≡ sketch of the
+  union), so ``hll_sketch_estimate(hll_sketch_agg(x))`` measures route,
+  fold incrementally, and window (trailing-N-day distinct users) at
+  rollup cost. At 100 TB this replaces a full-fact distinct scan with a
+  |dim-combination|-row sketch merge.
 
 The same decomposition powers the scale path for window measures (grain
 pre-aggregation before windowing) and incremental refresh (fold new
@@ -38,9 +47,28 @@ _AGG_FNS = {
     "min": "min",
     "max": "max",
     "avg": None,  # special-cased: (sum, count) pair
+    "hll_sketch_agg": "hll_union",  # DataSketches HLL: union of sketches
 }
 
-_CALL_RE = re.compile(r"\b(sum|count|count_if|min|max|avg)\s*\(", re.IGNORECASE)
+_CALL_RE = re.compile(
+    r"\b(sum|count|count_if|min|max|avg|hll_sketch_agg)\s*\(", re.IGNORECASE
+)
+
+
+def merge_column(fn: str, col: str):
+    """The Spark ``Column`` that re-aggregates one partial column.
+
+    *fn* is a ``Decomposition.merges`` value: ``sum``/``min``/``max`` for
+    scalar partials, ``hll_union`` for HLL sketch partials (binary column
+    merged with ``F.hll_union_agg`` — register-wise max, associative, so
+    merged-estimate ≡ direct-estimate at equal lgConfigK). Usable both as
+    a plain aggregate and as a window function (``.over(w)``).
+    """
+    from pyspark.sql import functions as F
+
+    if fn == "hll_union":
+        return F.hll_union_agg(F.col(col))
+    return {"sum": F.sum, "min": F.min, "max": F.max}[fn](F.col(col))
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,7 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import decompose_aggregate
+from ..functions.aggregates import decompose_aggregate, merge_column
 from ..specs import JoinSpec, Measure, MetricViewSpec, WindowClause
 
 
@@ -332,7 +332,6 @@ class QueryCompiler:
             *[F.expr(e).alias(c) for c, e in partials.items()]
         )
 
-        merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
         # emit every measure's window merges in ONE projection: Catalyst
         # groups window functions by (partition, order) spec, so differing
         # frames (trailing-7d + cumulative) still collapse into a single
@@ -349,7 +348,7 @@ class QueryCompiler:
             finalize = dec.finalize
             for p_col, fn in dec.merges.items():
                 merged_col = f"_w_{m.name}_{p_col}"
-                win_exprs.append(merge_fn[fn](F.col(p_col)).over(w).alias(merged_col))
+                win_exprs.append(merge_column(fn, p_col).over(w).alias(merged_col))
                 finalize = finalize.replace(p_col, merged_col)
             finalizes[m.name] = finalize
         valued = grain.select("*", *win_exprs)
@@ -455,12 +454,11 @@ class QueryCompiler:
             )
             for p in part_cols:
                 cond = cond & F.col(f"_l_{p}").eqNullSafe(F.col(p))
-            merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
             joined = left.join(grain, cond, "left")
             windowed = joined.groupBy(
                 *[F.col(f"_l_{c}").alias(c) for c in grain_cols]
             ).agg(
-                *[merge_fn[fn](F.col(p_col)).alias(p_col) for p_col, fn in dec.merges.items()]
+                *[merge_column(fn, p_col).alias(p_col) for p_col, fn in dec.merges.items()]
             )
             valued = windowed.withColumn("_wval", F.expr(dec.finalize))
         elif dec is not None:
@@ -471,9 +469,8 @@ class QueryCompiler:
             )
             w = self._build_window(grain, part_cols, order_dim.name, frame)
             merged = grain
-            merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
             for p_col, fn in dec.merges.items():
-                merged = merged.withColumn(p_col, merge_fn[fn](F.col(p_col)).over(w))
+                merged = merged.withColumn(p_col, merge_column(fn, p_col).over(w))
             valued = merged.withColumn("_wval", F.expr(dec.finalize))
         else:
             # fallback: window directly over source rows (range frames treat

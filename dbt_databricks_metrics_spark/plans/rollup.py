@@ -39,7 +39,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import Decomposition, decompose_aggregate
+from ..functions.aggregates import Decomposition, decompose_aggregate, merge_column
 from ..specs import MetricViewSpec, RollupSpec
 from .compiler import MetricQuery, QueryCompiler, QueryError
 
@@ -406,7 +406,6 @@ class RollupManager:
                     for m in query.measures
                 ],
             )
-        merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
         agg_cols: list = []
         seen: set[str] = set()
         for mname in query.measures:
@@ -414,7 +413,7 @@ class RollupManager:
             for p_col in dec.merges:
                 if p_col not in seen:
                     seen.add(p_col)
-                    agg_cols.append(merge_fn[dec.merges[p_col]](F.col(p_col)).alias(p_col))
+                    agg_cols.append(merge_column(dec.merges[p_col], p_col).alias(p_col))
         merged = df.groupBy(*[F.col(d) for d in query.dimensions]).agg(*agg_cols)
         out_cols = [F.col(d) for d in query.dimensions] + [
             F.expr(built.decompositions[m].finalize).alias(m) for m in query.measures

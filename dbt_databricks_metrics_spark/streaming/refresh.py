@@ -27,9 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+from ..functions.aggregates import merge_column
 from ..plans.rollup import BuiltRollup, _swap_write
-
-_MERGE_FN = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
 def _partial_agg(delta: DataFrame, built: BuiltRollup) -> DataFrame:
@@ -52,7 +51,7 @@ def merge_partials(old: DataFrame, delta_partials: DataFrame, built: BuiltRollup
         for p_col, fn in dec.merges.items():
             if p_col not in seen:
                 seen.add(p_col)
-                merged_cols.append(_MERGE_FN[fn](F.col(p_col)).alias(p_col))
+                merged_cols.append(merge_column(fn, p_col).alias(p_col))
     return (
         old.unionByName(delta_partials)
         .groupBy(*[F.col(d) for d in built.spec.dimensions])
