@@ -32,9 +32,15 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag(F.col(ts_col)).over(w)
+
+    # unix_micros only accepts TIMESTAMP (not TIMESTAMP_NTZ, which parquet
+    # yields for isAdjustedToUTC=false columns); the session tz is pinned to
+    # UTC so the cast is micros-preserving for both input types
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        prev_ts.isNull() | (_micros(F.col(ts_col)) - _micros(prev_ts) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     return events.withColumn("_new", new_session).withColumn(

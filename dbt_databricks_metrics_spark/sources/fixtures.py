@@ -36,15 +36,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    to a microsecond timestamp column."""
+    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS). Depending on
+    the Spark build that surfaces as a long (with the legacy nanosAsLong
+    conf) or as TIMESTAMP_NTZ; normalize either to a session-tz TIMESTAMP so
+    downstream time ops (watermarks, session_window, unix_micros) all see
+    the type they require. The session tz is pinned to UTC (session.py), so
+    the NTZ cast is micros-preserving."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in newer builds that read nanos natively
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
