@@ -374,6 +374,59 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot, norm_a * norm_b)
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc labeled
+    with its cluster id = the smallest doc id in its component (singletons
+    label themselves). Transitivity matters for dedup: a~b and b~c must
+    put a,b,c in ONE cluster even when (a,c) was never emitted as a pair.
+
+    Iterative min-label propagation (the scalable Spark CC recipe, aka
+    Hash-to-Min): each round every node takes the min of its own label and
+    its neighbors' labels — one equi-join + one groupBy per round,
+    converging within the graph diameter (near-dup components are shallow,
+    so a handful of rounds). Convergence is detected via the monotonically
+    decreasing label sum (one tiny action per round), and lineage is cut
+    with localCheckpoint so the plan does not grow with iterations.
+
+    *pairs* needs columns ``id_a``/``id_b``; returns (id_col, cluster_id).
+    """
+    nodes = df.select(F.col(id_col).alias("id")).distinct()
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters: no convergence in {max_iter} rounds — "
+            f"component diameter exceeds max_iter"
+        )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

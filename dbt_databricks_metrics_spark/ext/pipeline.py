@@ -31,13 +31,20 @@ def curate(
     documents: DataFrame,
     min_quality: float = 0.5,
     langs: Optional[Sequence[str]] = ("en",),
-    dedup_mode: str = "exact",  # 'exact' | 'minhash' | 'none'
+    dedup_mode: str = "exact",  # 'exact' | 'minhash' | 'cluster' | 'none'
     minhash_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The curated corpus: quality-filtered, language-filtered, deduped,
-    with token/quality/language columns attached."""
+    with token/quality/language columns attached.
+
+    Dedup modes: ``exact`` (normalized-fingerprint), ``minhash`` (greedy —
+    drop any doc that near-duplicates a lower id), ``cluster`` (transitive
+    — connected components over the LSH pair graph keep exactly ONE
+    representative per component, so chains a~b~c collapse to a even when
+    (a,c) was never a pair), ``none``.
+    """
     scored = ts.document_stats(documents, text_col)
     kept = scored.filter(F.col("quality_score_raw") >= min_quality)
     if langs:
@@ -46,6 +53,16 @@ def curate(
         kept = dd.exact_dedup(kept, id_col, text_col)
     elif dedup_mode == "minhash":
         kept = dd.minhash_dedup(kept, id_col, text_col, threshold=minhash_threshold)
+    elif dedup_mode == "cluster":
+        pairs = dd.minhash_lsh_pairs(
+            kept, id_col, text_col, threshold=minhash_threshold
+        )
+        reps = (
+            dd.duplicate_clusters(kept, pairs, id_col)
+            .filter(F.col("cluster_id") == F.col(id_col))
+            .select(id_col)
+        )
+        kept = kept.join(reps, id_col, "inner")
     elif dedup_mode != "none":
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
     return kept

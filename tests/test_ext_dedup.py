@@ -143,3 +143,54 @@ def test_embedding_dup_pairs_self_similarity(spark, sf_dir):
     pairs = dedup.embedding_dup_pairs(u, threshold=0.999)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, i + 10000) for i in range(5)} <= found
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a~b and b~c must land a,b,c in one cluster labeled min(a,b,c) even
+    though (a,c) is not a pair; disconnected nodes cluster to themselves."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_duplicate_clusters_chain_diameter(spark):
+    """A long path graph exercises multi-round propagation."""
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.duplicate_clusters(docs, pairs).collect()
+    assert all(r.cluster_id == 0 for r in out) and len(out) == n
+
+
+def test_duplicate_clusters_on_near_dups(docs_with_dups):
+    """Near-copies cluster with their originals; representatives (rows
+    where cluster_id == doc_id) count = number of distinct components."""
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, k=5, threshold=0.7)
+    clusters = dedup.duplicate_clusters(docs_with_dups, pairs).cache()
+    n_docs = docs_with_dups.count()
+    assert clusters.count() == n_docs
+    # every doc in a pair shares its cluster with its partner
+    joined = (
+        pairs.join(
+            clusters.select(F.col("doc_id").alias("id_a"),
+                            F.col("cluster_id").alias("ca")), "id_a")
+        .join(
+            clusters.select(F.col("doc_id").alias("id_b"),
+                            F.col("cluster_id").alias("cb")), "id_b")
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    reps = clusters.filter(F.col("cluster_id") == F.col("doc_id")).count()
+    dup_members = pairs.select(F.explode(F.array("id_a", "id_b")).alias("d")).distinct().count()
+    assert reps < n_docs  # at least one multi-doc cluster collapsed
+    assert reps == n_docs - clusters.filter(F.col("cluster_id") != F.col("doc_id")).count()
+    assert dup_members > 0

@@ -75,3 +75,29 @@ def test_topk_per_group_vs_oracle(docs, duck):
         ) <= 3
         """,
     )
+
+
+def test_curate_cluster_mode_transitive(spark):
+    """cluster mode keeps exactly one representative per near-dup
+    component — a chain of perturbed copies collapses to its min id."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from all the hunters"
+    )
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base + " one", "en", "web", len(base) + 4),
+        (3, base + " one two", "en", "web", len(base) + 8),
+        (50, "completely different text about spark query engines and the "
+             "catalyst optimizer that shares no shingles with the fox story "
+             "at all in any way whatsoever for this test", "en", "web", 150),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cur = pipeline.curate(
+        docs, min_quality=0.0, langs=None, dedup_mode="cluster",
+        minhash_threshold=0.7,
+    )
+    kept = sorted(r.doc_id for r in cur.select("doc_id").collect())
+    assert kept == [1, 50]
