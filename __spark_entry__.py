@@ -458,6 +458,20 @@ def _q_distinct_median_measures(spark, sf_dir):
     return df
 
 
+def _q_sliced_measure(spark, sf_dir):
+    # query-time WHERE on a dimension NOT in the GROUP BY: the slice is
+    # applied below the aggregation (and, here, on the covering rollup's
+    # stored rows before re-aggregation — route stays rollup-served)
+    eng = _engine(spark, sf_dir)
+    df, route = eng.metric_view("mv_order_metrics").query_routed(
+        ["market_segment"],
+        ["total_revenue", "total_orders"],
+        where="order_status = 'F'",
+    )
+    assert route == "rollup:revenue_by_segment", route
+    return df
+
+
 def _q_measure_sql(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.sql(
@@ -529,6 +543,19 @@ def _q_minhash_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, k=5, threshold=0.7)
+
+
+def _q_dup_clusters(spark, sf_dir):
+    # transitive near-dup clustering: connected components over the exact
+    # n-gram-Jaccard pair graph via iterative min-label propagation
+    # (cluster_id = smallest doc id in the component; singletons keep
+    # their own id). Oracle: DuckDB recursive CTE over the same pairs.
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    return dedup.duplicate_clusters(docs, pairs)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -883,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_brand": _q_revenue_by_brand,
         "bucketed_revenue": _q_bucketed_revenue,
         "distinct_median_measures": _q_distinct_median_measures,
+        "sliced_measure": _q_sliced_measure,
         "measure_sql": _q_measure_sql,
         "measure_expr_sql": _q_measure_expr_sql,
         # [EXT] LLM-pipeline operators
@@ -890,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": _q_dedup_exact_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dup_clusters": _q_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
@@ -1109,6 +1138,12 @@ def oracle_sql() -> dict[str, str]:
                    avg(total_price) AS avg_order_value
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
+        "sliced_measure": f"""
+            SELECT market_segment, sum(total_price) AS total_revenue,
+                   count(*) AS total_orders
+            FROM ({_FCT_ORDERS}) WHERE order_status = 'F'
+            GROUP BY market_segment
+        """,
         # ---- [EXT] oracles (LSH/SRP/IVF/stub entries are rows-only) ----
         "doc_stats": r"""
             SELECT doc_id,
@@ -1159,6 +1194,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.s, b.s))
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       {_SHINGLES.format(t=_NORM.format(c='text'))} AS s
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+            )
+            SELECT id AS doc_id, min(comp) AS cluster_id
+            FROM walk GROUP BY id
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -49,11 +49,14 @@ class MetricView:
         order_by: Optional[Sequence[str]] = None,
         limit: Optional[int] = None,
     ) -> DataFrame:
-        """``SELECT dims, MEASURE(measures) FROM mv GROUP BY dims``.
+        """``SELECT dims, MEASURE(measures) FROM mv [WHERE …] GROUP BY dims``.
 
-        *where* filters on **dimension values** (filters on group keys
-        commute with grouping, so it is applied to the aggregated result —
-        the rollup router still sees the full dimension set).
+        *where* is a predicate over **declared dimensions** — grouped or
+        not. It slices the (filtered, joined) source before measure
+        expansion, so ``WHERE order_status = 'F'`` with ``GROUP BY
+        market_segment`` aggregates only the matching rows (the platform's
+        metric-view WHERE semantics). Routing only uses rollups whose dims
+        cover the slice's dims as well.
         """
         df, _route = self.query_routed(dimensions, measures, where=where)
         if order_by:
@@ -71,16 +74,16 @@ class MetricView:
         """Like :meth:`query` but also returns the chosen route
         ('rollup:<name>' | 'baseline' | 'live') — the EXPLAIN-visible
         routing decision of ``README.md:417-431``."""
-        from pyspark.sql import functions as F
+        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
+        return self._engine._rollups.compile_routed(q, self._rv.state)
 
-        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures))
-        df, route = self._engine._rollups.compile_routed(q, self._rv.state)
-        if where:
-            df = df.filter(F.expr(where))
-        return df, route
-
-    def explain_routing(self, dimensions: Sequence[str], measures: Sequence[str]) -> str:
-        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures))
+    def explain_routing(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        where: Optional[str] = None,
+    ) -> str:
+        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         route, built = self._engine._rollups.route(q, self._rv.state)
         return f"rollup:{built.spec.name}" if route == "rollup" else route
 

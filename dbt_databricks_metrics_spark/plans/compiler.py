@@ -40,13 +40,35 @@ class QueryError(ValueError):
     pass
 
 
+def _identifier_tokens(sql: str) -> list[str]:
+    """Bare identifier tokens of *sql*, skipping single-quoted string
+    literals and dotted-path members (``a.b`` yields only ``a``)."""
+    out: list[str] = []
+    # strip string literals so their contents never look like identifiers
+    stripped = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
+        if m.start() > 0 and stripped[m.start() - 1] == ".":
+            continue  # member of a dotted path — not a bare name
+        out.append(m.group(0))
+    return out
+
+
 @dataclass
 class MetricQuery:
-    """A validated (dimensions × measures) request against a metric view."""
+    """A validated (dimensions × measures [× dim-filter]) request.
+
+    ``where`` is the analyst's query-time slice (``SELECT dim, MEASURE(m)
+    FROM mv WHERE other_dim = 'x' GROUP BY dim``): a predicate over
+    **declared dimensions** — including ones absent from the GROUP BY —
+    applied to the (filtered, joined) source *before* expansion. Measures
+    are aggregation results and cannot appear in WHERE (use HAVING-style
+    post-filtering on the result DataFrame instead).
+    """
 
     spec: MetricViewSpec
     dimensions: tuple[str, ...]
     measures: tuple[str, ...]
+    where: Optional[str] = None
 
     def __post_init__(self) -> None:
         seen: set[str] = set()
@@ -62,6 +84,20 @@ class MetricQuery:
             self.spec.measure(m)
         if not self.measures:
             raise QueryError("query needs at least one measure (MEASURE() contract)")
+        dim_names = {d.name for d in self.spec.dimensions}
+        measure_names = {m.name for m in self.spec.measures}
+        where_dims: list[str] = []
+        if self.where:
+            for tok in _identifier_tokens(self.where):
+                if tok in measure_names:
+                    raise QueryError(
+                        f"measure {tok!r} cannot appear in WHERE — measures are "
+                        f"aggregates; filter the result DataFrame instead"
+                    )
+                if tok in dim_names and tok not in where_dims:
+                    where_dims.append(tok)
+        # dims the slice references: routing needs a rollup covering these too
+        self.where_dims: tuple[str, ...] = tuple(where_dims)
 
 
 ResolveFn = Callable[[str], DataFrame]
@@ -165,6 +201,39 @@ class QueryCompiler:
     def _rewrite_join_paths(self, on: str) -> str:
         return on  # join `on` already references parent alias / own name
 
+    def where_predicate(
+        self, spec: MetricViewSpec, where: str, flattened: bool
+    ) -> str:
+        """Rewrite a query-time WHERE so it evaluates on the base relation.
+
+        Each bare dimension name is substituted with its declared expression
+        (parenthesized), so slicing works on derived dims (``order_year =
+        1995`` → ``(CAST(year(order_date) AS INT)) = 1995``) and Catalyst
+        can still push the predicate into the scan. Flattened relations
+        (baseline snapshots, rollup tables) already materialize every dim
+        under its name — no substitution needed there.
+        """
+        if flattened:
+            return where
+        subs = {
+            d.name: d.expr
+            for d in spec.dimensions
+            if d.expr != d.name
+        }
+        if not subs:
+            return self._rewrite_dim_expr(spec, where)
+        # substitute outside string literals only
+        parts = re.split(r"('(?:[^'\\]|\\.)*')", where)
+        for i, part in enumerate(parts):
+            if i % 2 == 1:
+                continue  # a quoted literal
+            for name, expr in subs.items():
+                part = re.sub(
+                    rf"(?<![\w.]){re.escape(name)}(?![\w(])", f"({expr})", part
+                )
+            parts[i] = part
+        return self._rewrite_dim_expr(spec, "".join(parts))
+
     # ---------------- expansion ----------------
 
     def compile(
@@ -190,6 +259,10 @@ class QueryCompiler:
             base = self.source_plan(spec, source_df=source_df)
             dim_expr = lambda d: self._rewrite_dim_expr(spec, d.expr)  # noqa: E731
             meas_expr = lambda e: self._rewrite_dim_expr(spec, e)  # noqa: E731
+        if query.where:
+            base = base.filter(
+                F.expr(self.where_predicate(spec, query.where, flattened=flattened))
+            )
         dim_cols = [
             F.expr(dim_expr(spec.dimension(d))).alias(d) for d in query.dimensions
         ]

@@ -295,10 +295,14 @@ class RollupManager:
             return "live", None
         windowed = any(spec.measure(m).is_windowed for m in query.measures)
         if not windowed:
+            # a WHERE slice is evaluated on the rollup's stored dim columns
+            # before re-aggregation, so eligibility needs the rollup to
+            # cover the slice's dims as well as the grouped ones
+            need_dims = set(query.dimensions) | set(getattr(query, "where_dims", ()))
             candidates = [
                 b
                 for b in state.rollups.values()
-                if set(query.dimensions) <= set(b.spec.dimensions)
+                if need_dims <= set(b.spec.dimensions)
                 and set(query.measures) <= set(b.spec.measures)
             ]
             if candidates:
@@ -361,12 +365,12 @@ class RollupManager:
         windowed = tuple(m for m in query.measures if spec.measure(m).is_windowed)
         if not plain or not windowed:
             return None
-        pq = MetricQuery(spec, query.dimensions, plain)
+        pq = MetricQuery(spec, query.dimensions, plain, where=query.where)
         proute, pbuilt = self.route(pq, state)
         if proute != "rollup":
             return None
         left = self._compile_from_rollup(pq, pbuilt).alias("_p")
-        wq = MetricQuery(spec, query.dimensions, windowed)
+        wq = MetricQuery(spec, query.dimensions, windowed, where=query.where)
         right, wroute = self.compile_routed(wq, state)
         right = right.alias("_w")
         dims = list(query.dimensions)
@@ -394,6 +398,11 @@ class RollupManager:
         columns, then each measure's finalize expression.
         """
         df = self._read_rollup(built)
+        if query.where:
+            # rollup tables store every dim under its declared name, so the
+            # slice filters stored rows directly — before re-aggregation,
+            # which is what makes slicing on a non-grouped dim correct
+            df = df.filter(F.expr(query.where))
         if set(query.dimensions) == set(built.spec.dimensions):
             # exact cover: stored rows are already at the query grain — no
             # re-aggregation, the plan is a single-stage projection with

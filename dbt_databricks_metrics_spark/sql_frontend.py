@@ -5,7 +5,9 @@ Lets analysts run the exact query shape the reference documents
 
     SELECT market_segment, MEASURE(total_revenue) AS revenue
     FROM mv_order_metrics
+    WHERE order_status = 'F'          -- dim slice, applied pre-aggregation
     GROUP BY market_segment
+    HAVING MEASURE(total_orders) > 5  -- measure filter, post-aggregation
     ORDER BY revenue DESC
     LIMIT 10
 
@@ -36,6 +38,7 @@ _QUERY_RE = re.compile(
     r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<view>[A-Za-z_][\w.]*)"
     r"(?:\s+where\s+(?P<where>.*?))?"
     r"(?:\s+group\s+by\s+(?P<group>.*?))?"
+    r"(?:\s+having\s+(?P<having>.*?))?"
     r"(?:\s+order\s+by\s+(?P<order>.*?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -69,7 +72,7 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
     if not m:
         raise MeasureSQLError(
             "expected: SELECT <dims | MEASURE(m) [AS alias]> FROM <metric_view> "
-            "[WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n]"
+            "[WHERE ...] [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]"
         )
     view_name = m.group("view").split(".")[-1]  # catalog.schema.name → name
     mv = engine.metric_view(view_name)
@@ -136,7 +139,20 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
     elif dims:
         raise MeasureSQLError("bare dimensions in SELECT require GROUP BY")
 
+    # HAVING filters the aggregated frame on MEASURE() values — it may
+    # reference measures absent from SELECT, so compute those too and
+    # project them away afterwards
+    having = m.group("having")
+    having_pred = None
+    if having:
+        for used in _MEASURE_CALL_RE.findall(having):
+            if used not in measures:
+                measures.append(used)
+        having_pred = _MEASURE_CALL_RE.sub(r"\1", having)
+
     df, _route = mv.query_routed(dims, measures, where=m.group("where"))
+    if having_pred is not None:
+        df = df.filter(F.expr(having_pred))
     # project in SELECT-item order; expression items evaluate over the
     # aggregated frame (dims + canonical measure columns)
     df = df.select(

@@ -237,3 +237,48 @@ def test_describe_surfaces_metadata(engine):
     d = engine.metric_view("mv_customer_metrics").describe()
     assert d["version"] == "1.1"
     assert d["measures"][1]["format"]["currency_code"] == "USD"
+
+
+def test_sql_frontend_having(engine, duck):
+    """HAVING filters on MEASURE() values after aggregation; a measure
+    referenced only in HAVING is computed then projected away."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        HAVING MEASURE(total_orders) > 5
+        """
+    )
+    assert df.columns == ["market_segment", "revenue"]
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        HAVING count(*) > 5
+        """,
+    )
+
+
+def test_sql_frontend_where_and_having(engine, duck):
+    df = engine.sql(
+        """
+        SELECT order_status, MEASURE(total_orders) AS n
+        FROM mv_order_metrics
+        WHERE market_segment = 'BUILDING'
+        GROUP BY order_status
+        HAVING MEASURE(total_orders) > 1
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT order_status, count(*) AS n
+        FROM ({FCT_ORDERS_SQL}) WHERE market_segment = 'BUILDING'
+        GROUP BY order_status
+        HAVING count(*) > 1
+        """,
+    )
