@@ -230,3 +230,34 @@ def test_mixed_plain_window_slice_split(engine):
         )
     )
     assert _rows(df) == _rows(live)
+
+
+def test_slice_plan_quality_pushdown_and_pruning(engine):
+    """Scale evidence for slices: a WHERE on the mart's partition dim
+    reaches the scan as a PartitionFilter (whole partitions pruned, no
+    data filter needed); a WHERE on a plain dim is pushed as a DataFilter.
+    This is what makes a 100 TB slice read only its slice."""
+    mv = engine.metric_view("mv_order_metrics")
+
+    part = engine._compiler.compile(
+        MetricQuery(
+            mv.spec, ("order_status",), ("total_revenue",),
+            where="order_year = 1995",
+        )
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in scan and "order_year" in scan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], scan
+    assert "DataFilters: []" in scan, scan
+
+    data = engine._compiler.compile(
+        MetricQuery(
+            mv.spec, ("market_segment",), ("total_revenue",),
+            where="order_status = 'F'",
+        )
+    )
+    plan2 = data._jdf.queryExecution().executedPlan().toString()
+    scan2 = next(l for l in plan2.splitlines() if "FileScan" in l)
+    assert "order_status" in scan2.split("DataFilters:")[1].split("]")[0], scan2
