@@ -79,10 +79,19 @@ def main() -> None:
         "q_monthly_routed",
         lambda: mv.query(["order_year", "order_month"], ["total_revenue"]).collect(),
     )
-    timed(
-        "q_trailing_7d",
-        lambda: mv.query(["market_segment"], ["trailing_7d_revenue"]).collect(),
-    )
+    def trailing_routed():
+        df, route = mv.query_routed(["market_segment"], ["trailing_7d_revenue"])
+        assert route == "live+grain:daily_revenue", route
+        return df.collect()
+
+    def trailing_source_grain():
+        # forced source-scan grain (no WindowGrainProvider) — the delta vs
+        # q_trailing_7d is the window-grain routing win
+        q = MetricQuery(mv.spec, ("market_segment",), ("trailing_7d_revenue",))
+        return eng._compiler.compile(q).collect()
+
+    timed("q_trailing_7d", trailing_routed, warm=True)
+    timed("q_trailing_7d_source_grain", trailing_source_grain, warm=True)
     timed(
         "q_mixed_plain_window",
         lambda: mv.query(

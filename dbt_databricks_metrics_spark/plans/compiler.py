@@ -241,6 +241,9 @@ class QueryCompiler:
         query: MetricQuery,
         source_df: Optional[DataFrame] = None,
         flattened: bool = False,
+        window_grain_provider: Optional[
+            Callable[[list[str], list[tuple[str, str, str]]], Optional[DataFrame]]
+        ] = None,
     ) -> DataFrame:
         """Expand the query against the (filtered, joined) source.
 
@@ -248,6 +251,12 @@ class QueryCompiler:
         (baseline snapshot): filter and joins are already applied, every
         dimension exists as a plain column, and ``source.`` qualifiers in
         measure expressions are dropped.
+
+        *window_grain_provider*, when given, is consulted before each
+        window-measure grain aggregation with ``(grain_cols, needed)``
+        where needed = [(partial_source_expr, partial_col, merge_fn)];
+        returning a DataFrame with those columns (e.g. re-aggregated from
+        a covering rollup) replaces the grain scan of the source.
         """
         spec = query.spec
         if flattened:
@@ -279,11 +288,13 @@ class QueryCompiler:
         for group in self._group_shareable_windows(spec, windowed, flattened):
             if len(group) > 1:
                 wdf = self._window_measures_shared(
-                    spec, base, list(query.dimensions), group, flattened=flattened
+                    spec, base, list(query.dimensions), group, flattened=flattened,
+                    grain_provider=window_grain_provider,
                 )
             else:
                 wdf = self._window_measure(
-                    spec, base, list(query.dimensions), group[0], flattened=flattened
+                    spec, base, list(query.dimensions), group[0], flattened=flattened,
+                    grain_provider=window_grain_provider,
                 )
             if result is None:
                 result = wdf
@@ -361,6 +372,7 @@ class QueryCompiler:
         dims: list[str],
         measures: list[Measure],
         flattened: bool = False,
+        grain_provider=None,
     ) -> DataFrame:
         """N window measures over one shared grain: one grain aggregation
         carrying the union of partial states, one window partitioning
@@ -398,12 +410,17 @@ class QueryCompiler:
             for m in measures
         }
         partials: dict[str, str] = {}
+        needed: list[tuple[str, str, str]] = []
         for dec in decs.values():
             for p_expr, p_col in dec.partials:
-                partials[p_col] = p_expr
-        grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
-            *[F.expr(e).alias(c) for c, e in partials.items()]
-        )
+                if p_col not in partials:
+                    partials[p_col] = p_expr
+                    needed.append((p_expr, p_col, dec.merges[p_col]))
+        grain = grain_provider(grain_cols, needed) if grain_provider else None
+        if grain is None:
+            grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+                *[F.expr(e).alias(c) for c, e in partials.items()]
+            )
 
         # emit every measure's window merges in ONE projection: Catalyst
         # groups window functions by (partition, order) spec, so differing
@@ -446,6 +463,7 @@ class QueryCompiler:
         dims: list[str],
         measure: Measure,
         flattened: bool = False,
+        grain_provider=None,
     ) -> DataFrame:
         """Compile one window measure to ``dims + [measure.name]``.
 
@@ -498,6 +516,12 @@ class QueryCompiler:
                 return F.expr(order_expr).alias(name)
             return F.expr(part_exprs[name]).alias(name)
 
+        def _grain_from(provider) -> Optional[DataFrame]:
+            if provider is None or dec is None:
+                return None
+            needed = [(e, c, dec.merges[c]) for e, c in dec.partials]
+            return provider(grain_cols, needed)
+
         calendar_trailing = (
             frame.kind == "trailing"
             and frame.trailing_parts[1] in ("month", "quarter", "year")
@@ -515,9 +539,11 @@ class QueryCompiler:
             # scale.
             n, unit = frame.trailing_parts
             months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
-            grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
-                *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
-            )
+            grain = _grain_from(grain_provider)
+            if grain is None:
+                grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+                    *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
+                )
             left = grain.select(
                 *[F.col(c).alias(f"_l_{c}") for c in grain_cols]
             )
@@ -536,10 +562,13 @@ class QueryCompiler:
             valued = windowed.withColumn("_wval", F.expr(dec.finalize))
         elif dec is not None:
             # SCALE PATH: pre-aggregate to the (partition × order) grain so
-            # the window sort runs over grain rows, not raw source rows.
-            grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
-                *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
-            )
+            # the window sort runs over grain rows, not raw source rows —
+            # or, better, read the grain from a covering rollup's partials.
+            grain = _grain_from(grain_provider)
+            if grain is None:
+                grain = base.groupBy(*[named(c) for c in grain_cols]).agg(
+                    *[F.expr(p_expr).alias(p_col) for p_expr, p_col in dec.partials]
+                )
             w = self._build_window(grain, part_cols, order_dim.name, frame)
             merged = grain
             for p_col, fn in dec.merges.items():

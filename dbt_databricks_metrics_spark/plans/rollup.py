@@ -71,6 +71,77 @@ def _swap_write(df: DataFrame, spark: SparkSession, path: str) -> None:
     os.replace(tmp, path)
 
 
+class WindowGrainProvider:
+    """Serves window-measure *grain* aggregations from a covering rollup.
+
+    Window measures themselves are never rollup-served (``README.md:431``
+    — the frame + semiadditive reduction always runs at query time), but
+    their input grain ``groupBy(dims × order).agg(partials)`` is just a
+    re-aggregation problem: when some aggregated rollup's dims cover the
+    grain columns (plus any WHERE-slice dims) and it stores partials for
+    the same source expressions, the grain can be read from |rollup| rows
+    instead of rescanning the fact. At 100 TB that turns e.g. a
+    trailing-7d query into a rollup-sized sort. Purely an optimization:
+    values are identical either way (partials merge associatively).
+    """
+
+    def __init__(self, mgr: "RollupManager", query: MetricQuery,
+                 state: MaterializationState) -> None:
+        self.mgr = mgr
+        self.query = query
+        self.state = state
+        self.used: list[str] = []
+
+    @staticmethod
+    def _norm(expr: str) -> str:
+        import re as _re
+
+        return _re.sub(r"\s+", "", QueryCompiler.strip_source_prefix(expr)).lower()
+
+    def __call__(self, grain_cols, needed):
+        need_dims = set(grain_cols) | set(getattr(self.query, "where_dims", ()))
+        candidates = sorted(
+            self.state.rollups.values(),
+            key=lambda b: (b.n_rows if b.n_rows is not None else float("inf"),
+                           len(b.spec.dimensions)),
+        )
+        for built in candidates:
+            if not need_dims <= set(built.spec.dimensions):
+                continue
+            stored: dict[str, tuple[str, str]] = {}
+            for dec in built.decompositions.values():
+                for e, c in dec.partials:
+                    stored.setdefault(self._norm(e), (c, dec.merges[c]))
+            sel: Optional[list[tuple[str, str, str]]] = []
+            for p_expr, p_col, fn in needed:
+                hit = stored.get(self._norm(p_expr))
+                if hit is None or hit[1] != fn:
+                    sel = None
+                    break
+                sel.append((p_col, hit[0], fn))
+            if sel is None:
+                continue
+            df = self.mgr._read_rollup(built)
+            if self.query.where:
+                df = df.filter(F.expr(self.query.where))
+            if set(built.spec.dimensions) == set(grain_cols):
+                # stored rows ARE the grain — merging a single partial is
+                # the identity, so project instead of re-aggregating (saves
+                # one exchange; the window sort is then the plan's only
+                # shuffle)
+                out = df.select(
+                    *[F.col(c) for c in grain_cols],
+                    *[F.col(src).alias(p_col) for p_col, src, _fn in sel],
+                )
+            else:
+                out = df.groupBy(*[F.col(c) for c in grain_cols]).agg(
+                    *[merge_column(fn, src).alias(p_col) for p_col, src, fn in sel]
+                )
+            self.used.append(built.spec.name)
+            return out
+        return None
+
+
 class RollupManager:
     """Builds, refreshes, and routes to a metric view's rollups."""
 
@@ -340,13 +411,31 @@ class RollupManager:
         split = self._compile_split_mixed(query, state)
         if split is not None:
             return split
+        provider = None
+        if (
+            state is not None
+            and state.rollups
+            and any(query.spec.measure(m).is_windowed for m in query.measures)
+        ):
+            provider = WindowGrainProvider(self, query, state)
+
+        def _with_grain(r: str) -> str:
+            if provider and provider.used:
+                return f"{r}+grain:{','.join(provider.used)}"
+            return r
+
         if route == "baseline":
             assert state is not None and state.baseline
             # the snapshot already has filter+joins applied and dims
             # materialized — expand in flattened mode (no re-join/re-filter)
             base = self.spark.read.parquet(state.baseline)
-            return self.compiler.compile(query, source_df=base, flattened=True), "baseline"
-        return self.compiler.compile(query), "live"
+            df = self.compiler.compile(
+                query, source_df=base, flattened=True,
+                window_grain_provider=provider,
+            )
+            return df, _with_grain("baseline")
+        df = self.compiler.compile(query, window_grain_provider=provider)
+        return df, _with_grain("live")
 
     def _compile_split_mixed(
         self, query: MetricQuery, state: Optional[MaterializationState]

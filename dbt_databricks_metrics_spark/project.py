@@ -126,6 +126,18 @@ materialization:
         - order_month
       measures:
         - total_revenue
+    # daily grain: serves plain (segment × day) queries AND the grain of
+    # the window measures (trailing/cumulative sum(total_price) grouped by
+    # market_segment) via WindowGrainProvider — the window sort then reads
+    # |segments × days| rollup rows instead of rescanning the fact
+    - name: daily_revenue
+      type: aggregated
+      dimensions:
+        - market_segment
+        - order_date
+      measures:
+        - total_revenue
+        - total_orders
 """
 
 MV_CUSTOMER_METRICS_YAML = """

@@ -150,21 +150,21 @@ def test_exact_cover_rollup_zero_exchange(engine):
 
 def test_mixed_query_split_routing(engine):
     """A plain+window query splits: plain measures from the covering
-    rollup (in-memory, broadcast), window measures live — exactly one
-    parquet FileScan (the window side's source pass) in the whole plan."""
+    rollup (in-memory, broadcast); the window side's GRAIN re-aggregates
+    from the daily_revenue rollup (WindowGrainProvider) — so the whole
+    plan touches NO fact-table scan at all."""
     mv = engine.metric_view("mv_order_metrics")
     df, route = mv.query_routed(
         ["market_segment"], ["total_revenue", "trailing_7d_revenue", "total_orders"]
     )
-    assert route == "rollup:revenue_by_segment+live"
+    assert route == "rollup:revenue_by_segment+live+grain:daily_revenue"
     plan = _physical(df)
-    # one source-table scan (the window side); the plain side reads the
-    # cached rollup (the FileScan inside InMemoryRelation is its cache-miss
-    # provenance, not a query-time source pass)
+    # both sides read cached rollups (FileScans inside InMemoryRelation are
+    # cache-miss provenance, not query-time source passes)
     fact_scans = [
         l for l in plan.splitlines() if "FileScan" in l and "fct_orders" in l
     ]
-    assert len(fact_scans) == 1, plan[:2500]
+    assert len(fact_scans) == 0, plan[:2500]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2500]
 
 

@@ -146,6 +146,7 @@ def test_describe_roundtrip():
         "baseline",
         "revenue_by_segment",
         "monthly_revenue",
+        "daily_revenue",
     ]
 
 
