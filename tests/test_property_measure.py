@@ -66,3 +66,43 @@ def test_measure_subset_matches_oracle(engine, duck, dims, meas):
         duck,
         f"SELECT {', '.join(sel)} FROM ({FCT_ORDERS_SQL}) {group}",
     )
+
+
+WHERES = [
+    "order_status = 'F'",
+    "order_year >= 1995",
+    "market_segment IN ('BUILDING', 'MACHINERY') AND order_status <> 'P'",
+    "order_priority LIKE '1%' OR order_year = 1996",
+]
+
+
+def _slice_cases():
+    dim_names = list(DIMS)
+    meas_names = list(MEASURES)
+    cases = []
+    for i, w in enumerate(WHERES):
+        dims = tuple(dim_names[i % len(dim_names) : i % len(dim_names) + 2])
+        meas = tuple(meas_names[: (i % len(meas_names)) + 1])
+        cases.append((dims, meas, w))
+    # global aggregate under a slice, and full-dim grouping under a slice
+    cases.append(((), tuple(meas_names), WHERES[0]))
+    cases.append((tuple(dim_names), ("total_revenue",), WHERES[2]))
+    return cases
+
+
+@pytest.mark.parametrize("dims,meas,where", _slice_cases())
+def test_sliced_measure_subset_matches_oracle(engine, duck, dims, meas, where):
+    """The MEASURE() contract under a query-time WHERE slice: for any dim
+    subset × measure subset × dim predicate, expansion over the sliced
+    source matches the mechanically-built oracle (predicates reference
+    dims both inside and outside the GROUP BY)."""
+    df = engine.metric_view("mv_order_metrics").query(
+        list(dims), list(meas), where=where
+    )
+    sel = list(dims) + [f"{MEASURES[m]} AS {m}" for m in meas]
+    group = f"GROUP BY {', '.join(dims)}" if dims else ""
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"SELECT {', '.join(sel)} FROM ({FCT_ORDERS_SQL}) WHERE {where} {group}",
+    )
