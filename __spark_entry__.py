@@ -566,6 +566,22 @@ def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=8)
 
 
+def _q_contamination_pairs(spark, sf_dir):
+    # benchmark-contamination check: corpus docs sharing word 5-grams with
+    # a benchmark split (every 20th doc). Raw-string n-gram join so the
+    # DuckDB oracle reproduces it exactly; hash_ngrams=True is the 8-byte
+    # shuffle-key variant for 100 TB runs.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import contamination
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination.ngram_contamination(corpus, bench, n=5)
+
+
 def _q_embedding_dup_pairs(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import dedup
     from dbt_databricks_metrics_spark.sources import load_table
@@ -920,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
+        "contamination_pairs": _q_contamination_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1220,6 +1237,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "contamination_pairs": r"""
+            WITH tokd AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                           AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 4, 1)),
+                           i -> array_to_string(toks[i:i + 4], ' ')))) AS ngram
+                FROM tokd
+            ),
+            c AS (SELECT * FROM grams WHERE doc_id % 20 <> 0),
+            b AS (SELECT doc_id AS bench_id, ngram FROM grams WHERE doc_id % 20 = 0)
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM c JOIN b USING (ngram)
+            GROUP BY 1, 2
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,85 @@
+"""Benchmark-contamination detection for training corpora ([EXT]).
+
+The standard pre-training hygiene check: find corpus documents that share
+word n-grams with a benchmark/eval set (so the benchmark is not leaked
+into training data). Plan shape: explode each side's distinct word
+n-grams → equi-join on the n-gram → count shared grams per (doc, bench)
+pair. The O(|corpus| × |bench|) comparison never materializes — the join
+is on the n-gram key, and benchmark sides are typically small enough that
+Spark broadcasts them.
+
+Scale note (100 TB): pass ``hash_ngrams=True`` to join on
+``xxhash64(ngram)`` instead of the string — an 8-byte shuffle key instead
+of a ~50-byte one, at the (negligible) risk of hash collisions. The
+default keeps raw strings so results are exactly reproducible in any
+engine (the DuckDB oracle in ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+
+def _exploded_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str,
+    hash_ngrams: bool,
+) -> DataFrame:
+    g = df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_shingles(text_col, n)).alias("_ngram"),
+    )
+    if hash_ngrams:
+        g = g.select(out_id, F.xxhash64("_ngram").alias("_ngram"))
+    return g
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared) for every corpus×benchmark pair that
+    shares ≥1 distinct word *n*-gram. ``n_shared`` counts distinct shared
+    n-grams (each side's grams are de-duplicated before the join)."""
+    c = _exploded_ngrams(corpus, id_col, text_col, n, "doc_id", hash_ngrams)
+    b = _exploded_ngrams(
+        benchmark, bench_id_col, text_col, n, "bench_id", hash_ngrams
+    )
+    return (
+        c.join(b, "_ngram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Per contaminated corpus doc: how many benchmark docs it overlaps
+    and the worst (max) shared-gram count — the drop-list a curation
+    pipeline feeds back into its filter stage."""
+    pairs = ngram_contamination(
+        corpus, benchmark, n, id_col, text_col, hash_ngrams=hash_ngrams
+    )
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_docs"),
+            F.max("n_shared").alias("max_shared"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Contamination detection ([EXT]): corpus docs sharing word n-grams
+with a benchmark set, cross-checked against a DuckDB oracle and a
+constructed ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import contamination
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+_NGRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - {n} + 1, 1)), "
+    "i -> array_to_string(toks[i:i + {n} - 1], ' ')))"
+)
+
+
+def _oracle_sql(n: int, bench_pred: str, corpus_pred: str) -> str:
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+                       AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest({_NGRAMS.format(n=n)}) AS ngram FROM tokd
+        ),
+        c AS (SELECT * FROM grams WHERE {corpus_pred}),
+        b AS (SELECT doc_id AS bench_id, ngram FROM grams WHERE {bench_pred})
+        SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        FROM c JOIN b USING (ngram)
+        GROUP BY 1, 2
+    """
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_constructed_leak_detected(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated words that overlap with nothing here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "gamma delta epsilon zeta eta theta"),  # inside doc 1
+            (101, "no common phrasing whatsoever in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination.ngram_contamination(corpus, bench, n=5)
+    got = {(r.doc_id, r.bench_id): r.n_shared for r in pairs.collect()}
+    # doc 1 contains the benchmark's full 6-token span -> its two distinct
+    # 5-grams both appear in doc 1
+    assert got == {(1, 100): 2}
+    dropl = contamination.contaminated_docs(corpus, bench, n=5)
+    assert [(r.doc_id, r.n_bench_docs, r.max_shared) for r in dropl.collect()] == [
+        (1, 1, 2)
+    ]
+
+
+def test_hash_ngrams_same_pairs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "c d e f g h")], "doc_id long, text string"
+    )
+    plain = contamination.ngram_contamination(corpus, bench, n=5)
+    hashed = contamination.ngram_contamination(corpus, bench, n=5, hash_ngrams=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, hashed.collect()))
+
+
+def test_fixture_split_vs_oracle(docs, duck):
+    """Self-split of the fixture corpus: benchmark = every 20th doc,
+    corpus = the rest; results must match the DuckDB oracle exactly."""
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    pairs = contamination.ngram_contamination(corpus, bench, n=5)
+    assert_df_matches_oracle(
+        pairs,
+        duck,
+        _oracle_sql(5, "doc_id % 20 = 0", "doc_id % 20 <> 0"),
+    )
