@@ -824,6 +824,32 @@ def _q_data_checks(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic data mixing: per-language keep fractions via a stable
+    # key bucket (portable multiplicative hash so the oracle reproduces
+    # the exact row selection; xxhash64 is the production hash_fn)
+    from dbt_databricks_metrics_spark.ext import sampling
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.3}, default=0.1,
+        hash_fn="multiplicative",
+    ).select("doc_id", "lang")
+
+
+def _q_pack_bins(spark, sf_dir):
+    # sequence packing: contiguous token-budget binning per language via
+    # one window cumsum (deterministic order: tokens desc, doc_id)
+    from dbt_databricks_metrics_spark.ext import packing
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_bins(docs, budget_tokens=512).select(
+        "doc_id", "lang", "n_tokens", "bin_id"
+    )
+
+
 def _q_curation_stats(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import pipeline
     from dbt_databricks_metrics_spark.sources import load_table
@@ -951,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_month_revenue": _q_trailing_month,
         "salted_join_agg": _q_salted_join_agg,
         "distinct_count_salted": _q_distinct_count_salted,
+        "stratified_sample": _q_stratified_sample,
+        "pack_bins": _q_pack_bins,
         "curation_stats": _q_curation_stats,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
         "data_checks": _q_data_checks,
@@ -1361,6 +1389,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count_salted": """
             SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_o_custkey
             FROM orders GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 1000000 <
+                  CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 300000
+                       ELSE 100000 END
+        """,
+        "pack_bins": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                           PARTITION BY lang
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)
+                       AS BIGINT) AS bin_id
+            FROM toks
         """,
         "curation_stats": rf"""
             WITH scored AS (

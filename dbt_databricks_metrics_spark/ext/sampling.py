@@ -1,0 +1,110 @@
+"""Deterministic sampling & data-mixing operators ([EXT]).
+
+Training-data pipelines need *reproducible* sampling: the same corpus +
+the same config must select the same rows on any cluster size, any
+partitioning, any run — so `rand()` (per-task RNG) is out. Everything
+here derives a bucket in [0, MODULUS) from a stable key column and keeps
+a row iff its bucket clears the configured threshold:
+
+* ``deterministic_sample`` — Bernoulli(fraction) per row
+* ``stratified_sample``    — per-stratum fractions (the data-mixing
+  primitive: up/down-weight languages, sources, domains)
+* ``train_test_split``     — disjoint, exhaustive split by weight vector
+
+All are map-only filters (no shuffle, no state); the strata thresholds
+compile to a CASE expression, never a join.
+
+Hashing: ``hash_fn="xxhash64"`` (default) is the production choice.
+``hash_fn="multiplicative"`` (Knuth 2654435761 — exact int64 arithmetic)
+exists so an external engine can reproduce the selection bit-for-bit
+(the DuckDB oracle in ``__spark_entry__`` uses it; xxhash64 has no DuckDB
+equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MODULUS = 1_000_000
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, odd → equidistributed
+
+
+def bucket(key_col: str, salt: int = 0, hash_fn: str = "xxhash64") -> Column:
+    """Stable bucket in [0, MODULUS) for a row's key."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(MODULUS))
+    if hash_fn == "multiplicative":
+        return F.pmod(
+            F.col(key_col).cast("long") * F.lit(_KNUTH) + F.lit(salt),
+            F.lit(MODULUS),
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(round(fraction * MODULUS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~fraction of rows, deterministically by key."""
+    return df.filter(bucket(key_col, salt, hash_fn) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the data-mixing primitive.
+
+    ``fractions`` maps stratum value → keep fraction; unlisted strata get
+    ``default``. Thresholds compile to one CASE expression, so the plan is
+    a single scan + filter regardless of the number of strata.
+    """
+    thr: Column = F.lit(_threshold(default))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == F.lit(value), F.lit(_threshold(frac))).otherwise(thr)
+    return df.filter(bucket(key_col, salt, hash_fn) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.9, 0.1),
+    split_names: Sequence[str] = ("train", "test"),
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Label every row with a split name — disjoint and exhaustive, by
+    cumulative weight ranges over the key bucket. Returns the input plus
+    a ``split`` column (filter on it for the individual sets)."""
+    if len(weights) != len(split_names):
+        raise ValueError("weights and split_names must align")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = bucket(key_col, salt, hash_fn)
+    cum = 0.0
+    expr: Column = F.lit(split_names[-1])  # remainder catches rounding tail
+    bounds = []
+    for w in weights[:-1]:
+        cum += w / total
+        bounds.append(_threshold(cum))
+    for name, hi in reversed(list(zip(split_names[:-1], bounds))):
+        expr = F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1,0 +1,93 @@
+"""Deterministic sampling / data mixing ([EXT]): reproducibility,
+fraction accuracy, stratified mixing, split partition laws, and the
+engine-portable hash vs a DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import sampling
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_deterministic_and_partitioning_invariant(docs):
+    a = sorted(r.doc_id for r in sampling.deterministic_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.deterministic_sample(docs.repartition(13), 0.3)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_fraction_accuracy(docs):
+    n = docs.count()
+    for frac in (0.1, 0.5, 0.9):
+        k = sampling.deterministic_sample(docs, frac).count()
+        assert abs(k / n - frac) < 0.1, (frac, k, n)
+
+
+def test_subset_monotone(docs):
+    """A smaller fraction's sample is a subset of a larger one (same salt)
+    — threshold sampling, not independent draws."""
+    small = {r.doc_id for r in sampling.deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in sampling.deterministic_sample(docs, 0.6).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_mixing(docs):
+    fr = {"en": 0.8, "fr": 0.2}
+    out = sampling.stratified_sample(docs, "lang", fr, default=0.0)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"en", "fr"}  # default 0.0 drops other strata
+    for lang, frac in fr.items():
+        if base.get(lang, 0) >= 50:
+            assert abs(got.get(lang, 0) / base[lang] - frac) < 0.15
+
+
+def test_train_test_split_partition_laws(docs):
+    out = sampling.train_test_split(docs, (0.8, 0.1, 0.1), ("train", "val", "test")).cache()
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive
+    assert set(counts) <= {"train", "val", "test"}
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+    # disjoint by construction (one label per row); stable across runs
+    again = sampling.train_test_split(docs, (0.8, 0.1, 0.1), ("train", "val", "test"))
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_portable_hash_vs_duck_oracle(docs, duck):
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.3}, default=0.1,
+        hash_fn="multiplicative",
+    ).select("doc_id", "lang")
+    assert_df_matches_oracle(
+        out,
+        duck,
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 1000000 <
+              CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 300000
+                   ELSE 100000 END
+        """,
+    )
+
+
+def test_bad_inputs(docs):
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        sampling.bucket("doc_id", hash_fn="md5")
+    with pytest.raises(ValueError):
+        sampling.train_test_split(docs, (1.0,), ("a", "b"))
