@@ -179,6 +179,29 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.avg("n_events"))
         .collect(),
     )
+    from dbt_databricks_metrics_spark.ext import contamination as ext_contam
+    from dbt_databricks_metrics_spark.ext import packing as ext_pack
+    from dbt_databricks_metrics_spark.ext import sampling as ext_sample
+
+    timed(
+        "ext_contamination",
+        lambda: ext_contam.ngram_contamination(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=5,
+            hash_ngrams=True,
+        ).count(),
+    )
+    timed(
+        "ext_pack_bins",
+        lambda: ext_pack.bin_stats(docs, 2048).count(),
+    )
+    timed(
+        "ext_stratified_sample",
+        lambda: ext_sample.stratified_sample(
+            docs, "lang", {"en": 0.5, "fr": 0.3}, default=0.1
+        ).count(),
+    )
     timed(
         "ext_topk_similar",
         lambda: __import__(
