@@ -261,3 +261,31 @@ def test_slice_plan_quality_pushdown_and_pruning(engine):
     plan2 = data._jdf.queryExecution().executedPlan().toString()
     scan2 = next(l for l in plan2.splitlines() if "FileScan" in l)
     assert "order_status" in scan2.split("DataFilters:")[1].split("]")[0], scan2
+
+
+def test_slice_through_snowflake_join_paths(engine, duck):
+    """Slices over snowflake dims: the WHERE references dims whose exprs
+    are dotted join paths (region_name → orders.customer.nation.region.…)
+    and a derived dim (order_year) — both substituted and path-flattened
+    before hitting the joined plan."""
+    mv = engine.metric_view("mv_sales_star")
+    df = mv.query(
+        ["nation_name"], ["revenue", "line_count"],
+        where="region_name = 'EUROPE' AND order_year >= 1995",
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT n.n_name AS nation_name,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               count(*) AS line_count
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND year(o.o_orderdate) >= 1995
+        GROUP BY 1
+        """,
+    )
