@@ -689,6 +689,15 @@ def _q_tumbling_window(spark, sf_dir):
     return sessionize.tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
 
 
+def _q_sliding_window(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return sessionize.sliding_window_agg(
+        load_table(spark, sf_dir, "events"), "2 hours", "1 hour"
+    )
+
+
 def _q_user_activity(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": _q_stateful_sessions,
         "session_stats": _q_session_stats,
         "tumbling_window": _q_tumbling_window,
+        "sliding_window": _q_sliding_window,
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
         "trailing_month_revenue": _q_trailing_month,
@@ -1355,6 +1365,16 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    event_type, count(*) AS n_events, sum(value) AS total_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sliding_window": """
+            SELECT ws AS window_start,
+                   ws + INTERVAL 2 HOUR AS window_end,
+                   event_type, count(*) AS n_events, sum(value) AS total_value
+            FROM (
+                SELECT e.*, date_trunc('hour', ts) - to_hours(t.k) AS ws
+                FROM events e, (SELECT unnest([0, 1]) AS k) t
+            )
+            GROUP BY 1, 2, 3
         """,
         "user_activity": """
             SELECT user_id, count(*) AS n_events,

@@ -91,6 +91,33 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide_duration: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping (hopping) windows: each event lands in
+    duration/slide windows; starts are epoch-aligned multiples of the
+    slide. Same shape as ``tumbling_window_agg`` — ``F.window`` explodes
+    the event into its windows before the aggregate, so the plan is one
+    shuffle on (window, event_type) regardless of overlap factor."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def user_activity(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     """Per-user activity rollup (count, distinct types, span, value stats)."""
     return events.groupBy(user_col).agg(

@@ -114,3 +114,34 @@ def test_session_gap_boundary(spark):
     out = {r["event_id"]: r["session_id"] for r in sessionize.sessionize(df).collect()}
     assert out[1] == out[2]
     assert out[2] != out[3]
+
+
+def test_sliding_window_vs_oracle(events, duck):
+    """2h windows hopping by 1h: every event appears in exactly two
+    windows (epoch-aligned starts), totals match the unnest-offsets
+    oracle."""
+    df = sessionize.sliding_window_agg(events, "2 hours", "1 hour")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT ws AS window_start,
+               ws + INTERVAL 2 HOUR AS window_end,
+               event_type, count(*) AS n_events, sum(value) AS total_value
+        FROM (
+            SELECT e.*, date_trunc('hour', ts) - to_hours(t.k) AS ws
+            FROM events e, (SELECT unnest([0, 1]) AS k) t
+        )
+        GROUP BY 1, 2, 3
+        """,
+    )
+
+
+def test_sliding_window_overlap_factor(events):
+    """Each event contributes duration/slide times: total event count
+    across sliding windows = 2x the tumbling total."""
+    from pyspark.sql import functions as F
+
+    sliding = sessionize.sliding_window_agg(events, "2 hours", "1 hour")
+    n_events = events.count()
+    assert sliding.agg(F.sum("n_events")).first()[0] == 2 * n_events
