@@ -514,6 +514,18 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_doc_repetition(spark, sf_dir):
+    # Gopher-rule repetition signals: duplicate-line and repeated-2gram
+    # fractions per document
+    from dbt_databricks_metrics_spark.ext.textstats import with_repetition_stats
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "dup_2gram_frac"
+    )
+
+
 def _q_dedup_exact_summary(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -966,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_expr_sql": _q_measure_expr_sql,
         # [EXT] LLM-pipeline operators
         "doc_stats": _q_doc_stats,
+        "doc_repetition": _q_doc_repetition,
         "dedup_exact_summary": _q_dedup_exact_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1230,6 +1243,31 @@ def oracle_sql() -> dict[str, str]:
                         len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
                     ) AS _best
                 FROM documents)
+        """,
+        "doc_repetition": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                   l -> trim(l)), l -> length(l) > 0) AS lines,
+                       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                           AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, lines,
+                       list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i + 1], ' ')) AS grams
+                FROM base
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(lines) > 0
+                        THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                        ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN len(grams) > 0
+                        THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                        ELSE 0.0 END, 6) AS dup_2gram_frac
+            FROM g
         """,
         "dedup_exact_summary": f"""
             SELECT (SELECT count(*) FROM documents) AS n_docs,

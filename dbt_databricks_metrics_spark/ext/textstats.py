@@ -113,6 +113,46 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule-style within-document repetition signals:
+
+    * ``dup_line_frac``  — 1 − distinct/total over non-empty trimmed lines
+    * ``dup_2gram_frac`` — 1 − distinct/total over word 2-grams
+
+    Repetitive boilerplate (headers, templated spam, decoding loops)
+    scores high; natural prose near 0. Pure array expressions — the
+    expensive splits are bound once per row (Catalyst does not eliminate
+    subexpressions re-derived inside transform lambdas).
+    """
+    from .dedup import _bind_once, _norm_col
+
+    t = F.col(text_col)
+
+    def _dup_frac(arr: Column) -> Column:
+        return _bind_once(
+            arr,
+            lambda a: F.when(
+                F.size(a) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    grams = _bind_once(
+        F.split(_norm_col(text_col), " "),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    )
+    return df.withColumn(
+        "dup_line_frac", F.round(_dup_frac(lines), 6)
+    ).withColumn("dup_2gram_frac", F.round(_dup_frac(grams), 6))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit fingerprint of whitespace/case-normalized text.
 

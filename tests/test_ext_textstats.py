@@ -95,3 +95,60 @@ def test_document_stats_one_pass(docs):
         "fingerprint",
     } <= cols
     assert df.count() == docs.count()
+
+
+def test_repetition_stats(spark):
+    from dbt_databricks_metrics_spark.ext.textstats import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nbuy now"),
+            (2, "a perfectly normal sentence with no repeats at all"),
+            (3, "spam spam spam spam spam spam"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_line_frac, r.dup_2gram_frac)
+        for r in with_repetition_stats(docs).collect()
+    }
+    assert got[1][0] == 0.75  # 4 identical lines -> 1 - 1/4
+    assert got[2] == (0.0, 0.0)
+    assert got[3][1] == 0.8  # 5 identical 'spam spam' 2-grams -> 1 - 1/5
+    assert got[4] == (0.0, 0.0)
+
+
+def test_repetition_stats_vs_oracle(docs, duck):
+    from dbt_databricks_metrics_spark.ext.textstats import with_repetition_stats
+
+    out = with_repetition_stats(docs).select("doc_id", "dup_line_frac", "dup_2gram_frac")
+    assert_df_matches_oracle(
+        out,
+        duck,
+        r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                               l -> trim(l)), l -> length(l) > 0) AS lines,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                       AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lines,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(toks[i:i + 1], ' ')) AS grams
+            FROM base
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(lines) > 0
+                    THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                    ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN len(grams) > 0
+                    THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                    ELSE 0.0 END, 6) AS dup_2gram_frac
+        FROM g
+        """,
+    )
