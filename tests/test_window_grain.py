@@ -50,6 +50,12 @@ measures:
       - order: order_date
         range: cumulative
         semiadditive: last
+  - name: t1m_revenue
+    expr: sum(total_price)
+    window:
+      - order: order_date
+        range: trailing 1 month
+        semiadditive: last
 materialization:
   materialized_views:
     - name: daily_segment
@@ -199,3 +205,17 @@ def test_grain_vs_duck_oracle(engine, duck):
         FROM win GROUP BY 1
         """,
     )
+
+
+def test_calendar_trailing_grain_from_rollup(engine):
+    """The calendar-unit trailing path (range self-join over the grain)
+    also takes its grain from a covering rollup."""
+    mv = engine.metric_view("mv_wgrain")
+    df, route = mv.query_routed(["market_segment"], ["t1m_revenue"])
+    assert route == "live+grain:daily_segment", route
+    live = engine._compiler.compile(
+        MetricQuery(mv.spec, ("market_segment",), ("t1m_revenue",))
+    )
+    assert _rows(df) == _rows(live)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fct_orders" not in plan, plan[:2000]
