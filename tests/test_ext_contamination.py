@@ -94,3 +94,17 @@ def test_fixture_split_vs_oracle(docs, duck):
         duck,
         _oracle_sql(5, "doc_id % 20 = 0", "doc_id % 20 <> 0"),
     )
+
+
+def test_contamination_is_equi_join(docs, spark):
+    """The O(corpus × bench) comparison must never materialize: the plan
+    joins on the n-gram key (hash/merge join), not a nested-loop or
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    df = contamination.ngram_contamination(corpus, bench, n=5, hash_ngrams=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan[:2000]

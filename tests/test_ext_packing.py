@@ -80,3 +80,10 @@ def test_vs_duck_oracle(docs, duck):
         FROM toks
         """,
     )
+
+
+def test_packing_single_shuffle(docs):
+    """One window cumsum = exactly one exchange (on the partition group)."""
+    df = packing.pack_bins(docs, 512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]

@@ -91,3 +91,11 @@ def test_bad_inputs(docs):
         sampling.bucket("doc_id", hash_fn="md5")
     with pytest.raises(ValueError):
         sampling.train_test_split(docs, (1.0,), ("a", "b"))
+
+
+def test_sampling_plan_is_map_only(docs):
+    """The ARCHITECTURE claim: sampling is a scan + filter — zero
+    exchanges, no aggregation, at any scale."""
+    df = sampling.stratified_sample(docs, "lang", {"en": 0.5}, default=0.1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
