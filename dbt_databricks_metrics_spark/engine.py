@@ -87,6 +87,25 @@ class MetricView:
         route, built = self._engine._rollups.route(q, self._rv.state)
         return f"rollup:{built.spec.name}" if route == "rollup" else route
 
+    def explain(
+        self,
+        dimensions: Sequence[str] = (),
+        measures: Sequence[str] = (),
+        where: Optional[str] = None,
+        mode: str = "formatted",
+    ) -> str:
+        """Routing decision + physical plan, as a string — the analogue of
+        the reference's ``EXPLAIN SELECT … MEASURE(…)`` routing check
+        (``README.md:417-421``): the first line names the chosen physical
+        source (rollup / baseline / live, plus any window-grain rollups),
+        the rest is Spark's explain output for the compiled plan."""
+        df, route = self.query_routed(dimensions, measures, where=where)
+        jvm = df.sparkSession._jvm
+        plan = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return f"== Route ==\n{route}\n\n{plan}"
+
     def describe(self) -> dict[str, Any]:
         return self._engine.catalog.describe(self.spec.name)
 

@@ -282,3 +282,15 @@ def test_sql_frontend_where_and_having(engine, duck):
         HAVING count(*) > 1
         """,
     )
+
+
+def test_explain_shows_route_and_plan(engine):
+    """mv.explain() ≡ the reference's EXPLAIN routing check
+    (README.md:417-421): route header + physical plan. (This fixture has
+    no rollups, so the route is live; the routed variant is pinned in
+    tests/test_plans.py.)"""
+    mv = engine.metric_view("mv_order_metrics")
+    text = mv.explain(["market_segment"], ["total_revenue"])
+    assert text.startswith("== Route ==\nlive"), text[:200]
+    assert "Physical Plan" in text
+    assert "fct_orders" in text

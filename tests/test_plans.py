@@ -234,3 +234,14 @@ def test_star_broadcasts_all_dim_branches(engine):
     assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
     # no sort-merge join at this scale factor
     assert "SortMergeJoin" not in plan
+
+
+def test_explain_routed_plan(engine):
+    """EXPLAIN-parity with rollups materialized (README.md:417-421): the
+    routed query's explain names the rollup and its plan never scans the
+    fact table."""
+    mv = engine.metric_view("mv_order_metrics")
+    text = mv.explain(["market_segment"], ["total_revenue"])
+    assert text.startswith("== Route ==\nrollup:revenue_by_segment\n"), text[:200]
+    assert "Physical Plan" in text
+    assert "fct_orders" not in text
