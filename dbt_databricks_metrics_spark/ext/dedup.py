@@ -297,12 +297,17 @@ def simhash(text_col: str = "text") -> Column:
         F.array_repeat(F.lit(0), _SIMHASH_BITS),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
-                lambda j: F.when(
-                    _shr(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            # bind the token hash once — otherwise xxhash64(t) re-evaluates
+            # per bit (64x) inside the transform lambda
+            _bind_once(
+                F.xxhash64(t),
+                lambda h: F.transform(
+                    F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
+                    lambda j: F.when(
+                        _shr(h, j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                ),
             ),
             lambda a, b: a + b,
         ),
