@@ -514,6 +514,15 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_vocab_topk(spark, sf_dir):
+    # corpus vocabulary head: top tokens by occurrences + doc frequency
+    # (two-level exact distinct — no hot reducer at scale)
+    from dbt_databricks_metrics_spark.ext.textstats import vocab_topk
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def _q_doc_repetition(spark, sf_dir):
     # Gopher-rule repetition signals: duplicate-line and repeated-2gram
     # fractions per document
@@ -979,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # [EXT] LLM-pipeline operators
         "doc_stats": _q_doc_stats,
         "doc_repetition": _q_doc_repetition,
+        "vocab_topk": _q_vocab_topk,
         "dedup_exact_summary": _q_dedup_exact_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1243,6 +1253,21 @@ def oracle_sql() -> dict[str, str]:
                         len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
                     ) AS _best
                 FROM documents)
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                           AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM toks WHERE length(token) > 0
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 20
         """,
         "doc_repetition": r"""
             WITH base AS (

@@ -165,6 +165,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(normalized))
 
 
+def vocab_topk(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent normalized tokens with
+    total occurrences and document frequency.
+
+    Plan shape at scale: token explode (map-side) → one shuffle on the
+    token → per-token (count, count_distinct doc). The distinct-doc count
+    uses the exact two-level form (token×doc pre-aggregate, then token)
+    so no single reducer holds a giant distinct set. Ties break by token
+    for determinism.
+    """
+    from .dedup import _norm_col
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(_norm_col(text_col), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_doc = toks.groupBy("token", "_doc").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("_n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(k)
+
+
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The full per-document feature set in one pass."""
     return with_fingerprint(

@@ -152,3 +152,37 @@ def test_repetition_stats_vs_oracle(docs, duck):
         FROM g
         """,
     )
+
+
+def test_vocab_topk_vs_oracle(docs, duck):
+    from dbt_databricks_metrics_spark.ext.textstats import vocab_topk
+
+    out = vocab_topk(docs, k=15)
+    assert_df_matches_oracle(
+        out,
+        duck,
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                       AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM toks WHERE length(token) > 0
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 15
+        """,
+    )
+
+
+def test_vocab_topk_two_level_distinct(docs):
+    """The doc-frequency computation must be the two-level exact form —
+    no Expand/distinct aggregate over the raw explode."""
+    from dbt_databricks_metrics_spark.ext.textstats import vocab_topk
+
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:2000]
