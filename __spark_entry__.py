@@ -514,6 +514,16 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # pre-embedding splitter: fixed-size overlapping char chunks with
+    # stable ids + offsets; map-only explode (plan gate: zero exchanges)
+    from dbt_databricks_metrics_spark.ext import chunking
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, chunk_chars=500, overlap_chars=50)
+
+
 def _q_vocab_topk(spark, sf_dir):
     # corpus vocabulary head: top tokens by occurrences + doc frequency
     # (two-level exact distinct — no hot reducer at scale)
@@ -989,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "doc_repetition": _q_doc_repetition,
         "vocab_topk": _q_vocab_topk,
+        "chunk_documents": _q_chunk_documents,
         "dedup_exact_summary": _q_dedup_exact_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1253,6 +1264,16 @@ def oracle_sql() -> dict[str, str]:
                         len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
                     ) AS _best
                 FROM documents)
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(i * 450 AS INT) AS chunk_start,
+                   substring(text, i * 450 + 1, 500) AS chunk_text
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(greatest(ceil(greatest(length(text) - 50, 1) / 450.0), 1)
+                         AS BIGINT) - 1)) AS i)
         """,
         "vocab_topk": r"""
             WITH toks AS (
