@@ -796,6 +796,46 @@ measures:
 """
 
 
+DOCS_MV_YAML = """
+version: 0.1
+source: documents
+dimensions:
+  - name: lang
+    expr: lang
+  - name: source_name
+    expr: source
+  - name: size_bucket
+    expr: case when n_chars < 200 then 'small' when n_chars < 1000 then 'medium' else 'large' end
+measures:
+  - name: n_docs
+    expr: count(*)
+  - name: total_chars
+    expr: sum(n_chars)
+  - name: avg_chars
+    expr: avg(n_chars)
+  - name: max_chars
+    expr: max(n_chars)
+  - name: n_sources
+    expr: count(distinct source)
+"""
+
+
+def _q_documents_mv(spark, sf_dir):
+    # semantic layer over the corpus table: derived size-bucket dim +
+    # count/sum/avg/max/distinct measures through MEASURE() expansion
+    from dbt_databricks_metrics_spark.sources import register_tables
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    eng = _engine(spark, sf_dir)
+    if "mv_documents" not in eng.catalog:
+        register_tables(spark, sf_dir, ("documents",))
+        eng.register(MetricViewSpec.from_yaml(DOCS_MV_YAML, name="mv_documents"))
+    return eng.metric_view("mv_documents").query(
+        ["lang", "size_bucket"],
+        ["n_docs", "total_chars", "avg_chars", "max_chars", "n_sources"],
+    )
+
+
 def _q_keyword_search(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import search
     from dbt_databricks_metrics_spark.sources import load_table
@@ -1029,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": _q_redact_documents,
         "quantize_roundtrip": _q_quantize_roundtrip,
         "events_metric_view": _q_events_mv,
+        "documents_metric_view": _q_documents_mv,
         "keyword_search": _q_keyword_search,
     }
 
@@ -1647,6 +1688,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value
             FROM plain JOIN wl ON plain.event_type = wl.event_type
+        """,
+        "documents_metric_view": """
+            SELECT lang,
+                   CASE WHEN n_chars < 200 THEN 'small'
+                        WHEN n_chars < 1000 THEN 'medium'
+                        ELSE 'large' END AS size_bucket,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   avg(n_chars) AS avg_chars,
+                   max(n_chars) AS max_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
+            GROUP BY 1, 2
         """,
         "keyword_search": r"""
             WITH toks AS (
