@@ -16,6 +16,7 @@ belongs.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -91,7 +92,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         lambda b: 0 if b is None else len(b)
                     ),
                     "content_hash": pdf["content"].map(
-                        lambda b: 0 if b is None else hash(bytes(b)) % (1 << 62)
+                        # blake2b, not hash(): Python's bytes hash is salted
+                        # per process (PYTHONHASHSEED), which would make the
+                        # column differ across executors and runs
+                        lambda b: 0
+                        if b is None
+                        else int.from_bytes(
+                            hashlib.blake2b(bytes(b), digest_size=8).digest(), "big"
+                        )
+                        % (1 << 62)
                     ),
                     "feature": pdf["content"].map(_fake_feature),
                 }

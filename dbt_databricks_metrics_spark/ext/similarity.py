@@ -216,14 +216,12 @@ def ivf_centroids(
         F.col(id_col).alias("centroid_id"),
         _as_double_array(F.col(vec_col)).alias("centroid_vec"),
     )
-    w = Window.orderBy(
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-n
+    # heaps merged on the driver — no unpartitioned window, no single-task
+    # global sort (the n_cells result is tiny by construction).
+    return sel.orderBy(
         F.xxhash64(F.col("centroid_id").cast("string")), F.col("centroid_id")
-    )
-    return (
-        sel.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_cells)
-        .drop("_rk")
-    )
+    ).limit(n_cells)
 
 
 def ivf_assign(

@@ -1,7 +1,8 @@
 """Mirror of the driver's correctness gate: run every queries() entry and
 its oracle_sql() on the same fixtures, compare rowcount+schema+values.
 
-Usage: python scripts/check_entry.py [sf_dir]
+Usage: python scripts/check_entry.py [sf_dir] [query_name ...]
+(with query names, only those entries are checked and entry() is skipped)
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ def values_close(a, b, rel=1e-6) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("check_entry", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -66,6 +68,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             df = fn(spark, sf_dir)
             rows = [tuple(r) for r in df.collect()]
@@ -120,9 +124,10 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(rows)} rows match")
 
-    ent = entrymod.entry(spark)
-    n = ent.count()
-    print(f"entry(): {n} rows, schema={ent.columns}")
+    if not only:
+        ent = entrymod.entry(spark)
+        n = ent.count()
+        print(f"entry(): {n} rows, schema={ent.columns}")
     if failures:
         print(f"\n{len(failures)} FAILURES")
         return 1
