@@ -1688,7 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
-            WHERE (doc_id * 2654435761) % 1000000 <
+            WHERE ((doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 <
                   CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 300000
                        ELSE 100000 END
         """,

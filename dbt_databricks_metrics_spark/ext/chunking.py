@@ -24,16 +24,18 @@ def chunk_documents(
     """One row per chunk: (id_col, chunk_idx, chunk_start, chunk_text).
 
     Chunk starts step by ``chunk_chars - overlap_chars``; the final chunk
-    may be shorter. Empty documents produce a single empty chunk so no
-    document silently disappears from the pipeline. ``chunk_start`` is a
-    0-based character offset (provenance for span-level dedup/redaction).
+    may be shorter. Empty and NULL documents produce a single empty chunk
+    so no document silently disappears from the pipeline (a NULL text
+    would otherwise yield a NULL chunk array that ``explode`` drops).
+    ``chunk_start`` is a 0-based character offset (provenance for
+    span-level dedup/redaction).
     """
     if chunk_chars <= 0:
         raise ValueError("chunk_chars must be positive")
     if not 0 <= overlap_chars < chunk_chars:
         raise ValueError("overlap_chars must be in [0, chunk_chars)")
     step = chunk_chars - overlap_chars
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     # number of chunks: ceil(max(len - overlap, 1) / step), at least 1
     n_chunks = F.greatest(
         F.ceil(F.greatest(F.length(t) - F.lit(overlap_chars), F.lit(1)) / F.lit(step)),

@@ -412,9 +412,12 @@ def duplicate_clusters(
     Hash-to-Min): each round every node takes the min of its own label and
     its neighbors' labels — one equi-join + one groupBy per round,
     converging within the graph diameter (near-dup components are shallow,
-    so a handful of rounds). Convergence is detected via the monotonically
-    decreasing label sum (one tiny action per round), and lineage is cut
-    with localCheckpoint so the plan does not grow with iterations.
+    so a handful of rounds). Convergence is detected by counting labels
+    that changed since the previous round — type-independent (works for
+    string ids, where a numeric label-sum would silently be NULL and stop
+    after one hop), and the count join is co-partitioned with the groupBy
+    output so it adds no exchange. Lineage is cut with localCheckpoint so
+    the plan does not grow with iterations.
 
     *pairs* needs columns ``id_a``/``id_b``; returns (id_col, cluster_id).
     """
@@ -423,23 +426,30 @@ def duplicate_clusters(
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = nodes.select("id", F.col("id").alias("label"))
-    prev_sum = None
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        labels = (
+        new_labels = (
             labels.union(neighbor)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("label")).first()[0]
-        if s == prev_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), F.col("n.id") == F.col("p.id"))
+            .filter(~F.col("n.label").eqNullSafe(F.col("p.label")))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = s
     else:
         raise RuntimeError(
             f"duplicate_clusters: no convergence in {max_iter} rounds — "

@@ -27,6 +27,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MODULUS = 1_000_000
 _KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, odd → equidistributed
@@ -37,11 +38,29 @@ def bucket(key_col: str, salt: int = 0, hash_fn: str = "xxhash64") -> Column:
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(MODULUS))
     if hash_fn == "multiplicative":
-        return F.pmod(
-            F.col(key_col).cast("long") * F.lit(_KNUTH) + F.lit(salt),
-            F.lit(MODULUS),
-        )
+        # (k*K + salt) mod M computed as ((k mod M)*(K mod M) + salt) mod M:
+        # identical value (modular identity), but the intermediate stays
+        # < 1e6 * 1e6 — no int64 overflow for ANY key magnitude, so Spark
+        # agrees bit-for-bit with engines that widen to 128-bit (DuckDB)
+        # and never wraps/throws under ANSI mode.
+        k = F.pmod(F.col(key_col).cast("long"), F.lit(MODULUS))
+        return F.pmod(k * F.lit(_KNUTH % MODULUS) + F.lit(salt), F.lit(MODULUS))
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _check_multiplicative_key(df: DataFrame, key_col: str, hash_fn: str) -> None:
+    """The multiplicative hash needs an integral key: casting a string key
+    to long yields NULL, which would silently drop every row instead of
+    erroring (xxhash64 hashes any type and has no such trap)."""
+    if hash_fn != "multiplicative":
+        return
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"hash_fn='multiplicative' requires an integral key column; "
+            f"{key_col!r} is {dt.simpleString()} — use hash_fn='xxhash64' "
+            f"or cast the key explicitly"
+        )
 
 
 def _threshold(fraction: float) -> int:
@@ -58,6 +77,7 @@ def deterministic_sample(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~fraction of rows, deterministically by key."""
+    _check_multiplicative_key(df, key_col, hash_fn)
     return df.filter(bucket(key_col, salt, hash_fn) < F.lit(_threshold(fraction)))
 
 
@@ -76,6 +96,7 @@ def stratified_sample(
     ``default``. Thresholds compile to one CASE expression, so the plan is
     a single scan + filter regardless of the number of strata.
     """
+    _check_multiplicative_key(df, key_col, hash_fn)
     thr: Column = F.lit(_threshold(default))
     for value, frac in fractions.items():
         thr = F.when(F.col(strata_col) == F.lit(value), F.lit(_threshold(frac))).otherwise(thr)
@@ -95,6 +116,7 @@ def train_test_split(
     a ``split`` column (filter on it for the individual sets)."""
     if len(weights) != len(split_names):
         raise ValueError("weights and split_names must align")
+    _check_multiplicative_key(df, key_col, hash_fn)
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

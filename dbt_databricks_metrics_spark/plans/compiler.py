@@ -53,6 +53,27 @@ def _identifier_tokens(sql: str) -> list[str]:
     return out
 
 
+# tokens that may appear bare in a query-time WHERE without naming a
+# column: operators/literals/keywords plus common scalar functions. A token
+# outside this set that is not a declared dimension marks the predicate as
+# needing the raw source relation (see MetricQuery.where_unresolved).
+_SQL_WHERE_VOCAB = frozenset(
+    """
+    and or not in between like ilike rlike regexp is null true false
+    case when then else end cast try_cast as distinct exists any all
+    date timestamp interval current_date current_timestamp now
+    year month day dayofweek dayofmonth quarter hour minute second
+    upper lower trim ltrim rtrim abs round floor ceil ceiling sign
+    coalesce nullif ifnull nvl if greatest least
+    substr substring length char_length concat concat_ws split
+    replace regexp_replace regexp_extract startswith endswith contains
+    to_date to_timestamp date_add date_sub datediff date_trunc trunc
+    add_months last_day months_between unix_timestamp from_unixtime
+    mod pmod pow power sqrt exp ln log log10 log2
+    """.split()
+)
+
+
 @dataclass
 class MetricQuery:
     """A validated (dimensions × measures [× dim-filter]) request.
@@ -87,6 +108,7 @@ class MetricQuery:
         dim_names = {d.name for d in self.spec.dimensions}
         measure_names = {m.name for m in self.spec.measures}
         where_dims: list[str] = []
+        unresolved = False
         if self.where:
             for tok in _identifier_tokens(self.where):
                 if tok in measure_names:
@@ -94,10 +116,20 @@ class MetricQuery:
                         f"measure {tok!r} cannot appear in WHERE — measures are "
                         f"aggregates; filter the result DataFrame instead"
                     )
-                if tok in dim_names and tok not in where_dims:
-                    where_dims.append(tok)
+                if tok in dim_names:
+                    if tok not in where_dims:
+                        where_dims.append(tok)
+                elif tok.lower() not in _SQL_WHERE_VOCAB:
+                    # a bare identifier that is neither a declared dimension
+                    # nor SQL vocabulary → presumably a raw source column.
+                    # Legal on live/baseline (source columns exist there)
+                    # but NOT on rollup tables, which store only dims +
+                    # partials — routing must skip rollups or the same
+                    # query would succeed/fail depending on the route.
+                    unresolved = True
         # dims the slice references: routing needs a rollup covering these too
         self.where_dims: tuple[str, ...] = tuple(where_dims)
+        self.where_unresolved: bool = unresolved
 
 
 ResolveFn = Callable[[str], DataFrame]

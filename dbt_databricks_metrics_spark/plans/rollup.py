@@ -99,6 +99,8 @@ class WindowGrainProvider:
         return _re.sub(r"\s+", "", QueryCompiler.strip_source_prefix(expr)).lower()
 
     def __call__(self, grain_cols, needed):
+        if getattr(self.query, "where_unresolved", False):
+            return None  # WHERE references raw source columns — grain must scan them
         need_dims = set(grain_cols) | set(getattr(self.query, "where_dims", ()))
         candidates = sorted(
             self.state.rollups.values(),
@@ -365,10 +367,12 @@ class RollupManager:
         if state is None:
             return "live", None
         windowed = any(spec.measure(m).is_windowed for m in query.measures)
-        if not windowed:
+        if not windowed and not getattr(query, "where_unresolved", False):
             # a WHERE slice is evaluated on the rollup's stored dim columns
             # before re-aggregation, so eligibility needs the rollup to
-            # cover the slice's dims as well as the grouped ones
+            # cover the slice's dims as well as the grouped ones; a WHERE
+            # naming raw source columns (where_unresolved) can only run on
+            # live/baseline, where those columns exist
             need_dims = set(query.dimensions) | set(getattr(query, "where_dims", ()))
             candidates = [
                 b

@@ -77,3 +77,14 @@ def test_map_only_plan(docs):
         chunking.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_null_text_yields_single_empty_chunk(spark):
+    # NULL text must not make the document vanish (explode drops NULL
+    # arrays) — it chunks like the empty string
+    df = spark.createDataFrame([(1, None), (2, "abcdef")], "doc_id long, text string")
+    out = chunking.chunk_documents(df, chunk_chars=4, overlap_chars=0)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in out.collect()}
+    assert rows[(1, 0)] == ""
+    assert rows[(2, 0)] == "abcd" and rows[(2, 1)] == "ef"
+    assert len(rows) == 3

@@ -194,3 +194,16 @@ def test_duplicate_clusters_on_near_dups(docs_with_dups):
     assert reps < n_docs  # at least one multi-doc cluster collapsed
     assert reps == n_docs - clusters.filter(F.col("cluster_id") != F.col("doc_id")).count()
     assert dup_members > 0
+
+
+def test_duplicate_clusters_string_ids_transitive(spark):
+    # convergence detection must be type-independent: with string ids a
+    # numeric label-sum is NULL and the loop would stop after one hop,
+    # leaving the a~b~c chain under-merged
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = dedup.duplicate_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}

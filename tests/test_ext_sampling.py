@@ -99,3 +99,26 @@ def test_sampling_plan_is_map_only(docs):
     df = sampling.stratified_sample(docs, "lang", {"en": 0.5}, default=0.1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_multiplicative_requires_integral_key(docs):
+    # a string key would cast to NULL and silently drop every row
+    with pytest.raises(TypeError, match="integral key"):
+        sampling.deterministic_sample(
+            docs, 0.5, key_col="lang", hash_fn="multiplicative"
+        )
+
+
+def test_multiplicative_no_int64_overflow(spark):
+    # keys above ~3.5e9 overflow key*KNUTH in int64; the mod-reduced form
+    # must agree with exact (arbitrary-precision) arithmetic
+    keys = [2**62 + 12345, 3_500_000_000, 2**31, 7, 0]
+    big = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    kept = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            big, 0.5, hash_fn="multiplicative"
+        ).collect()
+    }
+    expect = {k for k in keys if (k * 2654435761) % 1_000_000 < 500_000}
+    assert kept == expect

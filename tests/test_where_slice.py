@@ -289,3 +289,37 @@ def test_slice_through_snowflake_join_paths(engine, duck):
         GROUP BY 1
         """,
     )
+
+
+def test_slice_on_raw_source_column_is_route_independent(engine, duck):
+    """A WHERE naming a raw source column (customer_id is not a declared
+    dim) must not be routed to a rollup — rollup tables store only dims +
+    partials, so the same query would crash there but work live."""
+    mv = engine.metric_view("mv_order_metrics")
+    df, route = mv.query_routed(
+        ["market_segment"], ["total_revenue", "total_orders"],
+        where="customer_id < 750",
+    )
+    assert not route.startswith("rollup:"), route
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS total_revenue,
+               count(*) AS total_orders
+        FROM ({_FCT}) WHERE customer_id < 750
+        GROUP BY market_segment
+        """,
+    )
+
+
+def test_slice_on_raw_source_column_window_measure(engine):
+    """Same guard on the window-grain provider: a source-column WHERE must
+    not pull the grain from a rollup (route carries no +grain suffix)."""
+    mv = engine.metric_view("mv_order_metrics")
+    df, route = mv.query_routed(
+        ["market_segment"], ["trailing_7d_revenue"],
+        where="customer_id < 750",
+    )
+    assert "grain:" not in route, route
+    assert df.count() > 0
