@@ -817,6 +817,46 @@ def _q_user_activity(spark, sf_dir):
     return _round_cols(df, ["total_value", "avg_value"])
 
 
+def _q_incremental_refresh(spark, sf_dir):
+    # The reference's "incremental whenever possible" refresh
+    # (README.md:118) made driver-testable: rebuild the monthly rollup
+    # from a date prefix only, fold the newer rows with
+    # streaming.refresh.fold_increment (merge of partial states), then
+    # serve the monthly query from the FOLDED rollup. The oracle is the
+    # full-data SQL — green means fold(rollup(S), ΔS) ≡ rollup(S ∪ ΔS).
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.plans.rollup import BuiltRollup, _swap_write
+    from dbt_databricks_metrics_spark.streaming import refresh as srefresh
+
+    eng = _engine(spark, sf_dir)
+    rv = eng.catalog.get("mv_order_metrics")
+    built = rv.state.rollups["monthly_revenue"]
+    src = eng._compiler.source_plan(rv.spec)
+    cutoff = "1996-01-01"
+    path = _os.path.join(_tf.mkdtemp(prefix="inc_roll_"), "monthly_revenue")
+    _swap_write(
+        srefresh._partial_agg(src.filter(F.col("order_date") < cutoff), built),
+        spark,
+        path,
+    )
+    scratch = BuiltRollup(
+        spec=built.spec, path=path, decompositions=built.decompositions
+    )
+    srefresh.fold_increment(spark, scratch, src.filter(F.col("order_date") >= cutoff))
+    # exact-cover finalize over the folded partials (plans/rollup.py
+    # _compile_from_rollup's zero-exchange projection path)
+    fin = built.decompositions["total_revenue"].finalize
+    return spark.read.parquet(path).select(
+        "order_year",
+        "order_month",
+        F.round(F.expr(fin), 4).alias("total_revenue"),
+    )
+
+
 def _q_trailing_month(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.metric_view("mv_trailing_month").query(
@@ -1174,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
         "trailing_month_revenue": _q_trailing_month,
+        "incremental_refresh": _q_incremental_refresh,
         "salted_join_agg": _q_salted_join_agg,
         "distinct_count_salted": _q_distinct_count_salted,
         "stratified_sample": _q_stratified_sample,
@@ -1675,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT order_status, arg_max(w, order_date) AS t1m_revenue
             FROM win GROUP BY 1
+        """,
+        "incremental_refresh": f"""
+            SELECT order_year, order_month,
+                   round(sum(total_price), 4) AS total_revenue
+            FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "salted_join_agg": """
             SELECT c.c_mktsegment AS market_segment,

@@ -211,6 +211,75 @@ def main() -> None:
         ).collect(),
     )
 
+    # skew evidence (VERDICT r1 task 7): hot-key join — ~80% of lineitem
+    # rows collapse onto ONE key. Broadcast is disabled (the salted op
+    # targets build sides too big to broadcast); AQE off isolates the raw
+    # shuffle behavior, AQE on records Spark's runtime skew-splitter on
+    # the same plan. On a single 32-thread JVM the hot task's sort is
+    # ~0.1s — under the scheduling floor — so wall-clock is flat HERE;
+    # the scale-invariant evidence is skew_max_task_rows_*: the largest
+    # per-task row count each plan ships, which is what determines the
+    # straggler at cluster scale (salting divides it by salt_buckets).
+    from dbt_databricks_metrics_spark.operators.salted import salted_join, with_salt
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    skew_fact = li.select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(1000)) < 800, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+        .cast("long")
+        .alias("skew_key"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    skew_dim = spark.range(1000).select(
+        F.col("id").alias("skew_key"), (F.col("id") * 7).alias("dim_val")
+    )
+
+    def _skew_agg(joined):
+        return (
+            joined.groupBy("skew_key")
+            .agg(F.sum("l_extendedprice").alias("rev"), F.sum("dim_val").alias("dv"))
+            .count()
+        )
+
+    def plain_skew():
+        return _skew_agg(skew_fact.join(skew_dim, "skew_key"))
+
+    def salted_skew():
+        return _skew_agg(
+            salted_join(
+                skew_fact, skew_dim, on="skew_key", salt_buckets=32,
+                how="inner", fact_id_cols=["l_orderkey"],
+            )
+        )
+
+    _saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed("ext_skew_join_plain_aqe", plain_skew, warm=True)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        timed("ext_skew_join_plain_noaqe", plain_skew, warm=True)
+        timed("ext_skew_join_salted_noaqe", salted_skew, warm=True)
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
+
+    # the largest single-task row count each join plan produces (exact:
+    # rows per join key, resp. per (key, salt))
+    skew_max_plain = (
+        skew_fact.groupBy("skew_key").count().agg(F.max("count")).first()[0]
+    )
+    skew_max_salted = (
+        with_salt(skew_fact, 32, ["l_orderkey"])
+        .groupBy("skew_key", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+
     # scale-invariant routing evidence: rows scanned by each plan (at sf0.1
     # both queries are scheduling-bound ~0.2s; the scan ratio is what
     # predicts the 10-100x at warehouse scale, README.md:424-429)
@@ -232,6 +301,14 @@ def main() -> None:
                 ),
                 "routed_rows_scanned": routed_rows,
                 "live_rows_scanned": live_rows,
+                "skew_salted_speedup_noaqe": round(
+                    timings["ext_skew_join_plain_noaqe"]
+                    / max(timings["ext_skew_join_salted_noaqe"], 1e-9),
+                    2,
+                ),
+                "skew_max_task_rows_plain": skew_max_plain,
+                "skew_max_task_rows_salted": skew_max_salted,
+                "skew_balance_factor": round(skew_max_plain / max(skew_max_salted, 1), 1),
             }
         )
     )
