@@ -108,3 +108,22 @@ def test_ivf_assign_total(emb):
     assign = similarity.ivf_assign(emb, cents)
     assert assign.count() == emb.count()
     assert assign.select("vec_id").distinct().count() == emb.count()
+
+
+def test_no_unpartitioned_window_in_ext_plans(emb):
+    """Scale gate: no ext similarity plan may funnel the corpus through a
+    single task — centroid selection must be TakeOrderedAndProject (per-
+    partition heaps), never an unpartitioned Window (which plans as an
+    Exchange SinglePartition + global sort)."""
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cent_plan = plan_of(similarity.ivf_centroids(emb, n_cells=8))
+    assert "TakeOrderedAndProject" in cent_plan, cent_plan[:1500]
+    for df in (
+        similarity.ivf_centroids(emb, n_cells=8),
+        similarity.topk_similar(emb, [0.0] * DIM, k=5),
+        similarity.srp_similar_pairs(emb, DIM, threshold=0.9),
+    ):
+        p = plan_of(df)
+        assert "Exchange SinglePartition" not in p, p[:1500]
