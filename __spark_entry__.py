@@ -817,6 +817,52 @@ def _q_user_activity(spark, sf_dir):
     return _round_cols(df, ["total_value", "avg_value"])
 
 
+def _q_asof_join(spark, sf_dir):
+    # as-of join (union+window recipe, ONE shuffle on the by-keys): every
+    # click stamped with the user's most recent purchase at-or-before it.
+    # Oracle: DuckDB's native ASOF LEFT JOIN.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators.asof import asof_join
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts", "ts_r", "value_r"
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    # bucketized point-in-interval join: every event matched to the
+    # session interval containing it (sessions partition each user's
+    # timeline, so rows == events). Oracle: DuckDB inequality join on the
+    # same session bounds.
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.operators.asof import interval_join
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = sessionize.session_stats(ev).select(
+        "user_id", "session_start", "session_end"
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    return interval_join(
+        pts,
+        bounds,
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=["user_id"],
+        bucket_seconds=3600,
+    ).select("event_id", "user_id", "session_start", "session_end")
+
+
 def _q_incremental_refresh(spark, sf_dir):
     # The reference's "incremental whenever possible" refresh
     # (README.md:118) made driver-testable: rebuild the monthly rollup
@@ -1215,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "salted_join_agg": _q_salted_join_agg,
         "distinct_count_salted": _q_distinct_count_salted,
         "stratified_sample": _q_stratified_sample,
@@ -1721,6 +1769,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT order_year, order_month,
                    round(sum(total_price), 4) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH c AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS ts_r, p.value AS value_r
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": _SESSION_CTE
+        + """
+            , bounds AS (
+                SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT ev.event_id, ev.user_id,
+                   b.s AS session_start, b.e AS session_end
+            FROM events ev JOIN bounds b
+              ON ev.user_id = b.user_id AND ev.ts BETWEEN b.s AND b.e
         """,
         "salted_join_agg": """
             SELECT c.c_mktsegment AS market_segment,

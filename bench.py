@@ -202,6 +202,21 @@ def main() -> None:
             docs, "lang", {"en": 0.5, "fr": 0.3}, default=0.1
         ).count(),
     )
+    from dbt_databricks_metrics_spark.operators.asof import asof_join
+
+    timed(
+        "ext_asof_join",
+        lambda: asof_join(
+            events.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "value"
+            ),
+            on="ts",
+            by=["user_id"],
+        ).count(),
+    )
     timed(
         "ext_topk_similar",
         lambda: __import__(

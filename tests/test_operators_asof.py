@@ -1,0 +1,174 @@
+"""As-of join + interval join vs DuckDB's native ASOF / inequality joins.
+
+The union+window asof recipe and the bucketized interval join must agree
+with the reference semantics exactly (backward/forward, inclusive bounds,
+tolerance null-out, left-join survival of unmatched rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import sessionize
+from dbt_databricks_metrics_spark.operators.asof import asof_join, interval_join
+from dbt_databricks_metrics_spark.sources import load_table
+
+from .conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def clicks(events):
+    return events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+@pytest.fixture(scope="module")
+def purchases(events):
+    return events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+
+_CLICKS = "SELECT event_id, user_id, ts, value FROM events WHERE event_type='click'"
+_PURCH = "SELECT user_id, ts, value FROM events WHERE event_type='purchase'"
+
+
+def test_backward_asof_matches_duckdb(clicks, purchases, duck):
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts", "ts_r", "value_r"
+    )
+    assert_df_matches_oracle(
+        out,
+        duck,
+        f"""
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS ts_r, p.value AS value_r
+        FROM ({_CLICKS}) c ASOF LEFT JOIN ({_PURCH}) p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+    )
+
+
+def test_forward_asof_matches_duckdb(clicks, purchases, duck):
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], direction="forward"
+    ).select("event_id", "ts_r")
+    assert_df_matches_oracle(
+        out,
+        duck,
+        f"""
+        SELECT c.event_id, min(p.ts) AS ts_r
+        FROM ({_CLICKS}) c LEFT JOIN ({_PURCH}) p
+          ON c.user_id = p.user_id AND p.ts >= c.ts
+        GROUP BY 1
+        """,
+    )
+
+
+def test_tolerance_nulls_out_stale_matches(clicks, purchases, duck):
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], tolerance_seconds=3600
+    ).select("event_id", "ts_r")
+    assert_df_matches_oracle(
+        out,
+        duck,
+        f"""
+        SELECT c.event_id,
+               CASE WHEN c.ts - p.ts <= INTERVAL 3600 SECOND THEN p.ts END AS ts_r
+        FROM ({_CLICKS}) c ASOF LEFT JOIN ({_PURCH}) p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+    )
+
+
+def test_asof_left_rows_all_survive(clicks, purchases):
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    assert out.count() == clicks.count()
+
+
+def test_asof_inclusive_tie(spark):
+    # a right row at exactly the left timestamp matches (backward inclusive)
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-01 09:00:00", 3.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert len(out) == 1 and out[0]["v_r"] == 5.0
+
+
+def test_interval_join_assigns_every_event_to_its_session(events, duck):
+    bounds = sessionize.session_stats(events).select(
+        "user_id", "session_start", "session_end"
+    )
+    pts = events.select("event_id", "user_id", "ts")
+    out = interval_join(
+        pts,
+        bounds,
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=["user_id"],
+        bucket_seconds=3600,
+    )
+    # sessions partition each user's timeline → every event in exactly one
+    assert out.count() == events.count()
+    assert_df_matches_oracle(
+        out.select("event_id", "session_start", "session_end"),
+        duck,
+        """
+        WITH ordered AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM ordered
+        ),
+        bounds AS (
+            SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT ev.event_id, b.s AS session_start, b.e AS session_end
+        FROM events ev JOIN bounds b
+          ON ev.user_id = b.user_id AND ev.ts BETWEEN b.s AND b.e
+        """,
+    )
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    pts = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-06-01 10:00:00")],
+        "event_id long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "a")],
+        "k long, s string, e string, label string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = interval_join(
+        pts, iv, point_ts="ts", start_col="s", end_col="e", by=["k"], how="left"
+    )
+    got = {r["event_id"]: r["label"] for r in out.collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_asof_single_shuffle_plan(clicks, purchases):
+    # the union+window recipe must cost exactly one exchange (the `by`
+    # hash partitioning) — no join, no broadcast, no second shuffle
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
