@@ -35,9 +35,13 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
-    """Count of profile-word occurrences (word-bounded, case-insensitive)."""
+    """Count of profile-word occurrences (word-bounded, case-insensitive).
+
+    regexp_count, not size(regexp_extract_all): identical count, but no
+    per-row array of match strings is materialized — at scan scale the
+    allocation, not the DFA, is the cost."""
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 1))
+    return F.regexp_count(F.lower(text), F.lit(pattern))
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -52,7 +56,8 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "bpe_piece_count",
-            F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_REGEX), 0)),
+            # count-only (no match-array materialization; see _stopword_hits)
+            F.regexp_count(t, F.lit(BPE_PIECE_REGEX)),
         )
     )
 
