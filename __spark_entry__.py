@@ -691,6 +691,20 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    # passage-level overlap via winnowing (Schleimer et al. 2003): local
+    # k-gram fingerprints, window-min selection, shared-fingerprint join.
+    # hash_fn="md5" so the DuckDB oracle reproduces the fingerprints
+    # bit-for-bit (production default is xxhash64).
+    from dbt_databricks_metrics_spark.ext import winnow
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow.winnow_overlap_pairs(
+        docs, k=8, w=4, min_shared=2, max_df=50, hash_fn="md5"
+    )
+
+
 def _q_embedding_dup_pairs(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import dedup
     from dbt_databricks_metrics_spark.sources import load_table
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "contamination_pairs": _q_contamination_pairs,
+        "winnow_overlap_pairs": _q_winnow_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1615,6 +1630,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (ngram)
             GROUP BY 1, 2
+        """,
+        "winnow_overlap_pairs": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            h AS (
+                SELECT doc_id,
+                       [substr(md5(substr(t, i, 8)), 1, 16)
+                        for i in range(1, length(t) - 8 + 2)] AS hs
+                FROM n WHERE length(t) >= 8
+            ),
+            fp AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(hs) >= 4 THEN list_distinct(
+                                  [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)])
+                              ELSE [list_min(hs)] END) AS fingerprint
+                FROM h
+            ),
+            rare AS (
+                SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 50
+            ),
+            kept AS (SELECT fp.* FROM fp JOIN rare USING (fingerprint))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM kept a JOIN kept b USING (fingerprint)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
