@@ -21,12 +21,13 @@ by two documents contributes at least one SHARED fingerprint — detection
 is certain above the noise threshold, not probabilistic like LSH. The
 density is ~2/(w+1), so a document emits ~2·len/(w+1) fingerprints.
 
-Scale shape (100 TB posture): fingerprinting is map-only; the pair
-finding is ``explode → filter hot fingerprints → equi-join on the
-fingerprint → count per pair`` — identical shuffle geometry to the
-contamination join (`ext/contamination.py`), shuffling only (8-byte
-hash, doc_id) tuples, never text. ``max_df`` bounds the fan-out of
-boilerplate fingerprints exactly like contamination's hot-gram guard.
+Scale shape (100 TB posture): fingerprinting is map-only and computed
+exactly once; the pair finding is ``explode → groupBy fingerprint
+(collect ids, capped by max_df) → explode pairs → count per pair`` —
+two shuffles total, moving only (8-byte hash, doc_id) tuples, never
+text. ``max_df`` bounds the fan-out of boilerplate fingerprints exactly
+like contamination's hot-gram guard, so no group array exceeds max_df
+ids and the pair expansion is O(max_df²) per hot fingerprint at worst.
 
 Hashing: ``hash_fn="xxhash64"`` (default) is the production choice —
 one JVM hash per position. ``hash_fn="md5"`` keeps the first 16 hex
@@ -139,18 +140,20 @@ def winnow_overlap_pairs(
 
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
+    # Single pass over the corpus: fingerprint once, group ids per
+    # fingerprint (bounded by max_df, so each group array is tiny), and
+    # expand pairs with two explodes — no self-join, so the expensive
+    # per-position hashing is computed exactly once and the plan has two
+    # shuffles total (by fingerprint, then by pair).
     fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
-    rare = (
+    groups = (
         fps.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("fingerprint")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_df))
     )
-    kept = fps.join(rare, "fingerprint", "inner")
-    a = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
-    b = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
     return (
-        a.join(b, "fingerprint", "inner")
+        groups.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
