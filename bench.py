@@ -192,6 +192,12 @@ def main() -> None:
             hash_ngrams=True,
         ).count(),
     )
+    from dbt_databricks_metrics_spark.ext import winnow as ext_winnow
+
+    timed(
+        "ext_winnow_pairs",
+        lambda: ext_winnow.winnow_overlap_pairs(docs, k=8, w=4, min_shared=2).count(),
+    )
     timed(
         "ext_pack_bins",
         lambda: ext_pack.bin_stats(docs, 2048).count(),
@@ -217,6 +223,21 @@ def main() -> None:
             by=["user_id"],
         ).count(),
     )
+    from dbt_databricks_metrics_spark.operators.asof import interval_join
+
+    def _interval_bench():
+        # sessions as intervals (start..end per user), points = purchases
+        sess = ext_sessions.sessionize(events).groupBy(
+            F.col("user_id"), F.col("session_id")
+        ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        pts = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        return interval_join(
+            pts, sess, point_ts="ts", by=["user_id"], bucket_seconds=3600
+        ).count()
+
+    timed("ext_interval_join", _interval_bench)
     timed(
         "ext_topk_similar",
         lambda: __import__(

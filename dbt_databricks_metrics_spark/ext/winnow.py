@@ -80,12 +80,19 @@ def winnow_fingerprint_col(
             F.sequence(F.lit(1), n_grams),
             lambda i: _gram_hash(t.substr(i, F.lit(k)), hash_fn),
         )
+        # per-window min via least(element_at...) — w is small, and this
+        # avoids allocating a slice array per position (measured ~2x on
+        # the sf0.1 corpus vs array_min(slice(...)))
         windowed = _bind_once(
             hashes,
             lambda hs: F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
-                    lambda j: F.array_min(F.slice(hs, j, w)),
+                    lambda j: F.least(
+                        *[F.element_at(hs, (j + F.lit(i)).cast("int")) for i in range(w)]
+                    )
+                    if w > 1
+                    else F.element_at(hs, j.cast("int")),
                 )
             ),
         )
