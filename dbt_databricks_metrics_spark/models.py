@@ -222,7 +222,17 @@ class Runner:
                     f"model {model.name!r} is table-materialized but no warehouse_dir set"
                 )
             path = os.path.join(self.warehouse_dir, model.name)
-            writer = df.write.mode("overwrite")
+            out = df
+            if model.partition_by and not model.bucket_by:
+                # AQE REBALANCE on the partition keys before a partitioned
+                # write: without it every task opens a writer per partition
+                # value (small-files explosion at cluster scale — 1000
+                # tasks × K values = 1000K files); with it each partition
+                # value lands in few tasks, and AQE still SPLITS a skewed
+                # value across tasks (unlike a plain repartition, which
+                # would bottleneck a hot partition on one task).
+                out = df.hint("rebalance", *model.partition_by)
+            writer = out.write.mode("overwrite")
             if model.partition_by:
                 writer = writer.partitionBy(*model.partition_by)
             if model.bucket_by:

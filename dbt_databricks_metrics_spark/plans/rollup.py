@@ -218,9 +218,15 @@ class RollupManager:
         )
         rollup_specs = spec.materialization.materialized_views
         aggregated = [r for r in rollup_specs if r.type == "aggregated"]
-        cache = len(aggregated) > 1 or (
+        # the source has at most TWO consumers: the baseline snapshot write
+        # and ONE aggregation pass (grouping sets batches every grain into a
+        # single job; a lone rollup is likewise one job). Cache only when
+        # both exist — caching for a single consumer just pays the
+        # materialization cost with no reuse.
+        writes_baseline = (
             any(r.type == "unaggregated" for r in rollup_specs) and not redundant_baseline
         )
+        cache = writes_baseline and bool(aggregated)
         if cache:
             src = src.cache()
         try:
