@@ -691,6 +691,23 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_lm_doc_scores(spark, sf_dir):
+    # CCNet-style corpus-LM quality signal: self-trained smoothed bigram
+    # model, per-doc mean log-probability. avg_logp rounded in query AND
+    # oracle (float summation-order hash stability, VERDICT r1 pattern).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import lm
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.lm_doc_scores(docs).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("avg_logp"), 4).alias("avg_logp_r"),
+    )
+
+
 def _q_winnow_pairs(spark, sf_dir):
     # passage-level overlap via winnowing (Schleimer et al. 2003): local
     # k-gram fingerprints, window-min selection, shared-fingerprint join.
@@ -1262,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "contamination_pairs": _q_contamination_pairs,
         "winnow_overlap_pairs": _q_winnow_pairs,
+        "lm_doc_scores": _q_lm_doc_scores,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1630,6 +1648,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (ngram)
             GROUP BY 1, 2
+        """,
+        "lm_doc_scores": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            bigr AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                          ELSE [] END AS bigrams
+              FROM tokd
+            ),
+            events AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bigr),
+            model AS (SELECT bigram, count(*) AS c_big FROM events GROUP BY 1),
+            ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_big) AS c_ctx
+                    FROM model GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(toks) AS tok FROM tokd)),
+            scored AS (
+              SELECT e.doc_id,
+                     ln((coalesce(m.c_big, 0) + 0.5)
+                        / (coalesce(x.c_ctx, 0) + 0.5 * v.v)) AS logp
+              FROM events e
+              LEFT JOIN model m USING (bigram)
+              LEFT JOIN ctx x ON split_part(e.bigram, ' ', 1) = x.w1
+              CROSS JOIN v
+            )
+            SELECT t.doc_id,
+                   count(s.logp) AS n_bigrams,
+                   round(avg(s.logp), 4) AS avg_logp_r
+            FROM tokd t LEFT JOIN scored s USING (doc_id)
+            GROUP BY 1
         """,
         "winnow_overlap_pairs": r"""
             WITH n AS (

@@ -198,6 +198,12 @@ def main() -> None:
         "ext_winnow_pairs",
         lambda: ext_winnow.winnow_overlap_pairs(docs, k=8, w=4, min_shared=2).count(),
     )
+    from dbt_databricks_metrics_spark.ext import lm as ext_lm
+
+    timed(
+        "ext_lm_scores",
+        lambda: ext_lm.lm_doc_scores(docs).agg(F.avg("avg_logp")).collect(),
+    )
     timed(
         "ext_pack_bins",
         lambda: ext_pack.bin_stats(docs, 2048).count(),

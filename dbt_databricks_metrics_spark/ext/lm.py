@@ -1,0 +1,143 @@
+"""Corpus n-gram language-model scoring ([EXT]) — the CCNet-style
+perplexity filter, without an external model.
+
+Training-data pipelines rank documents by how "natural" their text is
+under a language model; CCNet (Wenzek et al. 2020, public) popularized
+LM-perplexity buckets (head/middle/tail) for CommonCrawl curation. A
+full KenLM is out of scope for a SQL engine, but a corpus-trained
+bigram model captures the same signal (boilerplate/gibberish scores far
+from the corpus mode) and is exactly expressible in relational algebra
+— so it scales on Spark AND has a bit-faithful DuckDB oracle.
+
+Model: add-alpha-smoothed bigram LM over whitespace tokens of the
+normalized text (same tokenization as ``vocab_topk``/``dedup``):
+
+    P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V)
+
+with V = distinct-token vocabulary size and c(w1 ·) summed over
+TRAINED bigram events (so the conditional sums to 1 over the event
+space). A document's score is the mean natural-log probability of its
+bigrams; ``ppl = exp(-avg_logp)`` is the familiar perplexity form.
+
+Scale shape (100 TB posture):
+* training is ``explode bigrams → groupBy bigram count`` — one shuffle
+  of (two short tokens, count); partial aggregation (map-side combine)
+  collapses repeats before the exchange;
+* scoring is ``explode bigrams → equi-join counts → per-doc avg`` —
+  shuffle keys are bigrams and doc ids, never full text. The bigram
+  table is corpus-sized-vocabulary, NOT corpus-sized; for web-scale
+  corpora it stays orders of magnitude smaller than the input and the
+  join is a plain shuffle-hash join (or broadcast, if the model was
+  trained on a sample — pass a pre-filtered ``min_count`` model).
+* ``min_count`` prunes hapax bigrams from the model (classic LM
+  practice) which bounds the model table and removes the long tail of
+  single-occurrence keys.
+
+Documents with fewer than 2 tokens have no bigram events; they surface
+with ``n_bigrams = 0`` and NULL score (callers decide their fate —
+documents never silently disappear, per the chunking contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _bind_once, _norm_col
+
+
+def _token_col(text_col: str) -> Column:
+    """Whitespace tokens of the normalized text; empty/NULL → empty array."""
+    return F.filter(
+        F.split(F.coalesce(_norm_col(text_col), F.lit("")), " "),
+        lambda tok: F.length(tok) > 0,
+    )
+
+
+def _bigram_col(text_col: str) -> Column:
+    """Array of "w1 w2" bigram strings (order-preserving, with repeats)."""
+    return _bind_once(
+        _token_col(text_col),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i.cast("int")),
+                    F.element_at(toks, (i + F.lit(1)).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Bigram event counts over the corpus: (w1, w2, c).
+
+    ``min_count`` drops rare bigrams from the model (they fall back to
+    the smoothing mass at scoring time), bounding the model table.
+    """
+    grams = df.select(F.explode(_bigram_col(text_col)).alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
+    return counts.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c",
+    )
+
+
+def lm_doc_scores(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean log-probability under the bigram LM.
+
+    With ``lm=None`` the model is trained on *df* itself (self-scoring:
+    outlier docs — templated spam, wrong-language, gibberish — land in
+    the distribution tails; CCNet's bucketing move). Returns
+    ``(id, n_bigrams, avg_logp, ppl)``.
+    """
+    if lm is None:
+        lm = train_bigram_lm(df, text_col)
+    # context totals and vocabulary size over the TRAINED event space
+    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
+    vocab_n = (
+        df.select(F.explode(_token_col(text_col)).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+
+    events = df.select(
+        F.col(id_col), F.explode_outer(_bigram_col(text_col)).alias("bigram")
+    ).select(
+        id_col,
+        "bigram",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    joined = (
+        events.join(
+            lm.withColumnRenamed("c", "c_big"), ["w1", "w2"], "left"
+        )
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab_n))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    per_event = joined.select(
+        id_col, F.when(F.col("bigram").isNotNull(), logp).alias("_logp")
+    )
+    return per_event.groupBy(id_col).agg(
+        F.count("_logp").alias("n_bigrams"),
+        F.avg("_logp").alias("avg_logp"),
+        F.exp(-F.avg("_logp")).alias("ppl"),
+    )
