@@ -691,6 +691,18 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_kmeans_clusters(spark, sf_dir):
+    # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
+    # deterministic multiplicative-hash init + 6-decimal rounded decision
+    # arithmetic make the run reproducible across engines, so the oracle
+    # is the SAME algorithm unrolled in DuckDB SQL.
+    from dbt_databricks_metrics_spark.ext import kmeans
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.kmeans_cluster_stats(emb, n_clusters=4, n_iter=1)
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     # CCNet-style corpus-LM quality signal: self-trained smoothed bigram
     # model, per-doc mean log-probability. avg_logp rounded in query AND
@@ -1280,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": _q_contamination_pairs,
         "winnow_overlap_pairs": _q_winnow_pairs,
         "lm_doc_scores": _q_lm_doc_scores,
+        "kmeans_clusters": _q_kmeans_clusters,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1648,6 +1661,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (ngram)
             GROUP BY 1, 2
+        """,
+        "kmeans_clusters": """
+            WITH init AS (
+              SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+              FROM embeddings
+              ORDER BY (vec_id % 1000000 * (2654435761 % 1000000)) % 1000000, vec_id
+              LIMIT 4
+            ),
+            a0 AS (
+              SELECT vec_id, cluster_id FROM (
+                SELECT e.vec_id, i.cluster_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), i.centroid), 6) DESC,
+                                  i.cluster_id) AS rk
+                FROM embeddings e CROSS JOIN init i)
+              WHERE rk = 1
+            ),
+            dims AS (
+              SELECT a0.cluster_id, i AS dim,
+                     round(avg(CAST(e.embedding AS DOUBLE[])[i]), 6) AS m
+              FROM embeddings e
+              JOIN a0 USING (vec_id)
+              CROSS JOIN generate_series(1, 64) AS t(i)
+              GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM dims GROUP BY 1
+            ),
+            a1 AS (
+              SELECT vec_id, cluster_id, cos FROM (
+                SELECT e.vec_id, c.cluster_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 6) AS cos,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 6) DESC,
+                                  c.cluster_id) AS rk
+                FROM embeddings e CROSS JOIN c1 c)
+              WHERE rk = 1
+            )
+            SELECT cluster_id, count(*) AS n_members,
+                   round(avg(cos), 4) AS avg_cosine
+            FROM a1 GROUP BY 1
         """,
         "lm_doc_scores": r"""
             WITH tokd AS (

@@ -204,6 +204,12 @@ def main() -> None:
         "ext_lm_scores",
         lambda: ext_lm.lm_doc_scores(docs).agg(F.avg("avg_logp")).collect(),
     )
+    from dbt_databricks_metrics_spark.ext import kmeans as ext_kmeans
+
+    timed(
+        "ext_kmeans",
+        lambda: ext_kmeans.kmeans_cluster_stats(emb, n_clusters=8, n_iter=2).collect(),
+    )
     timed(
         "ext_pack_bins",
         lambda: ext_pack.bin_stats(docs, 2048).count(),
