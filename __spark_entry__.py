@@ -703,6 +703,26 @@ def _q_kmeans_clusters(spark, sf_dir):
     return kmeans.kmeans_cluster_stats(emb, n_clusters=4, n_iter=1)
 
 
+def _q_semantic_dup_pairs(spark, sf_dir):
+    # SemDeDup: within-k-means-cluster cosine pairs (k=4, 1 Lloyd round,
+    # τ=0.95). The fixture embeddings are near-orthogonal (zero natural
+    # pairs at any useful τ), so the contract unions exact copies of the
+    # first 20 vectors (vec_id+10000) — identical vectors MUST co-cluster
+    # and surface as cosine=1.0 pairs. Oracle = the same union + the
+    # deterministic clustering unrolled in SQL + the cluster-scoped join.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import semdedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.unionByName(copies)
+    return semdedup.semantic_dup_pairs(allv, n_clusters=4, n_iter=1, threshold=0.95)
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     # CCNet-style corpus-LM quality signal: self-trained smoothed bigram
     # model, per-doc mean log-probability. avg_logp rounded in query AND
@@ -1293,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": _q_winnow_pairs,
         "lm_doc_scores": _q_lm_doc_scores,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dup_pairs": _q_semantic_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1704,6 +1725,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, count(*) AS n_members,
                    round(avg(cos), 4) AS avg_cosine
             FROM a1 GROUP BY 1
+        """,
+        "semantic_dup_pairs": """
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+            ),
+            init AS (
+              SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+              FROM allv
+              ORDER BY (vec_id % 1000000 * (2654435761 % 1000000)) % 1000000, vec_id
+              LIMIT 4
+            ),
+            a0 AS (
+              SELECT vec_id, cluster_id FROM (
+                SELECT e.vec_id, i.cluster_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), i.centroid), 6) DESC,
+                                  i.cluster_id) AS rk
+                FROM allv e CROSS JOIN init i)
+              WHERE rk = 1
+            ),
+            dims AS (
+              SELECT a0.cluster_id, i AS dim,
+                     round(avg(CAST(e.embedding AS DOUBLE[])[i]), 6) AS m
+              FROM allv e
+              JOIN a0 USING (vec_id)
+              CROSS JOIN generate_series(1, 64) AS t(i)
+              GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM dims GROUP BY 1
+            ),
+            a1 AS (
+              SELECT vec_id, cluster_id FROM (
+                SELECT e.vec_id, c.cluster_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 6) DESC,
+                                  c.cluster_id) AS rk
+                FROM allv e CROSS JOIN c1 c)
+              WHERE rk = 1
+            )
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                                CAST(ey.embedding AS DOUBLE[])), 6) AS cosine,
+                   x.cluster_id
+            FROM a1 x
+            JOIN a1 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+            JOIN allv ex ON ex.vec_id = x.vec_id
+            JOIN allv ey ON ey.vec_id = y.vec_id
+            WHERE round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                               CAST(ey.embedding AS DOUBLE[])), 6) >= 0.95
         """,
         "lm_doc_scores": r"""
             WITH tokd AS (
