@@ -740,6 +740,16 @@ def _q_lm_doc_scores(spark, sf_dir):
     )
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    # CCNet head/middle/tail: tercile bucketing of the corpus-LM score via
+    # ONE exact-percentile aggregate + broadcast CASE (no global sort).
+    from dbt_databricks_metrics_spark.ext import lm
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.ppl_buckets(lm.lm_doc_scores(docs), n_buckets=3)
+
+
 def _q_winnow_pairs(spark, sf_dir):
     # passage-level overlap via winnowing (Schleimer et al. 2003): local
     # k-gram fingerprints, window-min selection, shared-fingerprint join.
@@ -1314,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
+        "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
@@ -1815,6 +1826,51 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(s.logp), 4) AS avg_logp_r
             FROM tokd t LEFT JOIN scored s USING (doc_id)
             GROUP BY 1
+        """,
+        "ppl_buckets": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            bigr AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                          ELSE [] END AS bigrams
+              FROM tokd
+            ),
+            events AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bigr),
+            model AS (SELECT bigram, count(*) AS c_big FROM events GROUP BY 1),
+            ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_big) AS c_ctx
+                    FROM model GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(toks) AS tok FROM tokd)),
+            scored AS (
+              SELECT e.doc_id,
+                     ln((coalesce(m.c_big, 0) + 0.5)
+                        / (coalesce(x.c_ctx, 0) + 0.5 * v.v)) AS logp
+              FROM events e
+              LEFT JOIN model m USING (bigram)
+              LEFT JOIN ctx x ON split_part(e.bigram, ' ', 1) = x.w1
+              CROSS JOIN v
+            ),
+            per_doc AS (
+              SELECT t.doc_id, round(avg(s.logp), 4) AS score
+              FROM tokd t LEFT JOIN scored s USING (doc_id)
+              GROUP BY 1
+            ),
+            cuts AS (
+              SELECT round(quantile_cont(score, 2.0/3.0), 6) AS c1,
+                     round(quantile_cont(score, 1.0/3.0), 6) AS c2
+              FROM per_doc WHERE score IS NOT NULL
+            )
+            SELECT doc_id, score,
+                   CASE WHEN score IS NULL THEN NULL
+                        ELSE 1 + (score < c1)::INT + (score < c2)::INT END AS bucket
+            FROM per_doc CROSS JOIN cuts
         """,
         "winnow_overlap_pairs": r"""
             WITH n AS (

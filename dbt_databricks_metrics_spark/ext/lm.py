@@ -141,3 +141,43 @@ def lm_doc_scores(
         F.avg("_logp").alias("avg_logp"),
         F.exp(-F.avg("_logp")).alias("ppl"),
     )
+
+
+def ppl_buckets(
+    scores: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail move: bucket documents by LM score
+    quantile (bucket 1 = highest avg_logp = most in-distribution).
+
+    Scale shape: the cutoffs are ONE exact-percentile aggregate (a
+    reduction, not a global sort — no ntile/unpartitioned window), then
+    a broadcast 1-row join + CASE. Scores are rounded to 4 decimals
+    before the quantile and the cutoffs to 6, so the bucket boundaries
+    are engine-reproducible (DuckDB ``quantile_cont`` interpolates the
+    same order statistics). Unscorable docs (NULL score) keep bucket
+    NULL — they need a length filter, not a quality bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"need n_buckets >= 2, got {n_buckets}")
+    s = F.round(F.col(score_col), 4)
+    scored = scores.select(F.col(id_col), s.alias("_s"))
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.filter(F.col("_s").isNotNull()).agg(
+        *[
+            F.round(F.expr(f"percentile(_s, {1 - p!r})"), 6).alias(f"_c{i}")
+            for i, p in enumerate(ps, start=1)
+        ]
+    )
+    out = scored.crossJoin(F.broadcast(cuts))
+    # bucket = 1 + number of cutoffs the score falls strictly below
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + F.when(F.col("_s") < F.col(f"_c{i}"), 1).otherwise(0)
+    return out.select(
+        id_col,
+        F.col("_s").alias("score"),
+        F.when(F.col("_s").isNotNull(), bucket).alias("bucket"),
+    )
