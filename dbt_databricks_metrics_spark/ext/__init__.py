@@ -1,5 +1,25 @@
 """[EXT] operators: LLM training-data pipeline surface (SURVEY §0, north
-star) — dedup, similarity search, text analysis, sessionization,
+star) — dedup (exact/MinHash/SimHash/winnowing/SemDeDup), similarity
+search + k-means, text analysis + corpus-LM scoring, sessionization,
+contamination, sampling/packing/chunking, redaction, quantization,
 multimodal plumbing."""
 
-from . import dedup, multimodal, sessionize, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    chunking,
+    contamination,
+    dedup,
+    kmeans,
+    lm,
+    multimodal,
+    packing,
+    pipeline,
+    quantize,
+    redact,
+    sampling,
+    search,
+    semdedup,
+    sessionize,
+    similarity,
+    textstats,
+    winnow,
+)
