@@ -691,6 +691,25 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_pop_revenue(spark, sf_dir):
+    # period-over-period on the metric view: yearly revenue per segment
+    # with prior-year value, delta, and growth (lag over the aggregated
+    # result — no second source scan). Floats rounded in query + oracle.
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_order_metrics")
+    pop = mv.query_pop(["market_segment"], ["total_revenue"], order_dim="order_year")
+    return pop.select(
+        "market_segment",
+        "order_year",
+        F.round("total_revenue", 4).alias("revenue"),
+        F.round("total_revenue_prev", 4).alias("revenue_prev"),
+        F.round("total_revenue_delta", 4).alias("revenue_delta"),
+        F.round("total_revenue_pct", 6).alias("revenue_pct"),
+    )
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
     # deterministic multiplicative-hash init + 6-decimal rounded decision
@@ -1323,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": _q_winnow_pairs,
         "lm_doc_scores": _q_lm_doc_scores,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pop_revenue": _q_pop_revenue,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1693,6 +1713,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (ngram)
             GROUP BY 1, 2
+        """,
+        "pop_revenue": f"""
+            WITH agg AS (
+              SELECT market_segment, order_year, sum(total_price) AS rev
+              FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+            ),
+            lagd AS (
+              SELECT market_segment, order_year, rev,
+                     lag(rev) OVER (PARTITION BY market_segment ORDER BY order_year) AS prev
+              FROM agg
+            )
+            SELECT market_segment, order_year,
+                   round(rev, 4) AS revenue,
+                   round(prev, 4) AS revenue_prev,
+                   round(rev - prev, 4) AS revenue_delta,
+                   round((rev - prev) / nullif(prev, 0), 6) AS revenue_pct
+            FROM lagd
         """,
         "kmeans_clusters": """
             WITH init AS (
