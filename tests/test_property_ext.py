@@ -1,0 +1,111 @@
+"""Property-based checks (hypothesis) for the ext operators whose
+guarantees are stated as theorems:
+
+* winnowing — ANY two texts sharing a substring of length ≥ w+k-1
+  produce a shared fingerprint (the paper's detection guarantee);
+* as-of join — equivalent to DuckDB's native ASOF JOIN on random
+  event/quote tables (timestamps with duplicates and misses);
+* deterministic sampling — partition-layout invariance on random data.
+
+One Spark round-trip per example is too slow for hypothesis's default
+profile, so each property generates a BATCH of random cases, runs them
+through ONE DataFrame, and checks all rows — same coverage, 100× fewer
+jobs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import sampling, winnow
+from dbt_databricks_metrics_spark.operators.asof import asof_join
+
+K, W = 5, 3
+GUARANTEE = W + K - 1  # 7 chars
+
+_words = st.text(alphabet="abcdefgh ", min_size=0, max_size=30)
+_passage = st.text(alphabet="xyzuvw", min_size=GUARANTEE, max_size=15)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(_words, _passage, _words), min_size=1, max_size=8
+    )
+)
+def test_winnow_guarantee_property(spark, cases):
+    """doc pairs (2i, 2i+1) share passage i (≥ w+k-1 chars of a disjoint
+    alphabet) — every pair MUST surface with ≥1 shared fingerprint."""
+    rows = []
+    for i, (pre, passage, post) in enumerate(cases):
+        rows.append((2 * i, f"{pre} {passage} {post}"))
+        rows.append((2 * i + 1, f"{post} {passage} {pre}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow.winnow_overlap_pairs(
+            df, k=K, w=W, min_shared=1, max_df=len(rows)
+        ).collect()
+    }
+    for i in range(len(cases)):
+        assert (2 * i, 2 * i + 1) in pairs, f"pair {i} missed: {cases[i]}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # events: (user, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=40
+    ),
+    st.lists(  # quotes: (user, ts, value)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_matches_duckdb_property(spark, events, quotes):
+    """asof_join(backward) ≡ DuckDB ASOF JOIN on random tables.
+
+    Quote timestamps are deduped per user (both engines break exact-ts
+    ties differently by payload; the operator documents that contract)."""
+    events = list({(u, t) for u, t in events})
+    quotes = list({(u, t): v for (u, t, v) in quotes}.items())
+    qrows = [(u, t, v) for (u, t), v in quotes]
+    le = spark.createDataFrame(events, "user_id long, ts long")
+    rq = spark.createDataFrame(qrows, "user_id long, ts long, value long")
+    got = {
+        (r["user_id"], r["ts"]): (r["ts_r"], r["value_r"])
+        for r in asof_join(le, rq, on="ts", by=["user_id"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(user_id BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE q(user_id BIGINT, ts BIGINT, value BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", events or [(None, None)])
+    if events:
+        con.executemany("INSERT INTO q VALUES (?, ?, ?)", qrows)
+    want = {
+        (u, t): (qt, qv)
+        for u, t, qt, qv in con.execute(
+            """
+            SELECT e.user_id, e.ts, q.ts, q.value
+            FROM e ASOF LEFT JOIN q
+              ON e.user_id = q.user_id AND e.ts >= q.ts
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=50, unique=True))
+def test_sampling_partition_invariance_property(spark, keys):
+    """The selected id-set is identical under any partition layout."""
+    df1 = spark.createDataFrame([(k,) for k in keys], "doc_id long").repartition(1)
+    df7 = spark.createDataFrame([(k,) for k in keys], "doc_id long").repartition(7)
+    pick = lambda df: {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(df, 0.4, key_col="doc_id").collect()
+    }
+    assert pick(df1) == pick(df7)
