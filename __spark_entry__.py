@@ -691,6 +691,16 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_bm25_search(spark, sf_dir):
+    # full BM25 (tf saturation + length normalization); one stats
+    # aggregate folds N/avgdl/df into the map-only scoring scan.
+    from dbt_databricks_metrics_spark.ext.search import bm25_search
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, "spark filter window", k=15)
+
+
 def _q_pop_revenue(spark, sf_dir):
     # period-over-period on the metric view: yearly revenue per segment
     # with prior-year value, delta, and growth (lag over the aggregated
@@ -1343,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "kmeans_clusters": _q_kmeans_clusters,
         "pop_revenue": _q_pop_revenue,
+        "bm25_search": _q_bm25_search,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2292,6 +2303,41 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
             GROUP BY 1, 2
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+'), x -> length(x) > 0) AS t
+                FROM documents
+            ),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(len(t)) FROM toks) AS avgdl,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'spark')) AS df1,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'filter')) AS df2,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'window')) AS df3
+            ),
+            scored AS (
+                SELECT doc_id,
+                       len(list_filter(t, x -> x = 'spark')) AS tf1,
+                       len(list_filter(t, x -> x = 'filter')) AS tf2,
+                       len(list_filter(t, x -> x = 'window')) AS tf3,
+                       1.2 * (0.25 + 0.75 * len(t) / avgdl) AS norm,
+                       n, df1, df2, df3
+                FROM toks, consts
+            )
+            SELECT doc_id,
+                   round(round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9) * (tf1 * 2.2) / (tf1 + norm)
+                       + round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9) * (tf2 * 2.2) / (tf2 + norm)
+                       + round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9) * (tf3 * 2.2) / (tf3 + norm), 6)
+                       AS score,
+                   (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_matched
+            FROM scored
+            WHERE (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 15
         """,
         "keyword_search": r"""
             WITH toks AS (

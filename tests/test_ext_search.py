@@ -68,3 +68,74 @@ def test_no_match_excluded(spark):
 def test_empty_query_rejected(docs):
     with pytest.raises(ValueError, match="empty query"):
         search.keyword_search(docs, "   ")
+
+
+def test_bm25_tf_saturation(spark):
+    """More occurrences score higher, but with diminishing returns
+    (saturation) — and long documents are penalized at equal tf."""
+    from dbt_databricks_metrics_spark.ext.search import bm25_search
+
+    pad = "filler words only here "
+    df = spark.createDataFrame(
+        [
+            (1, "spark " + pad),
+            (2, "spark spark " + pad),
+            (3, "spark spark spark spark spark spark " + pad),
+            (4, "spark " + pad * 10),
+            (5, pad),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_search(df, "spark", k=10).collect()}
+    assert 5 not in got  # no match, excluded
+    assert got[2] > got[1]  # higher tf wins
+    gain12 = got[2] - got[1]
+    gain23 = (got[3] - got[2]) / 4
+    assert gain23 < gain12  # saturating marginal gain
+    assert got[4] < got[1]  # length normalization
+
+
+def test_bm25_matches_duckdb(spark, duck, sf_dir):
+    from dbt_databricks_metrics_spark.ext.search import bm25_search
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in bm25_search(docs, "spark filter window", k=15).collect()]
+    want = duck.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                       '\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ),
+        consts AS (
+            SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT avg(len(t)) FROM toks) AS avgdl,
+                   (SELECT count(*) FROM toks WHERE list_contains(t, 'spark')) AS df1,
+                   (SELECT count(*) FROM toks WHERE list_contains(t, 'filter')) AS df2,
+                   (SELECT count(*) FROM toks WHERE list_contains(t, 'window')) AS df3
+        ),
+        scored AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x = 'spark')) AS tf1,
+                   len(list_filter(t, x -> x = 'filter')) AS tf2,
+                   len(list_filter(t, x -> x = 'window')) AS tf3,
+                   1.2 * (0.25 + 0.75 * len(t) / avgdl) AS norm,
+                   n, df1, df2, df3
+            FROM toks, consts
+        )
+        SELECT doc_id,
+               round(round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9) * (tf1 * 2.2) / (tf1 + norm)
+                   + round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9) * (tf2 * 2.2) / (tf2 + norm)
+                   + round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9) * (tf3 * 2.2) / (tf3 + norm), 6)
+                   AS score,
+               (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_matched
+        FROM scored
+        WHERE (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
