@@ -691,6 +691,18 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_profile_orders(spark, sf_dir):
+    # per-column table profile (nulls, exact distincts, min/max, mean) in
+    # one aggregate pass — the data-quality companion to data_checks.
+    from dbt_databricks_metrics_spark.ext import profile
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile.profile_table(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
 def _q_bm25_search(spark, sf_dir):
     # full BM25 (tf saturation + length normalization); one stats
     # aggregate folds N/avgdl/df into the map-only scoring scan.
@@ -1354,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "pop_revenue": _q_pop_revenue,
         "bm25_search": _q_bm25_search,
+        "profile_orders": _q_profile_orders,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2303,6 +2316,34 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
             GROUP BY 1, 2
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS column, 'bigint' AS dtype, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(o_orderkey)::VARCHAR AS min_value,
+                   max(o_orderkey)::VARCHAR AS max_value,
+                   round(avg(o_orderkey), 4) AS mean_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'string', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus), min(o_orderstatus),
+                   max(o_orderstatus), NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'double', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice), min(o_totalprice)::VARCHAR,
+                   max(o_totalprice)::VARCHAR, round(avg(o_totalprice), 4)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', 'timestamp_ntz', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'), NULL
+            FROM orders
         """,
         "bm25_search": r"""
             WITH toks AS (

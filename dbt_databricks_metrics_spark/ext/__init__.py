@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     multimodal,
     packing,
     pipeline,
+    profile,
     quantize,
     redact,
     sampling,
