@@ -691,6 +691,26 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_drill_across(spark, sf_dir):
+    # Kimball drill-across: measures from TWO metric views merged over the
+    # conformed market_segment dimension; each side rides its own route.
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    out = eng.query_across(
+        ["market_segment"],
+        [
+            ("mv_order_metrics", "total_revenue"),
+            ("mv_customer_metrics", "total_customers"),
+        ],
+    )
+    return out.select(
+        "market_segment",
+        F.round("total_revenue", 4).alias("total_revenue"),
+        "total_customers",
+    )
+
+
 def _q_profile_orders(spark, sf_dir):
     # per-column table profile (nulls, exact distincts, min/max, mean) in
     # one aggregate pass — the data-quality companion to data_checks.
@@ -1367,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pop_revenue": _q_pop_revenue,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
+        "drill_across": _q_drill_across,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2316,6 +2337,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
             GROUP BY 1, 2
+        """,
+        "drill_across": f"""
+            WITH rev AS (
+              SELECT market_segment, round(sum(total_price), 4) AS total_revenue
+              FROM ({_FCT_ORDERS}) GROUP BY 1
+            ),
+            cust AS (
+              SELECT market_segment, count(*) AS total_customers
+              FROM ({_FCT_CUSTOMER_SUMMARY}) GROUP BY 1
+            )
+            SELECT coalesce(rev.market_segment, cust.market_segment) AS market_segment,
+                   total_revenue, total_customers
+            FROM rev FULL JOIN cust USING (market_segment)
         """,
         "profile_orders": """
             SELECT 'o_orderkey' AS column, 'bigint' AS dtype, count(*) AS n_rows,

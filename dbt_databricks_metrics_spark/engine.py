@@ -240,6 +240,59 @@ class MetricEngine:
     def metric_view(self, name: str) -> MetricView:
         return MetricView(self, self.catalog.get(name))
 
+    def query_across(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[tuple[str, str]],
+        how: str = "full",
+    ) -> DataFrame:
+        """Drill-across [EXT beyond the reference]: one result over
+        CONFORMED dimensions, with measures drawn from SEVERAL metric
+        views (the Kimball drill-across pattern — e.g. orders revenue
+        next to customer counts, keyed by market_segment).
+
+        *measures* is ``[(view_name, measure_name), ...]``; every named
+        view must declare every ``dimensions`` entry (conformance is
+        checked, not assumed). Each view's routed aggregate runs
+        independently — riding its own rollups — and the per-view
+        results merge with an outer equi-join on the dimension values
+        (tiny relations: |dim combos| rows each, broadcast-joined).
+        Ambiguous measure names keep a ``<view>_`` prefix only when two
+        views contribute the same measure name.
+        """
+        if not dimensions:
+            raise QueryError("query_across needs at least one conformed dimension")
+        if not measures:
+            raise QueryError("query_across needs at least one (view, measure)")
+        if how not in ("full", "inner"):
+            raise QueryError(f"how must be full|inner, got {how!r}")
+        by_view: dict[str, list[str]] = {}
+        for view, m in measures:
+            by_view.setdefault(view, []).append(m)
+        for view in by_view:
+            spec = self.catalog.get(view).spec
+            missing = [d for d in dimensions if d not in spec.dimension_names]
+            if missing:
+                raise QueryError(
+                    f"dimension(s) {missing} are not conformed: metric view "
+                    f"{view!r} does not declare them"
+                )
+        name_counts: dict[str, int] = {}
+        for _, m in measures:
+            name_counts[m] = name_counts.get(m, 0) + 1
+
+        out: Optional[DataFrame] = None
+        for view, ms in by_view.items():
+            part = MetricView(self, self.catalog.get(view)).query(dimensions, ms)
+            renames = {
+                m: (f"{view}_{m}" if name_counts[m] > 1 else m) for m in ms
+            }
+            part = part.select(
+                *dimensions, *[part[m].alias(renames[m]) for m in ms]
+            )
+            out = part if out is None else out.join(part, list(dimensions), how)
+        return out
+
     def refresh(self, name: str) -> None:
         """Rebuild the view's rollups (≡ pipeline ``start_update``,
         ``scripts/refresh_metric_views.py:109-119``)."""

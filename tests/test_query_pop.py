@@ -94,3 +94,46 @@ def test_pop_no_extra_source_scan(engine):
     pop_plan = mv.query_pop(["market_segment"], ["total_revenue"], "order_year")
     scans = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
     assert scans(pop_plan) == scans(base_plan)
+
+
+def test_drill_across_two_views(engine):
+    """Conformed-dim drill-across: order revenue next to customer counts
+    by market_segment, each side equal to its own single-view query."""
+    out = {
+        r["market_segment"]: (r["total_revenue"], r["total_customers"])
+        for r in engine.query_across(
+            ["market_segment"],
+            [("mv_order_metrics", "total_revenue"), ("mv_customer_metrics", "total_customers")],
+        ).collect()
+    }
+    rev = {
+        r["market_segment"]: r["total_revenue"]
+        for r in engine.metric_view("mv_order_metrics").query(["market_segment"], ["total_revenue"]).collect()
+    }
+    cust = {
+        r["market_segment"]: r["total_customers"]
+        for r in engine.metric_view("mv_customer_metrics").query(["market_segment"], ["total_customers"]).collect()
+    }
+    assert set(out) == set(rev) | set(cust)
+    for seg, (a, b) in out.items():
+        assert a == rev.get(seg) and b == cust.get(seg)
+
+
+def test_drill_across_name_clash_prefixes(engine):
+    df = engine.query_across(
+        ["market_segment"],
+        [("mv_order_metrics", "total_revenue"), ("mv_customer_metrics", "total_revenue")],
+    )
+    assert set(df.columns) == {
+        "market_segment",
+        "mv_order_metrics_total_revenue",
+        "mv_customer_metrics_total_revenue",
+    }
+
+
+def test_drill_across_conformance_checked(engine):
+    with pytest.raises(QueryError, match="not conformed"):
+        engine.query_across(
+            ["order_status"],  # customer view has no order_status dim
+            [("mv_order_metrics", "total_revenue"), ("mv_customer_metrics", "total_customers")],
+        )
