@@ -98,14 +98,25 @@ def _assign_arrow(
             vnorm = np.sqrt((V * V).sum(axis=1))
             denom = vnorm[:, None] * cnorm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(np.where(denom > 0, (V @ C.T) / denom, -np.inf), 6)
+                raw = np.where(denom > 0, (V @ C.T) / denom, -np.inf)
+            # HALF_UP rounding (away from zero on .5) to match Spark's
+            # F.round — np.round is banker's (half-even) and would flip
+            # the odd exact-boundary tie the expr path rounds the other
+            # way
+            cos = np.where(
+                np.isfinite(raw),
+                np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6,
+                raw,
+            )
             # argmax takes the FIRST max — centroids sorted by cid, so
             # ties resolve to the smallest cluster_id, like the expr path
             best = cos.argmax(axis=1)
             bc = cos[np.arange(len(best)), best]
             out = pdf[[id_col]].copy()
             out["cluster_id"] = cids[best]
-            out["cosine"] = np.where(np.isfinite(bc), bc, np.nan)
+            # zero-norm vectors: None (NULL), matching the expr path's
+            # try_divide — not NaN
+            out["cosine"] = [float(x) if np.isfinite(x) else None for x in bc]
             yield out
 
     return corpus.select(id_col, vec_col).mapInPandas(

@@ -105,14 +105,22 @@ def lm_doc_scores(
     the distribution tails; CCNet's bucketing move). Returns
     ``(id, n_bigrams, avg_logp, ppl)``.
     """
-    if lm is None:
+    self_trained = lm is None
+    if self_trained:
         lm = train_bigram_lm(df, text_col)
-    # context totals and vocabulary size over the TRAINED event space
+    # context totals and vocabulary size over the TRAINED event space.
+    # With an external model, V must come from the MODEL (its w1 ∪ w2
+    # vocabulary), not from the batch being scored — otherwise the same
+    # document's score would depend on what it is scored alongside.
+    # Self-scoring keeps the full corpus vocabulary (model tokens ⊆ it).
     ctx = lm.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
-    vocab_n = (
-        df.select(F.explode(_token_col(text_col)).alias("tok"))
-        .agg(F.count_distinct("tok").alias("v"))
-    )
+    if self_trained:
+        vocab_src = df.select(F.explode(_token_col(text_col)).alias("tok"))
+    else:
+        vocab_src = lm.select(
+            F.explode(F.array(F.col("w1"), F.col("w2"))).alias("tok")
+        )
+    vocab_n = vocab_src.agg(F.count_distinct("tok").alias("v"))
 
     events = df.select(
         F.col(id_col), F.explode_outer(_bigram_col(text_col)).alias("bigram")

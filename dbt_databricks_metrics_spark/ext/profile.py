@@ -70,7 +70,9 @@ def profile_table(
             _str_of(F.min(c), dt).alias(f"_min_{i}"),
             _str_of(F.max(c), dt).alias(f"_max_{i}"),
             (
-                F.round(F.avg(c), 4)
+                # cast: avg over DecimalType collects a Decimal, which the
+                # double output schema would reject
+                F.round(F.avg(c), 4).cast("double")
                 if isinstance(dt, _NUMERIC)
                 else F.lit(None).cast("double")
             ).alias(f"_mean_{i}"),

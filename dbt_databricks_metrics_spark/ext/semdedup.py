@@ -52,7 +52,14 @@ def semantic_dup_pairs(
     cents = centroids if centroids is not None else kmeans_fit(
         df, n_clusters, n_iter, id_col, vec_col
     )
-    assign = kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cluster_id")
+    # localCheckpoint: the assignment pass (k cosines per row) feeds the
+    # size guard AND both sides of the pair self-join — without the cut
+    # it would recompute three times over the corpus
+    assign = (
+        kmeans_assign(df, cents, id_col, vec_col)
+        .select(id_col, "cluster_id")
+        .localCheckpoint(eager=True)
+    )
     sizes = assign.groupBy("cluster_id").count()
     too_big = sizes.filter(F.col("count") > max_cluster)
     if too_big.limit(1).count() > 0:

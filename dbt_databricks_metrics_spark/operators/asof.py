@@ -60,9 +60,17 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
     payload = [c for c in right.columns if c not in (*by, on)]
-    clash = set(payload) & set(left.columns)
-    if any(f"{c}{right_suffix}" in left.columns for c in (*payload, on)):
-        raise ValueError(f"suffixed right columns collide with left: {clash}")
+    clash = [c for c in (*payload, on) if f"{c}{right_suffix}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"suffixed right columns collide with left: "
+            f"{[f'{c}{right_suffix}' for c in clash]}"
+        )
+    # a right row with a NULL timestamp can never be "at or before"
+    # anything — drop it up front (NULLS FIRST in the window order would
+    # otherwise propagate its payload as the earliest match; DuckDB's
+    # ASOF JOIN, the documented oracle, never matches NULL-ts rows)
+    right = right.filter(F.col(on).isNotNull())
 
     # one unioned relation: left rows carry their own columns + NULL right
     # payload; right rows carry NULL left columns + payload. _side orders
@@ -163,10 +171,13 @@ def interval_join(
     )
     if how == "inner":
         return matched
-    # left: keep pointless points with NULL interval columns
-    missing = points.join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
-    )
+    # left: keep pointless points with NULL interval columns. The anti
+    # join must use NULL-SAFE equality — a matched point carrying a NULL
+    # in any column would otherwise fail the null-unsafe comparison and
+    # reappear in the "missing" set (duplicating it in the output).
+    seen = matched.select(*points.columns).distinct()
+    cond = [points[c].eqNullSafe(seen[c]) for c in points.columns]
+    missing = points.join(seen, cond, "left_anti")
     for c in intervals.columns:
         if c not in by:
             missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))

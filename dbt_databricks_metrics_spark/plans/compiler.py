@@ -40,36 +40,35 @@ class QueryError(ValueError):
     pass
 
 
-def _identifier_tokens(sql: str) -> list[str]:
-    """Bare identifier tokens of *sql*, skipping single-quoted string
-    literals and dotted-path members (``a.b`` yields only ``a``)."""
-    out: list[str] = []
+def _identifier_tokens(sql: str) -> list[tuple[str, bool]]:
+    """(token, is_function_call) for every bare identifier of *sql*,
+    skipping single-quoted string literals and dotted-path members
+    (``a.b`` yields only ``a``). ``is_function_call`` is True when the
+    token is immediately followed by ``(`` — ``year(order_date)`` is a
+    function use, ``year > 1995`` names a column."""
+    out: list[tuple[str, bool]] = []
     # strip string literals so their contents never look like identifiers
     stripped = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
     for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
         if m.start() > 0 and stripped[m.start() - 1] == ".":
             continue  # member of a dotted path — not a bare name
-        out.append(m.group(0))
+        rest = stripped[m.end() :].lstrip()
+        out.append((m.group(0), rest.startswith("(")))
     return out
 
 
-# tokens that may appear bare in a query-time WHERE without naming a
-# column: operators/literals/keywords plus common scalar functions. A token
-# outside this set that is not a declared dimension marks the predicate as
-# needing the raw source relation (see MetricQuery.where_unresolved).
+# KEYWORD tokens that may appear bare in a query-time WHERE without
+# naming a column (operators, literal markers, CASE grammar). Scalar
+# FUNCTION names are deliberately NOT listed: a function use is
+# recognized by its call syntax (`year(...)`), so a BARE `year` always
+# refers to a column — a source column named like a SQL function must
+# not silently pass as vocabulary (it would make routing route-dependent:
+# fine on live, column-not-found on a rollup). See where_unresolved.
 _SQL_WHERE_VOCAB = frozenset(
     """
     and or not in between like ilike rlike regexp is null true false
-    case when then else end cast try_cast as distinct exists any all
-    date timestamp interval current_date current_timestamp now
-    year month day dayofweek dayofmonth quarter hour minute second
-    upper lower trim ltrim rtrim abs round floor ceil ceiling sign
-    coalesce nullif ifnull nvl if greatest least
-    substr substring length char_length concat concat_ws split
-    replace regexp_replace regexp_extract startswith endswith contains
-    to_date to_timestamp date_add date_sub datediff date_trunc trunc
-    add_months last_day months_between unix_timestamp from_unixtime
-    mod pmod pow power sqrt exp ln log log10 log2
+    case when then else end as distinct exists any all
+    date timestamp interval current_date current_timestamp
     """.split()
 )
 
@@ -110,7 +109,9 @@ class MetricQuery:
         where_dims: list[str] = []
         unresolved = False
         if self.where:
-            for tok in _identifier_tokens(self.where):
+            for tok, is_call in _identifier_tokens(self.where):
+                if is_call:
+                    continue  # function use (`year(...)`) — never a column
                 if tok in measure_names:
                     raise QueryError(
                         f"measure {tok!r} cannot appear in WHERE — measures are "
@@ -121,11 +122,12 @@ class MetricQuery:
                         where_dims.append(tok)
                 elif tok.lower() not in _SQL_WHERE_VOCAB:
                     # a bare identifier that is neither a declared dimension
-                    # nor SQL vocabulary → presumably a raw source column.
-                    # Legal on live/baseline (source columns exist there)
-                    # but NOT on rollup tables, which store only dims +
-                    # partials — routing must skip rollups or the same
-                    # query would succeed/fail depending on the route.
+                    # nor SQL keyword → presumably a raw source column (even
+                    # if it shadows a function name like `year` — bare use
+                    # is column use). Legal on live/baseline (source columns
+                    # exist there) but NOT on rollup tables, which store
+                    # only dims + partials — routing must skip rollups or
+                    # the same query would succeed/fail depending on route.
                     unresolved = True
         # dims the slice references: routing needs a rollup covering these too
         self.where_dims: tuple[str, ...] = tuple(where_dims)

@@ -207,3 +207,17 @@ def test_ppl_buckets_oracle_parity(spark, duck, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_external_model_scoring_is_batch_independent(spark):
+    """Scoring with a supplied model must be a pure function of
+    (doc, model) — the same doc scores identically in any batch."""
+    corpus = _df(spark, [(i, "the cat sat on the mat") for i in range(10)])
+    model = lm.train_bigram_lm(corpus)
+
+    target = (42, "the cat sat here")
+    batch_small = _df(spark, [target])
+    batch_big = _df(spark, [target, (43, "completely different words entirely")])
+    s1 = {r["doc_id"]: r["avg_logp"] for r in lm.lm_doc_scores(batch_small, lm=model).collect()}
+    s2 = {r["doc_id"]: r["avg_logp"] for r in lm.lm_doc_scores(batch_big, lm=model).collect()}
+    assert s1[42] == s2[42]

@@ -79,3 +79,13 @@ def test_profile_matches_duckdb(spark, duck, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_profile_decimal_column(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("2.50"),), (None,)], "d decimal(10,2)"
+    )
+    r = profile.profile_table(df).collect()[0]
+    assert r["n_nulls"] == 1 and r["mean_value"] == pytest.approx(2.0)

@@ -172,3 +172,39 @@ def test_asof_single_shuffle_plan(clicks, purchases):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts is unmatchable (DuckDB ASOF semantics) —
+    it must not propagate its payload as the 'earliest' match."""
+    from dbt_databricks_metrics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame([(1, None, 99.0)], "user_id long, ts long, value double")
+    rows = asof_join(left, right, on="ts", by=["user_id"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["ts_r"] is None and rows[0]["value_r"] is None
+
+
+def test_asof_suffix_clash_names_offender(spark):
+    from dbt_databricks_metrics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100.0)], "user_id long, ts long, value_r double")
+    right = spark.createDataFrame([(1, 50, 2.0)], "user_id long, ts long, value double")
+    with pytest.raises(ValueError, match=r"value_r"):
+        asof_join(left, right, on="ts", by=["user_id"])
+
+
+def test_interval_left_null_point_column_not_duplicated(spark):
+    """A matched point carrying a NULL column must not also reappear as
+    unmatched (the anti join is NULL-safe)."""
+    from dbt_databricks_metrics_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [(None, 1, 50), (2, 1, 500)], "event_id long, user_id long, ts long"
+    )
+    iv = spark.createDataFrame([(1, 0, 100, "a")], "user_id long, start long, end long, tag string")
+    rows = interval_join(points, iv, point_ts="ts", by=["user_id"], bucket_seconds=60, how="left").collect()
+    assert len(rows) == 2
+    by_ts = {r["ts"]: r["tag"] for r in rows}
+    assert by_ts[50] == "a" and by_ts[500] is None

@@ -323,3 +323,29 @@ def test_slice_on_raw_source_column_window_measure(engine):
     )
     assert "grain:" not in route, route
     assert df.count() > 0
+
+
+def test_bare_function_named_token_is_treated_as_column(spark):
+    """A bare identifier that shadows a SQL function name (`year`) must
+    mark the predicate unresolved (forcing live routing) — only call
+    syntax `year(...)` is function use."""
+    from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: t
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: n
+    expr: count(*)
+""",
+        name="mv_t",
+    )
+    q_bare = MetricQuery(spec, ("seg",), ("n",), where="year > 1995")
+    assert q_bare.where_unresolved  # bare `year` = raw column
+    q_call = MetricQuery(spec, ("seg",), ("n",), where="year(seg) > 1995")
+    assert not q_call.where_unresolved  # call syntax = function use
