@@ -811,6 +811,16 @@ def _q_ppl_buckets(spark, sf_dir):
     return lm.ppl_buckets(lm.lm_doc_scores(docs), n_buckets=3)
 
 
+def _q_gram_novelty(spark, sf_dir):
+    # corpus-internal duplicate n-gram fraction (RefinedWeb-style):
+    # per-doc share of word 5-grams appearing in >= 2 documents.
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_novelty(docs, n=5)
+
+
 def _q_winnow_pairs(spark, sf_dir):
     # passage-level overlap via winnowing (Schleimer et al. 2003): local
     # k-gram fingerprints, window-min selection, shared-fingerprint join.
@@ -1388,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
+        "gram_novelty": _q_gram_novelty,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1953,6 +1964,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN score IS NULL THEN NULL
                         ELSE 1 + (score < c1)::INT + (score < c2)::INT END AS bucket
             FROM per_doc CROSS JOIN cuts
+        """,
+        "gram_novelty": r"""
+            WITH tokd AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                           AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 4, 1)),
+                           i -> array_to_string(toks[i:i + 4], ' ')))) AS ngram
+                FROM tokd
+            ),
+            dfs AS (SELECT ngram, count(*) AS df FROM grams GROUP BY 1),
+            per_doc AS (
+                SELECT g.doc_id,
+                       count(*) AS n_grams,
+                       count(*) FILTER (df > 1) AS n_dup_grams
+                FROM grams g JOIN dfs USING (ngram)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_dup_grams, 0) AS n_dup_grams,
+                   round(n_dup_grams / nullif(n_grams, 0), 6) AS dup_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         """,
         "winnow_overlap_pairs": r"""
             WITH n AS (

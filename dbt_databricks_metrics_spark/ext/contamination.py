@@ -69,6 +69,53 @@ def ngram_contamination(
     )
 
 
+def gram_novelty(
+    corpus: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Corpus-INTERNAL duplicate-n-gram fraction (the RefinedWeb /
+    Gopher-repetition signal at corpus scope, not within-document):
+    per document, the share of its distinct word n-grams that also
+    appear in at least one OTHER document. High `dup_frac` = templated/
+    boilerplate content; `novelty = 1 − dup_frac`.
+
+    Plan shape: one gram explode → global df-count per gram (map-side
+    combine collapses repeats) → join back on the gram key → per-doc
+    fraction. Two shuffles, both on gram keys (8-byte with
+    ``hash_ngrams=True``); never a doc×doc comparison.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac). Documents shorter
+    than n words contribute their single partial gram (same convention
+    as `ngram_contamination`); NULL-text documents surface with counts
+    0 and NULL fraction — nothing disappears.
+    """
+    g = _exploded_ngrams(corpus, id_col, text_col, n, "doc_id", hash_ngrams)
+    df_counts = g.groupBy("_ngram").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        g.join(df_counts, "_ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("_df") > 1).alias("n_dup_grams"),
+        )
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.col("n_dup_grams") / F.nullif(F.col("n_grams"), F.lit(0)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,

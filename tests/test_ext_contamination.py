@@ -108,3 +108,47 @@ def test_contamination_is_equi_join(docs, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
     assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan[:2000]
+
+
+def test_gram_novelty_basic(spark):
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact copy: all dup
+            (3, "one two three four five"),         # unique: no dup
+            (4, None),                              # null text survives
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gram_novelty(df, n=3).collect()}
+    assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
+    assert rows[3]["dup_frac"] == 0.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["dup_frac"] is None
+
+
+def test_gram_novelty_partial_overlap(spark):
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared phrase here tail one xx"),
+            (2, "shared phrase here tail two yy"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gram_novelty(df, n=3).collect()}
+    # 4 grams each; 'shared phrase here' + 'phrase here tail' shared
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_dup_grams"] == 2
+    assert rows[1]["dup_frac"] == 0.5 == rows[2]["dup_frac"]
+
+
+def test_gram_novelty_hashed_keys_equal(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {tuple(r) for r in gram_novelty(docs, n=5).collect()}
+    hashed = {tuple(r) for r in gram_novelty(docs, n=5, hash_ngrams=True).collect()}
+    assert raw == hashed
