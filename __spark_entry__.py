@@ -691,6 +691,92 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=5)
 
 
+def _q_hist_percentile(spark, sf_dir):
+    # routable approximate percentile: hist_percentile(x, p, lo, hi, nb)
+    # expands at spec-parse into nb count_if bucket partials + an
+    # interpolating CASE finalize (functions/histogram.py) — so the
+    # measure ROUTES through the rollup (asserted), folds incrementally,
+    # and windows. Oracle = the SAME generated SQL in DuckDB.
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    reg = ModelRegistry()
+
+    @reg.model("orders_raw", materialized="view")
+    def orders_raw(spark_, ref):
+        return load_table(spark_, sf_dir, "orders")
+
+    eng = MetricEngine(spark, reg, warehouse_dir=_tf.mkdtemp(prefix="hist_wh_"))
+    eng.run()
+    eng.register(
+        MetricViewSpec.from_yaml(_HIST_SPEC_YAML, name="mv_hist", source="orders_raw")
+    )
+    eng.refresh("mv_hist")
+    df, route = eng.metric_view("mv_hist").query_routed(
+        ["order_status"], ["p50_price", "p90_price", "n"]
+    )
+    assert route == "rollup:price_hist_by_status", route
+    return df.select(
+        "order_status",
+        F.round("p50_price", 4).alias("p50_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+        "n",
+    )
+
+
+def _hist_oracle_sql() -> str:
+    # the oracle runs the IDENTICAL generated expansion — same bucket
+    # boundaries, same double-cast constants, same interpolation
+    from dbt_databricks_metrics_spark.functions.histogram import hist_percentile_sql
+
+    p50 = hist_percentile_sql("o_totalprice", 0.5, 0.0, 600000.0, 16)
+    p90 = hist_percentile_sql("o_totalprice", 0.9, 0.0, 600000.0, 16)
+    return f"""
+        SELECT o_orderstatus AS order_status,
+               round({p50}, 4) AS p50_price,
+               round({p90}, 4) AS p90_price,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """
+
+
+_HIST_SPEC_YAML = """
+version: 0.1
+source: __SOURCE__
+
+dimensions:
+  - name: order_status
+    expr: o_orderstatus
+
+measures:
+  - name: p50_price
+    expr: hist_percentile(o_totalprice, 0.5, 0.0, 600000.0, 16)
+  - name: p90_price
+    expr: hist_percentile(o_totalprice, 0.9, 0.0, 600000.0, 16)
+  - name: n
+    expr: count(*)
+
+materialization:
+  schedule: every 6 hours
+  mode: relaxed
+  materialized_views:
+    - name: price_hist_by_status
+      type: aggregated
+      dimensions:
+        - order_status
+      measures:
+        - p50_price
+        - p90_price
+        - n
+"""
+
+
 def _q_drill_across(spark, sf_dir):
     # Kimball drill-across: measures from TWO metric views merged over the
     # conformed market_segment dimension; each side rides its own route.
@@ -1399,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
         "gram_novelty": _q_gram_novelty,
+        "hist_percentile": _q_hist_percentile,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1965,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1 + (score < c1)::INT + (score < c2)::INT END AS bucket
             FROM per_doc CROSS JOIN cuts
         """,
+        "hist_percentile": _hist_oracle_sql(),
         "gram_novelty": r"""
             WITH tokd AS (
                 SELECT doc_id,

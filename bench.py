@@ -210,6 +210,14 @@ def main() -> None:
         "ext_kmeans",
         lambda: ext_kmeans.kmeans_cluster_stats(emb, n_clusters=8, n_iter=2).collect(),
     )
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty
+    from dbt_databricks_metrics_spark.ext.search import bm25_search
+
+    timed(
+        "ext_gram_novelty",
+        lambda: gram_novelty(docs, n=5, hash_ngrams=True).agg(F.avg("dup_frac")).collect(),
+    )
+    timed("ext_bm25", lambda: bm25_search(docs, "spark filter window", k=15).collect())
     timed(
         "ext_pack_bins",
         lambda: ext_pack.bin_stats(docs, 2048).count(),

@@ -319,8 +319,20 @@ class MetricEngine:
         if rv.state is None:
             raise QueryError(f"metric view {name!r} has no materialized state to fold into")
         self._rollups._invalidate(os.path.join(self._rollups.storage_dir, name))
+        # materialize any dimension whose name is not already a delta
+        # column (dim exprs like `o_orderstatus` aliased `order_status`):
+        # the fold groups by dimension NAMES. No-op for flattened deltas.
+        from pyspark.sql import functions as F
+
+        delta = delta_source_rows
+        for d in rv.spec.dimensions:
+            if d.name not in delta.columns:
+                delta = delta.withColumn(
+                    d.name,
+                    F.expr(self._compiler._rewrite_dim_expr(rv.spec, d.expr)),
+                )
         for built in rv.state.rollups.values():
-            fold_increment(self.spark, built, delta_source_rows)
+            fold_increment(self.spark, built, delta)
         if rv.state.baseline:
             self._compiler.baseline_projection(rv.spec, delta_source_rows).write.mode(
                 "append"

@@ -123,9 +123,24 @@ def decompose_aggregate(expr: str, prefix: str) -> Decomposition | None:
     """
     partials: list[tuple[str, str]] = []
     merges: dict[str, str] = {}
+    seen: dict[str, str] = {}  # partial source expr -> existing column
     out: list[str] = []
     i = 0
     found_agg = False
+
+    def partial_for(source_expr: str, merge_fn: str, suffix: str = "") -> str:
+        # CSE: a repeated identical aggregate call maps to ONE stored
+        # partial — essential for generated expressions that repeat
+        # bucket counts (functions/histogram.py builds O(nb²) textual
+        # occurrences of nb distinct counts)
+        col = seen.get(source_expr)
+        if col is None:
+            col = f"{prefix}_{len(partials)}{suffix}"
+            seen[source_expr] = col
+            partials.append((source_expr, col))
+            merges[col] = merge_fn
+        return col
+
     while i < len(expr):
         m = _CALL_RE.search(expr, i)
         if not m:
@@ -139,20 +154,12 @@ def decompose_aggregate(expr: str, prefix: str) -> Decomposition | None:
         found_agg = True
         if re.match(r"(?i)^\s*distinct\b", arg):
             return None  # count(distinct x) does not decompose
-        k = len(partials)
         if fn == "avg":
-            ps = f"{prefix}_{k}s"
-            pc = f"{prefix}_{k}c"
-            partials.append((f"sum({arg})", ps))
-            partials.append((f"count({arg})", pc))
-            merges[ps] = "sum"
-            merges[pc] = "sum"
+            ps = partial_for(f"sum({arg})", "sum", "s")
+            pc = partial_for(f"count({arg})", "sum", "c")
             out.append(f"({ps} / {pc})")
         else:
-            p = f"{prefix}_{k}"
-            partials.append((f"{fn}({arg})", p))
-            merges[p] = _AGG_FNS[fn]
-            out.append(p)
+            out.append(partial_for(f"{fn}({arg})", _AGG_FNS[fn]))
         i = close_idx + 1
     if not found_agg:
         return None

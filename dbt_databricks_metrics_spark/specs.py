@@ -186,9 +186,15 @@ class Measure:
             raise SpecError(f"measure needs 'name' and 'expr': {d!r}")
         windows = tuple(WindowClause.from_dict(w) for w in d.get("window", ()) or ())
         fmt = d.get("format")
+        # pseudo-aggregates (hist_percentile) expand to plain SQL here, so
+        # everything downstream — live expansion, rollup decomposition,
+        # window grains, incremental folds, oracles — sees only standard
+        # aggregates (functions/histogram.py)
+        from .functions.histogram import expand_pseudo_aggregates
+
         return cls(
             name=str(name),
-            expr=str(expr).strip(),
+            expr=expand_pseudo_aggregates(str(expr).strip()),
             windows=windows,
             display_name=d.get("display_name"),
             comment=d.get("comment"),

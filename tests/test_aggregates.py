@@ -24,9 +24,9 @@ def test_avg_pair():
     d = decompose_aggregate("avg(total_price)", "_p_avg")
     assert d.partials == (
         ("sum(total_price)", "_p_avg_0s"),
-        ("count(total_price)", "_p_avg_0c"),
+        ("count(total_price)", "_p_avg_1c"),
     )
-    assert d.finalize == "(_p_avg_0s / _p_avg_0c)"
+    assert d.finalize == "(_p_avg_0s / _p_avg_1c)"
     assert not d.trivial
 
 
@@ -55,7 +55,7 @@ def test_avg_over_scalar_expr():
     d = decompose_aggregate(e, "_p_f")
     assert d is not None
     arg = "total_orders / nullif(datediff(last_order_date, first_order_date), 0)"
-    assert d.partials == ((f"sum({arg})", "_p_f_0s"), (f"count({arg})", "_p_f_0c"))
+    assert d.partials == ((f"sum({arg})", "_p_f_0s"), (f"count({arg})", "_p_f_1c"))
 
 
 def test_distinct_not_decomposable():
