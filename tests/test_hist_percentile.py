@@ -148,3 +148,58 @@ def test_incremental_fold_preserves_percentiles(engine, spark, sf_dir):
     }
     got = {r["order_status"]: (r["p50_price"], r["n"]) for r in folded.collect()}
     assert got == full
+
+
+def test_windowed_hist_percentile(engine, duck):
+    """Trailing-7d p50: bucket partials pre-aggregate to the (status,
+    date) grain and SUM over the range frame — oracle replays the same
+    decomposition with DuckDB window sums."""
+    from dbt_databricks_metrics_spark.functions.aggregates import decompose_aggregate
+
+    wspec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: __SOURCE__
+dimensions:
+  - name: order_status
+    expr: o_orderstatus
+  - name: order_date
+    expr: cast(o_orderdate as date)
+measures:
+  - name: t7_p50
+    expr: hist_percentile(o_totalprice, 0.5, 0.0, 600000.0, 16)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: last
+""",
+        name="mv_histw",
+        source="orders_raw",
+    )
+    engine.register(wspec)
+    df = engine.metric_view("mv_histw").query(["order_status"], ["t7_p50"])
+    got = {r["order_status"]: r["t7_p50"] for r in df.collect()}
+
+    dec = decompose_aggregate(wspec.measure("t7_p50").expr, prefix="_h")
+    grain_cols = ", ".join(f"{e} AS {c}" for e, c in dec.partials)
+    win_cols = ", ".join(
+        f"sum({c}) OVER (PARTITION BY s ORDER BY d "
+        f"RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS {c}"
+        for _, c in dec.partials
+    )
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"""
+            WITH grain AS (
+                SELECT o_orderstatus AS s, cast(o_orderdate AS date) AS d, {grain_cols}
+                FROM orders GROUP BY 1, 2
+            ),
+            win AS (SELECT s, d, {win_cols} FROM grain)
+            SELECT s, arg_max({dec.finalize}, d) AS t7_p50 FROM win GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)
