@@ -107,7 +107,10 @@ def lm_doc_scores(
     """
     self_trained = lm is None
     if self_trained:
-        lm = train_bigram_lm(df, text_col)
+        # the model is vocabulary-sized state consumed twice below (ctx
+        # totals + the scoring join); localCheckpoint materializes it so
+        # the corpus-wide bigram explode runs once, not three times
+        lm = train_bigram_lm(df, text_col).localCheckpoint(eager=True)
     # context totals and vocabulary size over the TRAINED event space.
     # With an external model, V must come from the MODEL (its w1 ∪ w2
     # vocabulary), not from the batch being scored — otherwise the same
