@@ -37,6 +37,53 @@ def read_source(
     return reader.options(**options).format(fmt).load(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ~``target_mb``
+    files (write-temp-then-swap, so readers never see a half state).
+
+    The operational counterpart of the Runner's REBALANCE-on-write: long-
+    running ingestion (streaming folds, incremental appends) accretes
+    small files; at cluster scale the scan's task-scheduling overhead
+    then dominates I/O. Returns the number of files after compaction.
+
+    Partitioned layouts: pass the same ``partition_by`` the table was
+    written with — rows are rebalanced on those keys so each partition
+    value lands in few writers (AQE still splits skewed values).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, -(-size // (target_mb * 1024 * 1024)))  # ceil
+    out = df.hint("rebalance", *partition_by) if partition_by else df.coalesce(int(n_out))
+    tmp = f"{path}__compact_tmp"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def write_sink(
     df: DataFrame,
     path: str,

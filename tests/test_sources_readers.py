@@ -36,3 +36,37 @@ def test_bad_format_rejected(spark, orders, tmp_path):
         read_source(spark, "/nope", format="avro")
     with pytest.raises(ValueError, match="unsupported sink format"):
         write_sink(orders, str(tmp_path / "x"), format="xml")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources.readers import compact_parquet
+
+    p = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(10000).repartition(40).write.parquet(p)
+    import os
+
+    n_before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_before >= 30
+    n_after = compact_parquet(spark, p, target_mb=256)
+    assert n_after < n_before and n_after <= 4
+    assert spark.read.parquet(p).count() == 10000
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources.readers import compact_parquet
+
+    p = str(tmp_path / "fragp")
+    df = spark.range(9000).withColumn("part", (F.col("id") % 3).cast("int"))
+    df.repartition(30).write.partitionBy("part").parquet(p)
+    total_before = sum(
+        1 for root, _, fs in __import__("os").walk(p) for f in fs if f.endswith(".parquet")
+    )
+    n_after = compact_parquet(spark, p, target_mb=256, partition_by=["part"])
+    assert n_after < total_before
+    out = spark.read.parquet(p)
+    assert out.count() == 9000 and set(r["part"] for r in out.select("part").distinct().collect()) == {0, 1, 2}
