@@ -72,6 +72,52 @@ def kmeans_init(
 _LITERAL_K_MAX = 256  # beyond this the literal expression tree gets codegen-hostile
 
 
+def _literal_argmax(rows):
+    """vec-Column → (cos, neg_cid)-struct of the max-cosine centroid,
+    with the centroids folded in as single nested literals (ONE Literal
+    node each — not k×d CreateArray children re-evaluated per row) and
+    driver-precomputed centroid norms, so per row the work is k dot
+    products plus one self-norm, each a single fold over the vector.
+
+    argmax by (cosine, -cid): struct max compares fields in order, so
+    equal rounded cosines resolve to the SMALLEST cluster_id; try_divide
+    keeps zero-norm vectors NULL-cosine (they sort below every real
+    match), matching cosine_similarity's contract."""
+    cvs = F.lit([[float(x) for x in r["centroid"]] for r in rows])
+    cids = F.lit([int(r["cluster_id"]) for r in rows])
+    cnorms = F.lit(
+        [sum(float(x) * float(x) for x in r["centroid"]) ** 0.5 for r in rows]
+    )
+
+    def dot(u: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+
+    def best_of(vec: Column) -> Column:
+        # self-norm bound once per row — lambdas get no CSE
+        return _bind_once(
+            F.sqrt(dot(vec, vec)),
+            lambda vnorm: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(len(rows))),
+                    lambda i: F.struct(
+                        F.round(
+                            F.try_divide(
+                                dot(vec, F.element_at(cvs, i.cast("int"))),
+                                vnorm * F.element_at(cnorms, i.cast("int")),
+                            ),
+                            6,
+                        ).alias("cos"),
+                        (-F.element_at(cids, i.cast("int"))).alias("neg_cid"),
+                    ),
+                )
+            ),
+        )
+
+    return best_of
+
+
 def _assign_arrow(
     corpus: DataFrame, rows, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -162,48 +208,7 @@ def kmeans_assign(
         raise ValueError(f"method must be expr|arrow, got {method!r}")
     v = _as_double_array(F.col(vec_col))
     if len(rows) <= _LITERAL_K_MAX:
-        # single nested literals (ONE Literal node each — not k×d
-        # CreateArray children re-evaluated per row) + driver-side
-        # centroid norms, so per row the work is k dot products plus one
-        # self-norm, each a single fold over the vector.
-        cvs = F.lit([[float(x) for x in r["centroid"]] for r in rows])
-        cids = F.lit([int(r["cluster_id"]) for r in rows])
-        cnorms = F.lit(
-            [sum(float(x) * float(x) for x in r["centroid"]) ** 0.5 for r in rows]
-        )
-
-        def dot(u: Column, w: Column) -> Column:
-            return F.aggregate(
-                F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-            )
-
-        def best_of(vec: Column) -> Column:
-            # argmax by (cosine, -cid): struct max compares fields in
-            # order, so equal rounded cosines resolve to the SMALLEST
-            # cluster_id. try_divide keeps zero-norm vectors NULL-cosine
-            # (they sort below every real match), matching
-            # cosine_similarity's contract. The self-norm is bound once
-            # per row — lambda bodies get no subexpression elimination.
-            return _bind_once(
-                F.sqrt(dot(vec, vec)),
-                lambda vnorm: F.array_max(
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(len(rows))),
-                        lambda i: F.struct(
-                            F.round(
-                                F.try_divide(
-                                    dot(vec, F.element_at(cvs, i.cast("int"))),
-                                    vnorm * F.element_at(cnorms, i.cast("int")),
-                                ),
-                                6,
-                            ).alias("cos"),
-                            (-F.element_at(cids, i.cast("int"))).alias("neg_cid"),
-                        ),
-                    )
-                ),
-            )
-
-        best = _bind_once(v, best_of)
+        best = _bind_once(v, _literal_argmax(rows))
         return corpus.select(
             F.col(id_col),
             (-best["neg_cid"]).cast("long").alias("cluster_id"),
@@ -233,6 +238,11 @@ def _update(
         .join(assign.select(id_col, "cluster_id"), id_col)
         .select("cluster_id", F.posexplode("_v").alias("_i", "_x"))
     )
+    return _means_by_cluster(member_vals)
+
+
+def _means_by_cluster(member_vals: DataFrame) -> DataFrame:
+    """(cluster_id, _i, _x) exploded member values → rounded mean vectors."""
     dim_means = member_vals.groupBy("cluster_id", "_i").agg(
         F.round(F.avg("_x"), 6).alias("_m")
     )
@@ -240,6 +250,22 @@ def _update(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_i", "_m"))), lambda s: s["_m"]
         ).alias("centroid")
+    )
+
+
+def _update_from_rows(corpus: DataFrame, rows, vec_col: str) -> DataFrame:
+    """One Lloyd round WITHOUT a join: the same map pass computes each
+    vector's argmax cluster (centroids folded in as literals) and keeps
+    the vector, so the update is assign-inline → posexplode → groupBy —
+    exactly one shuffle per round, carrying k·d partial sums per task
+    after map-side combine."""
+    v = _as_double_array(F.col(vec_col))
+    best = _bind_once(v, _literal_argmax(rows))
+    assigned = corpus.select(
+        (-best["neg_cid"]).cast("long").alias("cluster_id"), v.alias("_v")
+    )
+    return _means_by_cluster(
+        assigned.select("cluster_id", F.posexplode("_v").alias("_i", "_x"))
     )
 
 
@@ -255,21 +281,34 @@ def kmeans_fit(
     if n_clusters < 1 or n_iter < 0:
         raise ValueError(f"need n_clusters >= 1, n_iter >= 0; got {n_clusters}, {n_iter}")
 
-    def materialize(df: DataFrame) -> DataFrame:
-        # the centroid table is model state (k rows of k×d doubles) —
-        # collect it and rebuild a literal DataFrame so each round's plan
-        # starts fresh. Without this the lazy lineage NESTS: round r's
-        # action re-executes rounds 1..r-1 (measured ~2x per extra round).
-        # This is the one place a driver collect is the right call — the
-        # same k-sized model a parameter server would hold.
-        rows = df.collect()
-        return df.sparkSession.createDataFrame(rows, df.schema)
-
-    cents = materialize(kmeans_init(corpus, n_clusters, id_col, vec_col))
+    # Each round collects the k-row centroid table (model state — the
+    # same k-sized model a parameter server would hold; collecting it is
+    # the one right driver-side step) and folds it into the next round's
+    # literals. Rounds therefore never nest lazy lineage, and with the
+    # assignment computed inline (k <= 256) a round is ONE corpus pass +
+    # ONE shuffle of k·d partial sums — no join, no window.
+    init = kmeans_init(corpus, n_clusters, id_col, vec_col)
+    schema = "cluster_id long, centroid array<double>"
+    rows = [
+        {"cluster_id": r["cluster_id"], "centroid": list(r["centroid"])}
+        for r in init.collect()
+    ]
+    spark = corpus.sparkSession
     for _ in range(n_iter):
-        assign = kmeans_assign(corpus, cents, id_col, vec_col)
-        cents = materialize(_update(corpus, assign, id_col, vec_col))
-    return cents
+        if not rows:
+            break  # empty corpus: nothing to refine
+        if len(rows) <= _LITERAL_K_MAX:
+            nxt = _update_from_rows(corpus, rows, vec_col)
+        else:
+            cents = spark.createDataFrame(rows, schema)
+            nxt = _update(
+                corpus, kmeans_assign(corpus, cents, id_col, vec_col), id_col, vec_col
+            )
+        rows = [
+            {"cluster_id": r["cluster_id"], "centroid": list(r["centroid"])}
+            for r in nxt.collect()
+        ]
+    return spark.createDataFrame(rows, schema)
 
 
 def kmeans_cluster_stats(
