@@ -730,6 +730,82 @@ def _q_hist_percentile(spark, sf_dir):
     )
 
 
+def _q_hist_window(spark, sf_dir):
+    # trailing-7d p50 — histogram bucket partials pre-aggregate to the
+    # (status, date) grain and SUM over the range frame; semiadditive
+    # last picks the final date's estimate per status.
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    reg = ModelRegistry()
+
+    @reg.model("orders_raw", materialized="view")
+    def orders_raw(spark_, ref):
+        return load_table(spark_, sf_dir, "orders")
+
+    eng = MetricEngine(spark, reg, warehouse_dir=_tf.mkdtemp(prefix="histw_wh_"))
+    eng.run()
+    eng.register(
+        MetricViewSpec.from_yaml(
+            _HIST_WINDOW_SPEC_YAML, name="mv_histw", source="orders_raw"
+        )
+    )
+    df = eng.metric_view("mv_histw").query(["order_status"], ["t7_p50"])
+    return df.select("order_status", F.round("t7_p50", 4).alias("t7_p50"))
+
+
+_HIST_WINDOW_SPEC_YAML = """
+version: 0.1
+source: __SOURCE__
+dimensions:
+  - name: order_status
+    expr: o_orderstatus
+  - name: order_date
+    expr: cast(o_orderdate as date)
+measures:
+  - name: t7_p50
+    expr: hist_percentile(o_totalprice, 0.5, 0.0, 600000.0, 16)
+    window:
+      - order: order_date
+        range: trailing 7 day
+        semiadditive: last
+"""
+
+
+def _hist_window_oracle_sql() -> str:
+    # replay the identical decomposition: bucket partials as grain
+    # aggregates, window sums over the same 6-day range frame, arg_max
+    # finalize on the last date
+    from dbt_databricks_metrics_spark.functions.aggregates import decompose_aggregate
+    from dbt_databricks_metrics_spark.functions.histogram import expand_pseudo_aggregates
+
+    expr = expand_pseudo_aggregates(
+        "hist_percentile(o_totalprice, 0.5, 0.0, 600000.0, 16)"
+    )
+    dec = decompose_aggregate(expr, prefix="_h")
+    grain_cols = ", ".join(f"{e} AS {c}" for e, c in dec.partials)
+    win_cols = ", ".join(
+        f"sum({c}) OVER (PARTITION BY s ORDER BY d "
+        f"RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS {c}"
+        for _, c in dec.partials
+    )
+    return f"""
+        WITH grain AS (
+            SELECT o_orderstatus AS s, cast(o_orderdate AS date) AS d, {grain_cols}
+            FROM orders GROUP BY 1, 2
+        ),
+        win AS (SELECT s, d, {win_cols} FROM grain)
+        SELECT s AS order_status, round(arg_max({dec.finalize}, d), 4) AS t7_p50
+        FROM win GROUP BY 1
+    """
+
+
 def _hist_oracle_sql() -> str:
     # the oracle runs the IDENTICAL generated expansion — same bucket
     # boundaries, same double-cast constants, same interpolation
@@ -1491,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_across": _q_drill_across,
         "gram_novelty": _q_gram_novelty,
         "hist_percentile": _q_hist_percentile,
+        "hist_window": _q_hist_window,
         "semantic_dup_pairs": _q_semantic_dup_pairs,
         "ppl_buckets": _q_ppl_buckets,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2058,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc CROSS JOIN cuts
         """,
         "hist_percentile": _hist_oracle_sql(),
+        "hist_window": _hist_window_oracle_sql(),
         "gram_novelty": r"""
             WITH tokd AS (
                 SELECT doc_id,
