@@ -148,7 +148,12 @@ def _assign_arrow(
             # HALF_UP rounding (away from zero on .5) to match Spark's
             # F.round — np.round is banker's (half-even) and would flip
             # the odd exact-boundary tie the expr path rounds the other
-            # way
+            # way. Residual caveat: Spark rounds the SHORTEST DECIMAL
+            # repr (BigDecimal) while this rounds the binary double, so
+            # a value whose binary form sits epsilon below a decimal
+            # midpoint can still round differently — measure-zero in
+            # practice, but arrow≡expr is exact-boundary-approximate,
+            # not bit-guaranteed
             cos = np.where(
                 np.isfinite(raw),
                 np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6,

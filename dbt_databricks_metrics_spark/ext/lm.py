@@ -97,6 +97,7 @@ def lm_doc_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    materialize_model: bool = True,
 ) -> DataFrame:
     """Per-document mean log-probability under the bigram LM.
 
@@ -104,13 +105,20 @@ def lm_doc_scores(
     outlier docs — templated spam, wrong-language, gibberish — land in
     the distribution tails; CCNet's bucketing move). Returns
     ``(id, n_bigrams, avg_logp, ppl)``.
+
+    ``materialize_model`` localCheckpoints the self-trained counts so the
+    corpus-wide bigram explode runs once, not three times (the model
+    feeds the context totals AND the scoring join). The checkpointed
+    blocks live in executor storage until the DataFrame is garbage
+    collected — long-lived sessions scoring MANY corpora in a loop
+    should pass ``False`` (recompute) or manage the model DataFrame
+    themselves via ``train_bigram_lm``.
     """
     self_trained = lm is None
     if self_trained:
-        # the model is vocabulary-sized state consumed twice below (ctx
-        # totals + the scoring join); localCheckpoint materializes it so
-        # the corpus-wide bigram explode runs once, not three times
-        lm = train_bigram_lm(df, text_col).localCheckpoint(eager=True)
+        lm = train_bigram_lm(df, text_col)
+        if materialize_model:
+            lm = lm.localCheckpoint(eager=True)
     # context totals and vocabulary size over the TRAINED event space.
     # With an external model, V must come from the MODEL (its w1 ∪ w2
     # vocabulary), not from the batch being scored — otherwise the same

@@ -54,7 +54,10 @@ def semantic_dup_pairs(
     )
     # localCheckpoint: the assignment pass (k cosines per row) feeds the
     # size guard AND both sides of the pair self-join — without the cut
-    # it would recompute three times over the corpus
+    # it would recompute three times over the corpus. The blocks live in
+    # executor storage until the assignment DataFrame is GC'd; callers
+    # looping over many corpora should hold/unpersist their own
+    # assignment via kmeans_assign instead.
     assign = (
         kmeans_assign(df, cents, id_col, vec_col)
         .select(id_col, "cluster_id")

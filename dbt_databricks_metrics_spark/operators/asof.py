@@ -88,7 +88,15 @@ def asof_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
 
-    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    # NULLS FIRST in BOTH directions: a left row with a NULL timestamp
+    # must see no right rows at all (matches DuckDB ASOF, which never
+    # matches NULL probes) — desc's default NULLS LAST would let it
+    # absorb the last right payload in direction='forward'
+    ts_ord = (
+        F.col("_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_ts").desc_nulls_first()
+    )
     tiebreak = [F.col(f"{c}{right_suffix}").asc_nulls_first() for c in right_tiebreak]
     w = (
         Window.partitionBy(*by)

@@ -53,8 +53,24 @@ def _identifier_tokens(sql: str) -> list[tuple[str, bool]]:
         if m.start() > 0 and stripped[m.start() - 1] == ".":
             continue  # member of a dotted path — not a bare name
         rest = stripped[m.end() :].lstrip()
-        out.append((m.group(0), rest.startswith("(")))
+        is_call = rest.startswith("(")
+        if not is_call and m.group(0).lower() in _TIME_UNITS:
+            # `interval 7 day` / `date_add(d, 7, 'day')`-style unit
+            # keywords appear bare but never name a column WHEN directly
+            # preceded by a number or the INTERVAL keyword — only that
+            # context exempts them (a raw column named `day` used as
+            # `day > 5` still counts as an identifier)
+            before = stripped[: m.start()].rstrip()
+            if re.search(r"(\d|\binterval)$", before, re.IGNORECASE):
+                continue
+        out.append((m.group(0), is_call))
     return out
+
+
+_TIME_UNITS = frozenset(
+    "microsecond millisecond second minute hour day week month quarter year "
+    "microseconds milliseconds seconds minutes hours days weeks months quarters years".split()
+)
 
 
 # KEYWORD tokens that may appear bare in a query-time WHERE without
@@ -110,13 +126,17 @@ class MetricQuery:
         unresolved = False
         if self.where:
             for tok, is_call in _identifier_tokens(self.where):
-                if is_call:
-                    continue  # function use (`year(...)`) — never a column
+                # measure check FIRST: a measure name is rejected even in
+                # call syntax — the clear error beats a later opaque
+                # analysis failure (and measures shadowing real function
+                # names are a spec smell worth surfacing)
                 if tok in measure_names:
                     raise QueryError(
                         f"measure {tok!r} cannot appear in WHERE — measures are "
                         f"aggregates; filter the result DataFrame instead"
                     )
+                if is_call:
+                    continue  # function use (`year(...)`) — never a column
                 if tok in dim_names:
                     if tok not in where_dims:
                         where_dims.append(tok)

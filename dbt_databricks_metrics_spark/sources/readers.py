@@ -44,7 +44,11 @@ def compact_parquet(
     partition_by: Sequence[str] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet dir into ~``target_mb``
-    files (write-temp-then-swap, so readers never see a half state).
+    files. Write-temp-then-swap: readers see either the old or the new
+    layout, never a mix (the swap itself is two renames — a crash in
+    between leaves both copies intact on disk and the next run's stale-
+    debris sweep recovers; a transactional table format is the answer
+    when even that window is unacceptable).
 
     The operational counterpart of the Runner's REBALANCE-on-write: long-
     running ingestion (streaming folds, incremental appends) accretes
@@ -58,6 +62,7 @@ def compact_parquet(
     import os
     import shutil
 
+    path = path.rstrip("/")  # tmp/old must be SIBLINGS, never nested inside
     df = spark.read.parquet(path)
     size = sum(
         os.path.getsize(os.path.join(root, f))
@@ -65,14 +70,27 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
-    n_out = max(1, -(-size // (target_mb * 1024 * 1024)))  # ceil
-    out = df.hint("rebalance", *partition_by) if partition_by else df.coalesce(int(n_out))
+    n_out = int(max(1, -(-size // (target_mb * 1024 * 1024))))  # ceil
+    if partition_by:
+        # hash on the partition keys into n_out tasks: each task writes
+        # only the values it holds, so total files stay ~n_out (a single
+        # hot value concentrates in one task — acceptable for an offline
+        # compaction pass)
+        out = df.repartition(n_out, *partition_by)
+    else:
+        out = df.coalesce(n_out)
     tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
+    for stale in (tmp, old):  # debris from a previous crash
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = f"{path}__compact_old"
+    # swap with the live-path window as small as os.rename allows; a
+    # crash between the renames leaves the data intact at tmp/old (the
+    # stale-debris sweep above recovers the NEXT run instead of failing)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

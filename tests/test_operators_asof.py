@@ -208,3 +208,17 @@ def test_interval_left_null_point_column_not_duplicated(spark):
     assert len(rows) == 2
     by_ts = {r["ts"]: r["tag"] for r in rows}
     assert by_ts[50] == "a" and by_ts[500] is None
+
+
+def test_asof_forward_null_left_ts_never_matches(spark):
+    """direction='forward' with a NULL-ts LEFT row must yield no match
+    (desc ordering defaults to NULLS LAST, which would fabricate one)."""
+    from dbt_databricks_metrics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, None), (2, 1, 10)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame([(1, 50, 2.0)], "user_id long, ts long, value double")
+    rows = {r["event_id"]: r for r in asof_join(left, right, on="ts", by=["user_id"], direction="forward").collect()}
+    assert rows[1]["ts_r"] is None and rows[1]["value_r"] is None
+    assert rows[2]["ts_r"] == 50 and rows[2]["value_r"] == 2.0

@@ -70,3 +70,19 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     assert n_after < total_before
     out = spark.read.parquet(p)
     assert out.count() == 9000 and set(r["part"] for r in out.select("part").distinct().collect()) == {0, 1, 2}
+
+
+def test_compact_parquet_trailing_slash_and_stale_debris(spark, tmp_path):
+    import os
+
+    from dbt_databricks_metrics_spark.sources.readers import compact_parquet
+
+    p = str(tmp_path / "frag2")
+    spark.range(5000).repartition(20).write.parquet(p)
+    # simulate debris from a previous crash + a trailing-slash caller
+    os.makedirs(p + "__compact_old")
+    os.makedirs(p + "__compact_tmp")
+    n = compact_parquet(spark, p + "/", target_mb=256)
+    assert n <= 4
+    assert spark.read.parquet(p).count() == 5000
+    assert not os.path.exists(p + "__compact_old")

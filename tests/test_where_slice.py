@@ -349,3 +349,52 @@ measures:
     assert q_bare.where_unresolved  # bare `year` = raw column
     q_call = MetricQuery(spec, ("seg",), ("n",), where="year(seg) > 1995")
     assert not q_call.where_unresolved  # call syntax = function use
+
+
+def test_interval_units_do_not_block_routing(spark):
+    """`interval 7 day` in WHERE must stay vocab (unit keyword in
+    interval context), while a bare `day` column reference must not."""
+    from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: t
+dimensions:
+  - name: order_date
+    expr: order_date
+measures:
+  - name: n
+    expr: count(*)
+""",
+        name="mv_t2",
+    )
+    q = MetricQuery(
+        spec, ("order_date",), ("n",),
+        where="order_date >= date '1995-01-01' + interval 7 day",
+    )
+    assert not q.where_unresolved
+    q2 = MetricQuery(spec, ("order_date",), ("n",), where="day > 5")
+    assert q2.where_unresolved  # bare column named like a unit
+
+
+def test_measure_name_in_where_rejected_even_as_call(spark):
+    from dbt_databricks_metrics_spark.plans.compiler import MetricQuery, QueryError
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: t
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: n
+    expr: count(*)
+""",
+        name="mv_t3",
+    )
+    with pytest.raises(QueryError, match="measure 'n'"):
+        MetricQuery(spec, ("seg",), ("n",), where="n(seg) > 0")
