@@ -557,6 +557,37 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_doc_stats(spark, sf_dir):
+    # the text-analysis operators are stateless codegen expressions, so
+    # they run UNCHANGED on Structured Streaming: stream the documents
+    # table (availableNow), apply the same token/language transforms, and
+    # the emitted rows must equal the batch run — the oracle is literally
+    # doc_stats' SQL.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dbt_databricks_metrics_spark.ext import textstats
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = _tf.mkdtemp(prefix="stream_docs_")
+    docs.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    out = textstats.with_language_id(textstats.with_token_stats(stream)).select(
+        "doc_id", "char_len", "ws_token_count", "bpe_piece_count", "lang_guess"
+    )
+    name = f"stream_docs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def _q_chunk_documents(spark, sf_dir):
     # pre-embedding splitter: fixed-size overlapping char chunks with
     # stable ids + offsets; map-only explode (plan gate: zero exchanges)
@@ -1518,6 +1549,39 @@ def _redact_oracle_sql() -> str:
     """
 
 
+_DOC_STATS_SQL = r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS char_len,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                       AS ws_token_count,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS INT) AS bpe_piece_count,
+                   CASE WHEN _best = 0 THEN 'und'
+                        WHEN _en = _best THEN 'en'
+                        WHEN _fr = _best THEN 'fr'
+                        WHEN _de = _best THEN 'de'
+                        WHEN _es = _best THEN 'es'
+                        WHEN _it = _best THEN 'it'
+                        ELSE 'und' END AS lang_guess
+            FROM (
+                SELECT *,
+                    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS _en,
+                    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')) AS _fr,
+                    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS _de,
+                    len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')) AS _es,
+                    len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b')) AS _it,
+                    greatest(
+                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
+                        len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
+                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')),
+                        len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')),
+                        len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
+                    ) AS _best
+                FROM documents)
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stg_orders": _q_stg_orders,
@@ -1549,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_expr_sql": _q_measure_expr_sql,
         # [EXT] LLM-pipeline operators
         "doc_stats": _q_doc_stats,
+        "streaming_doc_stats": _q_streaming_doc_stats,
         "doc_repetition": _q_doc_repetition,
         "vocab_topk": _q_vocab_topk,
         "chunk_documents": _q_chunk_documents,
@@ -1802,37 +1867,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY market_segment
         """,
         # ---- [EXT] oracles (LSH/SRP/IVF/stub entries are rows-only) ----
-        "doc_stats": r"""
-            SELECT doc_id,
-                   CAST(length(text) AS INT) AS char_len,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
-                       AS ws_token_count,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                       AS INT) AS bpe_piece_count,
-                   CASE WHEN _best = 0 THEN 'und'
-                        WHEN _en = _best THEN 'en'
-                        WHEN _fr = _best THEN 'fr'
-                        WHEN _de = _best THEN 'de'
-                        WHEN _es = _best THEN 'es'
-                        WHEN _it = _best THEN 'it'
-                        ELSE 'und' END AS lang_guess
-            FROM (
-                SELECT *,
-                    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS _en,
-                    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')) AS _fr,
-                    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS _de,
-                    len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')) AS _es,
-                    len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b')) AS _it,
-                    greatest(
-                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
-                        len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),
-                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')),
-                        len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es|una|en|que|por)\b')),
-                        len(regexp_extract_all(lower(text), '\b(il|la|di|e|che|una|per|non|con|sono)\b'))
-                    ) AS _best
-                FROM documents)
-        """,
+        "doc_stats": _DOC_STATS_SQL,
+        "streaming_doc_stats": _DOC_STATS_SQL,
         "chunk_documents": """
             SELECT doc_id,
                    CAST(i AS INT) AS chunk_idx,
