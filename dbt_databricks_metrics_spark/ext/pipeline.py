@@ -35,6 +35,8 @@ def curate(
     minhash_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lm_bucket_max: Optional[int] = None,
+    lm_buckets: int = 3,
 ) -> DataFrame:
     """The curated corpus: quality-filtered, language-filtered, deduped,
     with token/quality/language columns attached.
@@ -44,11 +46,29 @@ def curate(
     — connected components over the LSH pair graph keep exactly ONE
     representative per component, so chains a~b~c collapse to a even when
     (a,c) was never a pair), ``none``.
+
+    ``lm_bucket_max`` adds CCNet's model-based gate after the heuristics:
+    score survivors under the corpus bigram LM (`ext/lm.py`), bucket into
+    ``lm_buckets`` perplexity tiers, and keep documents in bucket ≤
+    ``lm_bucket_max`` (1 = most in-distribution). Unscorable docs (< 2
+    tokens) are dropped by this gate — they carry no LM evidence. The
+    model trains on the heuristic survivors themselves, which is the
+    CCNet recipe (the corpus defines "in-distribution").
     """
     scored = ts.document_stats(documents, text_col)
     kept = scored.filter(F.col("quality_score_raw") >= min_quality)
     if langs:
         kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    if lm_bucket_max is not None:
+        from . import lm as _lm
+
+        buckets = _lm.ppl_buckets(
+            _lm.lm_doc_scores(kept, id_col=id_col, text_col=text_col),
+            n_buckets=lm_buckets,
+            id_col=id_col,
+        )
+        good = buckets.filter(F.col("bucket") <= lm_bucket_max).select(id_col)
+        kept = kept.join(good, id_col, "inner")
     if dedup_mode == "exact":
         kept = dd.exact_dedup(kept, id_col, text_col)
     elif dedup_mode == "minhash":

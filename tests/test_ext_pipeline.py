@@ -101,3 +101,32 @@ def test_curate_cluster_mode_transitive(spark):
     )
     kept = sorted(r.doc_id for r in cur.select("doc_id").collect())
     assert kept == [1, 50]
+
+
+def test_curate_lm_gate(spark, sf_dir):
+    """The CCNet-style LM gate keeps only low-perplexity tiers and drops
+    unscorable docs; disabled by default."""
+    from dbt_databricks_metrics_spark.ext import lm as ext_lm
+    from dbt_databricks_metrics_spark.ext import pipeline as ext_pipeline
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = ext_pipeline.curate(docs, min_quality=0.3, langs=None, dedup_mode="none")
+    gated = ext_pipeline.curate(
+        docs, min_quality=0.3, langs=None, dedup_mode="none",
+        lm_bucket_max=2, lm_buckets=3,
+    )
+    n_base, n_gated = base.count(), gated.count()
+    assert 0 < n_gated < n_base  # tier 3 removed
+
+    # gate membership must agree with ppl_buckets computed standalone
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in ext_lm.ppl_buckets(ext_lm.lm_doc_scores(base), n_buckets=3).collect()
+    }
+    kept_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    for did, b in buckets.items():
+        if b is not None and b <= 2:
+            assert did in kept_ids
+        else:
+            assert did not in kept_ids
