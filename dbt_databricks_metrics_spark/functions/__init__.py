@@ -1,1 +1,2 @@
-from .aggregates import Decomposition, decompose_aggregate  # noqa: F401
+from .aggregates import Decomposition, decompose_aggregate, merge_column  # noqa: F401
+from .histogram import expand_pseudo_aggregates, hist_percentile_sql  # noqa: F401
