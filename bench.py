@@ -160,9 +160,20 @@ def main() -> None:
     from dbt_databricks_metrics_spark.ext import textstats as ext_text
     from dbt_databricks_metrics_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    events = load_table(spark, sf_dir, "events")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the fixture parquet files hold ONE row group, so the scan itself is
+    # a single task no matter the split config — spread the corpora
+    # across cores once (the layout any real multi-file corpus has) so
+    # the ext timings measure the operators, not a one-core scan
+    n_par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents").repartition(n_par).localCheckpoint(eager=True)
+    )
+    events = (
+        load_table(spark, sf_dir, "events").repartition(n_par).localCheckpoint(eager=True)
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings").repartition(n_par).localCheckpoint(eager=True)
+    )
     timed(
         "ext_doc_stats",
         lambda: ext_text.document_stats(docs)
@@ -267,6 +278,51 @@ def main() -> None:
         ).collect(),
     )
 
+    # scaling evidence: warm per-op time at 1x vs 4x corpus (distinct ids,
+    # same text distribution). Linear map/shuffle ops should scale ≤4x —
+    # the sub-linear gap is fixed scheduling/plan overhead, which shrinks
+    # to noise at cluster scale. (Dup-finding ops are excluded: replicated
+    # text inflates their OUTPUT quadratically, which measures the data,
+    # not the plan.)
+    from dbt_databricks_metrics_spark.ext import lm as _lm_mod
+    from dbt_databricks_metrics_spark.ext import winnow as _win_mod
+    from dbt_databricks_metrics_spark.ext.contamination import gram_novelty as _gn
+
+    # both corpora repartitioned identically: the sf0.1 parquet is a
+    # couple of input splits, so without this the 1x run is single-task
+    # and the "scaling" would mostly measure parallelism, not work
+    docs1 = docs.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).localCheckpoint(
+        eager=True
+    )
+    docs4 = docs
+    for i in range(2):  # 4x
+        docs4 = docs4.unionByName(
+            docs4.withColumn("doc_id", F.col("doc_id") + F.lit(10 ** (6 + i)))
+        )
+    docs4 = docs4.repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ).localCheckpoint(eager=True)
+    scaling: dict[str, float] = {}
+    for name, fn in (
+        ("winnow_fingerprints", lambda d: _win_mod.winnow_fingerprints(d).count()),
+        (
+            "lm_scores",
+            lambda d: _lm_mod.lm_doc_scores(d).agg(F.avg("avg_logp")).collect(),
+        ),
+        ("gram_novelty", lambda d: _gn(d, n=5, hash_ngrams=True).agg(F.avg("dup_frac")).collect()),
+        (
+            "doc_stats",
+            lambda d: ext_text.document_stats(d).agg(F.avg("quality_score")).collect(),
+        ),
+    ):
+        fn(docs1)  # warm
+        t0 = time.perf_counter(); fn(docs1); t1x = time.perf_counter() - t0
+        fn(docs4)
+        t0 = time.perf_counter(); fn(docs4); t4x = time.perf_counter() - t0
+        timings[f"scale1x_{name}"] = round(t1x, 4)
+        timings[f"scale4x_{name}"] = round(t4x, 4)
+        scaling[name] = round(t4x / max(t1x, 1e-9), 2)
+
     # skew evidence (VERDICT r1 task 7): hot-key join — ~80% of lineitem
     # rows collapse onto ONE key. Broadcast is disabled (the salted op
     # targets build sides too big to broadcast); AQE off isolates the raw
@@ -365,6 +421,7 @@ def main() -> None:
                 "skew_max_task_rows_plain": skew_max_plain,
                 "skew_max_task_rows_salted": skew_max_salted,
                 "skew_balance_factor": round(skew_max_plain / max(skew_max_salted, 1), 1),
+                "scaling_4x_time_ratio": scaling,
             }
         )
     )
