@@ -176,8 +176,12 @@ def ppl_buckets(
     a broadcast 1-row join + CASE. Scores are rounded to 4 decimals
     before the quantile and the cutoffs to 6, so the bucket boundaries
     are engine-reproducible (DuckDB ``quantile_cont`` interpolates the
-    same order statistics). Unscorable docs (NULL score) keep bucket
-    NULL — they need a length filter, not a quality bucket.
+    same order statistics). The 4-decimal rounding ALSO bounds the
+    exact-percentile aggregate's reducer state: Spark's ``percentile``
+    buffers counts per DISTINCT value, and rounded scores over the
+    log-prob range keep that to ~1e5 entries regardless of corpus size.
+    Unscorable docs (NULL score) keep bucket NULL — they need a length
+    filter, not a quality bucket.
     """
     if n_buckets < 2:
         raise ValueError(f"need n_buckets >= 2, got {n_buckets}")

@@ -109,3 +109,60 @@ def test_sampling_partition_invariance_property(spark, keys):
         for r in sampling.deterministic_sample(df, 0.4, key_col="doc_id").collect()
     }
     assert pick(df1) == pick(df7)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.floats(0, 1000, allow_nan=False, width=32), min_size=2, max_size=60),
+    st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_hist_percentile_accuracy_property(spark, values, p):
+    """The histogram estimate is within one bucket width of DuckDB's
+    exact quantile_cont, for random data and percentiles."""
+    from dbt_databricks_metrics_spark.functions.histogram import hist_percentile_sql
+
+    lo, hi, nb = 0.0, 1000.0, 16
+    width = (hi - lo) / nb
+    sqlx = hist_percentile_sql("x", p, lo, hi, nb)
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    df.createOrReplaceTempView("hp_prop")
+    est = spark.sql(f"SELECT {sqlx} AS e FROM hp_prop").collect()[0]["e"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in values])
+    exact = con.execute(f"SELECT quantile_cont(x, {p}) FROM t").fetchone()[0]
+    assert est is not None
+    assert abs(est - exact) <= width + 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_join_matches_duckdb_property(spark, points, intervals):
+    """Bucketized interval join ≡ a plain inequality join, on random
+    points and (possibly overlapping) intervals."""
+    from dbt_databricks_metrics_spark.operators.asof import interval_join
+
+    points = [(i, u, t) for i, (u, t) in enumerate(points)]
+    ivs = [(j, u, s, s + d) for j, (u, s, d) in enumerate(intervals)]
+    pdf = spark.createDataFrame(points, "pid long, user_id long, ts long")
+    idf = spark.createDataFrame(ivs, "iid long, user_id long, start long, end long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, point_ts="ts", by=["user_id"], bucket_seconds=64
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, u, t) in points
+        for (j, vu, s, e) in ivs
+        if u == vu and s <= t <= e
+    }
+    assert got == want
