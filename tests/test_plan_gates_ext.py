@@ -1,0 +1,79 @@
+"""Sweeping 100 TB-posture plan gates over the [EXT] contract queries.
+
+For every lazy ext query plan (streaming/engine-building entries are
+exercised elsewhere): no CartesianProduct, no row-at-a-time Python
+(BatchEvalPython), Arrow kernels only where declared (media), and no
+Exchange SinglePartition outside the known-tiny reductions (global
+aggregates to one row / driver-bounded top-k are fine — a
+SinglePartition exchange feeding a per-row operator is not).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+# ext queries whose contract fn builds a LAZY plan against sf_dir without
+# running its own engine/stream (safe to inspect without side effects)
+LAZY_EXT_QUERIES = [
+    "doc_stats",
+    "doc_repetition",
+    "vocab_topk",
+    "chunk_documents",
+    "dedup_exact_summary",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "contamination_pairs",
+    "winnow_overlap_pairs",
+    "gram_novelty",
+    "lm_doc_scores",
+    "ppl_buckets",
+    "embedding_dup_pairs",
+    "topk_similar",
+    "topk_join",
+    "srp_similar_pairs",
+    "sessionize",
+    "session_stats",
+    "tumbling_window",
+    "sliding_window",
+    "user_activity",
+    "redact_documents",
+    "quantize_roundtrip",
+    "keyword_search",
+    "bm25_search",
+    "stratified_sample",
+    "pack_bins",
+    "topk_docs_per_lang",
+    "profile_orders",
+    "asof_join",
+    "interval_join",
+]
+
+# ops whose FINAL reduction is a legitimately tiny single partition
+# (global 1-row aggregates, driver-bounded top-k merges, percentile
+# cutoff rows); the gate still rejects cartesians/Python for them
+_SINGLE_PARTITION_OK = {
+    "dedup_exact_summary",  # two 1-row aggregates cross-joined
+    "vocab_topk",  # TakeOrderedAndProject merge
+    "topk_similar",
+    "keyword_search",
+    "bm25_search",
+    "lm_doc_scores",  # 1-row vocab-size aggregate broadcast
+    "ppl_buckets",  # 1-row percentile-cutoff aggregate broadcast
+    "quantize_roundtrip",  # 1-row tolerance summary
+    "profile_orders",  # single stats row, unpivoted driver-side
+    "simhash_pairs",  # banded-vs-brute delta reduction (1-row counts)
+}
+
+
+@pytest.mark.parametrize("name", LAZY_EXT_QUERIES)
+def test_ext_plan_quality(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
+    assert "ArrowEvalPython" not in plan, name  # media kernels only
+    if name not in _SINGLE_PARTITION_OK:
+        assert "Exchange SinglePartition" not in plan, name
