@@ -584,7 +584,9 @@ def _q_streaming_doc_stats(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_doc_stats: availableNow batch exceeded 300s")
     return spark.table(name)
 
 
@@ -1122,7 +1124,9 @@ def _q_stateful_sessions(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stateful_sessions: availableNow batch exceeded 300s")
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )

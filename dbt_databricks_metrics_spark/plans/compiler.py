@@ -61,7 +61,11 @@ def _identifier_tokens(sql: str) -> list[tuple[str, bool]]:
             # context exempts them (a raw column named `day` used as
             # `day > 5` still counts as an identifier)
             before = stripped[: m.start()].rstrip()
-            if re.search(r"(\d|\binterval)$", before, re.IGNORECASE):
+            # trailing digit (`interval 7 day`), quote (the quantity was a
+            # stripped string literal: `interval '7' day`), or the
+            # INTERVAL keyword itself (`interval day` is invalid SQL but
+            # harmless to exempt)
+            if re.search(r"(\d|'|\binterval)$", before, re.IGNORECASE):
                 continue
         out.append((m.group(0), is_call))
     return out

@@ -20,21 +20,18 @@ def get_spark(app: str = "dbt_databricks_metrics_spark", cpus: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # split small local fixture files across cores: the default 128 MiB
-        # leaves a 2 MiB parquet as ONE input split, serializing every
-        # text/embedding operator onto a single task. On a real cluster
-        # raise via SPARK_GRAFT_MAX_PARTITION_BYTES (100 TB wants 128-512
-        # MiB splits; expression-heavy scans of small corpora want small).
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
-        )
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # optional split-size override (bytes). Note: fixture parquet holds a
+    # single row group, so shrinking splits does NOT parallelize those
+    # scans — explicit repartition after load is the lever there (see
+    # bench.py); at 100 TB keep Spark's 128 MiB default or larger.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -45,10 +45,12 @@ def compact_parquet(
 ) -> int:
     """Small-file compaction: rewrite a parquet dir into ~``target_mb``
     files. Write-temp-then-swap: readers see either the old or the new
-    layout, never a mix (the swap itself is two renames — a crash in
-    between leaves both copies intact on disk and the next run's stale-
-    debris sweep recovers; a transactional table format is the answer
-    when even that window is unacceptable).
+    layout, never a mix. The swap is two renames; a crash in between
+    leaves the data intact at ``<path>__compact_old``, and the next run
+    RESTORES it before doing anything else. Readers racing the swap
+    window itself can observe a missing path for an instant — a
+    transactional table format is the answer when even that is
+    unacceptable.
 
     The operational counterpart of the Runner's REBALANCE-on-write: long-
     running ingestion (streaming folds, incremental appends) accretes
@@ -63,6 +65,12 @@ def compact_parquet(
     import shutil
 
     path = path.rstrip("/")  # tmp/old must be SIBLINGS, never nested inside
+    tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # crash recovery: a previous run died between its two swap
+        # renames — the pre-compaction data is complete at `old`
+        os.rename(old, path)
     df = spark.read.parquet(path)
     size = sum(
         os.path.getsize(os.path.join(root, f))
@@ -73,15 +81,14 @@ def compact_parquet(
     n_out = int(max(1, -(-size // (target_mb * 1024 * 1024))))  # ceil
     if partition_by:
         # hash on the partition keys into n_out tasks: each task writes
-        # only the values it holds, so total files stay ~n_out (a single
-        # hot value concentrates in one task — acceptable for an offline
-        # compaction pass)
+        # only the values it holds, so total files stay ~n_out. The
+        # explicit count means NO AQE coalescing or skew-splitting here:
+        # a single hot value concentrates in one task/file — acceptable
+        # for an offline compaction pass, by design.
         out = df.repartition(n_out, *partition_by)
     else:
         out = df.coalesce(n_out)
-    tmp = f"{path}__compact_tmp"
-    old = f"{path}__compact_old"
-    for stale in (tmp, old):  # debris from a previous crash
+    for stale in (tmp, old):  # debris from a previous crash (path intact)
         if os.path.exists(stale):
             shutil.rmtree(stale)
     writer = out.write.mode("overwrite")

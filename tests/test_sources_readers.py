@@ -86,3 +86,22 @@ def test_compact_parquet_trailing_slash_and_stale_debris(spark, tmp_path):
     assert n <= 4
     assert spark.read.parquet(p).count() == 5000
     assert not os.path.exists(p + "__compact_old")
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the data at
+    <path>__compact_old; the next run must restore it first."""
+    import os
+    import shutil
+
+    from dbt_databricks_metrics_spark.sources.readers import compact_parquet
+
+    p = str(tmp_path / "crashy")
+    spark.range(3000).repartition(12).write.parquet(p)
+    # simulate the mid-swap crash state: path moved to old, tmp half-baked
+    os.rename(p, p + "__compact_old")
+    os.makedirs(p + "__compact_tmp")
+    n = compact_parquet(spark, p, target_mb=256)
+    assert n >= 1
+    assert spark.read.parquet(p).count() == 3000
+    assert not os.path.exists(p + "__compact_old")

@@ -398,3 +398,27 @@ measures:
     )
     with pytest.raises(QueryError, match="measure 'n'"):
         MetricQuery(spec, ("seg",), ("n",), where="n(seg) > 0")
+
+
+def test_quoted_interval_quantity_stays_vocab(spark):
+    from dbt_databricks_metrics_spark.plans.compiler import MetricQuery
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: t
+dimensions:
+  - name: order_date
+    expr: order_date
+measures:
+  - name: n
+    expr: count(*)
+""",
+        name="mv_t4",
+    )
+    q = MetricQuery(
+        spec, ("order_date",), ("n",),
+        where="order_date >= date '1995-01-01' + interval '7' day",
+    )
+    assert not q.where_unresolved
