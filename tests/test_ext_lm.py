@@ -220,4 +220,6 @@ def test_external_model_scoring_is_batch_independent(spark):
     batch_big = _df(spark, [target, (43, "completely different words entirely")])
     s1 = {r["doc_id"]: r["avg_logp"] for r in lm.lm_doc_scores(batch_small, lm=model).collect()}
     s2 = {r["doc_id"]: r["avg_logp"] for r in lm.lm_doc_scores(batch_big, lm=model).collect()}
-    assert s1[42] == s2[42]
+    # the logp SUM's partition order differs between batches → last-ulp
+    # jitter; the property is mathematical equality, not bit equality
+    assert math.isclose(s1[42], s2[42], rel_tol=1e-12)
