@@ -137,3 +137,22 @@ def test_drill_across_conformance_checked(engine):
             ["order_status"],  # customer view has no order_status dim
             [("mv_order_metrics", "total_revenue"), ("mv_customer_metrics", "total_customers")],
         )
+
+
+def test_drill_across_inner_mode_and_validation(engine):
+    inner = engine.query_across(
+        ["market_segment"],
+        [("mv_order_metrics", "total_revenue"), ("mv_customer_metrics", "total_customers")],
+        how="inner",
+    )
+    # all 5 segments exist in both views on this fixture: inner == full size
+    assert inner.count() == 5
+    assert inner.filter(
+        F.col("total_revenue").isNull() | F.col("total_customers").isNull()
+    ).count() == 0
+    with pytest.raises(QueryError, match="full|inner"):
+        engine.query_across(
+            ["market_segment"], [("mv_order_metrics", "total_revenue")], how="left"
+        )
+    with pytest.raises(QueryError, match="at least one"):
+        engine.query_across([], [("mv_order_metrics", "total_revenue")])
