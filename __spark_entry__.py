@@ -200,8 +200,9 @@ _FCT_ORDERS = f"""
 _FCT_CUSTOMER_SUMMARY = f"""
     SELECT c.customer_id, c.customer_name, c.market_segment, c.account_balance,
            count(o.order_id) AS total_orders,
-           sum(o.total_price) AS total_spent,
-           avg(o.total_price) AS avg_order_value,
+           round(sum(o.total_price), 2) AS total_spent,
+           round(sum(o.total_price), 2)
+               / nullif(count(o.order_id), 0) AS avg_order_value,
            min(o.order_date) AS first_order_date,
            max(o.order_date) AS last_order_date
     FROM ({_STG_CUSTOMERS}) c
@@ -231,8 +232,20 @@ def _q_fct_orders(spark, sf_dir):
 
 
 def _q_fct_customer_summary(spark, sf_dir):
+    # avg_order_value = round(sum, 2) / count rather than round(avg, 4):
+    # money sums sit on the cent grid, so round(., 2) lands both engines on
+    # the SAME double, and IEEE division of identical doubles is
+    # bit-identical. Rounding the avg directly is unstable — averages with
+    # small integer denominators sit EXACTLY on .00005 boundaries.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    return eng.ref("fct_customer_summary")
+    df = eng.ref("fct_customer_summary")
+    return df.withColumn(
+        "avg_order_value",
+        F.round(F.col("total_spent"), 2)
+        / F.expr("nullif(total_orders, 0)"),
+    ).withColumn("total_spent", F.round(F.col("total_spent"), 2))
 
 
 def _q_measure_by_dim(spark, sf_dir):
@@ -246,10 +259,11 @@ def _q_measure_by_dim(spark, sf_dir):
 
 def _q_measure_multi_dim(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_order_metrics").query(
+    df = eng.metric_view("mv_order_metrics").query(
         dimensions=["order_year", "order_status"],
         measures=["total_revenue", "max_order_value", "total_orders"],
     )
+    return _round_cols(df, ["total_revenue"])
 
 
 def _q_measure_global(spark, sf_dir):
@@ -312,9 +326,10 @@ def _q_multi_window_shared(spark, sf_dir):
 
 def _q_ytd(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_ytd").query(
+    df = eng.metric_view("mv_ytd").query(
         dimensions=["market_segment"], measures=["ytd_revenue"]
     )
+    return _round_cols(df, ["ytd_revenue"])
 
 
 def _q_semiadditive_first(spark, sf_dir):
@@ -326,9 +341,10 @@ def _q_semiadditive_first(spark, sf_dir):
 
 def _q_filtered_mv(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_filtered").query(
+    df = eng.metric_view("mv_filtered").query(
         dimensions=["market_segment"], measures=["total_revenue", "total_orders"]
     )
+    return _round_cols(df, ["total_revenue"])
 
 
 def _q_routed_segment(spark, sf_dir):
@@ -348,7 +364,7 @@ def _q_routed_monthly(spark, sf_dir):
         ["order_year", "order_month"], ["total_revenue"]
     )
     assert route == "rollup:monthly_revenue", route
-    return df
+    return _round_cols(df, ["total_revenue"])
 
 
 def _q_sketch_distinct(spark, sf_dir):
@@ -412,28 +428,31 @@ def _q_revenue_by_nation(spark, sf_dir):
     # snowflake star: fact -> orders -> customer -> nation -> region via
     # declared joins; dims resolve through dotted alias paths
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_sales_star").query(
+    df = eng.metric_view("mv_sales_star").query(
         dimensions=["nation_name", "region_name"],
         measures=["revenue", "line_count", "avg_discount"],
     )
+    return _round_cols(_round_cols(df, ["revenue"]), ["avg_discount"], 6)
 
 
 def _q_star_segment_year(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_sales_star").query(
+    df = eng.metric_view("mv_sales_star").query(
         dimensions=["market_segment", "order_year"],
         measures=["revenue", "line_count"],
     )
+    return _round_cols(df, ["revenue"])
 
 
 def _q_revenue_by_brand(spark, sf_dir):
     # multi-branch star: the part branch supplies both a dimension and a
     # measure input (retail_value references part.retail_price)
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_sales_star").query(
+    df = eng.metric_view("mv_sales_star").query(
         dimensions=["part_brand", "return_flag"],
         measures=["revenue", "retail_value", "line_count"],
     )
+    return _round_cols(df, ["revenue", "retail_value"])
 
 
 _BUCKETED: dict[tuple[int, str], dict] = {}
@@ -511,7 +530,7 @@ def _q_sliced_measure(spark, sf_dir):
         where="order_status = 'F'",
     )
     assert route == "rollup:revenue_by_segment", route
-    return df
+    return _round_cols(df, ["total_revenue"])
 
 
 def _q_measure_sql(spark, sf_dir):
@@ -531,7 +550,7 @@ def _q_measure_expr_sql(spark, sf_dir):
     # metric arithmetic: scalar expression over MEASURE() calls, computed
     # after aggregation (sum(x)/count(*), NOT avg of ratios)
     eng = _engine(spark, sf_dir)
-    return eng.sql(
+    df = eng.sql(
         """
         SELECT market_segment,
                MEASURE(total_revenue) / MEASURE(total_orders) AS revenue_per_order,
@@ -540,6 +559,7 @@ def _q_measure_expr_sql(spark, sf_dir):
         GROUP BY market_segment
         """
     )
+    return _round_cols(df, ["revenue_per_order", "max_minus_avg"])
 
 
 # ---------------------------------------------------------------------------
@@ -1251,9 +1271,10 @@ def _q_incremental_refresh(spark, sf_dir):
 
 def _q_trailing_month(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_trailing_month").query(
+    df = eng.metric_view("mv_trailing_month").query(
         dimensions=["order_status"], measures=["t1m_revenue"]
     )
+    return _round_cols(df, ["t1m_revenue"])
 
 
 def _q_salted_join_agg(spark, sf_dir):
@@ -1267,13 +1288,14 @@ def _q_salted_join_agg(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    return (
+    return _round_cols(
         salted_join(o, c, on="o_custkey", salt_buckets=8, fact_id_cols=["o_orderkey"])
         .groupBy(F.col("c_mktsegment").alias("market_segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_totalprice").alias("revenue"),
-        )
+        ),
+        ["revenue"],
     )
 
 
@@ -1368,9 +1390,10 @@ def _q_events_mv(spark, sf_dir):
     if "mv_events" not in eng.catalog:
         register_tables(spark, sf_dir, ("events",))
         eng.register(MetricViewSpec.from_yaml(EVENTS_MV_YAML, name="mv_events"))
-    return eng.metric_view("mv_events").query(
+    df = eng.metric_view("mv_events").query(
         ["event_type"], ["n_events", "total_value", "n_users", "trailing_3d_value"]
     )
+    return _round_cols(df, ["total_value", "trailing_3d_value"])
 
 
 def _q_redact_documents(spark, sf_dir):
@@ -1683,7 +1706,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "measure_multi_dim": f"""
-            SELECT order_year, order_status, sum(total_price) AS total_revenue,
+            SELECT order_year, order_status,
+                   round(sum(total_price), 4) AS total_revenue,
                    max(total_price) AS max_order_value, count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
@@ -1751,11 +1775,11 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
                 FROM grain
             )
-            SELECT market_segment, arg_max(w, order_date) AS ytd_revenue
+            SELECT market_segment, round(arg_max(w, order_date), 4) AS ytd_revenue
             FROM win GROUP BY 1
         """,
         "filtered_mv": f"""
-            SELECT market_segment, sum(total_price) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) WHERE order_status = 'F'
             GROUP BY market_segment
@@ -1766,7 +1790,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "routed_monthly": f"""
-            SELECT order_year, order_month, sum(total_price) AS total_revenue
+            SELECT order_year, order_month,
+                   round(sum(total_price), 4) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "lineitem_pricing": f"""
@@ -1796,9 +1821,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": f"""
             SELECT n.n_name AS nation_name, r.r_name AS region_name,
-                   sum(l.extended_price * (1 - l.discount)) AS revenue,
+                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
                    count(*) AS line_count,
-                   avg(l.discount) AS avg_discount
+                   round(avg(l.discount), 6) AS avg_discount
             FROM ({_STG_LINEITEM}) l
             LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
             LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
@@ -1809,7 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "star_segment_year": f"""
             SELECT c.market_segment,
                    CAST(year(o.order_date) AS INT) AS order_year,
-                   sum(l.extended_price * (1 - l.discount)) AS revenue,
+                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
                    count(*) AS line_count
             FROM ({_STG_LINEITEM}) l
             LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
@@ -1825,8 +1850,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_brand": f"""
             SELECT p.p_brand AS part_brand, l.return_flag,
-                   sum(l.extended_price * (1 - l.discount)) AS revenue,
-                   sum(l.quantity * p.p_retailprice) AS retail_value,
+                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
+                   round(sum(l.quantity * p.p_retailprice), 4) AS retail_value,
                    count(*) AS line_count
             FROM ({_STG_LINEITEM}) l
             LEFT JOIN part p ON l.part_id = p.p_partkey
@@ -1848,8 +1873,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "measure_expr_sql": f"""
             SELECT market_segment,
-                   sum(total_price) / count(*) AS revenue_per_order,
-                   max(total_price) - avg(total_price) AS max_minus_avg
+                   round(sum(total_price) / count(*), 4) AS revenue_per_order,
+                   round(max(total_price) - avg(total_price), 4) AS max_minus_avg
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "distinct_median_measures": f"""
@@ -1865,7 +1890,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "sliced_measure": f"""
-            SELECT market_segment, sum(total_price) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) WHERE order_status = 'F'
             GROUP BY market_segment
@@ -2380,7 +2405,7 @@ def oracle_sql() -> dict[str, str]:
                  AND r.order_date <= l.order_date
                 GROUP BY 1, 2
             )
-            SELECT order_status, arg_max(w, order_date) AS t1m_revenue
+            SELECT order_status, round(arg_max(w, order_date), 4) AS t1m_revenue
             FROM win GROUP BY 1
         """,
         "incremental_refresh": f"""
@@ -2411,7 +2436,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_join_agg": """
             SELECT c.c_mktsegment AS market_segment,
-                   count(*) AS n_orders, sum(o.o_totalprice) AS revenue
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 4) AS revenue
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -2555,7 +2581,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_metric_view": """
             WITH plain AS (
-                SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+                SELECT event_type, count(*) AS n_events,
+                       round(sum(value), 4) AS total_value,
                        count(DISTINCT user_id) AS n_users
                 FROM events GROUP BY 1
             ),
@@ -2570,7 +2597,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM grain
             ),
             wl AS (
-                SELECT event_type, arg_max(w, event_date) AS trailing_3d_value
+                SELECT event_type,
+                       round(arg_max(w, event_date), 4) AS trailing_3d_value
                 FROM win GROUP BY 1
             )
             SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value

@@ -1,8 +1,12 @@
 """Mirror of the driver's correctness gate: run every queries() entry and
 its oracle_sql() on the same fixtures, compare rowcount+schema+values.
 
-Usage: python scripts/check_entry.py [sf_dir] [query_name ...]
+Usage: python scripts/check_entry.py [--strict] [sf_dir] [query_name ...]
 (with query names, only those entries are checked and entry() is skipped)
+
+--strict mirrors the driver's hash gate: values must be EXACTLY equal
+(bit-identical floats after both sides' rounding), not merely within
+1e-6 — this is what decides hash_match in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -54,9 +58,27 @@ def values_close(a, b, rel=1e-6) -> bool:
     return a == b
 
 
+def values_exact(a, b) -> bool:
+    """Driver-hash equivalence: exact representation equality (NaN==NaN)."""
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_exact(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return a == b
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    if strict:
+        argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    compare = values_exact if strict else values_close
     spark = get_spark("check_entry", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -120,7 +142,7 @@ def main() -> int:
 
         s = sorted((tuple(_conv(r[i]) for i in sidx) for r in rows), key=_key)
         d = sorted((tuple(_conv(r[i]) for i in didx) for r in drows), key=_key)
-        bad = [i for i, (a, b) in enumerate(zip(s, d)) if not values_close(a, b)]
+        bad = [i for i, (a, b) in enumerate(zip(s, d)) if not compare(a, b)]
         if bad:
             i = bad[0]
             failures.append((name, f"{len(bad)} value mismatches"))
