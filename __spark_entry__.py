@@ -967,6 +967,54 @@ def _q_pop_revenue(spark, sf_dir):
     )
 
 
+def _q_topk_months(spark, sf_dir):
+    # HAVING + ORDER BY measure DESC + LIMIT on the metric view — Spark
+    # compiles the pair to TakeOrderedAndProject (per-partition top-n
+    # heaps, no global sort). Dims in the sort break ties deterministically.
+    eng = _engine(spark, sf_dir)
+    df = eng.metric_view("mv_order_metrics").query(
+        ["order_year", "order_month"],
+        ["total_revenue", "total_orders"],
+        having="total_orders > 100",
+        order_by=["total_revenue desc", "order_year", "order_month"],
+        limit=5,
+    )
+    return _round_cols(df, ["total_revenue"])
+
+
+def _q_having_segments(spark, sf_dir):
+    # HAVING over the aggregated result, riding the rollup route
+    eng = _engine(spark, sf_dir)
+    df, route = eng.metric_view("mv_order_metrics").query_routed(
+        ["market_segment"],
+        ["total_revenue", "total_orders"],
+        having="total_orders > 2950",
+    )
+    assert route == "rollup:revenue_by_segment", route
+    return _round_cols(df, ["total_revenue"])
+
+
+def _q_spine_daily_revenue(spark, sf_dir):
+    # time-spine densification: every (order_status, day) between min and
+    # max order_date exists, zero-filled where no orders landed. The spine
+    # is a broadcast explode of one min/max row — calendar-bounded.
+    eng = _engine(spark, sf_dir)
+    df = eng.metric_view("mv_order_metrics").query_filled(
+        ["order_status"], ["total_revenue"], time_dim="order_date"
+    )
+    return _round_cols(df, ["total_revenue"])
+
+
+def _q_share_of_total(spark, sf_dir):
+    # percent-of-total per segment: totals via broadcast 1-row re-agg of
+    # the result (never an unpartitioned window)
+    eng = _engine(spark, sf_dir)
+    df = eng.metric_view("mv_order_metrics").query_share(
+        ["market_segment"], ["total_revenue"]
+    )
+    return _round_cols(_round_cols(df, ["total_revenue"]), ["total_revenue_share"], 6)
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
     # deterministic multiplicative-hash init + 6-decimal rounded decision
@@ -1654,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "kmeans_clusters": _q_kmeans_clusters,
         "pop_revenue": _q_pop_revenue,
+        "topk_months": _q_topk_months,
+        "having_segments": _q_having_segments,
+        "spine_daily_revenue": _q_spine_daily_revenue,
+        "share_of_total": _q_share_of_total,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2020,6 +2072,55 @@ def oracle_sql() -> dict[str, str]:
                    round(rev - prev, 4) AS revenue_delta,
                    round((rev - prev) / nullif(prev, 0), 6) AS revenue_pct
             FROM lagd
+        """,
+        "topk_months": f"""
+            SELECT order_year, order_month,
+                   round(sum(total_price), 4) AS total_revenue,
+                   count(*) AS total_orders
+            FROM ({_FCT_ORDERS})
+            GROUP BY 1, 2
+            HAVING count(*) > 100
+            ORDER BY sum(total_price) DESC, order_year, order_month
+            LIMIT 5
+        """,
+        "having_segments": f"""
+            SELECT market_segment,
+                   round(sum(total_price), 4) AS total_revenue,
+                   count(*) AS total_orders
+            FROM ({_FCT_ORDERS})
+            GROUP BY 1 HAVING count(*) > 2950
+        """,
+        "spine_daily_revenue": f"""
+            WITH fct AS ({_FCT_ORDERS}),
+            bounds AS (
+              SELECT min(order_date) AS lo, max(order_date) AS hi FROM fct
+            ),
+            spine AS (
+              SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                         AS order_date
+              FROM bounds
+            ),
+            agg AS (
+              SELECT order_status, order_date,
+                     round(sum(total_price), 4) AS rev
+              FROM fct GROUP BY 1, 2
+            )
+            SELECT g.order_status, s.order_date,
+                   coalesce(a.rev, 0) AS total_revenue
+            FROM (SELECT DISTINCT order_status FROM fct) g
+            CROSS JOIN spine s
+            LEFT JOIN agg a
+              ON a.order_status = g.order_status AND a.order_date = s.order_date
+        """,
+        "share_of_total": f"""
+            WITH agg AS (
+              SELECT market_segment, sum(total_price) AS rev
+              FROM ({_FCT_ORDERS}) GROUP BY 1
+            )
+            SELECT market_segment, round(rev, 4) AS total_revenue,
+                   round(rev / nullif(sum(rev) OVER (), 0), 6)
+                       AS total_revenue_share
+            FROM agg
         """,
         "kmeans_clusters": """
             WITH init AS (

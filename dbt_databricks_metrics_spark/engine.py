@@ -30,6 +30,19 @@ from .plans.rollup import RollupManager
 from .specs import MetricViewSpec
 
 
+def _order_col(spec: str):
+    """Parse an ``order_by`` entry: a result-column name with an optional
+    trailing ``asc``/``desc`` (case-insensitive)."""
+    from pyspark.sql import functions as F
+
+    parts = spec.split()
+    if len(parts) == 2 and parts[1].lower() in ("asc", "desc"):
+        return F.desc(parts[0]) if parts[1].lower() == "desc" else F.asc(parts[0])
+    if len(parts) != 1:
+        raise QueryError(f"bad order_by entry {spec!r}: expected 'col [asc|desc]'")
+    return F.col(spec)
+
+
 class MetricView:
     """Queryable handle — the analyst-facing surface of one metric view."""
 
@@ -46,10 +59,12 @@ class MetricView:
         dimensions: Sequence[str] = (),
         measures: Sequence[str] = (),
         where: Optional[str] = None,
+        having: Optional[str] = None,
         order_by: Optional[Sequence[str]] = None,
         limit: Optional[int] = None,
     ) -> DataFrame:
-        """``SELECT dims, MEASURE(measures) FROM mv [WHERE …] GROUP BY dims``.
+        """``SELECT dims, MEASURE(measures) FROM mv [WHERE …] GROUP BY dims
+        [HAVING …] [ORDER BY …] [LIMIT n]``.
 
         *where* is a predicate over **declared dimensions** — grouped or
         not. It slices the (filtered, joined) source before measure
@@ -57,10 +72,20 @@ class MetricView:
         market_segment`` aggregates only the matching rows (the platform's
         metric-view WHERE semantics). Routing only uses rollups whose dims
         cover the slice's dims as well.
+
+        *having* filters the aggregated result; it may reference any
+        selected dimension or measure by name (SQL HAVING semantics — the
+        route is unaffected, the predicate runs over the result rows).
+
+        *order_by* entries are result-column names, optionally suffixed
+        with ``desc``/``asc`` (``"total_revenue desc"``). With *limit*,
+        Spark compiles the pair to TakeOrderedAndProject — per-partition
+        top-n heaps, no global sort — so top-k stays cheap at any scale.
         """
-        df, _route = self.query_routed(dimensions, measures, where=where)
+        df, _route = self.query_routed(dimensions, measures, where=where,
+                                       having=having)
         if order_by:
-            df = df.orderBy(*order_by)
+            df = df.orderBy(*[_order_col(o) for o in order_by])
         if limit is not None:
             df = df.limit(limit)
         return df
@@ -70,12 +95,37 @@ class MetricView:
         dimensions: Sequence[str] = (),
         measures: Sequence[str] = (),
         where: Optional[str] = None,
+        having: Optional[str] = None,
     ) -> tuple[DataFrame, str]:
         """Like :meth:`query` but also returns the chosen route
         ('rollup:<name>' | 'baseline' | 'live') — the EXPLAIN-visible
         routing decision of ``README.md:417-431``."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
-        return self._engine._rollups.compile_routed(q, self._rv.state)
+        df, route = self._engine._rollups.compile_routed(q, self._rv.state)
+        if having:
+            self._validate_having(having, dimensions, measures)
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.expr(having))
+        return df, route
+
+    def _validate_having(
+        self, having: str, dimensions: Sequence[str], measures: Sequence[str]
+    ) -> None:
+        """HAVING runs over the result, so every bare identifier must be a
+        selected dimension or measure — anything else would silently
+        resolve against engine internals or fail deep inside Catalyst."""
+        from .plans.compiler import _SQL_WHERE_VOCAB, _identifier_tokens
+
+        selected = set(dimensions) | set(measures)
+        for tok, is_call in _identifier_tokens(having):
+            if is_call or tok.lower() in _SQL_WHERE_VOCAB:
+                continue
+            if tok not in selected:
+                raise QueryError(
+                    f"HAVING references {tok!r}, which is not among the "
+                    f"selected dimensions/measures {sorted(selected)}"
+                )
 
     def query_pop(
         self,
@@ -114,6 +164,65 @@ class MetricView:
                 ((F.col(m) - prev) / F.nullif(prev, F.lit(0))).alias(f"{m}_pct"),
             ]
         return df.select(*cols)
+
+    def query_filled(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        time_dim: str,
+        step: str = "day",
+        fill: Optional[Any] = 0,
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """Time-spine densified query [EXT beyond the reference]: the
+        routed ``GROUP BY dimensions + time_dim`` result, completed so
+        EVERY period between the result's min and max ``time_dim`` exists
+        for every dimension combination, with absent measures filled with
+        *fill* (``None`` keeps NULL — right for non-additive measures).
+
+        The spine is calendar-bounded (a 1-row min/max aggregate exploded
+        through ``sequence()``, broadcast against the distinct groups), so
+        densification adds no data-sized shuffle beyond the output itself;
+        the underlying aggregate rides its normal route.
+        """
+        from .operators.spine import fill_time_gaps
+
+        if time_dim in dimensions:
+            raise QueryError(f"time_dim {time_dim!r} must not repeat in dimensions")
+        df = self.query([*dimensions, time_dim], measures, where=where)
+        fills = None if fill is None else {m: fill for m in measures}
+        return fill_time_gaps(
+            df, time_dim, group_cols=tuple(dimensions), step=step, fill=fills
+        )
+
+    def query_share(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """Percent-of-total [EXT beyond the reference]: the routed query
+        result plus a ``<measure>_share`` column per measure — each row's
+        fraction of the measure's total over the result set (NULL when the
+        total is 0).
+
+        Totals come from a 1-row re-aggregation of the result cross-joined
+        back (a broadcast of one row) — NOT an unpartitioned window, which
+        would funnel every result row through a single task at scale.
+        """
+        from pyspark.sql import functions as F
+
+        df = self.query(dimensions, measures, where=where)
+        totals = df.agg(
+            *[F.sum(m).alias(f"_total_{m}") for m in measures]
+        )
+        out = df.crossJoin(F.broadcast(totals))
+        for m in measures:
+            out = out.withColumn(
+                f"{m}_share",
+                F.col(m) / F.nullif(F.col(f"_total_{m}"), F.lit(0)),
+            )
+        return out.drop(*[f"_total_{m}" for m in measures])
 
     def explain_routing(
         self,
