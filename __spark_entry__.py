@@ -1015,6 +1015,39 @@ def _q_share_of_total(spark, sf_dir):
     return _round_cols(_round_cols(df, ["total_revenue"]), ["total_revenue_share"], 6)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): rank raw docs by the
+    # log-likelihood ratio of hashed unigram+bigram features under a
+    # target-domain model (lang='en') vs the raw-corpus model. md5 feature
+    # mode so the oracle replays the identical pipeline; production mode
+    # is xxhash64 with an n_buckets-bounded (broadcastable) model table.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dsir
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir.dsir_weights(docs, target, hash_fn="md5")
+    return _round_cols(w, ["log_weight"])
+
+
+def _q_decontaminated_docs(spark, sf_dir):
+    # the actionable contamination check: corpus rows minus every doc
+    # sharing a word 4-gram with the benchmark split (LEFT ANTI join on
+    # the gram-join drop list)
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import contamination
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    clean = contamination.decontaminate(corpus, bench, n=4)
+    return clean.select("doc_id", "lang", "source")
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
     # deterministic multiplicative-hash init + 6-decimal rounded decision
@@ -1706,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_segments": _q_having_segments,
         "spine_daily_revenue": _q_spine_daily_revenue,
         "share_of_total": _q_share_of_total,
+        "dsir_weights": _q_dsir_weights,
+        "decontaminated_docs": _q_decontaminated_docs,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2121,6 +2156,64 @@ def oracle_sql() -> dict[str, str]:
                    round(rev / nullif(sum(rev) OVER (), 0), 6)
                        AS total_revenue_share
             FROM agg
+        """,
+        "dsir_weights": r"""
+            WITH tokd AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                            ELSE [] END) AS fs
+              FROM tokd
+            ),
+            events AS (SELECT doc_id, lang, unnest(fs) AS f FROM feats),
+            tm AS (SELECT f, count(*) AS ct FROM events WHERE lang = 'en' GROUP BY 1),
+            rm AS (SELECT f, count(*) AS cr FROM events GROUP BY 1),
+            tt AS (SELECT sum(ct) AS nt FROM tm),
+            rt AS (SELECT sum(cr) AS nr FROM rm),
+            scored AS (
+              SELECT e.doc_id,
+                     ln((coalesce(tm.ct, 0) + 0.5) / (tt.nt + 5000.0))
+                     - ln((coalesce(rm.cr, 0) + 0.5) / (rt.nr + 5000.0)) AS lr
+              FROM events e
+              LEFT JOIN tm USING (f)
+              LEFT JOIN rm USING (f)
+              CROSS JOIN tt CROSS JOIN rt
+            )
+            SELECT d.doc_id, count(s.lr) AS n_features,
+                   round(sum(s.lr), 4) AS log_weight
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            GROUP BY 1
+        """,
+        "decontaminated_docs": r"""
+            WITH tokd AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                           AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 1)),
+                           i -> array_to_string(toks[i:i + 3], ' ')))) AS ngram
+                FROM tokd
+            ),
+            c AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+            b AS (SELECT ngram FROM grams WHERE doc_id % 10 = 0)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id % 10 <> 0
+              AND d.doc_id NOT IN (SELECT DISTINCT c.doc_id
+                                   FROM c JOIN b USING (ngram))
         """,
         "kmeans_clusters": """
             WITH init AS (

@@ -140,3 +140,33 @@ def contaminated_docs(
             F.sum("n_shared").alias("total_shared"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """The corpus minus contaminated documents — the actionable form of
+    the check: rows whose text shares ≥ *min_shared* distinct word
+    *n*-grams with ANY benchmark doc are removed, everything else passes
+    through with all columns intact.
+
+    Plan shape: the drop-list is the gram equi-join's doc-id projection
+    (tiny — contaminated ids only), applied with a LEFT ANTI join, which
+    Spark broadcasts when small. The corpus itself is scanned once.
+    """
+    drop = (
+        contaminated_docs(
+            corpus, benchmark, n, min_shared, id_col, text_col,
+            hash_ngrams=hash_ngrams,
+        )
+        .select(F.col("doc_id").alias("_drop_id"))
+    )
+    return corpus.join(
+        drop, corpus[id_col] == drop["_drop_id"], "left_anti"
+    )

@@ -49,6 +49,8 @@ LAZY_EXT_QUERIES = [
     "profile_orders",
     "asof_join",
     "interval_join",
+    "dsir_weights",
+    "decontaminated_docs",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -65,6 +67,7 @@ _SINGLE_PARTITION_OK = {
     "quantize_roundtrip",  # 1-row tolerance summary
     "profile_orders",  # single stats row, unpivoted driver-side
     "simhash_pairs",  # banded-vs-brute delta reduction (1-row counts)
+    "dsir_weights",  # two 1-row model-total aggregates broadcast
 }
 
 
