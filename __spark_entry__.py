@@ -1048,6 +1048,85 @@ def _q_decontaminated_docs(spark, sf_dir):
     return clean.select("doc_id", "lang", "source")
 
 
+def _q_incremental_model(spark, sf_dir):
+    # dbt incremental materialization, insert_overwrite strategy: first
+    # run loads years < 1998, second run folds years >= 1997 via dynamic
+    # partition overwrite (only touched partitions rewritten). The folded
+    # table must equal a full rebuild — the oracle aggregates all orders.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.models import ModelRegistry, Runner
+
+    reg = ModelRegistry()
+    bounds = {"lo": None, "hi": 1998}
+
+    @reg.model(
+        "inc_orders",
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by=("order_year",),
+    )
+    def inc_orders(spark_, ref, ctx):
+        df = spark_.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        if bounds["lo"] is not None:
+            df = df.filter(F.col("order_year") >= bounds["lo"])
+        if bounds["hi"] is not None:
+            df = df.filter(F.col("order_year") < bounds["hi"])
+        return df
+
+    wh = tempfile.mkdtemp(prefix="inc_wh_")
+    Runner(spark, reg, warehouse_dir=wh).run()
+    bounds["lo"], bounds["hi"] = 1997, None  # overlap year 1997: overwritten
+    out = Runner(spark, reg, warehouse_dir=wh).run()["inc_orders"]
+    summary = out.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_price").alias("revenue"),
+    )
+    return _round_cols(summary, ["revenue"])
+
+
+def _q_snapshot_scd2(spark, sf_dir):
+    # dbt snapshot (SCD Type-2): two snapshot folds over the customer
+    # table — run 2 raises balances for custkey%7==0 and hard-deletes
+    # custkey%13==0. The resulting generation table (valid_from/valid_to)
+    # is fully reproducible in SQL.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.models import snapshot_scd2
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_acctbal").alias("account_balance"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+    path = tempfile.mkdtemp(prefix="scd2_") + "/customers"
+    snapshot_scd2(
+        spark, cust, path, unique_key=("customer_id",), snapshot_at="2024-01-01"
+    )
+    snap2 = cust.filter(F.col("customer_id") % 13 != 0).withColumn(
+        "account_balance",
+        F.when(
+            F.col("customer_id") % 7 == 0, F.col("account_balance") + 100.0
+        ).otherwise(F.col("account_balance")),
+    )
+    hist = snapshot_scd2(
+        spark, snap2, path, unique_key=("customer_id",),
+        snapshot_at="2024-02-01", invalidate_hard_deletes=True,
+    )
+    return hist.select(
+        "customer_id", "account_balance", "market_segment",
+        "valid_from", "valid_to",
+    )
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
     # deterministic multiplicative-hash init + 6-decimal rounded decision
@@ -1741,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "share_of_total": _q_share_of_total,
         "dsir_weights": _q_dsir_weights,
         "decontaminated_docs": _q_decontaminated_docs,
+        "incremental_model": _q_incremental_model,
+        "snapshot_scd2": _q_snapshot_scd2,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2214,6 +2295,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 10 <> 0
               AND d.doc_id NOT IN (SELECT DISTINCT c.doc_id
                                    FROM c JOIN b USING (ngram))
+        """,
+        "incremental_model": """
+            SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "snapshot_scd2": """
+            WITH c AS (
+              SELECT c_custkey AS customer_id, c_acctbal AS account_balance,
+                     c_mktsegment AS market_segment
+              FROM customer
+            ),
+            v1 AS (
+              SELECT customer_id, account_balance, market_segment,
+                     DATE '2024-01-01' AS valid_from,
+                     CASE WHEN customer_id % 7 = 0 OR customer_id % 13 = 0
+                          THEN DATE '2024-02-01' END AS valid_to
+              FROM c
+            ),
+            v2 AS (
+              SELECT customer_id, account_balance + 100.0 AS account_balance,
+                     market_segment,
+                     DATE '2024-02-01' AS valid_from,
+                     CAST(NULL AS DATE) AS valid_to
+              FROM c
+              WHERE customer_id % 7 = 0 AND customer_id % 13 <> 0
+            )
+            SELECT * FROM v1 UNION ALL SELECT * FROM v2
         """,
         "kmeans_clusters": """
             WITH init AS (

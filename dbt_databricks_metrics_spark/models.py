@@ -17,6 +17,26 @@ Materializations:
   run's warehouse directory and re-read, cutting lineage exactly like a
   physical table. At scale, pass ``partition_by`` so marts land
   partitioned for downstream partition pruning.
+* ``ephemeral`` — dbt's inlined-CTE materialization: the model exists only
+  as a DataFrame for downstream ``ref()``s (Catalyst inlines it into each
+  consumer's plan); nothing is written and no view is registered.
+* ``incremental`` — dbt's incremental models. First run behaves like
+  ``table``; later runs fold only the new slice in, per
+  ``incremental_strategy``: ``append`` (new files appended),
+  ``insert_overwrite`` (dynamic partition overwrite — only the partitions
+  present in the increment are replaced; requires ``partition_by``; the
+  dbt-spark default for file-backed tables), or ``merge`` (upsert by
+  ``unique_key`` via anti-join + rewrite — honest about parquet having no
+  transactional MERGE; use a table format with MERGE for true in-place
+  upserts at scale). Model fns that accept a third argument receive an
+  :class:`IncrementalContext` (``is_incremental`` / ``existing()``) to
+  filter their source to the new slice, dbt's ``is_incremental()`` jinja
+  idiom.
+* ``snapshot`` — dbt snapshots: SCD Type-2 change tracking. Each run
+  compares the model's current rows against the open (``valid_to IS
+  NULL``) generation by ``unique_key`` + a hash of ``check_cols``,
+  closing changed/deleted rows at ``snapshot_at`` and inserting new
+  generations. One full-outer join per run, keyed on ``unique_key``.
 """
 
 from __future__ import annotations
@@ -34,18 +54,39 @@ class ModelError(ValueError):
     pass
 
 
+_MATERIALIZATIONS = ("view", "table", "ephemeral", "incremental", "snapshot")
+_INC_STRATEGIES = ("append", "insert_overwrite", "merge")
+
+
+@dataclass
+class IncrementalContext:
+    """What an incremental model fn sees as its third argument — dbt's
+    ``is_incremental()`` + ``{{ this }}`` pair."""
+
+    is_incremental: bool
+    _existing: Optional[Callable[[], DataFrame]] = None
+
+    def existing(self) -> Optional[DataFrame]:
+        """The previously materialized table (None on the first run) —
+        e.g. to read ``max(watermark_col)`` for the new-slice filter."""
+        return self._existing() if self._existing else None
+
+
 @dataclass
 class Model:
     name: str
     fn: ModelFn
     deps: tuple[str, ...] = ()
-    materialized: str = "view"  # 'view' | 'table'
+    materialized: str = "view"  # one of _MATERIALIZATIONS
     partition_by: tuple[str, ...] = ()
     # (num_buckets, key_columns): hash-bucket the table on the join key so
     # equi-joins between tables bucketed the same way need NO shuffle on
     # either side — the co-location lever for fact-to-fact joins at scale
     bucket_by: Optional[tuple[int, tuple[str, ...]]] = None
     sort_by: tuple[str, ...] = ()  # within-bucket sort (skips the SMJ sort)
+    incremental_strategy: str = "append"  # one of _INC_STRATEGIES
+    unique_key: tuple[str, ...] = ()  # incremental 'merge' / snapshot key
+    check_cols: tuple[str, ...] = ()  # snapshot change columns (() = all)
     description: Optional[str] = None
     # metric_view metadata attached via meta (schema.yml meta.metric_view)
     meta: dict[str, Any] = field(default_factory=dict)
@@ -72,6 +113,9 @@ class ModelRegistry:
         partition_by: tuple[str, ...] | list[str] = (),
         bucket_by: Optional[tuple[int, tuple[str, ...] | list[str]]] = None,
         sort_by: tuple[str, ...] | list[str] = (),
+        incremental_strategy: str = "append",
+        unique_key: tuple[str, ...] | list[str] = (),
+        check_cols: tuple[str, ...] | list[str] = (),
         description: Optional[str] = None,
         meta: Optional[dict[str, Any]] = None,
     ) -> Callable[[ModelFn], ModelFn]:
@@ -79,10 +123,29 @@ class ModelRegistry:
 
         def deco(fn: ModelFn) -> ModelFn:
             mname = name or fn.__name__
-            if materialized not in ("view", "table"):
-                raise ModelError(f"model {mname!r}: materialized must be view|table")
+            if materialized not in _MATERIALIZATIONS:
+                raise ModelError(
+                    f"model {mname!r}: materialized must be one of "
+                    f"{_MATERIALIZATIONS}"
+                )
             if bucket_by is not None and materialized != "table":
                 raise ModelError(f"model {mname!r}: bucket_by requires materialized='table'")
+            if materialized == "incremental":
+                if incremental_strategy not in _INC_STRATEGIES:
+                    raise ModelError(
+                        f"model {mname!r}: incremental_strategy must be one "
+                        f"of {_INC_STRATEGIES}"
+                    )
+                if incremental_strategy == "insert_overwrite" and not partition_by:
+                    raise ModelError(
+                        f"model {mname!r}: insert_overwrite requires partition_by"
+                    )
+                if incremental_strategy == "merge" and not unique_key:
+                    raise ModelError(
+                        f"model {mname!r}: merge strategy requires unique_key"
+                    )
+            if materialized == "snapshot" and not unique_key:
+                raise ModelError(f"model {mname!r}: snapshot requires unique_key")
             if mname in self._models:
                 raise ModelError(f"duplicate model {mname!r}")
             self._models[mname] = Model(
@@ -93,6 +156,9 @@ class ModelRegistry:
                 partition_by=tuple(partition_by),
                 bucket_by=(bucket_by[0], tuple(bucket_by[1])) if bucket_by else None,
                 sort_by=tuple(sort_by),
+                incremental_strategy=incremental_strategy,
+                unique_key=tuple(unique_key),
+                check_cols=tuple(check_cols),
                 description=description,
                 meta=dict(meta or {}),
             )
@@ -149,10 +215,14 @@ class Runner:
         spark: SparkSession,
         registry: ModelRegistry,
         warehouse_dir: Optional[str] = None,
+        snapshot_at: Optional[str] = None,
     ) -> None:
         self.spark = spark
         self.registry = registry
         self.warehouse_dir = warehouse_dir
+        # SCD2 effective date for this run's snapshot models (explicit, so
+        # runs are deterministic and replayable — dbt stamps wall-clock)
+        self.snapshot_at = snapshot_at
         self._built: dict[str, DataFrame] = {}
 
     def ref(self, name: str) -> DataFrame:
@@ -215,7 +285,16 @@ class Runner:
         return dict(self._built)
 
     def _materialize(self, model: Model) -> DataFrame:
+        if model.materialized == "incremental":
+            return self._materialize_incremental(model)
+        if model.materialized == "snapshot":
+            return self._materialize_snapshot(model)
         df = model.fn(self.spark, self.ref)
+        if model.materialized == "ephemeral":
+            # dbt's inlined CTE: downstream ref()s get the DataFrame and
+            # Catalyst fuses it into their plans; nothing persists and no
+            # view is registered
+            return df
         if model.materialized == "table":
             if not self.warehouse_dir:
                 raise ModelError(
@@ -250,3 +329,180 @@ class Runner:
             df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(model.name)
         return df
+
+    def _model_path(self, model: Model) -> str:
+        if not self.warehouse_dir:
+            raise ModelError(
+                f"model {model.name!r} is {model.materialized}-materialized "
+                "but no warehouse_dir set"
+            )
+        return os.path.join(self.warehouse_dir, model.name)
+
+    def _call_model_fn(self, model: Model, ctx: IncrementalContext) -> DataFrame:
+        """Pass the incremental context to fns that declare a 3rd param
+        (dbt's ``is_incremental()`` idiom); 2-arg fns build the full set."""
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(model.fn).parameters)
+        except (TypeError, ValueError):
+            n_params = 2
+        if n_params >= 3:
+            return model.fn(self.spark, self.ref, ctx)
+        return model.fn(self.spark, self.ref)
+
+    def _materialize_incremental(self, model: Model) -> DataFrame:
+        path = self._model_path(model)
+        exists = os.path.isdir(path)
+        ctx = IncrementalContext(
+            is_incremental=exists,
+            _existing=(lambda: self.spark.read.parquet(path)) if exists else None,
+        )
+        df = self._call_model_fn(model, ctx)
+        if not exists:
+            writer = df.write.mode("overwrite")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.parquet(path)
+        elif model.incremental_strategy == "append":
+            writer = df.write.mode("append")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.parquet(path)
+        elif model.incremental_strategy == "insert_overwrite":
+            # dynamic partition overwrite: only partitions present in the
+            # increment are replaced — the dbt-spark insert_overwrite
+            # strategy, and the scalable one for file-backed tables (the
+            # write touches |increment| data, never the full table)
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*model.partition_by)
+                .parquet(path)
+            )
+        else:  # merge
+            from .plans.rollup import _swap_write
+
+            old = self.spark.read.parquet(path)
+            keys = list(model.unique_key)
+            merged = old.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(df)
+            # parquet has no transactional MERGE: the upsert rewrites the
+            # table (anti-join + union + swap). Honest fallback — at 100 TB
+            # use insert_overwrite partitioning or a table format with MERGE
+            _swap_write(merged, self.spark, path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(model.name)
+        return out
+
+    def _materialize_snapshot(self, model: Model) -> DataFrame:
+        if not self.snapshot_at:
+            raise ModelError(
+                f"model {model.name!r} is a snapshot — pass snapshot_at "
+                "(e.g. Runner(..., snapshot_at='2024-01-01'))"
+            )
+        path = self._model_path(model)
+        df = model.fn(self.spark, self.ref)
+        out = snapshot_scd2(
+            self.spark,
+            df,
+            path,
+            unique_key=model.unique_key,
+            check_cols=model.check_cols or None,
+            snapshot_at=self.snapshot_at,
+        )
+        out.createOrReplaceTempView(model.name)
+        return out
+
+
+def snapshot_scd2(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    unique_key: tuple[str, ...] | list[str],
+    check_cols: Optional[tuple[str, ...] | list[str]] = None,
+    snapshot_at: str = "1970-01-01",
+    invalidate_hard_deletes: bool = False,
+) -> DataFrame:
+    """SCD Type-2 snapshot fold — dbt's ``check`` snapshot strategy.
+
+    Maintains a history table at *path* with two extra columns:
+    ``valid_from`` / ``valid_to`` (dates; the open generation has
+    ``valid_to IS NULL``). Each call compares *new_df* against the open
+    generation by *unique_key* and a hash over *check_cols* (default: all
+    non-key columns, in schema order):
+
+    * unchanged rows keep their open generation;
+    * changed rows close the old generation at *snapshot_at* and insert a
+      new open one;
+    * new keys insert an open generation;
+    * keys absent from *new_df* stay open unless
+      ``invalidate_hard_deletes`` (then they close at *snapshot_at*).
+
+    Plan shape: ONE full-outer join keyed on *unique_key* between the open
+    generation and the snapshot (closed history passes through untouched),
+    then a swap-write — |history| + |snapshot| rows per run, no per-row
+    driver logic. The change hash is ``xxhash64`` over the check columns
+    (stored as ``scd_hash``, so later runs never re-derive old hashes).
+
+    *snapshot_at* must be strictly later than any previous run's value —
+    generations are dated, not versioned (same-date re-runs would produce
+    zero-length generations).
+    """
+    from pyspark.sql import functions as F
+
+    from .plans.rollup import _swap_write
+
+    keys = list(unique_key)
+    if not keys:
+        raise ModelError("snapshot_scd2: unique_key is required")
+    data_cols = [c for c in new_df.columns if c not in keys]
+    checks = list(check_cols) if check_cols else data_cols
+    missing = [c for c in checks if c not in new_df.columns]
+    if missing:
+        raise ModelError(f"snapshot_scd2: check_cols not in snapshot: {missing}")
+    at = F.lit(snapshot_at).cast("date")
+
+    snap = new_df.withColumn("scd_hash", F.xxhash64(*[F.col(c) for c in checks]))
+    if not os.path.isdir(path):
+        first = snap.select(
+            *keys, *data_cols, "scd_hash",
+            at.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+        _swap_write(first, spark, path)
+        return spark.read.parquet(path)
+
+    hist = spark.read.parquet(path)
+    closed = hist.filter(F.col("valid_to").isNotNull())
+    cur = hist.filter(F.col("valid_to").isNull())
+
+    new_side = snap.select(
+        *[F.col(c).alias(f"_n_{c}") for c in (*keys, *data_cols)],
+        F.col("scd_hash").alias("_n_hash"),
+    )
+    cond = [cur[k] == new_side[f"_n_{k}"] for k in keys]
+    j = cur.join(new_side, cond, "full_outer")
+
+    in_new = new_side[f"_n_{keys[0]}"].isNotNull()
+    in_cur = cur[keys[0]].isNotNull()
+    changed = in_cur & in_new & (cur["scd_hash"] != new_side["_n_hash"])
+
+    # existing open generations: close when changed (or hard-deleted)
+    close_when = changed | (
+        (in_cur & ~in_new) if invalidate_hard_deletes else F.lit(False)
+    )
+    kept = j.filter(in_cur).select(
+        *[cur[c] for c in (*keys, *data_cols, "scd_hash", "valid_from")],
+        F.when(close_when, at).otherwise(cur["valid_to"]).alias("valid_to"),
+    )
+    # new open generations: changed rows + brand-new keys
+    opened = j.filter(in_new & (changed | ~in_cur)).select(
+        *[new_side[f"_n_{c}"].alias(c) for c in (*keys, *data_cols)],
+        new_side["_n_hash"].alias("scd_hash"),
+        at.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    _swap_write(closed.unionByName(kept).unionByName(opened), spark, path)
+    return spark.read.parquet(path)
