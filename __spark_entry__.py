@@ -1127,6 +1127,29 @@ def _q_snapshot_scd2(spark, sf_dir):
     )
 
 
+def _q_funnel_steps(spark, sf_dir):
+    # ordered funnel with a 2h conversion window: greedy earliest-
+    # completion matching over per-user sorted event-time arrays — one
+    # user-keyed shuffle, pure array exprs, no windows/UDFs
+    from dbt_databricks_metrics_spark.ext.funnel import funnel_counts
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_seconds=7200
+    )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    # weekly retention triangle: cohort = first-activity week; one
+    # user-keyed shuffle + result-sized aggregations
+    from dbt_databricks_metrics_spark.ext.funnel import cohort_retention
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     # distributed Lloyd's k-means (1 round, k=4) over the embedding table;
     # deterministic multiplicative-hash init + 6-decimal rounded decision
@@ -1822,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_docs": _q_decontaminated_docs,
         "incremental_model": _q_incremental_model,
         "snapshot_scd2": _q_snapshot_scd2,
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2324,6 +2349,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE customer_id % 7 = 0 AND customer_id % 13 <> 0
             )
             SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        """,
+        "funnel_steps": """
+            WITH per_user AS (
+              SELECT user_id,
+                     list_sort(list(ts) FILTER (event_type = 'view')) AS a0,
+                     list_sort(list(ts) FILTER (event_type = 'click')) AS a1,
+                     list_sort(list(ts) FILTER (event_type = 'purchase')) AS a2
+              FROM events GROUP BY 1
+            ),
+            c1 AS (SELECT user_id, a0[1] AS t0, a1, a2 FROM per_user),
+            c2 AS (SELECT user_id, t0,
+                          list_filter(a1, x -> x > t0
+                                       AND x <= t0 + INTERVAL 7200 SECOND)[1] AS t1,
+                          a2
+                   FROM c1),
+            c3 AS (SELECT user_id, t0, t1,
+                          list_filter(a2, x -> x > t1
+                                       AND x <= t0 + INTERVAL 7200 SECOND)[1] AS t2
+                   FROM c2),
+            agg AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
+                    FROM c3)
+            SELECT 1 AS step, 'view' AS step_type, n0 AS n_users,
+                   round(n0 / nullif(n0, 0), 6) AS pct_of_first FROM agg
+            UNION ALL
+            SELECT 2, 'click', n1, round(n1 / nullif(n0, 0), 6) FROM agg
+            UNION ALL
+            SELECT 3, 'purchase', n2, round(n2 / nullif(n0, 0), 6) FROM agg
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+              SELECT user_id,
+                     min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+              FROM events GROUP BY 1
+            ),
+            activity AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS p
+              FROM events
+            ),
+            cells AS (
+              SELECT f.cohort,
+                     CAST(datediff('day', f.cohort, a.p) / 7 AS INT)
+                         AS period_offset,
+                     count(*) AS n_users
+              FROM activity a JOIN firsts f USING (user_id)
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT cohort, count(*) AS sz FROM firsts GROUP BY 1)
+            SELECT c.cohort, c.period_offset, c.n_users,
+                   round(c.n_users / s.sz, 6) AS retention
+            FROM cells c JOIN sizes s USING (cohort)
         """,
         "kmeans_clusters": """
             WITH init AS (

@@ -51,6 +51,8 @@ LAZY_EXT_QUERIES = [
     "interval_join",
     "dsir_weights",
     "decontaminated_docs",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -68,6 +70,7 @@ _SINGLE_PARTITION_OK = {
     "profile_orders",  # single stats row, unpivoted driver-side
     "simhash_pairs",  # banded-vs-brute delta reduction (1-row counts)
     "dsir_weights",  # two 1-row model-total aggregates broadcast
+    "funnel_steps",  # 1-row step-count vector, unpivoted
 }
 
 
