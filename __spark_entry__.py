@@ -1127,6 +1127,75 @@ def _q_snapshot_scd2(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    # watermarked streaming exact dedup: the events table written TWICE
+    # (at-least-once delivery) and streamed through
+    # dropDuplicatesWithinWatermark — the emitted rows must equal the
+    # original table (oracle: plain SELECT over events)
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming.sessions import streaming_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = _tf.mkdtemp(prefix="stream_dup_")
+    ev.write.mode("overwrite").parquet(src_dir)
+    ev.write.mode("append").parquet(src_dir)  # duplicate delivery
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    out = streaming_dedup(
+        stream, ("event_id",), ts_col="ts", watermark="30 days"
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_dedup: availableNow batch exceeded 300s")
+    # 'value' flows straight from parquet (no aggregation) — bit-identical
+    return spark.table(name).select("event_id", "user_id", "event_type", "value")
+
+
+def _q_zorder_scan(spark, sf_dir):
+    # Z-order layout (Morton interleave + range repartition): rewriting
+    # the fact table clustered on (l_orderkey, l_partkey) must not change
+    # any query answer — the oracle runs the same filter+aggregate on the
+    # original table. The min/max file-pruning evidence (secondary-column
+    # scan fraction 1.0 -> <=0.5) is pinned in test_operators_layout.py
+    # and recorded per-run in bench.py.
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators.layout import zorder_layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_returnflag",
+    )
+    out = _tf.mkdtemp(prefix="zorder_") + "/lineitem"
+    zorder_layout(li, ["l_orderkey", "l_partkey"], 8).write.parquet(out)
+    back = spark.read.parquet(out)
+    agg = (
+        back.filter(F.col("l_partkey") % 50 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+    return _round_cols(agg, ["revenue"])
+
+
 def _q_funnel_steps(spark, sf_dir):
     # ordered funnel with a 2h conversion window: greedy earliest-
     # completion matching over per-user sorted event-time arrays — one
@@ -1847,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_scd2": _q_snapshot_scd2,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
+        "streaming_dedup": _q_streaming_dedup,
+        "zorder_scan": _q_zorder_scan,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2349,6 +2420,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE customer_id % 7 = 0 AND customer_id % 13 <> 0
             )
             SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        """,
+        "streaming_dedup": """
+            SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "zorder_scan": """
+            SELECT l_returnflag, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            WHERE l_partkey % 50 = 0
+            GROUP BY 1
         """,
         "funnel_steps": """
             WITH per_user AS (

@@ -33,12 +33,16 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, warm: bool = False):
+    def timed(name: str, fn, warm: bool = False, best_of: int = 1):
         if warm:
-            fn()  # steady-state: measure the second run
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+            fn()  # steady-state: skip the cold first run
+        best, out = None, None
+        for _ in range(max(1, best_of)):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         return out
 
     # warm the JVM/parquet footprint outside the timings
@@ -72,9 +76,9 @@ def main() -> None:
         assert route == "rollup:revenue_by_segment", route
         return df.collect()
 
-    timed("q_segment_routed", routed, warm=True)
-    timed("q_segment_exact_cover", routed_exact, warm=True)
-    timed("q_segment_live", live, warm=True)
+    timed("q_segment_routed", routed, warm=True, best_of=3)
+    timed("q_segment_exact_cover", routed_exact, warm=True, best_of=3)
+    timed("q_segment_live", live, warm=True, best_of=3)
     timed(
         "q_monthly_routed",
         lambda: mv.query(["order_year", "order_month"], ["total_revenue"]).collect(),
@@ -90,8 +94,8 @@ def main() -> None:
         q = MetricQuery(mv.spec, ("market_segment",), ("trailing_7d_revenue",))
         return eng._compiler.compile(q).collect()
 
-    timed("q_trailing_7d", trailing_routed, warm=True)
-    timed("q_trailing_7d_source_grain", trailing_source_grain, warm=True)
+    timed("q_trailing_7d", trailing_routed, warm=True, best_of=3)
+    timed("q_trailing_7d_source_grain", trailing_source_grain, warm=True, best_of=3)
     timed(
         "q_mixed_plain_window",
         lambda: mv.query(
@@ -143,7 +147,7 @@ def main() -> None:
         assert route == "rollup:pricing_by_flag_status", route
         return df.collect()
 
-    timed("q_pricing_routed", pricing_routed, warm=True)
+    timed("q_pricing_routed", pricing_routed, warm=True, best_of=3)
     timed(
         "q_star_nation",
         lambda: eng.metric_view("mv_sales_star")
@@ -393,6 +397,41 @@ def main() -> None:
         .first()[0]
     )
 
+    # layout evidence: Z-order vs single-key sort — fraction of parquet
+    # row groups a secondary-column point filter must read (min/max
+    # pruning straight from the footers; scale-invariant — the fraction,
+    # not the time, is what survives a 1000x scale-up)
+    import tempfile as _tf
+
+    from dbt_databricks_metrics_spark.operators.layout import (
+        file_skipping_stats,
+        zorder_layout,
+    )
+
+    li_lay = li.select("l_orderkey", "l_partkey", "l_extendedprice")
+    lay_dir = _tf.mkdtemp(prefix="bench_layout_")
+    n_files = 16
+    timed(
+        "layout_linear_write",
+        lambda: li_lay.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lay_dir + "/linear"),
+    )
+    timed(
+        "layout_zorder_write",
+        lambda: zorder_layout(li_lay, ["l_orderkey", "l_partkey"], n_files)
+        .write.mode("overwrite")
+        .parquet(lay_dir + "/zorder"),
+    )
+    probe_pk = li_lay.first()["l_partkey"]
+    linear_frac = file_skipping_stats(lay_dir + "/linear", "l_partkey", probe_pk)[
+        "scan_frac"
+    ]
+    zorder_frac = file_skipping_stats(lay_dir + "/zorder", "l_partkey", probe_pk)[
+        "scan_frac"
+    ]
+
     # scale-invariant routing evidence: rows scanned by each plan (at sf0.1
     # both queries are scheduling-bound ~0.2s; the scan ratio is what
     # predicts the 10-100x at warehouse scale, README.md:424-429)
@@ -423,6 +462,8 @@ def main() -> None:
                 "skew_max_task_rows_salted": skew_max_salted,
                 "skew_balance_factor": round(skew_max_plain / max(skew_max_salted, 1), 1),
                 "scaling_4x_time_ratio": scaling,
+                "layout_scan_frac_secondary_linear": linear_frac,
+                "layout_scan_frac_secondary_zorder": zorder_frac,
             }
         )
     )
