@@ -1163,6 +1163,54 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+def _q_pca_covariance(spark, sf_dir):
+    # distributed PCA moment pass: per-Arrow-batch numpy gemm partials,
+    # tree-combined so the driver sees one row per partition. The oracle
+    # recomputes the same population covariance relationally; the eigen
+    # model + projection on top are pytest-covered (exact vs numpy).
+    from dbt_databricks_metrics_spark.ext.pca import covariance_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_matrix(emb, dim=64, decimals=6)
+
+
+def _q_seed_lookup(spark, sf_dir):
+    # dbt seeds: a version-controlled CSV loaded as a table model and
+    # joined like any ref() — here a region-tier lookup CSV enriching the
+    # nation dimension (oracle recomputes the tier with a CASE)
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.models import ModelRegistry, Runner
+
+    d = _tf.mkdtemp(prefix="seed_")
+    csv_path = _os.path.join(d, "region_tiers.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("region_id,tier\n")
+        for rid in range(5):
+            fh.write(f"{rid},{'core' if rid < 2 else 'growth'}\n")
+
+    reg = ModelRegistry()
+    reg.seed("region_tiers", csv_path, schema="region_id INT, tier STRING")
+
+    @reg.model("nation_tiers", deps=["region_tiers"])
+    def nation_tiers(spark_, ref):
+        nation = spark_.read.parquet(f"{sf_dir}/nation.parquet")
+        return nation.join(
+            F.broadcast(ref("region_tiers")),
+            nation["n_regionkey"] == F.col("region_id"),
+        ).select(
+            F.col("n_nationkey").alias("nation_id"),
+            F.col("n_name").alias("nation_name"),
+            "tier",
+        )
+
+    built = Runner(spark, reg, warehouse_dir=_os.path.join(d, "wh")).run()
+    return built["nation_tiers"]
+
+
 def _q_zorder_scan(spark, sf_dir):
     # Z-order layout (Morton interleave + range repartition): rewriting
     # the fact table clustered on (l_orderkey, l_partkey) must not change
@@ -1918,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "streaming_dedup": _q_streaming_dedup,
         "zorder_scan": _q_zorder_scan,
+        "seed_lookup": _q_seed_lookup,
+        "pca_covariance": _q_pca_covariance,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2423,6 +2473,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "pca_covariance": """
+            WITH el AS (
+              SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN generate_series(1, 64) AS gs(i)
+            )
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 6) AS cov
+            FROM el a JOIN el b USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "seed_lookup": """
+            SELECT n_nationkey AS nation_id, n_name AS nation_name,
+                   CASE WHEN n_regionkey < 2 THEN 'core' ELSE 'growth' END AS tier
+            FROM nation
         """,
         "zorder_scan": """
             SELECT l_returnflag, count(*) AS n_lines,

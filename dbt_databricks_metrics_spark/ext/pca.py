@@ -1,0 +1,178 @@
+"""Distributed PCA over embedding columns ([EXT]) — the dimensionality
+step that precedes clustering / IVF / quantization in large embedding
+pipelines (public algorithm: covariance eigendecomposition).
+
+Scale shape (100 TB posture), the classic two-phase design:
+
+1. **Distributed moment pass** — mean vector and scatter matrix
+   ``X^T X``. Each Arrow batch computes its d×d partial with ONE numpy
+   gemm (``mapInPandas``: this is the documented exception where a
+   Python kernel beats expressions — elementwise SQL would explode d²
+   values per ROW, ~4096× data amplification at d=64, while the gemm
+   emits d²+d+1 numbers per BATCH). The shuffle carries one flattened
+   row per batch, regardless of corpus size.
+2. **Driver eigendecomposition** — the d×d covariance (a few KB) is
+   eigensolved with numpy; only model-sized data ever reaches the
+   driver.
+
+``pca_transform`` projects vectors onto the top-k components with pure
+array expressions (codegen; k×d multiply-adds per row, no shuffle).
+
+Determinism: the scatter partials depend on row batching, so raw
+covariance entries carry float summation jitter; ``covariance_matrix``
+rounds to a caller-set number of decimals (default 6) making the
+distributed pass engine-reproducible — the contract oracle recomputes
+the same rounded matrix in SQL. Eigenvectors have a sign ambiguity;
+``pca_fit`` fixes each component's sign so its largest-magnitude entry
+is positive (the standard convention).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One row per Arrow batch: (n, sum_vec, scatter_flat = Σ x xᵀ)."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"expected {dim}-dim vectors, got {mat.shape[1]}"
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "n": [mat.shape[0]],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [(mat.T @ mat).reshape(-1).tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(gemm, schema)
+
+
+def _collect_moments(df: DataFrame, vec_col: str, dim: int):
+    parts = _moment_partials(df, vec_col, dim)
+
+    # tree combine: sum the per-batch partials within each partition so
+    # the driver collects ONE row per partition, not one per Arrow batch
+    # (at corpus scale batches number in the millions; partitions don't)
+    def combine(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros(dim * dim)
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n += int(row["n"])
+                s += np.array(row["s"])
+                ss += np.array(row["ss"])
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
+
+    combined = parts.mapInPandas(combine, parts.schema).collect()
+    n = sum(p["n"] for p in combined)
+    if n == 0:
+        raise ValueError("PCA needs at least one vector")
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for p in combined:
+        s += np.array(p["s"])
+        ss += np.array(p["ss"]).reshape(dim, dim)
+    return n, s, ss
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, decimals: int = 6
+) -> DataFrame:
+    """The d×d covariance as (i, j, cov) rows, rounded to *decimals* so
+    the distributed pass is engine-reproducible (population covariance,
+    divide by n)."""
+    spark = df.sparkSession
+    n, s, ss = _collect_moments(df, vec_col, dim)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    rows = [
+        (i, j, round(float(cov[i, j]), decimals))
+        for i in range(dim)
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(rows, "i INT, j INT, cov DOUBLE")
+
+
+class PCAModel(NamedTuple):
+    mean: "np.ndarray"  # (d,)
+    components: "np.ndarray"  # (k, d) rows = principal axes
+    explained_variance: "np.ndarray"  # (k,)
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding", dim: int = 64
+) -> PCAModel:
+    """Top-*k* principal components from the distributed moment pass +
+    driver-side eigendecomposition of the d×d covariance."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"need 1 <= k <= {dim}, got {k}")
+    n, s, ss = _collect_moments(df, vec_col, dim)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    # sign convention: largest-|entry| positive per component
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    return PCAModel(mean=mu, components=comps, explained_variance=vals[order])
+
+
+def pca_transform(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project onto the model's components: pure array expressions
+    (k×d multiply-adds per row, whole-stage codegen, no shuffle)."""
+    mean = [float(x) for x in model.mean]
+    comps = [[float(x) for x in row] for row in model.components]
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(m) for m in mean]),
+        lambda x, m: x - m,
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(c) for c in row]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for row in comps
+        ]
+    )
+    return df.withColumn(out_col, proj)

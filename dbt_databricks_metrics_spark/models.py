@@ -171,6 +171,33 @@ class ModelRegistry:
             raise ModelError(f"duplicate model {model.name!r}")
         self._models[model.name] = model
 
+    def seed(
+        self,
+        name: str,
+        path: str,
+        schema=None,
+        description: Optional[str] = None,
+        **csv_options: str,
+    ) -> None:
+        """dbt seeds: a version-controlled CSV loaded as a table model
+        (``dbt seed`` semantics — the file IS the source of truth; the
+        run rewrites the table from it). Pass an explicit *schema* in
+        production; inference costs an extra pass and guesses types."""
+
+        def fn(spark: SparkSession, ref) -> DataFrame:
+            from .sources.readers import read_source
+
+            return read_source(spark, path, format="csv", schema=schema, **csv_options)
+
+        self.add(
+            Model(
+                name=name,
+                fn=fn,
+                materialized="table",
+                description=description or f"seed from {path}",
+            )
+        )
+
     def __contains__(self, name: str) -> bool:
         return name in self._models
 

@@ -1,0 +1,103 @@
+"""Distributed PCA (ext/pca.py): moment pass, eigen model, projection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext.pca import (
+    PCAModel,
+    covariance_matrix,
+    pca_fit,
+    pca_transform,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    return np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+
+
+def test_covariance_matches_numpy(emb, emb_np):
+    got = {
+        (r["i"], r["j"]): r["cov"] for r in covariance_matrix(emb).collect()
+    }
+    exp = np.cov(emb_np, rowvar=False, bias=True)
+    for (i, j), v in got.items():
+        assert v == pytest.approx(round(float(exp[i, j]), 6), abs=2e-6)
+
+
+def test_fit_matches_numpy_eigh(emb, emb_np):
+    model = pca_fit(emb, k=4)
+    cov = np.cov(emb_np, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.sort(vals)[::-1][:4]
+    assert model.explained_variance == pytest.approx(top, rel=1e-9)
+    # components orthonormal
+    g = model.components @ model.components.T
+    assert np.abs(g - np.eye(4)).max() < 1e-9
+    # sign convention: largest-|entry| positive
+    for row in model.components:
+        assert row[np.argmax(np.abs(row))] > 0
+
+
+def test_transform_is_exact_projection(emb, emb_np):
+    model = pca_fit(emb, k=4)
+    got = np.array(
+        [
+            r["pca"]
+            for r in pca_transform(emb, model).orderBy("vec_id").collect()
+        ]
+    )
+    exp = (emb_np - model.mean) @ model.components.T
+    assert np.abs(got - exp).max() < 1e-9
+
+
+def test_transform_plan_is_codegen_only(emb):
+    model = pca_fit(emb, k=2)
+    plan = (
+        pca_transform(emb, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # map-only projection
+    assert "EvalPython" not in plan  # pure expressions, no Python
+
+
+def test_partitioning_invariance(emb):
+    a = pca_fit(emb, k=3)
+    b = pca_fit(emb.repartition(13), k=3)
+    assert a.explained_variance == pytest.approx(b.explained_variance, rel=1e-9)
+    assert np.abs(a.components - b.components).max() < 1e-7
+
+
+def test_variance_concentrates_after_projection(emb):
+    # projecting onto the top components must preserve the top eigenvalue
+    # as the first output coordinate's variance
+    model = pca_fit(emb, k=2)
+    out = pca_transform(emb, model).select(
+        F.col("pca")[0].alias("p0"), F.col("pca")[1].alias("p1")
+    )
+    v0, v1 = out.agg(F.var_pop("p0"), F.var_pop("p1")).first()
+    assert v0 == pytest.approx(model.explained_variance[0], rel=1e-6)
+    assert v1 == pytest.approx(model.explained_variance[1], rel=1e-6)
+    assert v0 >= v1
+
+
+def test_validation(emb, spark):
+    with pytest.raises(ValueError, match="k"):
+        pca_fit(emb, k=0)
+    with pytest.raises(ValueError, match="k"):
+        pca_fit(emb, k=65)
+    empty = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError, match="at least one"):
+        pca_fit(empty, k=2)

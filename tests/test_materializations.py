@@ -251,3 +251,31 @@ def test_scd2_via_runner_and_validation(spark, tmp_path):
         @reg.model("bad", materialized="snapshot")
         def bad(spark_, ref):
             pass
+
+
+# ------------------------------------------------------------------ seed
+
+
+def test_seed_loads_csv_as_table(spark, tmp_path):
+    csv = tmp_path / "mapping.csv"
+    csv.write_text("code,label\n1,alpha\n2,beta\n")
+    reg = ModelRegistry()
+    reg.seed("mapping", str(csv))
+
+    @reg.model("uses_seed", deps=["mapping"])
+    def uses_seed(spark_, ref):
+        return ref("mapping").filter("code = 2")
+
+    built = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh")).run()
+    assert _rows(built["mapping"], "code", "label") == [(1, "alpha"), (2, "beta")]
+    assert built["uses_seed"].first()["label"] == "beta"
+
+
+def test_seed_with_explicit_schema(spark, tmp_path):
+    csv = tmp_path / "s.csv"
+    csv.write_text("k,v\n1,2.5\n")
+    reg = ModelRegistry()
+    reg.seed("s", str(csv), schema="k INT, v DOUBLE")
+    built = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh")).run()
+    row = built["s"].first()
+    assert row["k"] == 1 and row["v"] == 2.5
