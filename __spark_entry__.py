@@ -1163,6 +1163,24 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+def _q_doc_vectors(spark, sf_dir):
+    # feature-hashed TF-IDF vectors (hashing trick): text -> fixed-width
+    # L2-normalized array ready for the embedding-space operators. md5
+    # bucket mode is bit-reproducible in DuckDB ('0x'||md5-prefix cast);
+    # production mode is xxhash64. Contract emits the exploded (doc, i,
+    # val) triples rounded to 6.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = hashed_doc_vectors(docs, dim=16, hash_fn="md5")
+    return v.select(
+        "doc_id", F.posexplode("vector").alias("i", "val")
+    ).select("doc_id", "i", F.round("val", 6).alias("val"))
+
+
 def _q_pca_covariance(spark, sf_dir):
     # distributed PCA moment pass: per-Arrow-batch numpy gemm partials,
     # tree-combined so the driver sees one row per partition. The oracle
@@ -1968,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
+        "doc_vectors": _q_doc_vectors,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2473,6 +2492,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "doc_vectors": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            w AS (
+              SELECT doc_id, tok,
+                     tf * (ln((nd.n + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+            ),
+            bk AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16 AS INT) AS b,
+                     sum(w) AS v
+              FROM w GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT d.doc_id, gs.i AS i, coalesce(bk.v, 0.0) AS x
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN generate_series(0, 15) AS gs(i)
+              LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = gs.i
+            ),
+            nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM dense GROUP BY 1)
+            SELECT dense.doc_id, CAST(i AS INT) AS i,
+                   round(CASE WHEN nn > 0 THEN x / nn ELSE x END, 6) AS val
+            FROM dense JOIN nrm USING (doc_id)
         """,
         "pca_covariance": """
             WITH el AS (

@@ -53,6 +53,7 @@ LAZY_EXT_QUERIES = [
     "decontaminated_docs",
     "funnel_steps",
     "cohort_retention",
+    "doc_vectors",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
