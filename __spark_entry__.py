@@ -1163,6 +1163,72 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE tokenizer induction: 8 merge rounds over the
+    # word-frequency table (vocabulary-sized — corpus-size-independent
+    # loop). The oracle unrolls the same 8 rounds in SQL: pair counts →
+    # deterministic best (count desc, lexicographic) → replace-twice
+    # rewrite, which both engines implement identically.
+    from dbt_databricks_metrics_spark.ext.bpe import bpe_train
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    norm = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    parts = [
+        f"""WITH tokd AS (
+              SELECT list_filter(string_split({norm}, ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            wfreq AS (
+              SELECT word, count(*) AS freq
+              FROM (SELECT unnest(toks) AS word FROM tokd) GROUP BY 1
+            ),
+            wf0 AS (
+              SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                         || '</w> ' AS sym,
+                     freq
+              FROM wfreq
+            )"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+            , p{r} AS (
+              SELECT pair[1] AS "left", pair[2] AS "right", sum(freq) AS cnt
+              FROM (
+                SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                                             i -> [s[i], s[i + 1]])) AS pair,
+                       freq
+                FROM (SELECT string_split(trim(sym), ' ') AS s, freq FROM wf{r})
+              )
+              GROUP BY 1, 2
+            ),
+            b{r} AS (
+              SELECT "left", "right", cnt FROM p{r}
+              WHERE cnt >= 2
+              ORDER BY cnt DESC, "left", "right" LIMIT 1
+            ),
+            wf{r + 1} AS (
+              SELECT replace(replace(sym,
+                         ' ' || b."left" || ' ' || b."right" || ' ',
+                         ' ' || b."left" || b."right" || ' '),
+                         ' ' || b."left" || ' ' || b."right" || ' ',
+                         ' ' || b."left" || b."right" || ' ') AS sym,
+                     freq
+              FROM wf{r} CROSS JOIN b{r} b
+            )""")
+    selects = [
+        f"""SELECT {r} AS rank, "left", "right", "left" || "right" AS merged,
+                   CAST(cnt AS BIGINT) AS pair_freq FROM b{r}"""
+        for r in range(n_merges)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
 def _q_doc_vectors(spark, sf_dir):
     # feature-hashed TF-IDF vectors (hashing trick): text -> fixed-width
     # L2-normalized array ready for the embedding-space operators. md5
@@ -1987,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
         "doc_vectors": _q_doc_vectors,
+        "bpe_merges": _q_bpe_merges,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2493,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
         """,
+        "bpe_merges": _bpe_oracle_sql(8),
         "doc_vectors": r"""
             WITH tokd AS (
               SELECT doc_id,
