@@ -1163,6 +1163,38 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+def _q_drift_report(spark, sf_dir):
+    # distribution drift between event cohorts: per-bin PSI terms and the
+    # running CDF gap (binned KS). One aggregation per side, bin-sized
+    # result; the CDF window runs over 10 rows, never the data.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.drift import drift_report
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = drift_report(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        0.0,
+        100.0,
+        bins=10,
+    )
+    return _round_cols(rep, ["frac_a", "frac_b", "psi_term", "cdf_gap"], 6)
+
+
+def _q_ab_welch(spark, sf_dir):
+    # Welch's unequal-variance t between two event cohorts, from one
+    # two-group moment aggregate (the A/B metric default)
+    from dbt_databricks_metrics_spark.ext.drift import welch_t
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = welch_t(ev, "event_type", "value", "click", "purchase")
+    return _round_cols(t, ["mean_a", "mean_b", "t_stat", "dof"], 6)
+
+
 def _q_bpe_merges(spark, sf_dir):
     # distributed BPE tokenizer induction: 8 merge rounds over the
     # word-frequency table (vocabulary-sized — corpus-size-independent
@@ -2054,6 +2086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance": _q_pca_covariance,
         "doc_vectors": _q_doc_vectors,
         "bpe_merges": _q_bpe_merges,
+        "drift_report": _q_drift_report,
+        "ab_welch": _q_ab_welch,
         "bm25_search": _q_bm25_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
@@ -2559,6 +2593,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "drift_report": """
+            WITH binned AS (
+              SELECT least(greatest(CAST(floor(value / 10.0) AS INT), 0), 9)
+                         AS bin,
+                     event_type
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'purchase')
+            ),
+            fa AS (SELECT bin, count(*)::DOUBLE / sum(count(*)) OVER () AS f
+                   FROM binned WHERE event_type = 'click' GROUP BY 1),
+            fb AS (SELECT bin, count(*)::DOUBLE / sum(count(*)) OVER () AS f
+                   FROM binned WHERE event_type = 'purchase' GROUP BY 1),
+            spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+            j AS (
+              SELECT s.bin,
+                     coalesce(fa.f, 0.0) AS frac_a,
+                     coalesce(fb.f, 0.0) AS frac_b,
+                     greatest(coalesce(fa.f, 0), 1e-6) AS pa,
+                     greatest(coalesce(fb.f, 0), 1e-6) AS pb
+              FROM spine s LEFT JOIN fa USING (bin) LEFT JOIN fb USING (bin)
+            )
+            SELECT bin, round(frac_a, 6) AS frac_a, round(frac_b, 6) AS frac_b,
+                   round((pa - pb) * ln(pa / pb), 6) AS psi_term,
+                   round(abs(sum(frac_a) OVER w - sum(frac_b) OVER w), 6)
+                       AS cdf_gap
+            FROM j
+            WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        """,
+        "ab_welch": """
+            WITH m AS (
+              SELECT event_type AS g, count(*) AS n, avg(value) AS mean,
+                     var_samp(value) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+              GROUP BY 1
+            ),
+            a AS (SELECT n AS n_a, mean AS mean_a, v AS v_a FROM m
+                  WHERE g = 'click'),
+            b AS (SELECT n AS n_b, mean AS mean_b, v AS v_b FROM m
+                  WHERE g = 'purchase')
+            SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round((mean_a - mean_b)
+                         / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+                   round(pow(v_a / n_a + v_b / n_b, 2)
+                         / (pow(v_a / n_a, 2) / (n_a - 1)
+                            + pow(v_b / n_b, 2) / (n_b - 1)), 6) AS dof
+            FROM a CROSS JOIN b
         """,
         "bpe_merges": _bpe_oracle_sql(8),
         "doc_vectors": r"""

@@ -1,0 +1,147 @@
+"""Distribution drift and experiment statistics ([EXT]) — the
+monitoring layer of a data pipeline: is this batch distributed like the
+last one, and did the treatment move the metric?
+
+* **PSI** (population stability index) — the industry drift score:
+  ``sum((p_a - p_b) * ln(p_a / p_b))`` over fixed bins (rule of thumb:
+  < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+* **Binned KS statistic** — ``max |CDF_a - CDF_b|`` over the same bins
+  (exact to one bin width; the binless KS needs a global sort, which is
+  exactly what we refuse to do at scale).
+* **Welch's t** — unequal-variance two-sample test from per-group
+  (n, mean, var) aggregates.
+
+Scale shape: everything here is ONE aggregation per side — fixed-range
+binning is a ``width_bucket``-style CASE + groupBy (bin-count-sized
+results), moments are plain aggregates. No sorts, no windows, no joins
+bigger than the bin table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin_fracs(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int, side: str
+) -> DataFrame:
+    """(bin, frac): share of rows per fixed-range bin; values at/under lo
+    land in bin 0, at/over hi in the last bin — nothing is dropped."""
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bin", (F.col("n") / F.col("_t")).alias(f"frac_{side}")
+    )
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin drift table: (bin, frac_a, frac_b, psi_term, cdf_gap).
+    Empty bins get *eps* mass in the PSI (standard smoothing — the raw
+    ratio is undefined at zero)."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    import pyspark.sql.window as W
+
+    a = _bin_fracs(df_a, col, lo, hi, bins, "a")
+    b = _bin_fracs(df_b, col, lo, hi, bins, "b")
+    spine = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        spine.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("frac_a", F.lit(0.0)).alias("frac_a"),
+            F.coalesce("frac_b", F.lit(0.0)).alias("frac_b"),
+        )
+    )
+    pa = F.greatest(F.col("frac_a"), F.lit(eps))
+    pb = F.greatest(F.col("frac_b"), F.lit(eps))
+    # the bin table is bins rows — a window over it is result-sized, not
+    # data-sized, so the running CDF costs nothing at any corpus scale
+    cum = W.Window.orderBy("bin").rowsBetween(W.Window.unboundedPreceding, 0)
+    return j.select(
+        "bin",
+        "frac_a",
+        "frac_b",
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        F.abs(
+            F.sum("frac_a").over(cum) - F.sum("frac_b").over(cum)
+        ).alias("cdf_gap"),
+    )
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One row: (psi, ks_binned) — the drift scores."""
+    rep = drift_report(df_a, df_b, col, lo, hi, bins, eps)
+    return rep.agg(
+        F.sum("psi_term").alias("psi"), F.max("cdf_gap").alias("ks_binned")
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t — one row: (n_a, n_b, mean_a, mean_b,
+    t_stat, dof). Moments come from a single two-group aggregate; the
+    Welch-Satterthwaite dof makes the statistic robust to variance
+    imbalance (the default for A/B metrics)."""
+    g = F.col(group_col)
+    agg = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    a = agg.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
+    )
+    b = agg.filter(F.col("_g") == group_b).select(
+        F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
+    )
+    j = a.crossJoin(b)  # two 1-row sides
+    se_a = F.col("v_a") / F.col("n_a")
+    se_b = F.col("v_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "n_a", "n_b", "mean_a", "mean_b", t.alias("t_stat"), dof.alias("dof")
+    )
