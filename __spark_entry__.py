@@ -1163,6 +1163,63 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+def _q_stream_stream_join(spark, sf_dir):
+    # watermarked stream-stream interval join: clicks and purchases read
+    # as TWO live streams, inner-joined on user within [click.ts,
+    # click.ts + 4h]. The watermark + range condition bound the join
+    # state (rate x (watermark + gap)); batch oracle is the plain
+    # interval self-join.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = _tf.mkdtemp(prefix="stream_join_")
+    ev.write.mode("overwrite").parquet(src_dir)
+    clicks = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", ts_col="ts",
+        max_gap="4 hours", watermark="1 hour",
+        left_prefix="c", right_prefix="p",
+    )
+    name = f"stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_stream_join: availableNow batch exceeded 300s")
+    # gap in integral microseconds (not float seconds): exact on both
+    # engines, so the value hash is stable by construction
+    return spark.table(name).select(
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("c_user_id").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 def _q_drift_report(spark, sf_dir):
     # distribution drift between event cohorts: per-bin PSI terms and the
     # running CDF gap (binned KS). One aggregation per side, bin-sized
@@ -2081,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
         "streaming_dedup": _q_streaming_dedup,
+        "stream_stream_join": _q_stream_stream_join,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2593,6 +2651,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "stream_stream_join": """
+            SELECT c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.user_id AS user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL '4 hours'
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "drift_report": """
             WITH binned AS (

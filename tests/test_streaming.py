@@ -265,3 +265,73 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
 
     # batch form: same contract
     assert ssessions.streaming_dedup(doubled).count() == ev.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Two live streams joined on key + event-time range emit exactly the
+    batch interval-join pairs (inner joins emit eagerly; the watermark
+    only bounds state)."""
+    from dbt_databricks_metrics_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    batch = stream_stream_interval_join(
+        clicks_b, purch_b, key="user_id", ts_col="ts",
+        max_gap="4 hours", left_prefix="c", right_prefix="p",
+    )
+    want = {
+        (r["c_event_id"], r["p_event_id"]) for r in batch.collect()
+    }
+    assert want, "fixture should produce at least one pair"
+
+    src_dir = str(tmp_path / "ssj_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    mk = lambda et: (
+        spark.readStream.schema(ev.schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == et)
+    )
+    out = stream_stream_interval_join(
+        mk("click"), mk("purchase"), key="user_id", ts_col="ts",
+        max_gap="4 hours", watermark="1 hour",
+        left_prefix="c", right_prefix="p",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["c_event_id"], r["p_event_id"])
+        for r in spark.table("ssj_stream").collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_gap_bounds(spark, sf_dir):
+    """Every emitted pair respects 0 <= gap <= max_gap."""
+    from dbt_databricks_metrics_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    out = stream_stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", ts_col="ts", max_gap="4 hours",
+        left_prefix="c", right_prefix="p",
+    )
+    bad = out.filter(
+        (F.col("gap_seconds") < 0) | (F.col("gap_seconds") > 4 * 3600)
+    ).count()
+    assert bad == 0
