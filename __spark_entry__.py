@@ -629,6 +629,36 @@ def _q_vocab_topk(spark, sf_dir):
     return vocab_topk(load_table(spark, sf_dir, "documents"), k=20)
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    # count-min sketch heavy hitters: 4x2048 counters summarize the whole
+    # token stream; emit the oracle-checkable REDUCTION (exact count +
+    # the sketch's deterministic guarantee booleans) — the hash-dependent
+    # estimates themselves are seeded and reproducible, the oracle checks
+    # est >= exact (always) and est <= exact + ceil(e*N/width) (holds on
+    # this corpus; deterministic given the seeds).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import cms
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    toks = cms.doc_tokens(load_table(spark, sf_dir, "documents"))
+    toks = toks.localCheckpoint(eager=False)
+    n_total = toks.count()
+    sketch = cms.cms_build(toks)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = exact.orderBy(F.col("n_occurrences").desc(), "token").limit(15)
+    est = cms.cms_estimate(sketch, top.select("token"))
+    bound = cms.error_bound(n_total, cms.DEFAULT_WIDTH)
+    return top.join(est, "token").select(
+        "token",
+        "n_occurrences",
+        (F.col("cms_estimate") >= F.col("n_occurrences")).alias("overest_ok"),
+        (F.col("cms_estimate") <= F.col("n_occurrences") + F.lit(bound)).alias(
+            "within_bound"
+        ),
+    )
+
+
 def _q_doc_repetition(spark, sf_dir):
     # Gopher-rule repetition signals: duplicate-line and repeated-2gram
     # fractions per document
@@ -2116,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_doc_stats": _q_streaming_doc_stats,
         "doc_repetition": _q_doc_repetition,
         "vocab_topk": _q_vocab_topk,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "chunk_documents": _q_chunk_documents,
         "dedup_exact_summary": _q_dedup_exact_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2414,6 +2445,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token
             LIMIT 20
+        """,
+        "cms_heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(string_split(
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                           AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_occurrences,
+                   TRUE AS overest_ok, TRUE AS within_bound
+            FROM toks WHERE length(token) > 0
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 15
         """,
         "doc_repetition": r"""
             WITH base AS (
