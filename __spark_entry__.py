@@ -197,6 +197,112 @@ _FCT_ORDERS = f"""
     LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
 """
 
+# rollup-advisor contract: a fixed workload over mv_order_metrics, shared
+# by the Spark query and the generated DuckDB oracle (which unrolls the
+# same HRU greedy rounds over SQL-computed grain cardinalities)
+_ADVISOR_DIM_ORDER = (
+    "market_segment",
+    "order_status",
+    "order_priority",
+    "order_date",
+    "order_year",
+    "order_month",
+)
+_ADVISOR_WORKLOAD = (
+    (("market_segment",), 5),
+    (("order_status",), 3),
+    (("order_year", "order_month"), 2),
+    (("order_priority", "order_year"), 1),
+)
+_ADVISOR_ROUNDS = 3
+
+
+def _advisor_candidates() -> list[tuple[str, ...]]:
+    """Workload dim-sets + pairwise unions in spec-dim order (mirrors
+    plans/advisor.candidate_grains for the static contract workload)."""
+
+    def key(dims):
+        ds = set(dims)
+        return tuple(d for d in _ADVISOR_DIM_ORDER if d in ds)
+
+    base = [key(d) for d, _ in _ADVISOR_WORKLOAD]
+    out, seen = [], set()
+    for g in base:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            u = key(set(base[i]) | set(base[j]))
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+    return out
+
+
+def _advisor_oracle_sql() -> str:
+    """DuckDB replay of the greedy: grain cardinalities from the same flat
+    table, then _ADVISOR_ROUNDS argmax rounds unrolled as CTEs (the
+    BPE-oracle pattern: small fixed iteration count -> generated SQL)."""
+    cands = _advisor_candidates()
+    cards = "\nUNION ALL\n".join(
+        f"SELECT '{','.join(g)}' AS grain, count(*) AS n_rows "
+        f"FROM (SELECT DISTINCT {', '.join(g)} FROM flat)"
+        for g in cands
+    )
+    cover_rows = []
+    for qid, (qdims, w) in enumerate(_ADVISOR_WORKLOAD):
+        for g in cands:
+            if set(qdims) <= set(g):
+                cover_rows.append(f"({qid}, {w}, '{','.join(g)}')")
+    cover = ", ".join(cover_rows)
+    parts = [
+        f"WITH flat AS ({_FCT_ORDERS}),",
+        f"base AS (SELECT count(*) AS n FROM flat),",
+        f"cards AS ({cards}),",
+        f"cover(qid, w, grain) AS (VALUES {cover}),",
+        "cost0 AS (SELECT DISTINCT qid, (SELECT n FROM base) AS cost FROM cover),",
+    ]
+    prev_cost = "cost0"
+    picked_filter = ""
+    pick_names = []
+    for r in range(1, _ADVISOR_ROUNDS + 1):
+        ben, pick, cost = f"ben{r}", f"pick{r}", f"cost{r}"
+        parts.append(
+            f"{ben} AS (SELECT c.grain, cd.n_rows, "
+            f"CAST(sum(c.w * greatest(q.cost - cd.n_rows, 0)) AS BIGINT) AS benefit "
+            f"FROM cover c JOIN cards cd ON cd.grain = c.grain "
+            f"JOIN {prev_cost} q ON q.qid = c.qid"
+            f"{picked_filter} GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"{pick} AS (SELECT grain, n_rows, benefit FROM {ben} "
+            f"WHERE benefit > 0 "
+            f"ORDER BY benefit DESC, n_rows ASC, string_split(grain, ',') ASC "
+            f"LIMIT 1),"
+        )
+        parts.append(
+            f"{cost} AS (SELECT q.qid, CASE WHEN EXISTS ("
+            f"SELECT 1 FROM cover c JOIN {pick} p ON c.grain = p.grain "
+            f"AND c.qid = q.qid) "
+            f"THEN least(q.cost, (SELECT n_rows FROM {pick})) ELSE q.cost END "
+            f"AS cost FROM {prev_cost} q),"
+        )
+        prev_cost = cost
+        pick_names.append(pick)
+        picked = " UNION ALL ".join(
+            f"SELECT grain FROM {p}" for p in pick_names
+        )
+        picked_filter = f" WHERE c.grain NOT IN ({picked})"
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS pick_round, grain, n_rows AS grain_rows, benefit "
+        f"FROM {p}"
+        for i, p in enumerate(pick_names)
+    )
+    return "\n".join(parts) + "\n" + union + "\nORDER BY pick_round"
+
+
 _FCT_CUSTOMER_SUMMARY = f"""
     SELECT c.customer_id, c.customer_name, c.market_segment, c.account_balance,
            count(o.order_id) AS total_orders,
@@ -1250,6 +1356,30 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_rollup_advisor(spark, sf_dir):
+    # materialized-view selection (HRU greedy, SIGMOD'96): advise which
+    # rollup grains to build for a fixed workload. Grain cardinalities
+    # come from ONE groupingSets pass; the greedy itself runs over
+    # cube-sized metadata. The oracle recomputes the cardinalities
+    # relationally and unrolls the same rounds (deterministic tie-break:
+    # benefit DESC, rows ASC, grain ASC).
+    from dbt_databricks_metrics_spark.plans.advisor import WorkloadQuery
+
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_order_metrics")
+    wl = [
+        WorkloadQuery(dims, ("total_revenue",), weight=w)
+        for dims, w in _ADVISOR_WORKLOAD
+    ]
+    choices = mv.advise_rollups(wl, max_rollups=_ADVISOR_ROUNDS, apply=False)
+    rows = [
+        (c.pick_round, ",".join(c.grain), c.n_rows, c.benefit) for c in choices
+    ]
+    return spark.createDataFrame(
+        rows, "pick_round int, grain string, grain_rows bigint, benefit bigint"
+    )
+
+
 def _q_drift_report(spark, sf_dir):
     # distribution drift between event cohorts: per-bin PSI terms and the
     # running CDF gap (binned KS). One aggregation per side, bin-sized
@@ -2170,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "streaming_dedup": _q_streaming_dedup,
         "stream_stream_join": _q_stream_stream_join,
+        "rollup_advisor": _q_rollup_advisor,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2697,6 +2828,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
         """,
+        "rollup_advisor": _advisor_oracle_sql(),
         "stream_stream_join": """
             SELECT c.event_id AS click_id,
                    p.event_id AS purchase_id,

@@ -109,6 +109,34 @@ class MetricView:
             df = df.filter(F.expr(having))
         return df, route
 
+    def advise_rollups(
+        self,
+        workload: Sequence["WorkloadQuery"],
+        max_rollups: int = 3,
+        apply: bool = False,
+    ) -> list["AdvisorChoice"]:
+        """Materialized-view selection for this view ([EXT beyond the
+        reference] — the reference hand-lists rollup grains; this derives
+        them from the workload via the HRU greedy, see
+        ``plans/advisor.py``). With ``apply=True`` the advised grains are
+        built immediately and become routable exactly like declared
+        ``materialized_views:`` entries."""
+        from .plans.advisor import advise, to_rollup_specs
+        from .plans.rollup import MaterializationState
+
+        spec = self.spec
+        compiler = self._engine._compiler
+        src = compiler.source_plan(spec)
+        flat = compiler.baseline_projection(spec, src)
+        choices = advise(spec, flat, workload, max_rollups=max_rollups)
+        if apply and choices:
+            if self._rv.state is None:
+                self._rv.state = MaterializationState()
+            for r in to_rollup_specs(spec, choices, workload):
+                built = self._engine._rollups._build_aggregated(spec, r, src)
+                self._rv.state.rollups[r.name] = built
+        return choices
+
     def _validate_having(
         self, having: str, dimensions: Sequence[str], measures: Sequence[str]
     ) -> None:

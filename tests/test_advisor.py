@@ -1,0 +1,172 @@
+"""Rollup advisor: greedy invariants (hypothesis), cardinality pass,
+and end-to-end advise→apply→route on mv_order_metrics."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.engine import MetricEngine
+from dbt_databricks_metrics_spark.plans.advisor import (
+    AdvisorChoice,
+    WorkloadQuery,
+    advise,
+    candidate_grains,
+    grain_cardinalities,
+    greedy_select,
+    to_rollup_specs,
+)
+from dbt_databricks_metrics_spark.project import build_registry
+
+DIMS = ("a", "b", "c", "d")
+
+
+@st.composite
+def greedy_instance(draw):
+    n_q = draw(st.integers(1, 5))
+    servable = []
+    for _ in range(n_q):
+        dims = tuple(
+            sorted(draw(st.sets(st.sampled_from(DIMS), min_size=1, max_size=3)))
+        )
+        servable.append((dims, draw(st.integers(1, 5))))
+    cands = []
+    seen = set()
+    for dims, _ in servable:
+        if dims not in seen:
+            seen.add(dims)
+            cands.append(dims)
+    for i in range(len(servable)):
+        for j in range(i + 1, len(servable)):
+            u = tuple(sorted(set(servable[i][0]) | set(servable[j][0])))
+            if u not in seen:
+                seen.add(u)
+                cands.append(u)
+    base_rows = draw(st.integers(50, 10_000))
+    rows = {g: draw(st.integers(1, base_rows)) for g in cands}
+    return servable, cands, rows, base_rows
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(greedy_instance(), st.integers(1, 4))
+def test_greedy_pick_is_roundwise_optimal(inst, k):
+    """Every pick maximizes that round's weighted benefit (the HRU greedy
+    invariant), and total benefit equals the workload cost reduction."""
+    servable, cands, rows, base_rows = inst
+    choices = greedy_select(servable, cands, rows, base_rows, k)
+
+    # replay: recompute each round's benefits independently
+    cost = {i: base_rows for i in range(len(servable))}
+    picked = set()
+    for c in choices:
+        benefits = {}
+        for g in cands:
+            if g in picked:
+                continue
+            benefits[g] = sum(
+                w * max(0, cost[i] - rows[g])
+                for i, (qd, w) in enumerate(servable)
+                if set(qd) <= set(g)
+            )
+        assert benefits, "greedy picked when no candidates remain"
+        best_b = max(benefits.values())
+        assert c.benefit == best_b > 0
+        assert benefits[c.grain] == best_b
+        # deterministic tie-break: (rows asc, grain asc) among max-benefit
+        tied = [g for g, b in benefits.items() if b == best_b]
+        assert c.grain == min(tied, key=lambda g: (rows[g], g))
+        picked.add(c.grain)
+        for i, (qd, _) in enumerate(servable):
+            if set(qd) <= set(c.grain):
+                cost[i] = min(cost[i], rows[c.grain])
+
+    # total benefit == weighted cost reduction
+    final_cost = {i: base_rows for i in range(len(servable))}
+    for c in choices:
+        for i, (qd, _) in enumerate(servable):
+            if set(qd) <= set(c.grain):
+                final_cost[i] = min(final_cost[i], c.n_rows)
+    saved = sum(
+        w * (base_rows - final_cost[i]) for i, (_, w) in enumerate(servable)
+    )
+    assert sum(c.benefit for c in choices) == saved
+    assert len({c.grain for c in choices}) == len(choices)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=str(tmp_path_factory.mktemp("whadv"))
+    )
+    eng.run(materialize_rollups=False)
+    return eng
+
+
+WORKLOAD = [
+    WorkloadQuery(("market_segment",), ("total_revenue", "total_orders"), weight=5),
+    WorkloadQuery(("order_status",), ("total_orders",), weight=3),
+    WorkloadQuery(("order_year", "order_month"), ("total_revenue",), weight=2),
+    WorkloadQuery(("order_priority", "order_year"), ("max_order_value",), weight=1),
+]
+
+
+def test_grain_cardinalities_match_distinct_counts(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    compiler = engine._compiler
+    flat = compiler.baseline_projection(mv.spec, compiler.source_plan(mv.spec))
+    grains = candidate_grains(mv.spec, WORKLOAD)
+    cards = grain_cardinalities(flat, grains)
+    for g in grains:
+        exact = flat.select(*g).distinct().count()
+        assert cards[g] == exact, g
+
+
+def test_advise_apply_routes_and_matches_live(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    choices = mv.advise_rollups(WORKLOAD, max_rollups=3, apply=True)
+    assert choices, "workload should benefit from rollups"
+    assert [c.pick_round for c in choices] == list(range(1, len(choices) + 1))
+    # benefits are found in non-increasing order (greedy property)
+    assert all(
+        choices[i].benefit >= choices[i + 1].benefit for i in range(len(choices) - 1)
+    )
+    for q in WORKLOAD:
+        df, route = mv.query_routed(list(q.dimensions), list(q.measures))
+        assert route.startswith("rollup:adv_"), (q, route)
+        live = mv._engine._rollups.compile_routed(
+            __import__(
+                "dbt_databricks_metrics_spark.plans.compiler",
+                fromlist=["MetricQuery"],
+            ).MetricQuery(mv.spec, q.dimensions, q.measures),
+            None,
+        )[0]
+        got = {
+            tuple(r[d] for d in q.dimensions): tuple(
+                round(float(r[m]), 6) for m in q.measures
+            )
+            for r in df.collect()
+        }
+        want = {
+            tuple(r[d] for d in q.dimensions): tuple(
+                round(float(r[m]), 6) for m in q.measures
+            )
+            for r in live.collect()
+        }
+        assert got == want, q
+
+
+def test_nondecomposable_measures_excluded(engine):
+    mv = engine.metric_view("mv_order_metrics")
+    wl = [
+        WorkloadQuery(("market_segment",), ("median_order_value",)),
+        WorkloadQuery(("order_status",), ("trailing_7d_revenue",)),
+    ]
+    assert mv.advise_rollups(wl, max_rollups=2) == []
+    specs = to_rollup_specs(
+        mv.spec,
+        [AdvisorChoice(1, ("market_segment",), 5, 100)],
+        wl + [WorkloadQuery(("market_segment",), ("total_revenue",))],
+    )
+    assert specs[0].measures == ("total_revenue",)
