@@ -102,6 +102,9 @@ class MetricView:
         routing decision of ``README.md:417-431``."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         df, route = self._engine._rollups.compile_routed(q, self._rv.state)
+        self._engine._query_log.setdefault(self.spec.name, []).append(
+            (tuple(dimensions), tuple(measures))
+        )
         if having:
             self._validate_having(having, dimensions, measures)
             from pyspark.sql import functions as F
@@ -109,21 +112,41 @@ class MetricView:
             df = df.filter(F.expr(having))
         return df, route
 
+    def observed_workload(self) -> list["WorkloadQuery"]:
+        """The query shapes this view has actually served (recorded by
+        ``query_routed``), deduped with weight = times seen — the
+        self-tuning advisor input: run the real queries, then
+        ``advise_rollups(apply=True)`` with no hand-written workload."""
+        from collections import Counter
+
+        from .plans.advisor import WorkloadQuery
+
+        shapes = Counter(self._engine._query_log.get(self.spec.name, ()))
+        return [
+            WorkloadQuery(dims, meas, weight=n)
+            for (dims, meas), n in sorted(shapes.items())
+        ]
+
     def advise_rollups(
         self,
-        workload: Sequence["WorkloadQuery"],
+        workload: Optional[Sequence["WorkloadQuery"]] = None,
         max_rollups: int = 3,
         apply: bool = False,
     ) -> list["AdvisorChoice"]:
         """Materialized-view selection for this view ([EXT beyond the
         reference] — the reference hand-lists rollup grains; this derives
         them from the workload via the HRU greedy, see
-        ``plans/advisor.py``). With ``apply=True`` the advised grains are
-        built immediately and become routable exactly like declared
-        ``materialized_views:`` entries."""
+        ``plans/advisor.py``). *workload* defaults to
+        :meth:`observed_workload` (the served-query log). With
+        ``apply=True`` the advised grains are built immediately and become
+        routable exactly like declared ``materialized_views:`` entries."""
         from .plans.advisor import advise, to_rollup_specs
         from .plans.rollup import MaterializationState
 
+        if workload is None:
+            workload = self.observed_workload()
+        if not workload:
+            return []
         spec = self.spec
         compiler = self._engine._compiler
         src = compiler.source_plan(spec)
@@ -300,6 +323,8 @@ class MetricEngine:
         self._compiler = QueryCompiler(resolve=self._resolve)
         rollup_dir = os.path.join(warehouse_dir or "/tmp/metric_engine", "_rollups")
         self._rollups = RollupManager(spark, self._compiler, storage_dir=rollup_dir)
+        # observed (dims, measures) per view — the advisor's default workload
+        self._query_log: dict[str, list[tuple[tuple[str, ...], tuple[str, ...]]]] = {}
 
     # ---------------- name resolution ----------------
 

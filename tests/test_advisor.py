@@ -170,3 +170,30 @@ def test_nondecomposable_measures_excluded(engine):
         wl + [WorkloadQuery(("market_segment",), ("total_revenue",))],
     )
     assert specs[0].measures == ("total_revenue",)
+
+
+def test_self_tuning_from_query_log(spark, sf_dir, tmp_path_factory):
+    """Run real queries with no workload spec, then advise from the
+    observed log: repeated shapes get higher weight and the advice
+    becomes routable."""
+    eng = MetricEngine(
+        spark,
+        build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("whlog")),
+    )
+    eng.run(materialize_rollups=False)
+    mv = eng.metric_view("mv_order_metrics")
+    assert mv.observed_workload() == []
+    for _ in range(3):
+        mv.query(["market_segment"], ["total_revenue"]).collect()
+    mv.query(["order_year", "order_month"], ["total_orders"]).collect()
+
+    wl = mv.observed_workload()
+    weights = {q.dimensions: q.weight for q in wl}
+    assert weights[("market_segment",)] == 3
+    assert weights[("order_year", "order_month")] == 1
+
+    choices = mv.advise_rollups(max_rollups=2, apply=True)
+    assert choices
+    _, route = mv.query_routed(["market_segment"], ["total_revenue"])
+    assert route.startswith("rollup:adv_")
