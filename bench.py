@@ -273,6 +273,62 @@ def main() -> None:
         ).count()
 
     timed("ext_interval_join", _interval_bench)
+
+    def _stream_join_bench():
+        # batch form of the stream-stream interval join (same expression)
+        from dbt_databricks_metrics_spark.streaming.joins import (
+            stream_stream_interval_join,
+        )
+
+        return stream_stream_interval_join(
+            events.filter(F.col("event_type") == "click").select(
+                "event_id", "ts", "user_id"
+            ),
+            events.filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id"
+            ),
+            key="user_id",
+            ts_col="ts",
+            max_gap="4 hours",
+            left_prefix="c",
+            right_prefix="p",
+        ).count()
+
+    timed("ext_stream_join_batch", _stream_join_bench)
+
+    def _cms_bench():
+        from dbt_databricks_metrics_spark.ext import cms as _cms
+
+        toks = _cms.doc_tokens(docs)
+        sketch = _cms.cms_build(toks)
+        top = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "token")
+            .limit(20)
+        )
+        return _cms.cms_estimate(sketch, top.select("token")).count()
+
+    timed("ext_cms_heavy_hitters", _cms_bench)
+
+    def _advisor_bench():
+        from dbt_databricks_metrics_spark.plans.advisor import (
+            WorkloadQuery,
+            advise,
+        )
+
+        mv = eng.metric_view("mv_order_metrics")
+        wl = [
+            WorkloadQuery(("market_segment",), ("total_revenue",), 5),
+            WorkloadQuery(("order_status",), ("total_orders",), 3),
+            WorkloadQuery(("order_year", "order_month"), ("total_revenue",), 2),
+            WorkloadQuery(("order_priority", "order_year"), ("total_revenue",), 1),
+        ]
+        compiler = eng._compiler
+        flat = compiler.baseline_projection(mv.spec, compiler.source_plan(mv.spec))
+        return len(advise(mv.spec, flat, wl, max_rollups=3))
+
+    timed("ext_rollup_advisor", _advisor_bench)
     timed(
         "ext_topk_similar",
         lambda: __import__(
