@@ -215,6 +215,14 @@ _ADVISOR_WORKLOAD = (
     (("order_priority", "order_year"), 1),
 )
 _ADVISOR_ROUNDS = 3
+# mv_order_metrics' DECLARED rollups (built by _engine): they seed each
+# workload query's starting cost, so the advice is incremental value only
+_ADVISOR_EXISTING = (
+    (("market_segment", "order_status"), ("total_revenue", "total_orders")),
+    (("order_year", "order_month"), ("total_revenue",)),
+    (("market_segment", "order_date"), ("total_revenue", "total_orders")),
+)
+_ADVISOR_MEASURES = ("total_revenue",)
 
 
 def _advisor_candidates() -> list[tuple[str, ...]]:
@@ -245,10 +253,15 @@ def _advisor_oracle_sql() -> str:
     table, then _ADVISOR_ROUNDS argmax rounds unrolled as CTEs (the
     BPE-oracle pattern: small fixed iteration count -> generated SQL)."""
     cands = _advisor_candidates()
+    all_grains = list(cands)
+    for e_dims, _ in _ADVISOR_EXISTING:
+        g = tuple(d for d in _ADVISOR_DIM_ORDER if d in e_dims)
+        if g not in all_grains:
+            all_grains.append(g)
     cards = "\nUNION ALL\n".join(
         f"SELECT '{','.join(g)}' AS grain, count(*) AS n_rows "
         f"FROM (SELECT DISTINCT {', '.join(g)} FROM flat)"
-        for g in cands
+        for g in all_grains
     )
     cover_rows = []
     for qid, (qdims, w) in enumerate(_ADVISOR_WORKLOAD):
@@ -256,12 +269,25 @@ def _advisor_oracle_sql() -> str:
             if set(qdims) <= set(g):
                 cover_rows.append(f"({qid}, {w}, '{','.join(g)}')")
     cover = ", ".join(cover_rows)
+    # starting cost: the best ALREADY-built rollup serving the query
+    # (dims + measures covered), else the base table
+    cost0_rows = []
+    for qid, (qdims, _w) in enumerate(_ADVISOR_WORKLOAD):
+        serving = [
+            f"(SELECT n_rows FROM cards WHERE grain = "
+            f"'{','.join(d for d in _ADVISOR_DIM_ORDER if d in e_dims)}')"
+            for e_dims, e_meas in _ADVISOR_EXISTING
+            if set(qdims) <= set(e_dims) and set(_ADVISOR_MEASURES) <= set(e_meas)
+        ]
+        terms = ", ".join(["(SELECT n FROM base)"] + serving)
+        cost0_rows.append(f"SELECT {qid} AS qid, least({terms}) AS cost")
+    cost0 = "\nUNION ALL\n".join(cost0_rows)
     parts = [
         f"WITH flat AS ({_FCT_ORDERS}),",
         f"base AS (SELECT count(*) AS n FROM flat),",
         f"cards AS ({cards}),",
         f"cover(qid, w, grain) AS (VALUES {cover}),",
-        "cost0 AS (SELECT DISTINCT qid, (SELECT n FROM base) AS cost FROM cover),",
+        f"cost0 AS ({cost0}),",
     ]
     prev_cost = "cost0"
     picked_filter = ""

@@ -132,14 +132,18 @@ class MetricView:
         workload: Optional[Sequence["WorkloadQuery"]] = None,
         max_rollups: int = 3,
         apply: bool = False,
+        consider_existing: bool = True,
     ) -> list["AdvisorChoice"]:
         """Materialized-view selection for this view ([EXT beyond the
         reference] — the reference hand-lists rollup grains; this derives
         them from the workload via the HRU greedy, see
         ``plans/advisor.py``). *workload* defaults to
         :meth:`observed_workload` (the served-query log). With
-        ``apply=True`` the advised grains are built immediately and become
-        routable exactly like declared ``materialized_views:`` entries."""
+        *consider_existing* (default) already-built rollups seed each
+        query's starting cost, so the advice is the INCREMENTAL value on
+        top of what the router can already serve. With ``apply=True`` the
+        advised grains are built immediately and become routable exactly
+        like declared ``materialized_views:`` entries."""
         from .plans.advisor import advise, to_rollup_specs
         from .plans.rollup import MaterializationState
 
@@ -151,7 +155,16 @@ class MetricView:
         compiler = self._engine._compiler
         src = compiler.source_plan(spec)
         flat = compiler.baseline_projection(spec, src)
-        choices = advise(spec, flat, workload, max_rollups=max_rollups)
+        existing: list[tuple[tuple[str, ...], tuple[str, ...], int]] = []
+        if consider_existing and self._rv.state is not None:
+            for b in self._rv.state.rollups.values():
+                if b.n_rows is not None:
+                    existing.append(
+                        (tuple(b.spec.dimensions), tuple(b.spec.measures), b.n_rows)
+                    )
+        choices = advise(
+            spec, flat, workload, max_rollups=max_rollups, existing=existing
+        )
         if apply and choices:
             if self._rv.state is None:
                 self._rv.state = MaterializationState()

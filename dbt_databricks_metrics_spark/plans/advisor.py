@@ -145,6 +145,7 @@ def advise(
     workload: Sequence[WorkloadQuery],
     max_rollups: int = 3,
     base_rows: Optional[int] = None,
+    existing: Sequence[tuple[tuple[str, ...], tuple[str, ...], int]] = (),
 ) -> list[AdvisorChoice]:
     """Greedy HRU selection of up to *max_rollups* grains for *workload*.
 
@@ -153,22 +154,39 @@ def advise(
     whose measures are non-decomposable (median, count distinct at
     query grain, windows) are excluded from coverage since the router
     would never serve them from an aggregated rollup anyway.
+
+    *existing* — already-materialized rollups as ``(dims, measures,
+    n_rows)`` — seeds each query's starting cost with the best rollup
+    the router can ALREADY serve it from (dims ⊆ rollup dims and
+    measures ⊆ stored measures, the router's own eligibility rule), so
+    the advice proposes only incremental value: a grain the workload is
+    already served from optimally has zero benefit and is never picked.
     """
     order = [d.name for d in spec.dimensions]
     servable: list[tuple[tuple[str, ...], int]] = []
+    init_costs: list[int] = []
+    if base_rows is None:
+        base_rows = flat.count()
     for q in workload:
         rollup_ok = all(_decomposable(spec, m) for m in q.measures)
         if rollup_ok:
             servable.append((_grain_key(q.dimensions, order), int(q.weight)))
+            cost = base_rows
+            for e_dims, e_meas, e_rows in existing:
+                if set(q.dimensions) <= set(e_dims) and set(q.measures) <= set(
+                    e_meas
+                ):
+                    cost = min(cost, int(e_rows))
+            init_costs.append(cost)
     if not servable:
         return []
     cands = candidate_grains(
         spec, [q for q in workload if _grain_key(q.dimensions, order)]
     )
-    if base_rows is None:
-        base_rows = flat.count()
     rows = grain_cardinalities(flat, cands)
-    return greedy_select(servable, cands, rows, base_rows, max_rollups)
+    return greedy_select(
+        servable, cands, rows, base_rows, max_rollups, init_costs=init_costs
+    )
 
 
 def greedy_select(
@@ -177,10 +195,15 @@ def greedy_select(
     rows: dict[tuple[str, ...], int],
     base_rows: int,
     max_rollups: int,
+    init_costs: Optional[Sequence[int]] = None,
 ) -> list[AdvisorChoice]:
     """The pure HRU greedy over known cardinalities (exposed for
-    property tests: data-independent, deterministic)."""
-    cost = {i: base_rows for i in range(len(servable))}
+    property tests: data-independent, deterministic). *init_costs*
+    overrides the per-query starting cost (already-materialized
+    rollups); default is the base table for every query."""
+    if init_costs is None:
+        init_costs = [base_rows] * len(servable)
+    cost = {i: int(init_costs[i]) for i in range(len(servable))}
     chosen: list[AdvisorChoice] = []
     picked: set[tuple[str, ...]] = set()
     for rnd in range(1, max_rollups + 1):

@@ -197,3 +197,30 @@ def test_self_tuning_from_query_log(spark, sf_dir, tmp_path_factory):
     assert choices
     _, route = mv.query_routed(["market_segment"], ["total_revenue"])
     assert route.startswith("rollup:adv_")
+
+
+def test_existing_rollups_zero_out_covered_queries(spark, sf_dir, tmp_path_factory):
+    """A workload already served optimally by declared rollups gets no
+    advice; re-advising after apply is likewise empty (idempotent)."""
+    eng = MetricEngine(
+        spark,
+        build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("whex")),
+    )
+    eng.run(materialize_rollups=True)
+    mv = eng.metric_view("mv_order_metrics")
+    covered = [
+        # exactly the declared monthly_revenue grain + stored measure
+        WorkloadQuery(("order_year", "order_month"), ("total_revenue",), weight=9),
+    ]
+    assert mv.advise_rollups(covered, max_rollups=2) == []
+    # ignoring existing state, the same workload does warrant the grain
+    assert mv.advise_rollups(covered, max_rollups=2, consider_existing=False)
+
+    partly = covered + [
+        WorkloadQuery(("order_priority",), ("total_revenue",), weight=1)
+    ]
+    choices = mv.advise_rollups(partly, max_rollups=2, apply=True)
+    assert [c.grain for c in choices] == [("order_priority",)]
+    # idempotent: everything now served, nothing further to advise
+    assert mv.advise_rollups(partly, max_rollups=2) == []
