@@ -224,3 +224,54 @@ def test_existing_rollups_zero_out_covered_queries(spark, sf_dir, tmp_path_facto
     assert [c.grain for c in choices] == [("order_priority",)]
     # idempotent: everything now served, nothing further to advise
     assert mv.advise_rollups(partly, max_rollups=2) == []
+
+
+def test_advised_rollups_fold_incrementally(spark, sf_dir, tmp_path):
+    """Advised rollups are first-class: refresh_incremental folds them
+    like declared ones, and folded state answers like a full rebuild."""
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    full = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    prefix = full.filter(F.col("total_price") < 150000)
+    delta = full.filter(F.col("total_price") >= 150000)
+    assert prefix.count() > 0 and delta.count() > 0
+
+    spec_yaml = """
+version: 0.1
+source: adv_inc_src
+dimensions:
+  - name: order_status
+    expr: order_status
+  - name: order_priority
+    expr: order_priority
+measures:
+  - name: revenue
+    expr: sum(total_price)
+  - name: n
+    expr: count(*)
+"""
+    wl = [WorkloadQuery(("order_status",), ("revenue", "n"), weight=2)]
+
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh_adv_inc"))
+    prefix.createOrReplaceTempView("adv_inc_src")
+    mv = eng.register(MetricViewSpec.from_yaml(spec_yaml, name="mv_adv_inc"))
+    choices = mv.advise_rollups(wl, max_rollups=1, apply=True)
+    assert [c.grain for c in choices] == [("order_status",)]
+    eng.refresh_incremental("mv_adv_inc", delta)
+
+    eng2 = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh_adv_full"))
+    full.createOrReplaceTempView("adv_inc_src")
+    mv2 = eng2.register(MetricViewSpec.from_yaml(spec_yaml, name="mv_adv_inc"))
+    assert mv2.advise_rollups(wl, max_rollups=1, apply=True)
+
+    got, route = mv.query_routed(["order_status"], ["revenue", "n"])
+    want, route2 = mv2.query_routed(["order_status"], ["revenue", "n"])
+    assert route == route2 == "rollup:adv_order_status"
+    gotd = {r["order_status"]: (round(r["revenue"], 4), r["n"]) for r in got.collect()}
+    wantd = {r["order_status"]: (round(r["revenue"], 4), r["n"]) for r in want.collect()}
+    assert gotd == wantd
