@@ -103,7 +103,7 @@ class MetricView:
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         df, route = self._engine._rollups.compile_routed(q, self._rv.state)
         self._engine._query_log.setdefault(self.spec.name, []).append(
-            (tuple(dimensions), tuple(measures))
+            (tuple(dimensions), tuple(measures), tuple(getattr(q, "where_dims", ())))
         )
         if having:
             self._validate_having(having, dimensions, measures)
@@ -123,8 +123,8 @@ class MetricView:
 
         shapes = Counter(self._engine._query_log.get(self.spec.name, ()))
         return [
-            WorkloadQuery(dims, meas, weight=n)
-            for (dims, meas), n in sorted(shapes.items())
+            WorkloadQuery(dims, meas, weight=n, where_dims=wdims)
+            for (dims, meas, wdims), n in sorted(shapes.items())
         ]
 
     def advise_rollups(
@@ -336,8 +336,11 @@ class MetricEngine:
         self._compiler = QueryCompiler(resolve=self._resolve)
         rollup_dir = os.path.join(warehouse_dir or "/tmp/metric_engine", "_rollups")
         self._rollups = RollupManager(spark, self._compiler, storage_dir=rollup_dir)
-        # observed (dims, measures) per view — the advisor's default workload
-        self._query_log: dict[str, list[tuple[tuple[str, ...], tuple[str, ...]]]] = {}
+        # observed (dims, measures, where_dims) per view — the advisor's
+        # default workload
+        self._query_log: dict[
+            str, list[tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]]
+        ] = {}
 
     # ---------------- name resolution ----------------
 

@@ -60,12 +60,22 @@ def _decomposable(spec: MetricViewSpec, measure_name: str) -> bool:
 
 @dataclass(frozen=True)
 class WorkloadQuery:
-    """One query shape the view serves: dims grouped by, measures, and a
-    relative frequency weight."""
+    """One query shape the view serves: dims grouped by, measures, a
+    relative frequency weight, and the dims its WHERE slices on (a
+    rollup can only serve the query if it stores those too — the
+    router's ``need_dims`` rule)."""
 
     dimensions: tuple[str, ...]
     measures: tuple[str, ...] = ()
     weight: int = 1
+    where_dims: tuple[str, ...] = ()
+
+    def needed_dims(self) -> tuple[str, ...]:
+        out = list(self.dimensions)
+        for d in self.where_dims:
+            if d not in out:
+                out.append(d)
+        return tuple(out)
 
 
 @dataclass(frozen=True)
@@ -92,7 +102,7 @@ def candidate_grains(
 ) -> list[tuple[str, ...]]:
     """Workload dim-sets + their pairwise unions, canonicalized/deduped."""
     order = [d.name for d in spec.dimensions]
-    base = [_grain_key(q.dimensions, order) for q in workload]
+    base = [_grain_key(q.needed_dims(), order) for q in workload]
     cands: list[tuple[str, ...]] = []
     seen: set[tuple[str, ...]] = set()
     for g in base:
@@ -170,10 +180,10 @@ def advise(
     for q in workload:
         rollup_ok = all(_decomposable(spec, m) for m in q.measures)
         if rollup_ok:
-            servable.append((_grain_key(q.dimensions, order), int(q.weight)))
+            servable.append((_grain_key(q.needed_dims(), order), int(q.weight)))
             cost = base_rows
             for e_dims, e_meas, e_rows in existing:
-                if set(q.dimensions) <= set(e_dims) and set(q.measures) <= set(
+                if set(q.needed_dims()) <= set(e_dims) and set(q.measures) <= set(
                     e_meas
                 ):
                     cost = min(cost, int(e_rows))
@@ -181,7 +191,7 @@ def advise(
     if not servable:
         return []
     cands = candidate_grains(
-        spec, [q for q in workload if _grain_key(q.dimensions, order)]
+        spec, [q for q in workload if _grain_key(q.needed_dims(), order)]
     )
     rows = grain_cardinalities(flat, cands)
     return greedy_select(
@@ -246,7 +256,7 @@ def to_rollup_specs(
     for c in choices:
         meas: list[str] = []
         for q in workload:
-            if set(_grain_key(q.dimensions, order)) <= set(c.grain):
+            if set(_grain_key(q.needed_dims(), order)) <= set(c.grain):
                 for m in q.measures:
                     if _decomposable(spec, m) and m not in meas:
                         meas.append(m)

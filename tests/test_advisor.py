@@ -275,3 +275,30 @@ measures:
     gotd = {r["order_status"]: (round(r["revenue"], 4), r["n"]) for r in got.collect()}
     wantd = {r["order_status"]: (round(r["revenue"], 4), r["n"]) for r in want.collect()}
     assert gotd == wantd
+
+
+def test_where_sliced_workload_includes_slice_dims(spark, sf_dir, tmp_path_factory):
+    """A logged WHERE-sliced query advises a grain covering the slice dim,
+    and the router then serves the sliced query from it."""
+    eng = MetricEngine(
+        spark,
+        build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("whwd")),
+    )
+    eng.run(materialize_rollups=False)
+    mv = eng.metric_view("mv_order_metrics")
+    for _ in range(2):
+        mv.query(
+            ["market_segment"], ["total_revenue"], where="order_status = 'F'"
+        ).collect()
+
+    wl = mv.observed_workload()
+    assert wl[0].where_dims == ("order_status",)
+    assert set(wl[0].needed_dims()) == {"market_segment", "order_status"}
+
+    choices = mv.advise_rollups(max_rollups=1, apply=True)
+    assert choices and set(choices[0].grain) == {"market_segment", "order_status"}
+    _, route = mv.query_routed(
+        ["market_segment"], ["total_revenue"], where="order_status = 'F'"
+    )
+    assert route.startswith("rollup:adv_")
