@@ -1382,6 +1382,44 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_source_freshness(spark, sf_dir):
+    # dbt `source freshness` parity: anchored at a fixed as_of so the
+    # verdicts are deterministic. One max() aggregate per source.
+    import datetime as _dt
+
+    from dbt_databricks_metrics_spark.checks import source_freshness
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    as_of = "2024-12-31 00:00:00"
+    anchor = _dt.datetime(2024, 12, 31)
+    day = 86400.0
+    rows = []
+    for table, ts_col, warn_s, err_s in (
+        ("events", "ts", 30 * day, 365 * day),
+        ("orders", "o_orderdate", 30 * day, 3650 * day),
+    ):
+        r = source_freshness(
+            table,
+            load_table(spark, sf_dir, table),
+            ts_col,
+            warn_after_s=warn_s,
+            error_after_s=err_s,
+            as_of=as_of,
+        )
+        # exact integral age (µs → floor seconds): immune to the float
+        # jitter a double-seconds subtraction could hash-mismatch on
+        ts = r.max_loaded_at
+        if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
+            ts = _dt.datetime(ts.year, ts.month, ts.day)
+        age_floor = ((anchor - ts) // _dt.timedelta(microseconds=1)) // 1_000_000
+        rows.append(
+            (r.model, ts.strftime("%Y-%m-%d %H:%M:%S.%f"), int(age_floor), r.status)
+        )
+    return spark.createDataFrame(
+        rows, "model string, max_loaded_at string, age_floor_s bigint, status string"
+    )
+
+
 def _q_rollup_advisor(spark, sf_dir):
     # materialized-view selection (HRU greedy, SIGMOD'96): advise which
     # rollup grains to build for a fixed workload. Grain cardinalities
@@ -2327,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "stream_stream_join": _q_stream_stream_join,
         "rollup_advisor": _q_rollup_advisor,
+        "source_freshness": _q_source_freshness,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2855,6 +2894,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value FROM events
         """,
         "rollup_advisor": _advisor_oracle_sql(),
+        "source_freshness": """
+            WITH src AS (
+                SELECT 'events' AS model, max(ts) AS m,
+                       30.0*86400 AS warn_s, 365.0*86400 AS err_s
+                FROM events
+                UNION ALL
+                SELECT 'orders', max(CAST(o_orderdate AS TIMESTAMP)),
+                       30.0*86400, 3650.0*86400
+                FROM orders
+            )
+            SELECT model,
+                   strftime(m, '%Y-%m-%d %H:%M:%S.%f') AS max_loaded_at,
+                   (epoch_us(TIMESTAMP '2024-12-31 00:00:00') - epoch_us(m))
+                       // 1000000 AS age_floor_s,
+                   CASE
+                     WHEN m IS NULL THEN 'error'
+                     WHEN (epoch_us(TIMESTAMP '2024-12-31 00:00:00')
+                           - epoch_us(m)) / 1000000.0 > err_s THEN 'error'
+                     WHEN (epoch_us(TIMESTAMP '2024-12-31 00:00:00')
+                           - epoch_us(m)) / 1000000.0 > warn_s THEN 'warn'
+                     ELSE 'pass'
+                   END AS status
+            FROM src
+        """,
         "stream_stream_join": """
             SELECT c.event_id AS click_id,
                    p.event_id AS purchase_id,

@@ -128,3 +128,121 @@ def run_checks(
         for (kind, label), n in zip(single_meta, counts):
             results.append(CheckResult(model_name, kind, label, n == 0, int(n)))
     return results
+
+
+# ---------------------------------------------------------------------------
+# dbt `source freshness` parity
+
+
+@dataclass(frozen=True)
+class FreshnessResult:
+    """One source's freshness verdict (dbt `source freshness` analogue)."""
+
+    model: str
+    ts_col: str
+    max_loaded_at: Any  # newest timestamp seen (None on empty input)
+    age_seconds: Optional[float]
+    status: str  # 'pass' | 'warn' | 'error'
+
+
+def source_freshness(
+    model_name: str,
+    df: DataFrame,
+    ts_col: str,
+    warn_after_s: float,
+    error_after_s: Optional[float] = None,
+    as_of: Any = None,
+) -> FreshnessResult:
+    """dbt's ``loaded_at_field`` freshness check, one aggregate pass.
+
+    *as_of* anchors "now" (a timestamp literal/column expr); None uses the
+    cluster clock. An EMPTY source is 'error' — dbt treats no-data as
+    stale, and silently calling it fresh would mask a dead feed.
+    """
+    anchor = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
+    ts = F.col(ts_col).cast("timestamp")  # DATE loaded_at fields work too
+    row = df.agg(
+        F.max(ts).alias("_max_ts"),
+        (anchor.cast("double") - F.max(ts).cast("double")).alias("_age"),
+    ).first()
+    max_ts, age = row["_max_ts"], row["_age"]
+    if max_ts is None:
+        return FreshnessResult(model_name, ts_col, None, None, "error")
+    if error_after_s is not None and age > error_after_s:
+        status = "error"
+    elif age > warn_after_s:
+        status = "warn"
+    else:
+        status = "pass"
+    return FreshnessResult(model_name, ts_col, max_ts, float(age), status)
+
+
+# ---------------------------------------------------------------------------
+# dbt unit-test parity (dbt-core >= 1.8 `unit_tests:`)
+
+
+@dataclass(frozen=True)
+class UnitTestResult:
+    model: str
+    passed: bool
+    missing: int  # expected rows absent from the actual output
+    unexpected: int  # actual rows absent from the expectation
+    actual_rows: int
+
+
+def unit_test(
+    spark,
+    registry,
+    model_name: str,
+    given: "dict[str, DataFrame]",
+    expect: DataFrame,
+) -> UnitTestResult:
+    """Run one model against MOCKED inputs and diff the output.
+
+    dbt 1.8 unit-test semantics: every ``ref()`` the model makes resolves
+    from *given* (a missing mock raises — a unit test must pin all
+    inputs); the comparison is an order-insensitive exact multiset diff
+    over the EXPECTATION's columns (the model may emit extra columns).
+    Incremental models run in full-refresh mode (``is_incremental() ==
+    False``). The diff is two ``exceptAll`` counts — null-safe and
+    duplicate-aware, no driver-side row comparison.
+    """
+    from .models import IncrementalContext
+
+    model = registry[model_name]
+
+    def mock_ref(name: str) -> DataFrame:
+        if name not in given:
+            raise ValueError(
+                f"unit test for {model_name!r}: ref({name!r}) has no mocked "
+                f"input (given: {sorted(given)})"
+            )
+        return given[name]
+
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(model.fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 3:
+        ctx = IncrementalContext(is_incremental=False)
+        actual = model.fn(spark, mock_ref, ctx)
+    else:
+        actual = model.fn(spark, mock_ref)
+    missing_cols = [c for c in expect.columns if c not in actual.columns]
+    if missing_cols:
+        raise ValueError(
+            f"unit test for {model_name!r}: output lacks expected columns "
+            f"{missing_cols} (has {actual.columns})"
+        )
+    proj = actual.select(*expect.columns)
+    missing = expect.exceptAll(proj).count()
+    unexpected = proj.exceptAll(expect).count()
+    return UnitTestResult(
+        model=model_name,
+        passed=missing == 0 and unexpected == 0,
+        missing=int(missing),
+        unexpected=int(unexpected),
+        actual_rows=proj.count(),
+    )

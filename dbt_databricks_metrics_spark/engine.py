@@ -545,6 +545,35 @@ class MetricEngine:
             )
         return results
 
+    def source_freshness(
+        self,
+        model_name: str,
+        ts_col: str,
+        warn_after_s: float,
+        error_after_s: Optional[float] = None,
+        as_of: Any = None,
+    ):
+        """``dbt source freshness`` analogue over a built model/source —
+        one aggregate pass; see ``checks.source_freshness``."""
+        from .checks import source_freshness
+
+        return source_freshness(
+            model_name,
+            self.ref(model_name),
+            ts_col,
+            warn_after_s,
+            error_after_s=error_after_s,
+            as_of=as_of,
+        )
+
+    def unit_test(self, model_name: str, given, expect):
+        """dbt 1.8 ``unit_tests:`` analogue: run one model against mocked
+        ``ref()`` inputs and multiset-diff the output; see
+        ``checks.unit_test``."""
+        from .checks import unit_test
+
+        return unit_test(self.spark, self.registry, model_name, given, expect)
+
     def save_catalog(self, directory: str) -> list[str]:
         """Export every registered metric view as a YAML spec file."""
         return self.catalog.save(directory)
