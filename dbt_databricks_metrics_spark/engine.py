@@ -574,6 +574,37 @@ class MetricEngine:
 
         return unit_test(self.spark, self.registry, model_name, given, expect)
 
+    @property
+    def run_results(self) -> list:
+        """Per-model outcomes of the most recent :meth:`run` (the dbt
+        ``run_results.json`` content — model, materialization, status,
+        duration)."""
+        return list(self._runner.run_results)
+
+    def write_run_results(self, path: str) -> str:
+        """Write the dbt-style ``run_results.json`` artifact for the most
+        recent run; returns *path*."""
+        import json
+
+        payload = {
+            "results": [
+                {
+                    "model": r.model,
+                    "materialized": r.materialized,
+                    "status": r.status,
+                    "duration_s": r.duration_s,
+                    **({"message": r.message} if r.message else {}),
+                }
+                for r in self._runner.run_results
+            ],
+            "elapsed_s": round(
+                sum(r.duration_s for r in self._runner.run_results), 4
+            ),
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+        return path
+
     def save_catalog(self, directory: str) -> list[str]:
         """Export every registered metric view as a YAML spec file."""
         return self.catalog.save(directory)

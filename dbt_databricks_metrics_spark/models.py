@@ -42,6 +42,7 @@ Materializations:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -234,6 +235,17 @@ class ModelRegistry:
         return out
 
 
+@dataclass(frozen=True)
+class RunResult:
+    """One model's outcome in a run — the dbt ``run_results.json`` row."""
+
+    model: str
+    materialized: str
+    status: str  # 'success' | 'error'
+    duration_s: float
+    message: Optional[str] = None
+
+
 class Runner:
     """Executes a registry against a SparkSession (``dbt run`` equivalent)."""
 
@@ -251,6 +263,8 @@ class Runner:
         # runs are deterministic and replayable — dbt stamps wall-clock)
         self.snapshot_at = snapshot_at
         self._built: dict[str, DataFrame] = {}
+        # per-model outcome of the most recent run() (dbt run_results)
+        self.run_results: list[RunResult] = []
 
     def ref(self, name: str) -> DataFrame:
         """dbt ``ref()``: the materialized output of an upstream model."""
@@ -294,21 +308,44 @@ class Runner:
             deps = [d for d in self.registry[name].deps]
             wave[name] = 1 + max((wave[d] for d in deps), default=-1)
         n_waves = max(wave.values(), default=-1) + 1
+        results: dict[str, RunResult] = {}
+
+        def _timed(name: str) -> DataFrame:
+            model = self.registry[name]
+            t0 = time.perf_counter()
+            try:
+                df = self._materialize(model)
+            except Exception as e:  # record, then surface — dbt marks 'error'
+                results[name] = RunResult(
+                    name,
+                    model.materialized,
+                    "error",
+                    round(time.perf_counter() - t0, 4),
+                    message=f"{type(e).__name__}: {e}",
+                )
+                self.run_results = [results[n] for n in order if n in results]
+                raise
+            results[name] = RunResult(
+                name,
+                model.materialized,
+                "success",
+                round(time.perf_counter() - t0, 4),
+            )
+            return df
+
         for w in range(n_waves):
             members = [n for n in order if wave[n] == w]
             if len(members) == 1 or not parallel:
                 for name in members:
-                    self._built[name] = self._materialize(self.registry[name])
+                    self._built[name] = _timed(name)
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=len(members)) as ex:
-                    futures = {
-                        n: ex.submit(self._materialize, self.registry[n])
-                        for n in members
-                    }
+                    futures = {n: ex.submit(_timed, n) for n in members}
                     for n in members:  # deterministic insertion order
                         self._built[n] = futures[n].result()
+        self.run_results = [results[n] for n in order if n in results]
         return dict(self._built)
 
     def _materialize(self, model: Model) -> DataFrame:

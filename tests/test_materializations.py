@@ -279,3 +279,44 @@ def test_seed_with_explicit_schema(spark, tmp_path):
     built = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh")).run()
     row = built["s"].first()
     assert row["k"] == 1 and row["v"] == 2.5
+
+
+def test_run_results_artifact(spark, sf_dir, tmp_path):
+    """dbt run_results parity: every executed model gets a timed status
+    row in topological order; the JSON artifact round-trips; a failing
+    model is recorded as 'error' before the exception surfaces."""
+    import json
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=str(tmp_path / "whrr")
+    )
+    eng.run()
+    res = eng.run_results
+    names = [r.model for r in res]
+    assert set(names) == set(eng.registry.names())
+    assert names == [n for n in eng.registry.topo_order() if n in set(names)]
+    assert all(r.status == "success" and r.duration_s >= 0 for r in res)
+
+    p = eng.write_run_results(str(tmp_path / "run_results.json"))
+    payload = json.load(open(p))
+    assert len(payload["results"]) == len(res)
+    assert payload["elapsed_s"] > 0
+
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("boom")
+    def boom(spark, ref):
+        raise RuntimeError("kaput")
+
+    eng2 = MetricEngine(spark, reg, warehouse_dir=str(tmp_path / "whrr2"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="kaput"):
+        eng2.run()
+    (only,) = eng2.run_results
+    assert only.status == "error" and "kaput" in only.message
