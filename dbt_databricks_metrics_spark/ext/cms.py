@@ -129,3 +129,56 @@ def doc_tokens(
 def error_bound(n_total: int, width: int) -> int:
     """The classic CMS overshoot bound e*N/width, as an integer."""
     return int(math.ceil(math.e * n_total / width))
+
+
+def cms_fold_stream(
+    spark,
+    source_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    item_col: str = "token",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+    seed: int = 0,
+    schema=None,
+):
+    """Maintain a CMS from an append-only parquet item stream.
+
+    The mergeability that lets partial sketches add is exactly what a
+    streaming fold needs: each micro-batch is sketched independently and
+    cell-summed into the stored sketch (read, merge, swap-write — the
+    same pattern ``streaming/refresh.streaming_rollup`` uses for rollup
+    partials). `availableNow` gives scheduled-batch semantics; state on
+    disk stays ≤ depth*width rows forever, whatever the stream's volume.
+    Returns the streaming query (caller awaits termination, then reads
+    the sketch at *out_path*).
+    """
+    import os
+    import shutil
+    import uuid
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta = cms_build(batch_df, item_col, depth, width, seed)
+        if os.path.exists(out_path):
+            merged = cms_merge(s.read.parquet(out_path), delta)
+        else:
+            merged = delta
+        tmp = f"{out_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        os.rename(tmp, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,3 +70,33 @@ def test_cms_sketch_size_capped(spark, sf_dir):
     sketch = cms.cms_build(toks, depth=3, width=64)
     assert sketch.count() <= 3 * 64
     assert sketch.filter((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count() == 0
+
+
+def test_cms_streaming_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Folding per-micro-batch sketches over an append-only stream yields
+    the identical sketch to one batch build (mergeability, live)."""
+    toks = _toks(spark, sf_dir).limit(20000)
+    src = str(tmp_path / "cms_src")
+    # two separate files → at least one fold boundary is exercised
+    toks.filter(F.col("_doc") % 2 == 0).write.mode("overwrite").parquet(src)
+    toks.filter(F.col("_doc") % 2 == 1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "cms_sketch")
+    q = cms.cms_fold_stream(
+        spark, src, out, str(tmp_path / "cms_ckpt"), depth=3, width=256
+    )
+    assert q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    whole = cms.cms_build(spark.read.parquet(src), depth=3, width=256)
+    diff = (
+        streamed.alias("s")
+        .join(whole.alias("w"), ["row_j", "bucket"], "full")
+        .filter(
+            ~F.coalesce(F.col("s.n"), F.lit(0)).eqNullSafe(
+                F.coalesce(F.col("w.n"), F.lit(0))
+            )
+        )
+        .count()
+    )
+    assert diff == 0
