@@ -133,6 +133,7 @@ class MetricView:
         max_rollups: int = 3,
         apply: bool = False,
         consider_existing: bool = True,
+        max_total_rows: Optional[int] = None,
     ) -> list["AdvisorChoice"]:
         """Materialized-view selection for this view ([EXT beyond the
         reference] — the reference hand-lists rollup grains; this derives
@@ -163,7 +164,12 @@ class MetricView:
                         (tuple(b.spec.dimensions), tuple(b.spec.measures), b.n_rows)
                     )
         choices = advise(
-            spec, flat, workload, max_rollups=max_rollups, existing=existing
+            spec,
+            flat,
+            workload,
+            max_rollups=max_rollups,
+            existing=existing,
+            max_total_rows=max_total_rows,
         )
         if apply and choices:
             if self._rv.state is None:

@@ -156,6 +156,7 @@ def advise(
     max_rollups: int = 3,
     base_rows: Optional[int] = None,
     existing: Sequence[tuple[tuple[str, ...], tuple[str, ...], int]] = (),
+    max_total_rows: Optional[int] = None,
 ) -> list[AdvisorChoice]:
     """Greedy HRU selection of up to *max_rollups* grains for *workload*.
 
@@ -195,7 +196,13 @@ def advise(
     )
     rows = grain_cardinalities(flat, cands)
     return greedy_select(
-        servable, cands, rows, base_rows, max_rollups, init_costs=init_costs
+        servable,
+        cands,
+        rows,
+        base_rows,
+        max_rollups,
+        init_costs=init_costs,
+        max_total_rows=max_total_rows,
     )
 
 
@@ -206,33 +213,56 @@ def greedy_select(
     base_rows: int,
     max_rollups: int,
     init_costs: Optional[Sequence[int]] = None,
+    max_total_rows: Optional[int] = None,
 ) -> list[AdvisorChoice]:
     """The pure HRU greedy over known cardinalities (exposed for
     property tests: data-independent, deterministic). *init_costs*
     overrides the per-query starting cost (already-materialized
-    rollups); default is the base table for every query."""
+    rollups); default is the base table for every query.
+
+    *max_total_rows* switches to HRU's SPACE-constrained form: the
+    budget is stored rows (Σ chosen cardinalities), candidates that no
+    longer fit are skipped, and each round maximizes benefit PER ROW
+    (ratio compared via cross-multiplication — pure integers, no float
+    ties). Without it the budget is rollup count and rounds maximize raw
+    benefit."""
     if init_costs is None:
         init_costs = [base_rows] * len(servable)
     cost = {i: int(init_costs[i]) for i in range(len(servable))}
     chosen: list[AdvisorChoice] = []
     picked: set[tuple[str, ...]] = set()
+    budget_left = max_total_rows
     for rnd in range(1, max_rollups + 1):
-        best: Optional[tuple[int, int, tuple[str, ...]]] = None  # (-benefit, rows, key)
+        best: Optional[tuple[tuple[str, ...], int, int]] = None  # (grain, rows, benefit)
         for g in cands:
             if g in picked:
                 continue
+            r = rows[g]
+            if budget_left is not None and r > budget_left:
+                continue
             b = sum(
-                w * max(0, cost[i] - rows[g])
+                w * max(0, cost[i] - r)
                 for i, (qdims, w) in enumerate(servable)
                 if set(qdims) <= set(g)
             )
-            key = (-b, rows[g], g)
-            if b > 0 and (best is None or key < best):
-                best = key
+            if b <= 0:
+                continue
+            if best is None:
+                better = True
+            elif budget_left is not None:
+                # b/r vs best_b/best_r without floats: b*best_r vs best_b*r
+                lhs, rhs = b * best[1], best[2] * r
+                better = lhs > rhs or (lhs == rhs and (r, g) < (best[1], best[0]))
+            else:
+                better = (-b, r, g) < (-best[2], best[1], best[0])
+            if better:
+                best = (g, r, b)
         if best is None:
             break
-        b, r, g = -best[0], best[1], best[2]
+        g, r, b = best
         picked.add(g)
+        if budget_left is not None:
+            budget_left -= r
         chosen.append(AdvisorChoice(pick_round=rnd, grain=g, n_rows=r, benefit=b))
         for i, (qdims, _) in enumerate(servable):
             if set(qdims) <= set(g):

@@ -302,3 +302,43 @@ def test_where_sliced_workload_includes_slice_dims(spark, sf_dir, tmp_path_facto
         ["market_segment"], ["total_revenue"], where="order_status = 'F'"
     )
     assert route.startswith("rollup:adv_")
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(greedy_instance(), st.integers(1, 20_000))
+def test_budget_greedy_invariants(inst, budget):
+    """Space-constrained mode: total stored rows within budget; every
+    pick is the max benefit-per-row among candidates that still fit
+    (cross-multiplied — exact, no float ties)."""
+    from dbt_databricks_metrics_spark.plans.advisor import greedy_select
+
+    servable, cands, rows, base_rows = inst
+    choices = greedy_select(
+        servable, cands, rows, base_rows, max_rollups=10, max_total_rows=budget
+    )
+    assert sum(c.n_rows for c in choices) <= budget
+
+    cost = {i: base_rows for i in range(len(servable))}
+    left = budget
+    picked = set()
+    for c in choices:
+        feas = {}
+        for g in cands:
+            if g in picked or rows[g] > left:
+                continue
+            b = sum(
+                w * max(0, cost[i] - rows[g])
+                for i, (qd, w) in enumerate(servable)
+                if set(qd) <= set(g)
+            )
+            if b > 0:
+                feas[g] = b
+        assert feas and c.grain in feas and c.benefit == feas[c.grain]
+        for g, b in feas.items():
+            # chosen ratio >= every feasible ratio
+            assert c.benefit * rows[g] >= b * c.n_rows, (c, g, b)
+        picked.add(c.grain)
+        left -= c.n_rows
+        for i, (qd, _) in enumerate(servable):
+            if set(qd) <= set(c.grain):
+                cost[i] = min(cost[i], rows[c.grain])
