@@ -246,3 +246,43 @@ def unit_test(
         unexpected=int(unexpected),
         actual_rows=proj.count(),
     )
+
+
+# ---------------------------------------------------------------------------
+# dbt model contracts (dbt-core >= 1.5 `contract: enforced: true`)
+
+
+def enforce_contract(
+    model_name: str, df: DataFrame, contract: "dict[str, Any]"
+) -> None:
+    """Validate a model's output schema against its declared contract.
+
+    dbt semantics: every declared column must exist with the declared
+    data type, and (since the contract IS the interface) the output may
+    not carry undeclared columns. Types compare on Spark's
+    ``simpleString`` form, case-insensitive (``bigint``, ``string``,
+    ``decimal(10,2)`` …). Violations raise ``ValueError`` at BUILD time
+    — a contracted model never materializes with the wrong shape.
+    """
+    declared = contract.get("columns", ())
+    if not declared:
+        raise ValueError(f"model {model_name!r}: contract declares no columns")
+    actual = {f.name: f.dataType.simpleString().lower() for f in df.schema.fields}
+    problems: list[str] = []
+    seen: set[str] = set()
+    for col in declared:
+        name, want = col["name"], str(col["data_type"]).strip().lower()
+        seen.add(name)
+        if name not in actual:
+            problems.append(f"missing column {name!r} ({want})")
+        elif actual[name] != want:
+            problems.append(
+                f"column {name!r}: declared {want}, actual {actual[name]}"
+            )
+    extra = [c for c in actual if c not in seen]
+    if extra:
+        problems.append(f"undeclared columns in output: {extra}")
+    if problems:
+        raise ValueError(
+            f"model {model_name!r} violates its contract: " + "; ".join(problems)
+        )

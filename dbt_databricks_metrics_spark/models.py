@@ -350,10 +350,10 @@ class Runner:
 
     def _materialize(self, model: Model) -> DataFrame:
         if model.materialized == "incremental":
-            return self._materialize_incremental(model)
+            return self._check_contract(model, self._materialize_incremental(model))
         if model.materialized == "snapshot":
             return self._materialize_snapshot(model)
-        df = model.fn(self.spark, self.ref)
+        df = self._check_contract(model, model.fn(self.spark, self.ref))
         if model.materialized == "ephemeral":
             # dbt's inlined CTE: downstream ref()s get the DataFrame and
             # Catalyst fuses it into their plans; nothing persists and no
@@ -392,6 +392,20 @@ class Runner:
             writer.parquet(path)
             df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(model.name)
+        return df
+
+    def _check_contract(self, model: Model, df: DataFrame) -> DataFrame:
+        """dbt model contracts (``contract: enforced``): a model with
+        ``meta['contract']`` never builds with the wrong schema — the
+        check is pure metadata (no job runs)."""
+        contract = model.meta.get("contract")
+        if contract:
+            from .checks import enforce_contract
+
+            try:
+                enforce_contract(model.name, df, contract)
+            except ValueError as e:
+                raise ModelError(str(e)) from None
         return df
 
     def _model_path(self, model: Model) -> str:

@@ -342,6 +342,18 @@ def build_registry(sf_dir: str) -> ModelRegistry:
                 {"accepted_values": {"column": "order_status", "values": ["F", "O", "P"]}},
                 {"expression": "total_price >= 0"},
             ],
+            # dbt model contract (contract: enforced) — the staging
+            # interface every mart builds on; wrong shape fails the build
+            "contract": {
+                "columns": [
+                    {"name": "order_id", "data_type": "bigint"},
+                    {"name": "customer_id", "data_type": "bigint"},
+                    {"name": "order_status", "data_type": "string"},
+                    {"name": "total_price", "data_type": "double"},
+                    {"name": "order_date", "data_type": "date"},
+                    {"name": "order_priority", "data_type": "string"},
+                ]
+            },
             "metric_view": {
                 "enabled": True,
                 "name": "mv_orders_simple",

@@ -320,3 +320,46 @@ def test_run_results_artifact(spark, sf_dir, tmp_path):
         eng2.run()
     (only,) = eng2.run_results
     assert only.status == "error" and "kaput" in only.message
+
+
+def test_model_contract_enforced(spark, sf_dir, tmp_path):
+    """dbt model contracts: the declared interface must match exactly —
+    wrong type, missing column, or undeclared extras fail the BUILD."""
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.models import ModelError, ModelRegistry
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    # the real project declares a contract on stg_orders and builds green
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=str(tmp_path / "whc")
+    )
+    eng.run(select=["stg_orders"])
+
+    contract = {
+        "columns": [
+            {"name": "a", "data_type": "bigint"},
+            {"name": "b", "data_type": "string"},
+        ]
+    }
+
+    def fresh(fn):
+        reg = ModelRegistry()
+        reg.model("m", meta={"contract": contract})(fn)
+        return MetricEngine(spark, reg, warehouse_dir=str(tmp_path / "whc2"))
+
+    ok = fresh(lambda s, ref: s.createDataFrame([(1, "x")], "a long, b string"))
+    ok.run()
+
+    bad_type = fresh(lambda s, ref: s.createDataFrame([(1, 2)], "a long, b int"))
+    with pytest.raises(ModelError, match="declared string, actual int"):
+        bad_type.run()
+
+    missing = fresh(lambda s, ref: s.createDataFrame([(1,)], "a long"))
+    with pytest.raises(ModelError, match="missing column 'b'"):
+        missing.run()
+
+    extra = fresh(
+        lambda s, ref: s.createDataFrame([(1, "x", 0.5)], "a long, b string, c double")
+    )
+    with pytest.raises(ModelError, match="undeclared columns"):
+        extra.run()
