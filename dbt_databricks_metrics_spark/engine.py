@@ -380,6 +380,9 @@ class MetricEngine:
             if materialize_rollups and spec.materialization:
                 to_refresh.append(spec.name)
         self._refresh_many(to_refresh)
+        # exposures validate AFTER the on-run-end hook: a dashboard may
+        # legitimately depend on a metric view that only now exists
+        self.registry.check_exposures(known_extra=self.catalog.names())
         return built
 
     def _refresh_many(self, names: Sequence[str]) -> None:

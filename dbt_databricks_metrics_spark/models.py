@@ -44,7 +44,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -104,6 +104,49 @@ class ModelRegistry:
 
     def __init__(self) -> None:
         self._models: dict[str, Model] = {}
+        self._exposures: dict[str, Exposure] = {}
+
+    def exposure(
+        self,
+        name: str,
+        depends_on: "tuple[str, ...] | list[str]",
+        owner: Optional[str] = None,
+        type: str = "dashboard",
+        url: Optional[str] = None,
+        description: Optional[str] = None,
+    ) -> "Exposure":
+        """dbt exposures: a declared downstream consumer (dashboard,
+        notebook, ML pipeline) of models/metric views. Dependencies are
+        validated lazily at ``run()`` time via :meth:`check_exposures`
+        (a dependency may be a metric view registered only after the
+        run's on-run-end hook)."""
+        if name in self._exposures:
+            raise ModelError(f"duplicate exposure {name!r}")
+        exp = Exposure(
+            name=name,
+            depends_on=tuple(depends_on),
+            owner=owner,
+            type=type,
+            url=url,
+            description=description,
+        )
+        self._exposures[name] = exp
+        return exp
+
+    def exposures(self) -> "list[Exposure]":
+        return list(self._exposures.values())
+
+    def check_exposures(self, known_extra: Sequence[str] = ()) -> None:
+        """Every exposure dependency must resolve to a model or one of
+        *known_extra* (e.g. registered metric views) — dangling refs are
+        exactly the rot exposures exist to catch."""
+        known = set(self._models) | set(known_extra)
+        for exp in self._exposures.values():
+            missing = [d for d in exp.depends_on if d not in known]
+            if missing:
+                raise ModelError(
+                    f"exposure {exp.name!r} depends on unknown refs {missing}"
+                )
 
     def model(
         self,
@@ -233,6 +276,18 @@ class ModelRegistry:
             cyc = sorted(set(self._models) - set(out))
             raise ModelError(f"dependency cycle among models: {cyc}")
         return out
+
+
+@dataclass(frozen=True)
+class Exposure:
+    """A declared downstream consumer (dbt ``exposures:``)."""
+
+    name: str
+    depends_on: tuple[str, ...]
+    owner: Optional[str] = None
+    type: str = "dashboard"
+    url: Optional[str] = None
+    description: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -363,3 +363,28 @@ def test_model_contract_enforced(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ModelError, match="undeclared columns"):
         extra.run()
+
+
+def test_exposures_validated_after_run(spark, sf_dir, tmp_path):
+    """dbt exposures: declared downstream consumers validate against
+    models AND metric views; dangling refs fail the run."""
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.models import ModelError
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    reg = build_registry(sf_dir)
+    reg.exposure(
+        "revenue_dashboard",
+        depends_on=["fct_orders", "mv_order_metrics"],
+        owner="analytics",
+        type="dashboard",
+    )
+    eng = MetricEngine(spark, reg, warehouse_dir=str(tmp_path / "whex1"))
+    eng.run()  # mv_order_metrics registers in the on-run-end hook
+    assert [e.name for e in reg.exposures()] == ["revenue_dashboard"]
+
+    reg2 = build_registry(sf_dir)
+    reg2.exposure("broken", depends_on=["no_such_model"])
+    eng2 = MetricEngine(spark, reg2, warehouse_dir=str(tmp_path / "whex2"))
+    with pytest.raises(ModelError, match="unknown refs.*no_such_model"):
+        eng2.run()
