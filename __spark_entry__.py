@@ -1382,6 +1382,17 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_fuzzy_match_pairs(spark, sf_dir):
+    # record linkage: distinct-first + blocked self-join + in-block
+    # levenshtein (blocking keeps the quadratic comparison inside
+    # first-token blocks; both engines ship the standard edit distance)
+    from dbt_databricks_metrics_spark.ext.linkage import blocked_fuzzy_pairs
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(part, "p_name", max_dist=3)
+
+
 def _q_source_freshness(spark, sf_dir):
     # dbt `source freshness` parity: anchored at a fixed as_of so the
     # verdicts are deterministic. One max() aggregate per source.
@@ -2366,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "rollup_advisor": _q_rollup_advisor,
         "source_freshness": _q_source_freshness,
+        "fuzzy_match_pairs": _q_fuzzy_match_pairs,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2894,6 +2906,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value FROM events
         """,
         "rollup_advisor": _advisor_oracle_sql(),
+        "fuzzy_match_pairs": """
+            WITH ents AS (
+              SELECT p_name AS name, count(*) AS n,
+                     lower(split_part(trim(p_name), ' ', 1)) AS block
+              FROM part GROUP BY 1
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM ents a JOIN ents b
+              ON a.block = b.block AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
+        """,
         "source_freshness": """
             WITH src AS (
                 SELECT 'events' AS model, max(ts) AS m,
