@@ -1382,6 +1382,34 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_cdc_apply(spark, sf_dir):
+    # CDC apply: purchases upsert a user's value, errors delete the user;
+    # latest change (event-time, event_id tiebreak) wins. One window over
+    # the feed + one anti-join probe of the base — the base never shuffles.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators.cdc import cdc_apply
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id").distinct().withColumn(
+        "value", F.lit(-1.0).cast("double")
+    )
+    feed = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("seq"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+        )
+    )
+    return cdc_apply(base, feed, ["user_id"], "seq", tiebreak_cols=["event_id"])
+
+
 def _q_fuzzy_match_pairs(spark, sf_dir):
     # record linkage: distinct-first + blocked self-join + in-block
     # levenshtein (blocking keeps the quadratic comparison inside
@@ -2378,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_advisor": _q_rollup_advisor,
         "source_freshness": _q_source_freshness,
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
+        "cdc_apply": _q_cdc_apply,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2906,6 +2935,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value FROM events
         """,
         "rollup_advisor": _advisor_oracle_sql(),
+        "cdc_apply": """
+            WITH base AS (
+                SELECT DISTINCT user_id, CAST(-1 AS DOUBLE) AS value
+                FROM events
+            ),
+            feed AS (
+                SELECT user_id, value, epoch_us(ts) AS seq, event_id,
+                       CASE WHEN event_type = 'purchase' THEN 'upsert'
+                            ELSE 'delete' END AS op
+                FROM events
+                WHERE event_type IN ('purchase', 'error')
+            ),
+            last AS (
+                SELECT * FROM (
+                    SELECT f.*, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY seq DESC, event_id DESC) AS rn
+                    FROM feed f
+                ) WHERE rn = 1
+            )
+            SELECT b.user_id, b.value
+            FROM base b LEFT JOIN last l ON b.user_id = l.user_id
+            WHERE l.user_id IS NULL
+            UNION ALL
+            SELECT user_id, value FROM last WHERE op = 'upsert'
+        """,
         "fuzzy_match_pairs": """
             WITH ents AS (
               SELECT p_name AS name, count(*) AS n,

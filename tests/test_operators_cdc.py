@@ -1,0 +1,92 @@
+"""CDC apply: latest-wins upsert/delete post-image."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.operators.cdc import cdc_apply, latest_changes
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+
+
+def test_cdc_apply_upsert_delete_insert(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            # id 1: updated twice — seq 5 wins
+            (1, "a2", 11.0, 4, "upsert", 100),
+            (1, "a3", 12.0, 5, "upsert", 101),
+            # id 2: deleted after an update
+            (2, "b2", 21.0, 1, "upsert", 102),
+            (2, None, None, 2, "delete", 103),
+            # id 4: brand-new key
+            (4, "d", 40.0, 1, "upsert", 104),
+        ],
+        "id long, name string, val double, seq long, op string, change_id long",
+    )
+    out = cdc_apply(base, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    got = {(r["id"], r["name"], r["val"]) for r in out.collect()}
+    assert got == {(1, "a3", 12.0), (3, "c", 30.0), (4, "d", 40.0)}
+    assert out.columns == base.columns
+
+
+def test_cdc_tie_broken_by_tiebreak_col(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, "x", 1.0, 7, "upsert", 200),
+            (1, "y", 2.0, 7, "upsert", 201),  # same seq — higher change_id wins
+        ],
+        "id long, name string, val double, seq long, op string, change_id long",
+    )
+    out = cdc_apply(base, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    assert {(r["id"], r["name"]) for r in out.filter(F.col("id") == 1).collect()} == {
+        (1, "y")
+    }
+
+
+def test_cdc_validates_inputs(spark):
+    base = _base(spark)
+    with pytest.raises(ValueError, match="lack base columns"):
+        cdc_apply(
+            base,
+            spark.createDataFrame([(1, 1, "upsert")], "id long, seq long, op string"),
+            ["id"],
+            "seq",
+        )
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0, 1, "replace")],
+        "id long, name string, val double, seq long, op string",
+    )
+    with pytest.raises(ValueError, match="op column"):
+        cdc_apply(base, bad, ["id"], "seq")
+
+
+def test_cdc_idempotent_replay(spark):
+    """Replaying the same feed over the post-image is a no-op — the
+    at-least-once delivery property CDC consumers rely on."""
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, "a9", 99.0, 3, "upsert", 1),
+            (2, None, None, 4, "delete", 2),
+        ],
+        "id long, name string, val double, seq long, op string, change_id long",
+    )
+    once = cdc_apply(base, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    twice = cdc_apply(once, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_latest_changes_one_row_per_key(spark, sf_dir):
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    last = latest_changes(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    assert last.count() == ev.select("user_id").distinct().count()
