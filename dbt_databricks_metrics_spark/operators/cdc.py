@@ -87,3 +87,72 @@ def cdc_apply(
     untouched = base.join(F.broadcast(changed_keys), key_cols, "left_anti")
     upserts = last.filter(F.col(op_col) == UPSERT).select(*base.columns)
     return untouched.unionByName(upserts)
+
+
+def cdc_fold_stream(
+    spark,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    tiebreak_cols: Sequence[str] = (),
+    schema=None,
+):
+    """Maintain CDC state from an append-only change-feed directory.
+
+    The state is the LAST CHANGE per key — including delete tombstones,
+    which is what makes out-of-order delivery safe across micro-batches:
+    an older upsert arriving after a delete loses the per-key
+    ``latest_changes`` race against the stored tombstone instead of
+    resurrecting the key. Each fold is
+    ``state' = latest_changes(state ∪ batch)`` (one window over
+    state+batch — both keyed-entity-sized, never feed-history-sized),
+    swap-written. Read the current table with :func:`cdc_post_image`.
+    `availableNow` gives scheduled-batch semantics.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        if os.path.exists(state_path):
+            merged = s.read.parquet(state_path).unionByName(batch_df)
+        else:
+            merged = batch_df
+        new_state = latest_changes(merged, key_cols, seq_col, tiebreak_cols)
+        tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_post_image(
+    spark,
+    state_path: str,
+    op_col: str = "op",
+    drop_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The current table from folded CDC state: surviving upserts with
+    tombstones and change metadata dropped."""
+    state = spark.read.parquet(state_path)
+    out = state.filter(F.col(op_col) == UPSERT).drop(op_col)
+    for c in drop_cols:
+        out = out.drop(c)
+    return out
