@@ -248,6 +248,62 @@ def _advisor_candidates() -> list[tuple[str, ...]]:
     return out
 
 
+def _pagerank_oracle_sql(n_iter: int = 4, damping: float = 0.85) -> str:
+    """Unrolled power iteration over the exact near-dup pair graph
+    (undirected → no dangling nodes, so the dangling term is exactly 0
+    on both engines). Arithmetic mirrors ext/graph.pagerank operand
+    order; floats round to 6 at the end only."""
+    # double literals via CAST so DuckDB doesn't read them as DECIMAL —
+    # operand values then bit-match Spark's Python-computed F.lit doubles
+    base = f"cast({(1.0 - damping)!r} as double)"
+    damp = f"cast({damping!r} as double)"
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS contrib\n"
+            f"    FROM edges e JOIN {prev} r ON e.src = r.id\n"
+            f"    JOIN deg d ON e.src = d.src GROUP BY 1),\n"
+            f"r{i} AS (SELECT nd.id,\n"
+            f"    {base} / (SELECT n FROM nn)\n"
+            f"      + {damp} * coalesce(c.contrib, 0.0) AS rank\n"
+            f"    FROM nodes nd LEFT JOIN c{i} c ON nd.id = c.id)"
+        )
+        prev = f"r{i}"
+    return (
+        r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1,
+                       greatest(length(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g')) - 4, 1)),
+                       i -> substring(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g'), i, 5))) AS s
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg
+                FROM edges GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        """
+        + ",\n".join(rounds)
+        + f"\nSELECT id AS doc_id, round(rank, 6) AS rank FROM {prev}"
+    )
+
+
 def _advisor_oracle_sql() -> str:
     """DuckDB replay of the greedy: grain cardinalities from the same flat
     table, then _ADVISOR_ROUNDS argmax rounds unrolled as CTEs (the
@@ -1382,6 +1438,30 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_pagerank_dupgraph(spark, sf_dir):
+    # PageRank over the exact near-dup pair graph (both orientations —
+    # undirected): the canonical-representative ordering within dup
+    # clusters. 4 power-iteration rounds; per round ONE edges⋈ranks join
+    # + groupBy(dst) sum. Oracle unrolls the identical rounds.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.ext.graph import pagerank
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, n_iter=4)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def _q_cdc_apply(spark, sf_dir):
     # CDC apply: purchases upsert a user's value, errors delete the user;
     # latest change (event-time, event_id tiebreak) wins. One window over
@@ -2407,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_freshness": _q_source_freshness,
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
         "cdc_apply": _q_cdc_apply,
+        "pagerank_dupgraph": _q_pagerank_dupgraph,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2935,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value FROM events
         """,
         "rollup_advisor": _advisor_oracle_sql(),
+        "pagerank_dupgraph": _pagerank_oracle_sql(),
         "cdc_apply": """
             WITH base AS (
                 SELECT DISTINCT user_id, CAST(-1 AS DOUBLE) AS value

@@ -1,0 +1,57 @@
+"""PageRank: analytic cases, mass conservation, networkx-free oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    """A directed cycle: perfect symmetry → everyone holds rank 1/n."""
+    got = _ranks(spark, [(1, 2), (2, 3), (3, 1)], n_iter=5)
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_mass_conserved_with_dangling_nodes(spark):
+    """Node 3 has no out-edges — its mass redistributes; Σ rank == 1."""
+    got = _ranks(spark, [(1, 3), (2, 3)], n_iter=8)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[3] > got[1] == got[2]
+
+
+def test_matches_reference_power_iteration(spark):
+    """Exact match (float tolerance) against a plain numpy-free Python
+    power iteration with the same damping/dangling handling."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 3), (5, 3), (5, 1)]
+    d, n_iter = 0.85, 12
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    rank = {u: 1 / n for u in nodes}
+    for _ in range(n_iter):
+        dang = sum(rank[u] for u in nodes if out[u] == 0)
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        rank = {
+            u: (1 - d) / n + d * (contrib[u] + dang / n) for u in nodes
+        }
+    got = _ranks(spark, edges, damping=d, n_iter=n_iter)
+    for u in nodes:
+        assert got[u] == pytest.approx(rank[u], rel=1e-9), u
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
