@@ -304,6 +304,93 @@ def _pagerank_oracle_sql(n_iter: int = 4, damping: float = 0.85) -> str:
     )
 
 
+_ADVISOR_BUDGET_ROWS = 60
+
+
+def _advisor_budget_oracle_sql() -> str:
+    """Budget-mode replay: per round only candidates fitting the
+    remaining row budget compete, ranked by benefit PER ROW (double
+    ratio — on this fixed fixture it orders identically to the engine's
+    integer cross-multiplication), same (rows, grain) tie-break."""
+    cands = _advisor_candidates()
+    all_grains = list(cands)
+    for e_dims, _ in _ADVISOR_EXISTING:
+        g = tuple(d for d in _ADVISOR_DIM_ORDER if d in e_dims)
+        if g not in all_grains:
+            all_grains.append(g)
+    cards = "\nUNION ALL\n".join(
+        f"SELECT '{','.join(g)}' AS grain, count(*) AS n_rows "
+        f"FROM (SELECT DISTINCT {', '.join(g)} FROM flat)"
+        for g in all_grains
+    )
+    cover_rows = []
+    for qid, (qdims, w) in enumerate(_ADVISOR_WORKLOAD):
+        for g in cands:
+            if set(qdims) <= set(g):
+                cover_rows.append(f"({qid}, {w}, '{','.join(g)}')")
+    cover = ", ".join(cover_rows)
+    cost0_rows = []
+    for qid, (qdims, _w) in enumerate(_ADVISOR_WORKLOAD):
+        serving = [
+            f"(SELECT n_rows FROM cards WHERE grain = "
+            f"'{','.join(d for d in _ADVISOR_DIM_ORDER if d in e_dims)}')"
+            for e_dims, e_meas in _ADVISOR_EXISTING
+            if set(qdims) <= set(e_dims) and set(_ADVISOR_MEASURES) <= set(e_meas)
+        ]
+        terms = ", ".join(["(SELECT n FROM base)"] + serving)
+        cost0_rows.append(f"SELECT {qid} AS qid, least({terms}) AS cost")
+    cost0 = "\nUNION ALL\n".join(cost0_rows)
+    B = _ADVISOR_BUDGET_ROWS
+    parts = [
+        f"WITH flat AS ({_FCT_ORDERS}),",
+        f"base AS (SELECT count(*) AS n FROM flat),",
+        f"cards AS ({cards}),",
+        f"cover(qid, w, grain) AS (VALUES {cover}),",
+        f"cost0 AS ({cost0}),",
+    ]
+    prev_cost = "cost0"
+    picked_filter = ""
+    spent = "0"
+    pick_names = []
+    for r in range(1, _ADVISOR_ROUNDS + 1):
+        ben, pick, cost = f"bben{r}", f"bpick{r}", f"bcost{r}"
+        parts.append(
+            f"{ben} AS (SELECT c.grain, cd.n_rows, "
+            f"CAST(sum(c.w * greatest(q.cost - cd.n_rows, 0)) AS BIGINT) AS benefit "
+            f"FROM cover c JOIN cards cd ON cd.grain = c.grain "
+            f"JOIN {prev_cost} q ON q.qid = c.qid "
+            f"WHERE cd.n_rows <= {B} - ({spent})"
+            f"{picked_filter} GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"{pick} AS (SELECT grain, n_rows, benefit FROM {ben} "
+            f"WHERE benefit > 0 "
+            f"ORDER BY CAST(benefit AS DOUBLE) / n_rows DESC, n_rows ASC, "
+            f"string_split(grain, ',') ASC LIMIT 1),"
+        )
+        parts.append(
+            f"{cost} AS (SELECT q.qid, CASE WHEN EXISTS ("
+            f"SELECT 1 FROM cover c JOIN {pick} p ON c.grain = p.grain "
+            f"AND c.qid = q.qid) "
+            f"THEN least(q.cost, (SELECT n_rows FROM {pick})) ELSE q.cost END "
+            f"AS cost FROM {prev_cost} q),"
+        )
+        prev_cost = cost
+        pick_names.append(pick)
+        spent = " + ".join(
+            f"coalesce((SELECT n_rows FROM {p}), 0)" for p in pick_names
+        )
+        picked = " UNION ALL ".join(f"SELECT grain FROM {p}" for p in pick_names)
+        picked_filter = f" AND c.grain NOT IN ({picked})"
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS pick_round, grain, n_rows AS grain_rows, benefit "
+        f"FROM {p}"
+        for i, p in enumerate(pick_names)
+    )
+    return "\n".join(parts) + "\n" + union + "\nORDER BY pick_round"
+
+
 def _advisor_oracle_sql() -> str:
     """DuckDB replay of the greedy: grain cardinalities from the same flat
     table, then _ADVISOR_ROUNDS argmax rounds unrolled as CTEs (the
@@ -1501,6 +1588,31 @@ def _q_fuzzy_match_pairs(spark, sf_dir):
     return blocked_fuzzy_pairs(part, "p_name", max_dist=3)
 
 
+def _q_rollup_advisor_budget(spark, sf_dir):
+    # the advisor's SPACE-budget mode: same workload, but the budget is
+    # total stored rows and rounds maximize benefit PER ROW
+    from dbt_databricks_metrics_spark.plans.advisor import WorkloadQuery
+
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_order_metrics")
+    wl = [
+        WorkloadQuery(dims, ("total_revenue",), weight=w)
+        for dims, w in _ADVISOR_WORKLOAD
+    ]
+    choices = mv.advise_rollups(
+        wl,
+        max_rollups=_ADVISOR_ROUNDS,
+        apply=False,
+        max_total_rows=_ADVISOR_BUDGET_ROWS,
+    )
+    rows = [
+        (c.pick_round, ",".join(c.grain), c.n_rows, c.benefit) for c in choices
+    ]
+    return spark.createDataFrame(
+        rows, "pick_round int, grain string, grain_rows bigint, benefit bigint"
+    )
+
+
 def _q_source_freshness(spark, sf_dir):
     # dbt `source freshness` parity: anchored at a fixed as_of so the
     # verdicts are deterministic. One max() aggregate per source.
@@ -2485,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "rollup_advisor": _q_rollup_advisor,
         "source_freshness": _q_source_freshness,
+        "rollup_advisor_budget": _q_rollup_advisor_budget,
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
         "cdc_apply": _q_cdc_apply,
         "pagerank_dupgraph": _q_pagerank_dupgraph,
@@ -3016,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value FROM events
         """,
         "rollup_advisor": _advisor_oracle_sql(),
+        "rollup_advisor_budget": _advisor_budget_oracle_sql(),
         "pagerank_dupgraph": _pagerank_oracle_sql(),
         "cdc_apply": """
             WITH base AS (
