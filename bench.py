@@ -329,6 +329,49 @@ def main() -> None:
         return len(advise(mv.spec, flat, wl, max_rollups=3))
 
     timed("ext_rollup_advisor", _advisor_bench)
+
+    def _linkage_bench():
+        from dbt_databricks_metrics_spark.ext.linkage import blocked_fuzzy_pairs
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return blocked_fuzzy_pairs(part, "p_name", max_dist=3).count()
+
+    timed("ext_fuzzy_linkage", _linkage_bench)
+
+    def _cdc_bench():
+        from dbt_databricks_metrics_spark.operators.cdc import cdc_apply
+
+        base = events.select("user_id").distinct().withColumn(
+            "value", F.lit(-1.0).cast("double")
+        )
+        feed = events.filter(
+            F.col("event_type").isin("purchase", "error")
+        ).select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("seq"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+        )
+        return cdc_apply(
+            base, feed, ["user_id"], "seq", tiebreak_cols=["event_id"]
+        ).count()
+
+    timed("ext_cdc_apply", _cdc_bench)
+
+    def _pagerank_bench():
+        from dbt_databricks_metrics_spark.ext.graph import pagerank
+
+        # sessions-share-user graph proxy: consecutive-event edges
+        e = events.select(
+            F.col("user_id").alias("src"),
+            F.pmod(F.col("event_id"), F.lit(500)).alias("dst"),
+        )
+        return pagerank(e, n_iter=3).count()
+
+    timed("ext_pagerank", _pagerank_bench)
     timed(
         "ext_topk_similar",
         lambda: __import__(
