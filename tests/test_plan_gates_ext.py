@@ -54,6 +54,8 @@ LAZY_EXT_QUERIES = [
     "funnel_steps",
     "cohort_retention",
     "doc_vectors",
+    "fuzzy_match_pairs",
+    "cdc_apply",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
