@@ -157,3 +157,60 @@ def test_cdc_fold_stream_out_of_order(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def change_feed(draw):
+    n = draw(st.integers(1, 25))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(1, 6)),          # key
+                f"v{i}",                          # name payload
+                float(i),                         # val payload
+                draw(st.integers(0, 8)),          # seq (collisions likely)
+                draw(st.sampled_from(["upsert", "delete"])),
+                i,                                # unique change_id tiebreak
+            )
+        )
+    base = [(k, "base", -1.0) for k in draw(st.sets(st.integers(1, 6)))]
+    return base, rows
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(change_feed())
+def test_cdc_apply_matches_python_reference(spark, feed):
+    """cdc_apply == an independent dict-based latest-wins reference, for
+    random feeds with seq collisions; replay is idempotent."""
+    base_rows, change_rows = feed
+    base = spark.createDataFrame(
+        base_rows or [(999, "base", -1.0)], "id long, name string, val double"
+    )
+    changes = spark.createDataFrame(
+        change_rows,
+        "id long, name string, val double, seq long, op string, change_id long",
+    )
+    out = cdc_apply(base, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    got = {(r["id"], r["name"], r["val"]) for r in out.collect()}
+
+    # reference: latest change per key by (seq, change_id)
+    last = {}
+    for (k, name, val, seq, op, cid) in change_rows:
+        if k not in last or (seq, cid) > (last[k][0], last[k][1]):
+            last[k] = (seq, cid, op, name, val)
+    want = set()
+    for (k, name, val) in (base_rows or [(999, "base", -1.0)]):
+        if k not in last:
+            want.add((k, name, val))
+    for k, (_s, _c, op, name, val) in last.items():
+        if op == "upsert":
+            want.add((k, name, val))
+    assert got == want
+
+    replay = cdc_apply(out, changes, ["id"], "seq", tiebreak_cols=["change_id"])
+    assert {(r["id"], r["name"], r["val"]) for r in replay.collect()} == want
