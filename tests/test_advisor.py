@@ -342,3 +342,29 @@ def test_budget_greedy_invariants(inst, budget):
         for i, (qd, _) in enumerate(servable):
             if set(qd) <= set(c.grain):
                 cost[i] = min(cost[i], rows[c.grain])
+
+
+def test_cardinality_pass_is_single_scan(engine):
+    """All candidate grains' cardinalities come from ONE source pass:
+    the physical plan has exactly one scan (one Expand for the grouping
+    sets), no CartesianProduct, no per-candidate re-reads."""
+    mv = engine.metric_view("mv_order_metrics")
+    compiler = engine._compiler
+    flat = compiler.baseline_projection(mv.spec, compiler.source_plan(mv.spec))
+    grains = candidate_grains(mv.spec, WORKLOAD)
+    all_dims = []
+    for g in grains:
+        for d in g:
+            if d not in all_dims:
+                all_dims.append(d)
+    sets = [[d for d in all_dims if d in g] for g in grains]
+    grouped = flat.groupingSets(sets, *[F.col(d) for d in all_dims]).agg(
+        F.grouping_id().alias("_gid")
+    )
+    counted = grouped.groupBy("_gid").agg(F.count(F.lit(1)).alias("n"))
+    plan = counted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Expand") == 1, plan
+    assert "CartesianProduct" not in plan
+    # column pruning: the scan reads only the candidate dims
+    assert "total_price" not in plan.split("ReadSchema")[1]
