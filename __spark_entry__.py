@@ -1525,6 +1525,17 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_ssjoin_pairs(spark, sf_dir):
+    # EXACT set-similarity join via prefix filtering (no banding miss
+    # probability, no O(n^2) compare): must equal the brute-force
+    # ngram_jaccard_pairs result bit-for-bit — same oracle.
+    from dbt_databricks_metrics_spark.ext.ssjoin import ssjoin_pairs
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ssjoin_pairs(docs, k=5, threshold=0.7)
+
+
 def _q_pagerank_dupgraph(spark, sf_dir):
     # PageRank over the exact near-dup pair graph (both orientations —
     # undirected): the canonical-representative ordering within dup
@@ -2601,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
         "cdc_apply": _q_cdc_apply,
         "pagerank_dupgraph": _q_pagerank_dupgraph,
+        "ssjoin_pairs": _q_ssjoin_pairs,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -2648,7 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "stg_orders": _STG_ORDERS,
         "stg_customers": _STG_CUSTOMERS,
         "fct_orders": _FCT_ORDERS,
@@ -4069,3 +4081,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # the exact prefix-filtered join must reproduce the brute-force pair
+    # set bit-for-bit: same oracle by construction
+    out["ssjoin_pairs"] = out["ngram_jaccard_pairs"]
+    return out
