@@ -372,6 +372,36 @@ def main() -> None:
         return pagerank(e, n_iter=3).count()
 
     timed("ext_pagerank", _pagerank_bench)
+
+    def _ssjoin_bench():
+        from dbt_databricks_metrics_spark.ext.ssjoin import ssjoin_pairs
+
+        # exact similarity join on its proper domain: a high-entropy
+        # corpus (zipfian/web-like vocabulary), where prefix filtering
+        # collapses candidates to ~the true pairs. The driver fixture's
+        # templated text is the documented degenerate case (candidates →
+        # all-pairs; LSH is the filter there) — benching it would
+        # measure the corpus, not the operator. 5k docs ≈ 12.5M brute
+        # pairs; planted dups are id i ↔ i+100000.
+        n_docs = int(5000 * (sf / 0.1)) or 500
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.substring(F.sha2(F.concat(F.col("id"), F.lit(f":{j}")), 256), 1, 8)
+                    for j in range(24)
+                ],
+            ).alias("text"),
+        )
+        dups = base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" edited")).alias("text"),
+        )
+        corpus = base.unionByName(dups)
+        return ssjoin_pairs(corpus, k=5, threshold=0.7).count()
+
+    timed("ext_ssjoin_exact", _ssjoin_bench)
     timed(
         "ext_topk_similar",
         lambda: __import__(
