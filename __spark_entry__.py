@@ -1525,6 +1525,47 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_multiformat_roundtrip(spark, sf_dir):
+    # lake-format ingestion end-to-end: the events table written through
+    # the JSON and CSV sinks, read back via read_source with an explicit
+    # schema, aggregated — and the two paths must agree with each other
+    # (and with the parquet oracle). Doubles survive because both sinks
+    # write shortest-roundtrip representations.
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.sources.readers import (
+        read_source,
+        write_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = _tf.mkdtemp(prefix="multifmt_")
+    out = {}
+    for fmt in ("json", "csv"):
+        path = f"{base}/{fmt}"
+        write_sink(ev, path, format=fmt)
+        back = read_source(spark, path, format=fmt, schema=ev.schema)
+        out[fmt] = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    j, c = out["json"].alias("j"), out["csv"].alias("c")
+    return j.join(c, "event_type").select(
+        "event_type",
+        F.col("j.n").alias("n"),
+        F.col("j.sum_value").alias("sum_value"),
+        (
+            (F.col("j.n") == F.col("c.n"))
+            & (F.col("j.sum_value") == F.col("c.sum_value"))
+        ).alias("json_eq_csv"),
+    )
+
+
 def _q_ssjoin_pairs(spark, sf_dir):
     # EXACT set-similarity join via prefix filtering (no banding miss
     # probability, no O(n^2) compare): must equal the brute-force
@@ -2613,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": _q_cdc_apply,
         "pagerank_dupgraph": _q_pagerank_dupgraph,
         "ssjoin_pairs": _q_ssjoin_pairs,
+        "multiformat_roundtrip": _q_multiformat_roundtrip,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -3143,6 +3185,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_advisor": _advisor_oracle_sql(),
         "rollup_advisor_budget": _advisor_budget_oracle_sql(),
         "pagerank_dupgraph": _pagerank_oracle_sql(),
+        "multiformat_roundtrip": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   TRUE AS json_eq_csv
+            FROM events
+            GROUP BY event_type
+        """,
         "cdc_apply": """
             WITH base AS (
                 SELECT DISTINCT user_id, CAST(-1 AS DOUBLE) AS value
