@@ -1546,7 +1546,7 @@ def _q_multiformat_roundtrip(spark, sf_dir):
     )
     base = _tf.mkdtemp(prefix="multifmt_")
     out = {}
-    for fmt in ("json", "csv"):
+    for fmt in ("json", "csv", "orc"):
         path = f"{base}/{fmt}"
         write_sink(ev, path, format=fmt)
         back = read_source(spark, path, format=fmt, schema=ev.schema)
@@ -1554,15 +1554,25 @@ def _q_multiformat_roundtrip(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-    j, c = out["json"].alias("j"), out["csv"].alias("c")
-    return j.join(c, "event_type").select(
-        "event_type",
-        F.col("j.n").alias("n"),
-        F.col("j.sum_value").alias("sum_value"),
-        (
-            (F.col("j.n") == F.col("c.n"))
-            & (F.col("j.sum_value") == F.col("c.sum_value"))
-        ).alias("json_eq_csv"),
+    j = out["json"].alias("j")
+    c = out["csv"].alias("c")
+    o = out["orc"].alias("o")
+    return (
+        j.join(c, "event_type")
+        .join(o, "event_type")
+        .select(
+            "event_type",
+            F.col("j.n").alias("n"),
+            F.col("j.sum_value").alias("sum_value"),
+            (
+                (F.col("j.n") == F.col("c.n"))
+                & (F.col("j.sum_value") == F.col("c.sum_value"))
+            ).alias("json_eq_csv"),
+            (
+                (F.col("j.n") == F.col("o.n"))
+                & (F.col("j.sum_value") == F.col("o.sum_value"))
+            ).alias("json_eq_orc"),
+        )
     )
 
 
@@ -3189,7 +3199,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value,
-                   TRUE AS json_eq_csv
+                   TRUE AS json_eq_csv,
+                   TRUE AS json_eq_orc
             FROM events
             GROUP BY event_type
         """,
