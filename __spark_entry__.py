@@ -1525,6 +1525,49 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_temperature_mix(spark, sf_dir):
+    # temperature-scaled source mixing (sample ∝ n^(1/T)): per-language
+    # planned fraction (oracle recomputes the same arithmetic) plus a
+    # deterministic concentration check on the realized hash-bucket
+    # sample (|kept − f·n| within 4σ+1 — fixed hashes, so reproducible).
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    budget = total // 3
+    T = 2.0
+    fr = temperature_fractions(docs, "lang", T, budget)
+    kept = {
+        r["lang"]: r["n"]
+        for r in temperature_sample(docs, "lang", T, budget)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = []
+    for g in sorted(counts):
+        f, n = fr[g], counts[g]
+        bound = 4.0 * math.sqrt(f * (1.0 - f) * n) + 1.0
+        rows.append(
+            (g, n, round(f, 6), abs(kept.get(g, 0) - f * n) <= bound)
+        )
+    return spark.createDataFrame(
+        rows, "lang string, n_docs bigint, fraction double, within_4sigma boolean"
+    )
+
+
 def _q_multiformat_roundtrip(spark, sf_dir):
     # lake-format ingestion end-to-end: the events table written through
     # the JSON and CSV sinks, read back via read_source with an explicit
@@ -2665,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dupgraph": _q_pagerank_dupgraph,
         "ssjoin_pairs": _q_ssjoin_pairs,
         "multiformat_roundtrip": _q_multiformat_roundtrip,
+        "temperature_mix": _q_temperature_mix,
         "zorder_scan": _q_zorder_scan,
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
@@ -3195,6 +3239,24 @@ def oracle_sql() -> dict[str, str]:
         "rollup_advisor": _advisor_oracle_sql(),
         "rollup_advisor_budget": _advisor_budget_oracle_sql(),
         "pagerank_dupgraph": _pagerank_oracle_sql(),
+        "temperature_mix": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            tot AS (
+                SELECT sum(n) AS total,
+                       sum(pow(n, cast(0.5 as double))) AS sp
+                FROM counts
+            )
+            SELECT c.lang,
+                   c.n AS n_docs,
+                   round(least(cast(1.0 as double),
+                       (SELECT total FROM tot) // 3
+                           * pow(c.n, cast(0.5 as double))
+                           / (SELECT sp FROM tot) / c.n), 6) AS fraction,
+                   TRUE AS within_4sigma
+            FROM counts c
+        """,
         "multiformat_roundtrip": """
             SELECT event_type,
                    count(*) AS n,

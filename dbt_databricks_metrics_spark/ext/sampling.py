@@ -130,3 +130,51 @@ def train_test_split(
     for name, hi in reversed(list(zip(split_names[:-1], bounds))):
         expr = F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    group_col: str,
+    temperature: float,
+    budget_rows: int,
+) -> dict[str, float]:
+    """Temperature-scaled mixing fractions (the multilingual-balancing
+    formula popularized by multilingual-BERT / XLM-R training, public:
+    sample groups ∝ n_g^(1/T) instead of ∝ n_g).
+
+    T=1 keeps natural proportions; T→∞ approaches uniform across groups;
+    the returned per-group fraction f_g = min(1, budget·p_g / n_g) with
+    p_g = n_g^(1/T) / Σ n^(1/T) makes the EXPECTED sampled total ≤
+    *budget_rows* while up-weighting small groups. Group counts are
+    group-cardinality-sized (collected); the sampling itself stays the
+    map-only deterministic filter of :func:`stratified_sample`.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if budget_rows <= 0:
+        raise ValueError(f"budget_rows must be > 0, got {budget_rows}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_p = sum(n ** (1.0 / temperature) for n in counts.values())
+    return {
+        g: min(1.0, budget_rows * (n ** (1.0 / temperature)) / total_p / n)
+        for g, n in counts.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    temperature: float,
+    budget_rows: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-balanced corpus: per-group fractions
+    from :func:`temperature_fractions` applied via the stable hash-bucket
+    filter (map-only, partitioning-invariant, reproducible)."""
+    fr = temperature_fractions(df, group_col, temperature, budget_rows)
+    return stratified_sample(df, group_col, fr, default=0.0, key_col=key_col)

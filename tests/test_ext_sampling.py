@@ -122,3 +122,55 @@ def test_multiplicative_no_int64_overflow(spark):
     }
     expect = {k for k in keys if (k * 2654435761) % 1_000_000 < 500_000}
     assert kept == expect
+
+
+def test_temperature_fractions_properties(spark, sf_dir):
+    """T=1 reproduces natural proportions; higher T up-weights small
+    groups; expected total stays within the budget."""
+    from dbt_databricks_metrics_spark.ext.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy(F.col("lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    budget = total // 3
+
+    f1 = temperature_fractions(docs, "lang", 1.0, budget)
+    # T=1: expected kept per group = budget * n_g / total → fraction = budget/total
+    for g, n in counts.items():
+        assert f1[g] == pytest.approx(min(1.0, budget / total), rel=1e-9)
+
+    f5 = temperature_fractions(docs, "lang", 5.0, budget)
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    assert f5[small] > f1[small] * 0.99 and f5[small] >= f5[big]
+    # expected totals within budget for both temperatures
+    for fr in (f1, f5):
+        assert sum(fr[g] * counts[g] for g in counts) <= budget * (1 + 1e-9)
+
+    picked = temperature_sample(docs, "lang", 5.0, budget)
+    assert 0 < picked.count() <= total
+    # determinism: same selection on a different partitioning
+    again = temperature_sample(docs.repartition(7), "lang", 5.0, budget)
+    assert {r["doc_id"] for r in picked.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_temperature_validation(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext.sampling import temperature_fractions
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_fractions(docs, "lang", 0.0, 10)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_fractions(docs, "lang", 1.0, 0)
