@@ -45,7 +45,9 @@ def curate(
     drop any doc that near-duplicates a lower id), ``cluster`` (transitive
     — connected components over the LSH pair graph keep exactly ONE
     representative per component, so chains a~b~c collapse to a even when
-    (a,c) was never a pair), ``none``.
+    (a,c) was never a pair), ``cluster_best`` (transitive, but the
+    representative is the HIGHEST-quality member, min id on ties — the
+    Gopher/FineWeb keep-the-best-duplicate practice), ``none``.
 
     ``lm_bucket_max`` adds CCNet's model-based gate after the heuristics:
     score survivors under the corpus bigram LM (`ext/lm.py`), bucket into
@@ -80,6 +82,30 @@ def curate(
         reps = (
             dd.duplicate_clusters(kept, pairs, id_col)
             .filter(F.col("cluster_id") == F.col(id_col))
+            .select(id_col)
+        )
+        kept = kept.join(reps, id_col, "inner")
+    elif dedup_mode == "cluster_best":
+        # quality-preserving transitive dedup (the Gopher/FineWeb
+        # practice): within each near-dup component keep the HIGHEST-
+        # quality member, not the smallest id — one groupBy(cluster_id)
+        # max_by on top of the component labels
+        pairs = dd.minhash_lsh_pairs(
+            kept, id_col, text_col, threshold=minhash_threshold
+        )
+        labels = dd.duplicate_clusters(kept, pairs, id_col).join(
+            kept.select(id_col, "quality_score_raw"), id_col
+        )
+        # best quality per component, min id on ties — two groupBys so the
+        # tie-break stays type-independent (string ids can't negate)
+        best_q = labels.groupBy("cluster_id").agg(
+            F.max("quality_score_raw").alias("_mq")
+        )
+        reps = (
+            labels.join(best_q, "cluster_id")
+            .filter(F.col("quality_score_raw") == F.col("_mq"))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias(id_col))
             .select(id_col)
         )
         kept = kept.join(reps, id_col, "inner")

@@ -130,3 +130,45 @@ def test_curate_lm_gate(spark, sf_dir):
             assert did in kept_ids
         else:
             assert did not in kept_ids
+
+
+def test_cluster_best_keeps_highest_quality_duplicate(spark):
+    """cluster_best picks the best-quality member per near-dup component
+    (min id on ties), while plain cluster keeps the min id."""
+    from dbt_databricks_metrics_spark.ext.pipeline import curate
+
+    rich = (
+        "The quick brown fox jumps over the lazy dog near the quiet river "
+        "bank, and the careful reader follows every detailed sentence with "
+        "growing interest in this reasonably long passage of plain text."
+    )
+    # doc 1 = the clean text defaced with punctuation junk (lower quality);
+    # doc 2 = the clean version → near-dup pair where the HIGHER id wins
+    richer = rich
+    rich = rich + " !!!! ???? #### @@@@ %%%% ^^^^ &&&& **** (((( ))))"
+    unrelated = (
+        "Completely different content about distributed query engines and "
+        "columnar execution strategies, long enough to pass the quality "
+        "gate with unique vocabulary and normal sentence structure here."
+    )
+    df = spark.createDataFrame(
+        [(1, rich, "en"), (2, richer, "en"), (3, unrelated, "en")],
+        "doc_id long, text string, lang string",
+    )
+    base_kwargs = dict(min_quality=0.0, langs=None, minhash_threshold=0.6)
+
+    plain = curate(df, dedup_mode="cluster", **base_kwargs)
+    best = curate(df, dedup_mode="cluster_best", **base_kwargs)
+    plain_ids = {r["doc_id"] for r in plain.collect()}
+    best_ids = {r["doc_id"] for r in best.collect()}
+    assert plain_ids == {1, 3}, plain_ids  # min-id representative
+    # sanity: the pair really is a near-dup cluster and 2 scores higher
+    from dbt_databricks_metrics_spark.ext import textstats as ts
+    import pyspark.sql.functions as F
+
+    q = {
+        r["doc_id"]: r["quality_score_raw"]
+        for r in ts.document_stats(df).select("doc_id", "quality_score_raw").collect()
+    }
+    assert q[2] > q[1]
+    assert best_ids == {2, 3}, best_ids  # best-quality representative
