@@ -1310,6 +1310,41 @@ def _q_spine_daily_revenue(spark, sf_dir):
     return _round_cols(df, ["total_revenue"])
 
 
+def _q_interpolated_revenue(spark, sf_dir):
+    # linear gap interpolation over a sparse densified series: daily
+    # revenue from big-ticket orders (total_price > 400000) per status,
+    # densified against the day spine with NULL fill, then linearly
+    # interpolated between nearest observations (backfill head / LOCF
+    # tail). The interpolation fraction is an exact int-day division so
+    # the oracle replays identical double arithmetic.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators import spine as spine_op
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sparse = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    dense = spine_op.fill_time_gaps(
+        sparse, "order_date", ["order_status"], step="day"
+    )
+    dense = dense.withColumn("observed", F.col("revenue").isNotNull())
+    out = spine_op.interpolate_time_series(
+        dense, "order_date", ["order_status"], ["revenue"], method="linear"
+    )
+    return _round_cols(
+        out.select("order_status", "order_date", "revenue", "observed"),
+        ["revenue"],
+        6,
+    )
+
+
 def _q_share_of_total(spark, sf_dir):
     # percent-of-total per segment: totals via broadcast 1-row re-agg of
     # the result (never an unpartitioned window)
@@ -2691,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_months": _q_topk_months,
         "having_segments": _q_having_segments,
         "spine_daily_revenue": _q_spine_daily_revenue,
+        "interpolated_revenue": _q_interpolated_revenue,
         "share_of_total": _q_share_of_total,
         "dsir_weights": _q_dsir_weights,
         "decontaminated_docs": _q_decontaminated_docs,
@@ -3135,6 +3171,60 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN spine s
             LEFT JOIN agg a
               ON a.order_status = g.order_status AND a.order_date = s.order_date
+        """,
+        "interpolated_revenue": """
+            WITH fct AS (
+              SELECT o_orderstatus AS order_status,
+                     CAST(o_orderdate AS DATE) AS order_date,
+                     o_totalprice AS total_price
+              FROM orders WHERE o_totalprice > 400000
+            ),
+            agg AS (
+              SELECT order_status, order_date,
+                     round(sum(total_price), 4) AS rev
+              FROM fct GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT min(order_date) AS lo, max(order_date) AS hi FROM agg
+            ),
+            spine AS (
+              SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                         AS order_date
+              FROM bounds
+            ),
+            dense AS (
+              SELECT g.order_status, s.order_date, a.rev
+              FROM (SELECT DISTINCT order_status FROM agg) g
+              CROSS JOIN spine s
+              LEFT JOIN agg a
+                ON a.order_status = g.order_status
+               AND a.order_date = s.order_date
+            ),
+            w AS (
+              SELECT order_status, order_date, rev,
+                     last_value(rev IGNORE NULLS) OVER fwd AS prev_v,
+                     last_value(CASE WHEN rev IS NOT NULL THEN order_date END
+                                IGNORE NULLS) OVER fwd AS prev_t,
+                     first_value(rev IGNORE NULLS) OVER bwd AS next_v,
+                     first_value(CASE WHEN rev IS NOT NULL THEN order_date END
+                                 IGNORE NULLS) OVER bwd AS next_t
+              FROM dense
+              WINDOW fwd AS (PARTITION BY order_status ORDER BY order_date
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     bwd AS (PARTITION BY order_status ORDER BY order_date
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT order_status, order_date,
+                   round(CASE WHEN rev IS NOT NULL THEN rev
+                              WHEN prev_v IS NULL THEN next_v
+                              WHEN next_v IS NULL THEN prev_v
+                              ELSE prev_v + (next_v - prev_v) *
+                                   (CAST(date_diff('day', prev_t, order_date)
+                                         AS DOUBLE)
+                                    / date_diff('day', prev_t, next_t))
+                         END, 6) AS revenue,
+                   rev IS NOT NULL AS observed
+            FROM w
         """,
         "share_of_total": f"""
             WITH agg AS (

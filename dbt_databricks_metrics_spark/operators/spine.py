@@ -75,3 +75,76 @@ def fill_time_gaps(
     for col, value in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
     return out
+
+
+def interpolate_time_series(
+    df: DataFrame,
+    time_col: str,
+    group_cols: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    method: str = "linear",
+) -> DataFrame:
+    """Fill NULL gaps in a (densified) grouped time series.
+
+    Intended to run after :func:`fill_time_gaps` with no constant fill, the
+    sensor/feature-pipeline convention for non-additive measures where a
+    zero-fill would be wrong:
+
+    - ``method='locf'``: last observation carried forward. Leading NULLs
+      (before a group's first observation) stay NULL.
+    - ``method='linear'``: linear interpolation between the nearest non-null
+      neighbors on the time axis; before the first observation the series
+      backfills from the next value, after the last it carries forward.
+
+    The time axis is measured in integral days for ``date`` columns and
+    integral microseconds for ``timestamp`` columns, so the interpolation
+    fraction is an exact int/int division on both Spark and any SQL oracle.
+
+    Scale posture: two running-frame windows per value column (last/first
+    ``ignorenulls`` over unbounded-preceding / unbounded-following rows
+    frames), both partitioned by *group_cols* — one shuffle on the group
+    key, O(n) running accumulators per partition, no global sort. With no
+    group columns the window is global and the operator is only meant for
+    calendar-bounded (already-aggregated) series.
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear', got {method!r}")
+    from pyspark.sql import Window
+
+    fwd = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    dtype = df.schema[time_col].dataType.simpleString()
+    if dtype == "date":
+        def delta(a, b):  # integral days
+            return F.datediff(a, b)
+    else:
+        def delta(a, b):  # integral microseconds
+            return F.unix_micros(a) - F.unix_micros(b)
+
+    t = F.col(time_col)
+    for col in value_cols:
+        c = F.col(col)
+        prev_v = F.last(c, ignorenulls=True).over(fwd)
+        if method == "locf":
+            df = df.withColumn(col, F.coalesce(c, prev_v))
+            continue
+        prev_t = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(fwd)
+        next_v = F.first(c, ignorenulls=True).over(bwd)
+        next_t = F.first(F.when(c.isNotNull(), t), ignorenulls=True).over(bwd)
+        frac = delta(t, prev_t).cast("double") / delta(next_t, prev_t)
+        filled = (
+            F.when(c.isNotNull(), c)
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
+        df = df.withColumn(col, filled)
+    return df
