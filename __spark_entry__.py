@@ -2187,6 +2187,29 @@ def _q_sessionize(spark, sf_dir):
     return sessionize.sessionize(ev).select("event_id", "user_id", "session_id")
 
 
+def _q_debounced_events(spark, sf_dir):
+    # event-stream dedup: keep only the first event of each same-
+    # (user, event_type) burst, where a burst chains events <= 10 min
+    # apart (chained gap, like sessionization). Integral-µs arithmetic;
+    # ts emitted as epoch micros so the hash compares exact integers.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import sessionize
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize.debounce(
+        ev, key_cols=("user_id", "event_type"), ts_col="ts", gap_seconds=600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+
+
 def _q_stateful_sessions(spark, sf_dir):
     # custom stateful streaming operator (applyInPandasWithState): run the
     # events table through an availableNow stream; emitted rows = every
@@ -2766,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_similar_pairs": _q_srp_pairs,
         "ivf_topk": _q_ivf_topk,
         "sessionize": _q_sessionize,
+        "debounced_events": _q_debounced_events,
         "stateful_sessions": _q_stateful_sessions,
         "session_stats": _q_session_stats,
         "tumbling_window": _q_tumbling_window,
@@ -3901,6 +3925,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INT) AS feature_dim,
                    TRUE AS feature_in_range
             FROM documents
+        """,
+        "debounced_events": """
+            WITH lagged AS (
+              SELECT event_id, user_id, event_type, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            )
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS ts_us, value
+            FROM lagged
+            WHERE prev_ts IS NULL
+               OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
         """,
         "sessionize": _SESSION_CTE
         + """

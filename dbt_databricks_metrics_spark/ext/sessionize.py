@@ -2,6 +2,8 @@
 
 * sessionize           — gap-based session ids per user (lag + cumulative
                          sum of boundary flags), the classic Window recipe
+* debounce             — drop burst repeats: keep only the first event of
+                         each chain of same-key events spaced <= gap apart
 * session_stats        — per-session aggregates
 * tumbling_window_agg  — fixed-window time aggregation via `F.window`
 * user_activity        — per-user rollups incl. conditional aggregates
@@ -49,6 +51,42 @@ def sessionize(
         "session_id",
         F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq")),
     ).drop("_new")
+
+
+def debounce(
+    events: DataFrame,
+    key_cols=("user_id", "event_type"),
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Keep only the first event of each same-key burst.
+
+    A burst is a chain of events with the same *key_cols* where each event
+    arrives within *gap_seconds* of the previous one (chained, like
+    sessionization — NOT a fixed window from the burst head). The classic
+    clickstream cleaning step for double-clicks / retry storms / sensor
+    chatter, and the event-stream member of the dedup family.
+
+    Gap arithmetic is integral microseconds, so an SQL oracle reproduces
+    it exactly. Plan: one shuffle on the key, a single lag per partition,
+    then a filter — the row survives iff it *starts* a burst. O(n) per
+    partition, no second window pass.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), order_tiebreak)
+    gap_us = gap_seconds * 1_000_000
+
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    starts_burst = prev_ts.isNull() | (
+        _micros(F.col(ts_col)) - _micros(prev_ts) > gap_us
+    )
+    return events.withColumn("_keep", starts_burst).filter(F.col("_keep")).drop(
+        "_keep"
+    )
 
 
 def session_stats(

@@ -145,3 +145,49 @@ def test_sliding_window_overlap_factor(events):
     sliding = sessionize.sliding_window_agg(events, "2 hours", "1 hour")
     n_events = events.count()
     assert sliding.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_debounce_chains_bursts(spark):
+    """A burst chains event-to-event: 3 events each 5 min apart all fold
+    into one even though the last is 10 min from the head; a 10min+1s gap
+    starts a new burst; other keys are independent."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 5, 0), 7, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 10, 0), 7, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 20, 1), 7, "click", 1.0, "{}"),  # > gap
+        (5, datetime(2024, 1, 1, 0, 0, 30), 7, "view", 1.0, "{}"),  # other key
+        (6, datetime(2024, 1, 1, 0, 1, 0), 8, "click", 1.0, "{}"),  # other user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    kept = {
+        r["event_id"]
+        for r in sessionize.debounce(df, gap_seconds=600).collect()
+    }
+    assert kept == {1, 4, 5, 6}
+
+
+def test_debounce_gap_boundary_inclusive(spark):
+    """An event exactly gap seconds after the previous is part of the
+    burst (dropped); strictly greater starts a new one (kept)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 10, 0), 7, "click", 1.0, "{}"),  # == gap
+        (3, datetime(2024, 1, 1, 0, 20, 1), 7, "click", 1.0, "{}"),  # > gap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    kept = {
+        r["event_id"]
+        for r in sessionize.debounce(df, gap_seconds=600).collect()
+    }
+    assert kept == {1, 3}
