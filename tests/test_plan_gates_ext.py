@@ -56,6 +56,8 @@ LAZY_EXT_QUERIES = [
     "doc_vectors",
     "fuzzy_match_pairs",
     "cdc_apply",
+    "debounced_events",
+    "interpolated_revenue",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -74,6 +76,7 @@ _SINGLE_PARTITION_OK = {
     "simhash_pairs",  # banded-vs-brute delta reduction (1-row counts)
     "dsir_weights",  # two 1-row model-total aggregates broadcast
     "funnel_steps",  # 1-row step-count vector, unpivoted
+    "interpolated_revenue",  # 1-row spine min/max bounds aggregate
 }
 
 
