@@ -114,9 +114,18 @@ def _round_cols(df: DataFrame, cols: Sequence[str], n: int = 4) -> DataFrame:
     hasher: double-precision aggregates differ across engines only in
     summation order (~1e-15 relative), so rounding the *contract
     projection* — identically here and in the oracle SQL — removes the
-    jitter without touching engine semantics. 4 decimals is safe: the
-    money-like inputs have 2-4 exact decimals, so true values sit ON the
-    1e-4 grid, never near a .00005 rounding boundary."""
+    jitter without touching engine semantics.
+
+    ONLY safe for grid-aligned (sum-type) values: money sums sit ON the
+    1e-2 grid, so a 4-decimal round has a 5e-5 margin vs ~1e-10 jitter.
+    It is NOT safe for avg/ratio-type values — a quotient's true value is
+    arbitrary real, so it can sit within 1e-6 of a .00005 boundary and a
+    host-dependent last-bit difference flips the rounded digit (this is
+    exactly how customer_metrics failed the driver hash in rounds 1-2).
+    For quotients, derive the contract value from exact integer partials
+    instead (see _q_customer_metrics / _q_measure_by_dim): identical int64
+    sums divided by identical counts are bit-identical in both engines
+    with no rounding step at all."""
     from pyspark.sql import functions as F
 
     for c in cols:
@@ -342,11 +351,14 @@ def _advisor_budget_oracle_sql() -> str:
     cost0 = "\nUNION ALL\n".join(cost0_rows)
     B = _ADVISOR_BUDGET_ROWS
     parts = [
-        f"WITH flat AS ({_FCT_ORDERS}),",
-        f"base AS (SELECT count(*) AS n FROM flat),",
-        f"cards AS ({cards}),",
+        # MATERIALIZED: round CTEs are referenced more than once — without
+        # it DuckDB inlines the whole upstream chain per reference and
+        # re-opens the parquet exponentially often (EMFILE on deep unrolls)
+        f"WITH flat AS MATERIALIZED ({_FCT_ORDERS}),",
+        f"base AS MATERIALIZED (SELECT count(*) AS n FROM flat),",
+        f"cards AS MATERIALIZED ({cards}),",
         f"cover(qid, w, grain) AS (VALUES {cover}),",
-        f"cost0 AS ({cost0}),",
+        f"cost0 AS MATERIALIZED ({cost0}),",
     ]
     prev_cost = "cost0"
     picked_filter = ""
@@ -355,21 +367,31 @@ def _advisor_budget_oracle_sql() -> str:
     for r in range(1, _ADVISOR_ROUNDS + 1):
         ben, pick, cost = f"bben{r}", f"bpick{r}", f"bcost{r}"
         parts.append(
-            f"{ben} AS (SELECT c.grain, cd.n_rows, "
+            f"{ben} AS MATERIALIZED (SELECT c.grain, cd.n_rows, "
             f"CAST(sum(c.w * greatest(q.cost - cd.n_rows, 0)) AS BIGINT) AS benefit "
             f"FROM cover c JOIN cards cd ON cd.grain = c.grain "
             f"JOIN {prev_cost} q ON q.qid = c.qid "
             f"WHERE cd.n_rows <= {B} - ({spent})"
             f"{picked_filter} GROUP BY 1, 2),"
         )
+        # argmax by EXACT integer cross-multiplication (b1/n1 > b2/n2 <=>
+        # b1*n2 > b2*n1 — the engine's comparison, plans/advisor.py), not a
+        # double ratio that merely coincides on this fixture (ADVICE r2):
+        # pick the candidate no other candidate strictly beats under
+        # (ratio desc, n_rows asc, grain asc)
         parts.append(
-            f"{pick} AS (SELECT grain, n_rows, benefit FROM {ben} "
-            f"WHERE benefit > 0 "
-            f"ORDER BY CAST(benefit AS DOUBLE) / n_rows DESC, n_rows ASC, "
-            f"string_split(grain, ',') ASC LIMIT 1),"
+            f"{pick} AS MATERIALIZED (SELECT x.grain, x.n_rows, x.benefit FROM {ben} x "
+            f"WHERE x.benefit > 0 AND NOT EXISTS ("
+            f"SELECT 1 FROM {ben} y WHERE y.benefit > 0 AND ("
+            f"y.benefit * x.n_rows > x.benefit * y.n_rows "
+            f"OR (y.benefit * x.n_rows = x.benefit * y.n_rows "
+            f"AND (y.n_rows < x.n_rows "
+            f"OR (y.n_rows = x.n_rows "
+            f"AND string_split(y.grain, ',') < string_split(x.grain, ','))))))"
+            f" LIMIT 1),"
         )
         parts.append(
-            f"{cost} AS (SELECT q.qid, CASE WHEN EXISTS ("
+            f"{cost} AS MATERIALIZED (SELECT q.qid, CASE WHEN EXISTS ("
             f"SELECT 1 FROM cover c JOIN {pick} p ON c.grain = p.grain "
             f"AND c.qid = q.qid) "
             f"THEN least(q.cost, (SELECT n_rows FROM {pick})) ELSE q.cost END "
@@ -426,11 +448,14 @@ def _advisor_oracle_sql() -> str:
         cost0_rows.append(f"SELECT {qid} AS qid, least({terms}) AS cost")
     cost0 = "\nUNION ALL\n".join(cost0_rows)
     parts = [
-        f"WITH flat AS ({_FCT_ORDERS}),",
-        f"base AS (SELECT count(*) AS n FROM flat),",
-        f"cards AS ({cards}),",
+        # MATERIALIZED: round CTEs are referenced more than once — without
+        # it DuckDB inlines the whole upstream chain per reference and
+        # re-opens the parquet exponentially often (EMFILE on deep unrolls)
+        f"WITH flat AS MATERIALIZED ({_FCT_ORDERS}),",
+        f"base AS MATERIALIZED (SELECT count(*) AS n FROM flat),",
+        f"cards AS MATERIALIZED ({cards}),",
         f"cover(qid, w, grain) AS (VALUES {cover}),",
-        f"cost0 AS ({cost0}),",
+        f"cost0 AS MATERIALIZED ({cost0}),",
     ]
     prev_cost = "cost0"
     picked_filter = ""
@@ -451,7 +476,7 @@ def _advisor_oracle_sql() -> str:
             f"LIMIT 1),"
         )
         parts.append(
-            f"{cost} AS (SELECT q.qid, CASE WHEN EXISTS ("
+            f"{cost} AS MATERIALIZED (SELECT q.qid, CASE WHEN EXISTS ("
             f"SELECT 1 FROM cover c JOIN {pick} p ON c.grain = p.grain "
             f"AND c.qid = q.qid) "
             f"THEN least(q.cost, (SELECT n_rows FROM {pick})) ELSE q.cost END "
@@ -524,12 +549,26 @@ def _q_fct_customer_summary(spark, sf_dir):
 
 
 def _q_measure_by_dim(spark, sf_dir):
+    # avg_order_value is re-derived as round(sum,2)/count: the sum sits on
+    # the cent grid (margin 5e-3 vs ~1e-10 jitter), so both engines round
+    # to the SAME cent double and the IEEE division is bit-identical — no
+    # boundary-exposed round(avg, 4) (VERDICT r2 #1 audit). The MV's avg
+    # measure itself stays checked via the tolerance boolean.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
     df = eng.metric_view("mv_order_metrics").query(
         dimensions=["market_segment"],
         measures=["total_orders", "total_revenue", "avg_order_value"],
     )
-    return _round_cols(df, ["total_revenue", "avg_order_value"])
+    exact_avg = F.round(F.col("total_revenue"), 2) / F.col("total_orders")
+    return df.select(
+        "market_segment",
+        F.col("total_orders"),
+        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        exact_avg.alias("avg_order_value"),
+        (F.abs(F.col("avg_order_value") - exact_avg) < F.lit(1e-6)).alias("avg_ok"),
+    )
 
 
 def _q_measure_multi_dim(spark, sf_dir):
@@ -542,15 +581,42 @@ def _q_measure_multi_dim(spark, sf_dir):
 
 
 def _q_measure_global(spark, sf_dir):
+    # same exact-avg treatment as measure_by_dim: revenue snapped to its
+    # cent grid, avg derived from identical doubles, MV avg tolerance-checked
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_orders_simple").query(
+    df = eng.metric_view("mv_orders_simple").query(
         measures=["order_count", "total_revenue", "avg_order_value"]
+    )
+    exact_avg = F.round(F.col("total_revenue"), 2) / F.col("order_count")
+    return df.select(
+        F.col("order_count"),
+        F.round(F.col("total_revenue"), 2).alias("total_revenue"),
+        exact_avg.alias("avg_order_value"),
+        (F.abs(F.col("avg_order_value") - exact_avg) < F.lit(1e-6)).alias("avg_ok"),
     )
 
 
 def _q_customer_metrics(spark, sf_dir):
+    """Integer-exact contract for the avg-measure metric view.
+
+    The MV's avg-type measures (avg(total_spent), avg(total_orders), avg of
+    order/day ratios; reference schema.yml:186-204) are NOT 1e-4-grid
+    aligned, so ``round(avg, 4)`` can sit arbitrarily close to a rounding
+    boundary — this query passed every local mirror but failed the driver
+    hash in rounds 1 AND 2 (VERDICT r2 #1). The contract projection is now
+    derived from exact int64 partials (cents, counts, 1e-6-quantized
+    ratios): both engines sum identical integers (order-free) and then
+    perform the same IEEE divisions, so every emitted double is
+    bit-identical with NO rounding step anywhere. The MV's own avg
+    measures stay driver-checked via tolerance booleans — a broken
+    MEASURE() expansion flips the boolean and fails the hash.
+    """
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    df = eng.metric_view("mv_customer_metrics").query(
+    mv = eng.metric_view("mv_customer_metrics").query(
         dimensions=["market_segment"],
         measures=[
             "total_customers",
@@ -561,14 +627,57 @@ def _q_customer_metrics(spark, sf_dir):
             "avg_order_frequency",
         ],
     )
-    return _round_cols(
-        df,
-        [
-            "total_revenue",
-            "avg_customer_value",
-            "avg_orders_per_customer",
-            "avg_order_frequency",
-        ],
+    mv = mv.select(
+        "market_segment",
+        F.col("total_customers"),
+        F.col("total_revenue").alias("_mv_rev"),
+        F.col("avg_customer_value").alias("_mv_acv"),
+        F.col("avg_orders_per_customer").alias("_mv_aopc"),
+        F.col("high_value_customers").alias("_mv_hvc"),
+        F.col("avg_order_frequency").alias("_mv_freq"),
+    )
+    base = eng.ref("fct_customer_summary")
+    # per-row exact integers: total_spent is on the cent grid (round(sum,2)
+    # upstream), so round(x*100) is the exact cent count in both engines;
+    # the order/day ratio is quantized per row to 1e-6 (one IEEE div + mul
+    # + scale-0 round on identical ints -> identical in both engines)
+    cents = F.round(F.col("total_spent") * 100).cast("bigint")
+    ratio = F.col("total_orders") / F.expr(
+        "nullif(datediff(last_order_date, first_order_date), 0)"
+    )
+    parts = base.groupBy("market_segment").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count("total_spent").alias("_cnt_spent"),
+        F.sum(cents).alias("_sum_cents"),
+        F.sum(F.col("total_orders").cast("bigint")).alias("_sum_orders"),
+        F.sum(F.round(ratio * 1000000.0).cast("bigint")).alias("_sum_freq_u"),
+        F.count(ratio).alias("_cnt_freq"),
+        F.count(F.when(cents > 10000000, F.lit(1))).alias("_hvc"),
+    )
+    j = mv.join(parts, "market_segment")
+    exact_rev = F.col("_sum_cents") / 100.0
+    exact_acv = F.col("_sum_cents") / (100.0 * F.col("_cnt_spent"))
+    exact_aopc = F.col("_sum_orders") / F.col("_cnt").cast("double")
+    exact_freq = F.col("_sum_freq_u") / (1000000.0 * F.col("_cnt_freq"))
+
+    def _ok(mv_col, exact, tol):
+        return (F.abs(F.col(mv_col) - exact) < F.lit(tol)) | (
+            F.col(mv_col).isNull() & exact.isNull()
+        )
+
+    return j.select(
+        "market_segment",
+        F.col("total_customers"),
+        exact_rev.alias("total_revenue"),
+        exact_acv.alias("avg_customer_value"),
+        exact_aopc.alias("avg_orders_per_customer"),
+        F.col("_hvc").alias("high_value_customers"),
+        exact_freq.alias("avg_order_frequency"),
+        _ok("_mv_rev", exact_rev, 1e-2).alias("revenue_ok"),
+        _ok("_mv_acv", exact_acv, 1e-3).alias("avg_value_ok"),
+        _ok("_mv_aopc", exact_aopc, 1e-9).alias("avg_orders_ok"),
+        _ok("_mv_freq", exact_freq, 1e-4).alias("freq_ok"),
+        (F.col("_mv_hvc") == F.col("_hvc")).alias("hvc_ok"),
     )
 
 
@@ -809,32 +918,60 @@ def _q_sliced_measure(spark, sf_dir):
 
 
 def _q_measure_sql(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
     df = eng.sql(
         """
-        SELECT market_segment, MEASURE(total_revenue) AS total_revenue,
+        SELECT market_segment, MEASURE(total_orders) AS total_orders,
+               MEASURE(total_revenue) AS total_revenue,
                MEASURE(avg_order_value) AS avg_order_value
         FROM mv_order_metrics
         GROUP BY market_segment
         """
     )
-    return _round_cols(df, ["total_revenue", "avg_order_value"])
+    # exact-avg projection (see _q_measure_by_dim)
+    exact_avg = F.round(F.col("total_revenue"), 2) / F.col("total_orders")
+    return df.select(
+        "market_segment",
+        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        exact_avg.alias("avg_order_value"),
+        (F.abs(F.col("avg_order_value") - exact_avg) < F.lit(1e-6)).alias("avg_ok"),
+    )
 
 
 def _q_measure_expr_sql(spark, sf_dir):
     # metric arithmetic: scalar expression over MEASURE() calls, computed
-    # after aggregation (sum(x)/count(*), NOT avg of ratios)
+    # after aggregation (sum(x)/count(*), NOT avg of ratios). Emitted values
+    # are derived from cent-snapped sums + integer counts + exact maxes
+    # (bit-identical across engines, no boundary-exposed rounding); the raw
+    # MEASURE() arithmetic itself is tolerance-checked via expr_ok.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
     df = eng.sql(
         """
         SELECT market_segment,
-               MEASURE(total_revenue) / MEASURE(total_orders) AS revenue_per_order,
-               MEASURE(max_order_value) - MEASURE(avg_order_value) AS max_minus_avg
+               MEASURE(total_orders) AS total_orders,
+               MEASURE(total_revenue) AS total_revenue,
+               MEASURE(max_order_value) AS max_order_value,
+               MEASURE(total_revenue) / MEASURE(total_orders) AS raw_rpo,
+               MEASURE(max_order_value) - MEASURE(avg_order_value) AS raw_mma
         FROM mv_order_metrics
         GROUP BY market_segment
         """
     )
-    return _round_cols(df, ["revenue_per_order", "max_minus_avg"])
+    exact_rpo = F.round(F.col("total_revenue"), 2) / F.col("total_orders")
+    exact_mma = F.col("max_order_value") - exact_rpo
+    return df.select(
+        "market_segment",
+        exact_rpo.alias("revenue_per_order"),
+        exact_mma.alias("max_minus_avg"),
+        (
+            (F.abs(F.col("raw_rpo") - exact_rpo) < F.lit(1e-6))
+            & (F.abs(F.col("raw_mma") - exact_mma) < F.lit(1e-6))
+        ).alias("expr_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2119,11 +2256,21 @@ def _q_winnow_pairs(spark, sf_dir):
 
 
 def _q_embedding_dup_pairs(spark, sf_dir):
+    # The fixture embeddings are near-orthogonal — zero natural pairs at
+    # τ=0.9, which made this contract vacuous (∅ ≡ ∅, VERDICT r2 #2). Union
+    # exact copies of the first 15 vectors (vec_id+20000): identical
+    # vectors MUST surface as cosine=1.0 pairs, so a regression that breaks
+    # pair generation now breaks the hash instead of passing on emptiness.
+    from pyspark.sql import functions as F
+
     from dbt_databricks_metrics_spark.ext import dedup
     from dbt_databricks_metrics_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(emb, threshold=0.9)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_dup_pairs(emb.unionByName(copies), threshold=0.9)
 
 
 def _q_topk_similar(spark, sf_dir):
@@ -2151,11 +2298,22 @@ def _q_topk_join(spark, sf_dir):
 
 
 def _q_srp_pairs(spark, sf_dir):
+    # Same injected-copies de-vacuification as embedding_dup_pairs:
+    # identical vectors get identical SRP signatures, so they are
+    # GUARANTEED candidates in every band and must emerge as cosine=1.0
+    # pairs — the banded candidate generation is now non-trivially checked.
+    from pyspark.sql import functions as F
+
     from dbt_databricks_metrics_spark.ext import similarity
     from dbt_databricks_metrics_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.srp_similar_pairs(emb, dim=64, threshold=0.9)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+    )
+    return similarity.srp_similar_pairs(
+        emb.unionByName(copies), dim=64, threshold=0.9
+    )
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -2824,7 +2982,9 @@ def oracle_sql() -> dict[str, str]:
         "measure_by_dim": f"""
             SELECT market_segment, count(*) AS total_orders,
                    round(sum(total_price), 4) AS total_revenue,
-                   round(avg(total_price), 4) AS avg_order_value
+                   round(sum(total_price), 2) / count(*) AS avg_order_value,
+                   (abs(avg(total_price) - round(sum(total_price), 2) / count(*))
+                    < 1e-6) AS avg_ok
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "measure_multi_dim": f"""
@@ -2834,20 +2994,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "measure_global": f"""
-            SELECT count(*) AS order_count, sum(total_price) AS total_revenue,
-                   avg(total_price) AS avg_order_value
+            SELECT count(*) AS order_count,
+                   round(sum(total_price), 2) AS total_revenue,
+                   round(sum(total_price), 2) / count(*) AS avg_order_value,
+                   (abs(avg(total_price) - round(sum(total_price), 2) / count(*))
+                    < 1e-6) AS avg_ok
             FROM ({_STG_ORDERS})
         """,
         "customer_metrics": f"""
+            WITH g AS (
+                SELECT market_segment,
+                       count(*) AS cnt,
+                       count(total_spent) AS cnt_spent,
+                       sum(cast(round(total_spent * 100) AS bigint)) AS sum_cents,
+                       sum(cast(total_orders AS bigint)) AS sum_orders,
+                       sum(cast(round((total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)) * 1000000.0) AS bigint)) AS sum_freq_u,
+                       count(total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)) AS cnt_freq,
+                       count(CASE WHEN cast(round(total_spent * 100) AS bigint) > 10000000 THEN 1 END) AS hvc,
+                       sum(total_spent) AS mv_rev,
+                       avg(total_spent) AS mv_acv,
+                       avg(total_orders) AS mv_aopc,
+                       avg(total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)) AS mv_freq,
+                       count_if(total_spent > 100000) AS mv_hvc
+                FROM ({_FCT_CUSTOMER_SUMMARY}) GROUP BY market_segment
+            )
             SELECT market_segment,
-                   count(*) AS total_customers,
-                   round(sum(total_spent), 4) AS total_revenue,
-                   round(avg(total_spent), 4) AS avg_customer_value,
-                   round(avg(total_orders), 4) AS avg_orders_per_customer,
-                   count_if(total_spent > 100000) AS high_value_customers,
-                   round(avg(total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)), 4)
-                       AS avg_order_frequency
-            FROM ({_FCT_CUSTOMER_SUMMARY}) GROUP BY market_segment
+                   cnt AS total_customers,
+                   sum_cents / 100.0 AS total_revenue,
+                   sum_cents / (100.0 * cnt_spent) AS avg_customer_value,
+                   sum_orders / cast(cnt AS double) AS avg_orders_per_customer,
+                   hvc AS high_value_customers,
+                   sum_freq_u / (1000000.0 * cnt_freq) AS avg_order_frequency,
+                   (abs(mv_rev - sum_cents / 100.0) < 1e-2
+                    OR (mv_rev IS NULL AND sum_cents IS NULL)) AS revenue_ok,
+                   (abs(mv_acv - sum_cents / (100.0 * cnt_spent)) < 1e-3
+                    OR (mv_acv IS NULL AND sum_cents IS NULL)) AS avg_value_ok,
+                   (abs(mv_aopc - sum_orders / cast(cnt AS double)) < 1e-9) AS avg_orders_ok,
+                   (abs(mv_freq - sum_freq_u / (1000000.0 * cnt_freq)) < 1e-4
+                    OR (mv_freq IS NULL AND sum_freq_u IS NULL)) AS freq_ok,
+                   (mv_hvc = hvc) AS hvc_ok
+            FROM g
         """,
         "trailing_7d_revenue": f"""
             WITH grain AS (
@@ -2995,8 +3181,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "measure_expr_sql": f"""
             SELECT market_segment,
-                   round(sum(total_price) / count(*), 4) AS revenue_per_order,
-                   round(max(total_price) - avg(total_price), 4) AS max_minus_avg
+                   round(sum(total_price), 2) / count(*) AS revenue_per_order,
+                   max(total_price) - round(sum(total_price), 2) / count(*)
+                       AS max_minus_avg,
+                   (abs(sum(total_price) / count(*)
+                        - round(sum(total_price), 2) / count(*)) < 1e-6
+                    AND abs((max(total_price) - avg(total_price))
+                            - (max(total_price)
+                               - round(sum(total_price), 2) / count(*))) < 1e-6)
+                       AS expr_ok
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "distinct_median_measures": f"""
@@ -3008,7 +3201,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "measure_sql": f"""
             SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
-                   round(avg(total_price), 4) AS avg_order_value
+                   round(sum(total_price), 2) / count(*) AS avg_order_value,
+                   (abs(avg(total_price) - round(sum(total_price), 2) / count(*))
+                    < 1e-6) AS avg_ok
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "sliced_measure": f"""
@@ -3853,12 +4048,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
         """,
         "embedding_dup_pairs": """
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 15
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
                        AS cosine
-            FROM embeddings a, embeddings b
+            FROM allv a, allv b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         """,
         "topk_similar": """
             SELECT b.vec_id,
@@ -3896,15 +4096,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS banded_equals_brute
         """,
         # SRP verifies candidates with exact cosine, so output ⊆ the brute
-        # pair join; at τ=0.9 the exact join is the oracle (recall loss
-        # would surface as a row-count mismatch).
+        # pair join; the injected exact copies (identical SRP signatures →
+        # guaranteed candidates) make the brute join an exact value oracle
+        # with 15 guaranteed cosine=1.0 rows — recall loss OR broken
+        # candidate generation both surface as a mismatch.
         "srp_similar_pairs": """
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 15
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
                        AS cosine
-            FROM embeddings a, embeddings b
+            FROM allv a, allv b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         """,
         # n_probe=8/16 reaches recall 1.0 on this fixture, so the exact
         # brute-force top-k is a value-level oracle for the ANN path.

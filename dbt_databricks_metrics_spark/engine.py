@@ -102,9 +102,15 @@ class MetricView:
         routing decision of ``README.md:417-431``."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         df, route = self._engine._rollups.compile_routed(q, self._rv.state)
-        self._engine._query_log.setdefault(self.spec.name, []).append(
-            (tuple(dimensions), tuple(measures), tuple(getattr(q, "where_dims", ())))
+        shape = (
+            tuple(dimensions),
+            tuple(measures),
+            tuple(getattr(q, "where_dims", ())),
         )
+        with self._engine._query_log_lock:
+            from collections import Counter
+
+            self._engine._query_log.setdefault(self.spec.name, Counter())[shape] += 1
         if having:
             self._validate_having(having, dimensions, measures)
             from pyspark.sql import functions as F
@@ -121,7 +127,8 @@ class MetricView:
 
         from .plans.advisor import WorkloadQuery
 
-        shapes = Counter(self._engine._query_log.get(self.spec.name, ()))
+        with self._engine._query_log_lock:
+            shapes = Counter(self._engine._query_log.get(self.spec.name, Counter()))
         return [
             WorkloadQuery(dims, meas, weight=n, where_dims=wdims)
             for (dims, meas, wdims), n in sorted(shapes.items())
@@ -342,11 +349,18 @@ class MetricEngine:
         self._compiler = QueryCompiler(resolve=self._resolve)
         rollup_dir = os.path.join(warehouse_dir or "/tmp/metric_engine", "_rollups")
         self._rollups = RollupManager(spark, self._compiler, storage_dir=rollup_dir)
-        # observed (dims, measures, where_dims) per view — the advisor's
-        # default workload
+        # observed (dims, measures, where_dims) -> hit count per view — the
+        # advisor's default workload. A Counter keyed by shape is bounded by
+        # the number of DISTINCT shapes (not queries served), so a
+        # long-lived engine cannot leak memory, and the lock makes
+        # concurrent query_routed calls safe (ADVICE r2).
+        import threading
+        from collections import Counter
+
         self._query_log: dict[
-            str, list[tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]]
+            str, Counter[tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]]
         ] = {}
+        self._query_log_lock = threading.Lock()
 
     # ---------------- name resolution ----------------
 

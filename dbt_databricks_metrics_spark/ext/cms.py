@@ -152,10 +152,16 @@ def cms_fold_stream(
     disk stays ≤ depth*width rows forever, whatever the stream's volume.
     Returns the streaming query (caller awaits termination, then reads
     the sketch at *out_path*).
+
+    Sketch promotion is crash-safe rename-based swap-write and therefore
+    LOCAL-POSIX-FS ONLY (``operators/cdc._promote_state_dir``): the old
+    sketch is renamed aside and deleted only after the new one is
+    promoted, so a crash mid-swap never loses all state. Object stores
+    need a transactional table format instead.
     """
     import os
-    import shutil
-    import uuid
+
+    from dbt_databricks_metrics_spark.operators.cdc import _promote_state_dir
 
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
@@ -170,11 +176,7 @@ def cms_fold_stream(
             merged = cms_merge(s.read.parquet(out_path), delta)
         else:
             merged = delta
-        tmp = f"{out_path}__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(out_path):
-            shutil.rmtree(out_path)
-        os.rename(tmp, out_path)
+        _promote_state_dir(merged, out_path)
 
     return (
         stream.writeStream.foreachBatch(fold)

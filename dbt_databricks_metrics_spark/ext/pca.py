@@ -89,7 +89,20 @@ def _collect_moments(df: DataFrame, vec_col: str, dim: int):
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
 
-    combined = parts.mapInPandas(combine, parts.schema).collect()
+    reduced = parts.mapInPandas(combine, parts.schema)
+    # bound the driver merge: one (1+d+d²)-double row per partition is fine
+    # at d=64 but O(GB) at d=1024 × 1e5 partitions. When the source has
+    # many partitions, add a coalesce(√P) tree level — a second local
+    # combine collapses the partials to O(√P) rows before collect, so the
+    # driver never receives more than √P model-sized rows (VERDICT r2 #5).
+    num_parts = df.rdd.getNumPartitions()
+    if num_parts > 64:
+        import math
+
+        reduced = reduced.coalesce(
+            max(1, math.isqrt(num_parts))
+        ).mapInPandas(combine, parts.schema)
+    combined = reduced.collect()
     n = sum(p["n"] for p in combined)
     if n == 0:
         raise ValueError("PCA needs at least one vector")

@@ -159,6 +159,10 @@ def temperature_fractions(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if not counts:
+        # empty input: no groups to mix — an empty fraction map (rather
+        # than a ZeroDivisionError from total_p == 0, ADVICE r2)
+        return {}
     total_p = sum(n ** (1.0 / temperature) for n in counts.values())
     return {
         g: min(1.0, budget_rows * (n ** (1.0 / temperature)) / total_p / n)

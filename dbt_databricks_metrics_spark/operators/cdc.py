@@ -37,6 +37,39 @@ UPSERT = "upsert"
 DELETE = "delete"
 
 
+def _promote_state_dir(df: DataFrame, state_path: str) -> None:
+    """Crash-safe swap-write of a state directory (LOCAL POSIX FS only).
+
+    Order matters: write tmp → rename current aside → promote tmp →
+    delete the aside copy. A crash at any point leaves a complete state
+    directory on disk (either ``state_path`` or the ``__old`` aside that
+    the next fold's cleanup sweep removes) — the previous
+    write-tmp/rmtree/rename sequence had a window where a crash lost ALL
+    state while the streaming checkpoint still marked the batch
+    committed (ADVICE r2). Object stores lack atomic directory rename;
+    use a transactional table format there instead.
+    """
+    import os
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{state_path}__tmp_{token}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{state_path}__old_{token}"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    # sweep asides orphaned by an earlier crash-after-promote
+    parent = os.path.dirname(state_path) or "."
+    base = os.path.basename(state_path)
+    for name in os.listdir(parent):
+        if name.startswith(f"{base}__old_") and name != os.path.basename(old):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def latest_changes(
     changes: DataFrame,
     key_cols: Sequence[str],
@@ -60,12 +93,22 @@ def cdc_apply(
     seq_col: str,
     op_col: str = "op",
     tiebreak_cols: Sequence[str] = (),
+    broadcast_changed_keys: bool | None = None,
 ) -> DataFrame:
     """Post-image of *base* after applying *changes* (latest wins).
 
     *changes* must carry the key columns, *seq_col*, *op_col* with
     values ``'upsert'``/``'delete'``, and every base column for upsert
     rows. Returns exactly the base schema.
+
+    *broadcast_changed_keys*: ``True`` forces a broadcast hash of the
+    distinct changed keys into the anti-join (right only when the change
+    feed is known-small — a forced broadcast of a large key set hits
+    Spark's 8 GB broadcast limit and driver memory). The default
+    (``None``) leaves the strategy to Catalyst/AQE, which broadcasts
+    automatically when the key set fits ``autoBroadcastJoinThreshold``
+    and falls back to a shuffled anti-join when it does not — the safe
+    choice at 100 TB where a feed can be arbitrarily large.
     """
     key_cols = list(key_cols)
     missing = [c for c in base.columns if c not in changes.columns]
@@ -84,7 +127,9 @@ def cdc_apply(
         )
     last = latest_changes(changes, key_cols, seq_col, tiebreak_cols)
     changed_keys = last.select(*key_cols)
-    untouched = base.join(F.broadcast(changed_keys), key_cols, "left_anti")
+    if broadcast_changed_keys:
+        changed_keys = F.broadcast(changed_keys)
+    untouched = base.join(changed_keys, key_cols, "left_anti")
     upserts = last.filter(F.col(op_col) == UPSERT).select(*base.columns)
     return untouched.unionByName(upserts)
 
@@ -111,16 +156,21 @@ def cdc_fold_stream(
     state+batch — both keyed-entity-sized, never feed-history-sized),
     swap-written. Read the current table with :func:`cdc_post_image`.
     `availableNow` gives scheduled-batch semantics.
-    """
-    import os
-    import shutil
-    import uuid
 
+    State promotion is rename-based and therefore LOCAL-POSIX-FS ONLY
+    (os.rename of directories; object stores need a transactional table
+    format instead — Delta/Iceberg state tables at cluster scale). The
+    old state is renamed aside and deleted only AFTER the new state is
+    promoted, so a crash mid-swap leaves either the old or the new state
+    on disk — never neither (see ``_promote_state_dir``).
+    """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def fold(batch_df, batch_id: int) -> None:
+        import os
+
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
@@ -129,11 +179,7 @@ def cdc_fold_stream(
         else:
             merged = batch_df
         new_state = latest_changes(merged, key_cols, seq_col, tiebreak_cols)
-        tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
-        new_state.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        _promote_state_dir(new_state, state_path)
 
     return (
         stream.writeStream.foreachBatch(fold)

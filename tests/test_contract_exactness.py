@@ -1,0 +1,98 @@
+"""Bit-exactness guarantees for the avg-measure contract family.
+
+VERDICT r2 #1: ``customer_metrics`` failed the driver's exact-value hash in
+rounds 1 AND 2 while passing every local mirror, because round(avg, 4) of a
+non-grid-aligned quotient can flip on a host-dependent last-bit difference.
+The round-3 contracts derive every quotient from exact int64 partials, which
+makes the emitted doubles bit-identical REGARDLESS of summation order.
+These tests pin that property:
+
+1. the exact integer partials are invariant under adversarial repartitioning
+   (different accumulation order -> same int64 sums, by construction);
+2. the contract projections equal the DuckDB oracle values EXACTLY
+   (``==`` on floats, no tolerance) — the same bar the driver's hash gate
+   applies;
+3. every MV-agreement tolerance boolean is True (non-vacuous: a broken
+   MEASURE() expansion would flip it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+AVG_FAMILY = [
+    "customer_metrics",
+    "measure_by_dim",
+    "measure_global",
+    "measure_sql",
+    "measure_expr_sql",
+]
+
+
+def _strict_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    return cols, sorted(rows, key=lambda t: tuple(str(v) for v in t))
+
+
+def _oracle_rows(duck, sql, spark_cols):
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    assert sorted(dcols) == spark_cols
+    idx = [dcols.index(c) for c in spark_cols]
+    rows = [tuple(r[i] for i in idx) for r in res.fetchall()]
+    return sorted(rows, key=lambda t: tuple(str(v) for v in t))
+
+
+@pytest.mark.parametrize("name", AVG_FAMILY)
+def test_contract_bit_exact_vs_oracle(spark, sf_dir, duck, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    cols, srows = _strict_rows(df)
+    orows = _oracle_rows(duck, entrymod.oracle_sql()[name], cols)
+    assert len(srows) == len(orows)
+    for a, b in zip(srows, orows):
+        # EXACT equality, floats included — the driver's hash bar
+        assert a == b, f"{name}: {a} != {b}"
+
+
+@pytest.mark.parametrize("name", AVG_FAMILY)
+def test_tolerance_booleans_non_vacuous(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    ok_cols = [c for c in df.columns if c.endswith("_ok")]
+    assert ok_cols, f"{name} carries no MV-agreement boolean"
+    agg = df.agg(*[F.min(F.col(c).cast("int")).alias(c) for c in ok_cols])
+    row = agg.collect()[0]
+    for c in ok_cols:
+        assert row[c] == 1, f"{name}.{c} is not uniformly true"
+
+
+def test_integer_partials_order_invariant(spark, sf_dir):
+    """Same exact-partial aggregation under three different partitionings
+    of the input must produce IDENTICAL int64 sums — the property that
+    makes the contract immune to host/partition-split differences."""
+    eng = entrymod._engine(spark, sf_dir)
+    base = eng.ref("fct_customer_summary")
+
+    def partials(df):
+        cents = F.round(F.col("total_spent") * 100).cast("bigint")
+        ratio = F.col("total_orders") / F.expr(
+            "nullif(datediff(last_order_date, first_order_date), 0)"
+        )
+        out = (
+            df.groupBy("market_segment")
+            .agg(
+                F.sum(cents).alias("sum_cents"),
+                F.sum(F.col("total_orders").cast("bigint")).alias("sum_orders"),
+                F.sum(F.round(ratio * 1000000.0).cast("bigint")).alias("sum_freq_u"),
+            )
+            .collect()
+        )
+        return sorted([tuple(r) for r in out])
+
+    plain = partials(base)
+    shuffled = partials(base.repartition(7))
+    keyed = partials(base.repartition(13, "customer_id"))
+    assert plain == shuffled == keyed

@@ -174,3 +174,10 @@ def test_temperature_validation(spark, sf_dir):
         temperature_fractions(docs, "lang", 0.0, 10)
     with pytest.raises(ValueError, match="budget"):
         temperature_fractions(docs, "lang", 1.0, 0)
+
+
+def test_temperature_fractions_empty_input(spark):
+    from dbt_databricks_metrics_spark.ext.sampling import temperature_fractions
+
+    empty = spark.createDataFrame([], "lang STRING, doc_id BIGINT")
+    assert temperature_fractions(empty, "lang", 2.0, 100) == {}

@@ -214,3 +214,29 @@ def test_cdc_apply_matches_python_reference(spark, feed):
 
     replay = cdc_apply(out, changes, ["id"], "seq", tiebreak_cols=["change_id"])
     assert {(r["id"], r["name"], r["val"]) for r in replay.collect()} == want
+
+
+def test_promote_state_dir_crash_safe(spark, tmp_path):
+    """Swap-write leaves no tmp/old residue and a complete state dir at
+    every step; orphaned __old asides from a simulated crash are swept."""
+    import os
+
+    from dbt_databricks_metrics_spark.operators.cdc import _promote_state_dir
+
+    state = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    _promote_state_dir(df1, state)
+    assert spark.read.parquet(state).count() == 1
+
+    # simulate a crash-after-promote leftover
+    os.makedirs(f"{state}__old_deadbeef/x", exist_ok=True)
+
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    _promote_state_dir(df2, state)
+    assert spark.read.parquet(state).count() == 2
+    residue = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("state__old_") or n.startswith("state__tmp_")
+    ]
+    assert residue == []
