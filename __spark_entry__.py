@@ -1890,6 +1890,75 @@ def _q_rollup_advisor_budget(spark, sf_dir):
     )
 
 
+_ADVISOR_E2E_YAML = """
+version: 0.1
+source: __SOURCE__
+
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_status
+    expr: order_status
+  - name: order_year
+    expr: order_year
+
+measures:
+  - name: total_orders
+    expr: count(*)
+  - name: total_revenue
+    expr: sum(total_price)
+"""
+
+
+def _q_advisor_applied_route(spark, sf_dir):
+    """Advisor end-to-end (VERDICT r2 #6): serve a workload through
+    query_routed so the engine OBSERVES it, let advise_rollups(apply=True)
+    pick and BUILD rollups from that served-query log (no hand-written
+    workload), then route a follow-up query and pin routed ≡ live.
+
+    The view starts with NO declared materializations, so any rollup the
+    router finds can only have come from applied advice — the
+    ``routed_from_advised`` boolean (route starts with ``rollup:adv_``)
+    fails the hash if the advise→build→route chain breaks anywhere.
+    Weights double on re-invocation (the log accumulates) but stay
+    proportional, so the greedy's picks are invocation-stable.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+
+    eng = _engine(spark, sf_dir)
+    if "mv_advisor_e2e" not in eng.catalog:
+        eng.register(
+            MetricViewSpec.from_yaml(
+                _ADVISOR_E2E_YAML, name="mv_advisor_e2e", source="fct_orders"
+            )
+        )
+    mv = eng.metric_view("mv_advisor_e2e")
+    workload = (
+        (("market_segment",), ("total_revenue",), 3),
+        (("market_segment", "order_status"), ("total_revenue", "total_orders"), 2),
+        (("order_year",), ("total_revenue",), 1),
+    )
+    for dims, meas, n in workload:
+        for _ in range(n):
+            mv.query_routed(dims, meas)  # observed only — plans stay lazy
+    choices = mv.advise_rollups(apply=True, max_rollups=2)
+    routed, route = mv.query_routed(["market_segment"], ["total_revenue"])
+    live = mv.query(["market_segment"], ["total_revenue"]).select(
+        "market_segment", F.col("total_revenue").alias("_live")
+    )
+    return routed.join(live, "market_segment").select(
+        "market_segment",
+        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        F.lit(route.startswith("rollup:adv_")).alias("routed_from_advised"),
+        (F.abs(F.col("total_revenue") - F.col("_live")) < F.lit(1e-3)).alias(
+            "routed_eq_live"
+        ),
+        F.lit(bool(choices)).alias("advice_nonempty"),
+    )
+
+
 def _q_source_freshness(spark, sf_dir):
     # dbt `source freshness` parity: anchored at a fixed as_of so the
     # verdicts are deterministic. One max() aggregate per source.
@@ -2048,6 +2117,81 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         for r in range(n_merges)
     ]
     return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Training rounds (same CTE chain as _bpe_oracle_sql) + an ENCODE
+    stage: each document becomes one spaced symbol string (per-word
+    symbolizations concatenated — the '</w> ' + ' ' boundary yields a
+    double space, so no ' a b ' merge pattern can ever span words) and
+    every learned merge applies as the same replace-twice rewrite the
+    engine uses. Split + filter then recovers the piece sequence in
+    document order."""
+    norm = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    train = _bpe_oracle_sql(n_merges)
+    # reuse everything up to the final UNION ALL selects
+    train_ctes = train[: train.index(" SELECT 0 AS rank")]
+    parts = [
+        train_ctes,
+        f"""
+        , dtokd AS (
+          SELECT doc_id,
+                 list_filter(string_split({norm}, ' '),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        dsym0 AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(toks,
+                     w -> ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+                          || '</w> '), 'string_agg', '') AS sym
+          FROM dtokd WHERE len(toks) > 0
+        )""",
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+            , dsym{r + 1} AS (
+              SELECT doc_id,
+                     replace(replace(sym,
+                         ' ' || b."left" || ' ' || b."right" || ' ',
+                         ' ' || b."left" || b."right" || ' '),
+                         ' ' || b."left" || ' ' || b."right" || ' ',
+                         ' ' || b."left" || b."right" || ' ') AS sym
+              FROM dsym{r} CROSS JOIN b{r} b
+            )""")
+    parts.append(f"""
+        SELECT doc_id,
+               CAST(len(pieces) AS BIGINT) AS n_pieces,
+               array_to_string(pieces, ' ') AS pieces_str
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(trim(sym), ' '),
+                             x -> length(x) > 0) AS pieces
+          FROM dsym{n_merges}
+        )""")
+    return "".join(parts)
+
+
+def _q_bpe_encoded(spark, sf_dir):
+    # apply the induced tokenizer: train 8 merges (same loop the
+    # bpe_merges contract pins), then segment every document — the
+    # token-counting step a packing/budgeting pipeline runs with its
+    # learned vocab. Map-only encode: the merge list is an 8-row collect
+    # chained into one codegen column expression (ext/bpe.py
+    # bpe_segment), no shuffle beyond the word re-assembly groupBy.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import bpe
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, 8)
+    seg = bpe.bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        "n_pieces",
+        F.array_join("pieces", " ").alias("pieces_str"),
+    )
 
 
 def _q_doc_vectors(spark, sf_dir):
@@ -2918,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "stream_stream_join": _q_stream_stream_join,
         "rollup_advisor": _q_rollup_advisor,
+        "advisor_applied_route": _q_advisor_applied_route,
         "source_freshness": _q_source_freshness,
         "rollup_advisor_budget": _q_rollup_advisor_budget,
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
@@ -2931,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance": _q_pca_covariance,
         "doc_vectors": _q_doc_vectors,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encoded": _q_bpe_encoded,
         "drift_report": _q_drift_report,
         "ab_welch": _q_ab_welch,
         "bm25_search": _q_bm25_search,
@@ -3547,6 +3693,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_advisor": _advisor_oracle_sql(),
         "rollup_advisor_budget": _advisor_budget_oracle_sql(),
+        # routed values must equal the plain aggregate; the booleans pin
+        # that the route came from an APPLIED advice rollup and that
+        # routed ≡ live held on the Spark side
+        "advisor_applied_route": f"""
+            SELECT market_segment,
+                   round(sum(total_price), 4) AS total_revenue,
+                   TRUE AS routed_from_advised,
+                   TRUE AS routed_eq_live,
+                   TRUE AS advice_nonempty
+            FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
         "pagerank_dupgraph": _pagerank_oracle_sql(),
         "temperature_mix": """
             WITH counts AS (
@@ -3701,6 +3858,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a CROSS JOIN b
         """,
         "bpe_merges": _bpe_oracle_sql(8),
+        "bpe_encoded": _bpe_encode_oracle_sql(8),
         "doc_vectors": r"""
             WITH tokd AS (
               SELECT doc_id,

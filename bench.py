@@ -607,6 +607,13 @@ def main() -> None:
         "ext_topk_similar"
     ).split()
     r01_subset = round(sum(timings[q] for q in R01_QUERY_SET if q in timings), 4)
+    # host-speed-normalized regression number: BENCH_r02 recorded
+    # calib_range_sum=0.2288 alongside value_r01_query_subset=15.2732, so
+    # dividing by (calib_now / 0.2288) makes cross-round comparison a
+    # single number instead of manual normalization (VERDICT r2 #7).
+    R02_CALIB_RANGE_SUM = 0.2288
+    calib_ratio = timings["calib_range_sum"] / R02_CALIB_RANGE_SUM
+    r01_subset_calibrated = round(r01_subset / max(calib_ratio, 1e-9), 4)
     print(
         json.dumps(
             {
@@ -614,6 +621,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_r01_query_subset": r01_subset,
+                "value_r01_query_subset_calibrated": r01_subset_calibrated,
+                "calib_ratio_vs_r02": round(calib_ratio, 3),
                 "queries": timings,
                 "sf": sf,
                 "routed_speedup": round(

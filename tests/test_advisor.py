@@ -368,3 +368,26 @@ def test_cardinality_pass_is_single_scan(engine):
     assert "CartesianProduct" not in plan
     # column pruning: the scan reads only the candidate dims
     assert "total_price" not in plan.split("ReadSchema")[1]
+
+
+def test_advisor_applied_route_contract(spark, sf_dir):
+    """advise→build→route end-to-end: the contract query's route must come
+    from an APPLIED advice rollup (name prefix adv_) and its values must
+    equal the live aggregate exactly."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["advisor_applied_route"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "contract emitted no rows"
+    for r in rows:
+        assert r["routed_from_advised"] is True
+        assert r["routed_eq_live"] is True
+        assert r["advice_nonempty"] is True
+
+    eng = entry._engine(spark, sf_dir)
+    mv = eng.metric_view("mv_advisor_e2e")
+    _, route = mv.query_routed(["market_segment"], ["total_revenue"])
+    assert route.startswith("rollup:adv_"), route
+    # the serving rollup is dim-combination-sized, not fact-sized
+    built = mv._rv.state.rollups[route.split(":", 1)[1]]
+    assert built.n_rows is not None and built.n_rows <= 50
