@@ -1390,6 +1390,20 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_search(docs, "spark filter window", k=15)
 
 
+def _q_hybrid_search(spark, sf_dir):
+    # reciprocal-rank fusion of BM25 and hashed-TF-IDF cosine: rank-only
+    # fusion, so the contract's rrf terms (1/(60+rank)) are exact
+    # rationals of small ints — bit-identical without rounding. md5
+    # bucket mode so the dense branch is oracle-reproducible end to end.
+    from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_search_rrf(
+        docs, "spark filter window", k=10, k_each=20, dim=16, hash_fn="md5"
+    )
+
+
 def _q_pop_revenue(spark, sf_dir):
     # period-over-period on the metric view: yearly revenue per segment
     # with prior-year value, delta, and growth (lag over the aggregated
@@ -1823,6 +1837,29 @@ def _q_pagerank_dupgraph(spark, sf_dir):
     ranks = pagerank(edges, damping=0.85, n_iter=4)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_triangle_counts(spark, sf_dir):
+    # per-doc triangle participation + local clustering coefficient over
+    # the exact near-dup pair graph — dup clusters are near-cliques, so
+    # clustering ~1.0 flags template families while bridge docs score low.
+    # Engine uses degree-ordered compact-forward (O(m^1.5) work bound);
+    # the oracle closes id-ordered wedges — per-vertex counts are
+    # ordering-invariant, so both agree exactly.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.ext.graph import triangle_counts
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    t = triangle_counts(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return t.select(
+        F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering"
     )
 
 
@@ -3068,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_pairs": _q_fuzzy_match_pairs,
         "cdc_apply": _q_cdc_apply,
         "pagerank_dupgraph": _q_pagerank_dupgraph,
+        "triangle_counts": _q_triangle_counts,
         "ssjoin_pairs": _q_ssjoin_pairs,
         "multiformat_roundtrip": _q_multiformat_roundtrip,
         "temperature_mix": _q_temperature_mix,
@@ -3080,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": _q_drift_report,
         "ab_welch": _q_ab_welch,
         "bm25_search": _q_bm25_search,
+        "hybrid_search": _q_hybrid_search,
         "profile_orders": _q_profile_orders,
         "drill_across": _q_drill_across,
         "gram_novelty": _q_gram_novelty,
@@ -3705,6 +3744,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "pagerank_dupgraph": _pagerank_oracle_sql(),
+        "triangle_counts": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       {_SHINGLES.format(t=_NORM.format(c='text'))} AS s
+                FROM documents
+            ),
+            e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            deg AS (
+                SELECT id, count(*) AS degree
+                FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            tc AS (
+                SELECT id, count(*) AS n
+                FROM (SELECT x AS id FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY 1
+            )
+            SELECT d.id AS doc_id, d.degree,
+                   CAST(coalesce(tc.n, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN (2.0 * coalesce(tc.n, 0))
+                             / (d.degree * (d.degree - 1)) END AS clustering
+            FROM deg d LEFT JOIN tc ON tc.id = d.id
+        """,
         "temperature_mix": """
             WITH counts AS (
                 SELECT lang, count(*) AS n FROM documents GROUP BY lang
@@ -4663,6 +4740,123 @@ def oracle_sql() -> dict[str, str]:
             WHERE (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT > 0
             ORDER BY score DESC, doc_id
             LIMIT 15
+        """,
+        # lexical branch = the bm25_search oracle top-20 ranked; dense
+        # branch = the doc_vectors oracle chain dotted with the query's
+        # idf-less normalized hash vector; rrf terms are exact int
+        # rationals so the fused score needs no rounding
+        "hybrid_search": r"""
+            WITH btoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+'), x -> length(x) > 0) AS t
+                FROM documents
+            ),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(len(t)) FROM btoks) AS avgdl,
+                       (SELECT count(*) FROM btoks WHERE list_contains(t, 'spark')) AS df1,
+                       (SELECT count(*) FROM btoks WHERE list_contains(t, 'filter')) AS df2,
+                       (SELECT count(*) FROM btoks WHERE list_contains(t, 'window')) AS df3
+            ),
+            bscored AS (
+                SELECT doc_id,
+                       len(list_filter(t, x -> x = 'spark')) AS tf1,
+                       len(list_filter(t, x -> x = 'filter')) AS tf2,
+                       len(list_filter(t, x -> x = 'window')) AS tf3,
+                       1.2 * (0.25 + 0.75 * len(t) / avgdl) AS norm,
+                       n, df1, df2, df3
+                FROM btoks, consts
+            ),
+            btop AS (
+                SELECT doc_id,
+                       round(round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9) * (tf1 * 2.2) / (tf1 + norm)
+                           + round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9) * (tf2 * 2.2) / (tf2 + norm)
+                           + round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9) * (tf3 * 2.2) / (tf3 + norm), 6)
+                           AS score
+                FROM bscored
+                WHERE (tf1 > 0) OR (tf2 > 0) OR (tf3 > 0)
+                ORDER BY score DESC, doc_id
+                LIMIT 20
+            ),
+            lrank AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                           AS lex_rank
+                FROM btop
+            ),
+            tokd AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            w AS (
+              SELECT doc_id, tok,
+                     tf * (ln((nd.n + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+            ),
+            bk AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16 AS INT) AS b,
+                     sum(w) AS v
+              FROM w GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT d.doc_id, gs.i AS i, coalesce(bk.v, 0.0) AS x
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN generate_series(0, 15) AS gs(i)
+              LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = gs.i
+            ),
+            nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM dense GROUP BY 1),
+            dvn AS (
+              SELECT dense.doc_id, i,
+                     CASE WHEN nn > 0 THEN x / nn ELSE x END AS xv
+              FROM dense JOIN nrm USING (doc_id)
+            ),
+            qtok AS (
+              SELECT unnest(string_split('spark filter window', ' ')) AS tok
+            ),
+            qbk AS (
+              SELECT CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16 AS INT) AS b,
+                     CAST(count(*) AS DOUBLE) AS qw
+              FROM qtok GROUP BY 1
+            ),
+            qdense AS (
+              SELECT gs.i AS i, coalesce(qbk.qw, 0.0) AS q
+              FROM generate_series(0, 15) AS gs(i)
+              LEFT JOIN qbk ON qbk.b = gs.i
+            ),
+            qnrm AS (SELECT sqrt(sum(q * q)) AS qn FROM qdense),
+            qv AS (SELECT i, q / qn AS q FROM qdense CROSS JOIN qnrm),
+            dots AS (
+              SELECT d.doc_id, round(sum(d.xv * qv.q), 6) AS cosine
+              FROM dvn d JOIN qv USING (i)
+              GROUP BY 1
+            ),
+            dtop AS (
+              SELECT doc_id, cosine FROM dots WHERE cosine > 0
+              ORDER BY cosine DESC, doc_id LIMIT 20
+            ),
+            drank AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                         AS dense_rank
+              FROM dtop
+            )
+            SELECT doc_id, lex_rank, dense_rank,
+                   coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0)
+                       AS rrf_score
+            FROM lrank FULL OUTER JOIN drank USING (doc_id)
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 10
         """,
         "keyword_search": r"""
             WITH toks AS (

@@ -159,3 +159,84 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009 — public): fuse the BM25 lexical ranking with a
+    hashed-TF-IDF cosine ranking by summing 1/(rrf_k + rank) over the
+    lists each document appears in. RRF needs no score calibration
+    between rankers — only ranks — which is why it is the standard
+    first fusion at scale.
+
+    Scale shape (100 TB posture): both branches end in a
+    TakeOrderedAndProject top-k_each (no global sort of the corpus); the
+    fusion full-outer-joins two k_each-row lists — driver-bounded.
+    The query's own vector is built by running the SAME vectorizer over
+    a one-row DataFrame (idf-less, L2-normalized) and folding the
+    resulting dim floats into the scoring scan as literals. Ranks are
+    integers, so every 1/(rrf_k + rank) term is bit-identical in any
+    engine.
+    """
+    from pyspark.sql import Window
+
+    from .vectors import hashed_doc_vectors
+
+    spark = docs.sparkSession
+    lex = bm25_search(
+        docs, query, k=k_each, id_col=id_col, text_col=text_col
+    ).withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col))),
+    ).select(id_col, "lex_rank")
+
+    qdf = spark.createDataFrame([(0, query)], f"{id_col} BIGINT, {text_col} STRING")
+    qv = hashed_doc_vectors(
+        qdf, dim=dim, idf=False, normalize=True,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+    ).first()["vector"]
+    dvec = hashed_doc_vectors(
+        docs, dim=dim, idf=True, normalize=True,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vector"),
+            F.array(*[F.lit(float(x)) for x in qv]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dense = (
+        dvec.select(F.col(id_col), F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") > 0)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k_each)
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(Window.orderBy(F.desc("cosine"), F.col(id_col))),
+        )
+        .select(id_col, "dense_rank")
+    )
+    fused = lex.join(dense, id_col, "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(F.col(id_col), "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

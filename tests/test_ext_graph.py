@@ -55,3 +55,59 @@ def test_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+class TestTriangleCounts:
+    def _run(self, spark, edge_list):
+        from dbt_databricks_metrics_spark.ext.graph import triangle_counts
+
+        edges = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+        return {
+            r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in triangle_counts(edges).collect()
+        }
+
+    def test_k4_minus_edge(self, spark):
+        # K4 without (3,4): triangles {1,2,3} and {1,2,4}
+        got = self._run(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        )
+        assert got[1] == (3, 2, pytest.approx(2 * 2 / (3 * 2)))
+        assert got[2] == (3, 2, pytest.approx(2 * 2 / (3 * 2)))
+        assert got[3] == (2, 1, pytest.approx(1.0))
+        assert got[4] == (2, 1, pytest.approx(1.0))
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        # duplicates, self-loops and both orientations must not inflate
+        got = self._run(
+            spark,
+            [(1, 2), (2, 1), (1, 3), (2, 3), (2, 3), (3, 3)],
+        )
+        assert got[1] == (2, 1, pytest.approx(1.0))
+        assert got[3] == (2, 1, pytest.approx(1.0))
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(24))
+        edge_list = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        eset = set(edge_list)
+        exp_tri = {n: 0 for n in nodes}
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+                exp_tri[x] += 1
+                exp_tri[y] += 1
+                exp_tri[z] += 1
+        got = self._run(spark, edge_list)
+        for n, (deg, t, _c) in got.items():
+            assert t == exp_tri[n], f"node {n}"

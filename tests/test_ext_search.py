@@ -139,3 +139,63 @@ def test_bm25_matches_duckdb(spark, duck, sf_dir):
         """
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+class TestHybridRRF:
+    def test_fusion_semantics(self, spark):
+        """A doc ranked #1 in both lists must outscore a doc present in
+        only one; rrf terms are exactly 1/(60+rank)."""
+        from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
+
+        rows = [
+            # doc 1: lexical + dense match ("spark data" with overlap)
+            (1, "spark spark filter window data pipeline"),
+            # doc 2: lexical only (bm25 terms, vector buckets dominated by noise)
+            (2, "spark filter window"),
+            # doc 3: unrelated
+            (3, "unrelated words entirely different topic"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {
+            r["doc_id"]: r
+            for r in hybrid_search_rrf(
+                docs, "spark filter window", k=10, k_each=5, dim=16, hash_fn="md5"
+            ).collect()
+        }
+        # doc 3 may sneak into the dense list via 16-dim hash collisions,
+        # but never the lexical one, and it must rank below both matches
+        if 3 in got:
+            assert got[3]["lex_rank"] is None
+            assert got[3]["rrf_score"] < min(got[1]["rrf_score"], got[2]["rrf_score"])
+        assert got[1]["rrf_score"] == pytest.approx(
+            1.0 / (60 + got[1]["lex_rank"]) + 1.0 / (60 + got[1]["dense_rank"])
+        )
+        # every returned doc with both ranks beats any doc with one rank
+        both = [r for r in got.values() if r["lex_rank"] and r["dense_rank"]]
+        single = [
+            r
+            for r in got.values()
+            if (r["lex_rank"] is None) != (r["dense_rank"] is None)
+        ]
+        for b in both:
+            for s in single:
+                if (b["lex_rank"] or 99) <= (s["lex_rank"] or 99) and (
+                    b["dense_rank"] or 99
+                ) <= (s["dense_rank"] or 99):
+                    assert b["rrf_score"] > s["rrf_score"]
+
+    def test_rank_only_no_score_leak(self, spark, sf_dir):
+        """Fused score depends only on ranks: rrf of the top-10 equals
+        recomputing 1/(60+rank) from the emitted rank columns."""
+        from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = hybrid_search_rrf(
+            docs, "spark filter window", k=10, dim=16, hash_fn="md5"
+        ).collect()
+        assert out
+        for r in out:
+            exp = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+                1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
+            )
+            assert r["rrf_score"] == exp

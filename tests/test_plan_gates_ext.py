@@ -58,6 +58,9 @@ LAZY_EXT_QUERIES = [
     "cdc_apply",
     "debounced_events",
     "interpolated_revenue",
+    "triangle_counts",
+    "bpe_encoded",
+    "hybrid_search",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -77,6 +80,7 @@ _SINGLE_PARTITION_OK = {
     "dsir_weights",  # two 1-row model-total aggregates broadcast
     "funnel_steps",  # 1-row step-count vector, unpivoted
     "interpolated_revenue",  # 1-row spine min/max bounds aggregate
+    "hybrid_search",  # rank windows over two top-k_each (20-row) lists
 }
 
 
