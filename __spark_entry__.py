@@ -2385,6 +2385,59 @@ def _q_semantic_dup_pairs(spark, sf_dir):
     return semdedup.semantic_dup_pairs(allv, n_clusters=4, n_iter=1, threshold=0.95)
 
 
+_BOILER_PARA = "subscribe to our newsletter for daily updates"
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    # C4-style global paragraph dedup, keep-first. The fixture docs are
+    # single-line and corpus-distinct, so the contract synthesizes the
+    # real-world shape: 50 containers of 10 doc-paragraphs each, plus 10
+    # containers that repeat an existing doc, plus one injected
+    # boilerplate paragraph (site-footer analogue) on EVERY container.
+    # Keep-first must leave the boilerplate only in container 0 and empty
+    # out the repeat containers entirely — vacuity-proof by construction.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+    )
+    body = docs.select(
+        (F.col("doc_id") % 50).alias("cid"),
+        F.col("doc_id").cast("long").alias("ord"),
+        F.col("text").alias("para"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 50).alias("cid"),
+            (F.col("doc_id") + 1000000).cast("long").alias("ord"),
+            F.col("text").alias("para"),
+        )
+    )
+    boiler = body.select("cid").distinct().select(
+        "cid",
+        F.lit(2000000).cast("long").alias("ord"),
+        F.lit(_BOILER_PARA).alias("para"),
+    )
+    containers = (
+        body.unionByName(boiler)
+        .groupBy("cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return dedup_paragraphs(containers, id_col="cid", hash_fn="md5")
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     # CCNet-style corpus-LM quality signal: self-trained smoothed bigram
     # model, per-doc mean log-probability. avg_logp rounded in query AND
@@ -3076,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "chunk_documents": _q_chunk_documents,
         "dedup_exact_summary": _q_dedup_exact_summary,
+        "paragraph_dedup": _q_paragraph_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -3468,6 +3522,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        "paragraph_dedup": f"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(trim(coalesce(text, ''))) > 0
+            ),
+            body AS (
+                SELECT doc_id % 50 AS cid, CAST(doc_id AS BIGINT) AS ord,
+                       text AS para
+                FROM src
+                UNION ALL
+                SELECT doc_id + 50, CAST(doc_id + 1000000 AS BIGINT), text
+                FROM src WHERE doc_id < 10
+            ),
+            rel AS (
+                SELECT * FROM body
+                UNION ALL
+                SELECT DISTINCT cid, CAST(2000000 AS BIGINT),
+                       '{_BOILER_PARA}'
+                FROM body
+            ),
+            containers AS (
+                SELECT cid, string_agg(para, chr(10) ORDER BY ord) AS text
+                FROM rel GROUP BY 1
+            ),
+            split AS (
+                SELECT cid, string_split(text, chr(10)) AS p FROM containers
+            ),
+            paras AS (
+                SELECT cid, gs.i - 1 AS pos, p[gs.i] AS para,
+                       substr(md5(p[gs.i]), 1, 16) AS f
+                FROM split CROSS JOIN generate_series(1, 12) AS gs(i)
+                WHERE gs.i <= len(p) AND length(trim(p[gs.i])) > 0
+            ),
+            kept AS (
+                SELECT cid, pos, para FROM (
+                    SELECT *, row_number() OVER (PARTITION BY f
+                                                 ORDER BY cid, pos) AS rn
+                    FROM paras
+                ) WHERE rn = 1
+            ),
+            rebuilt AS (
+                SELECT cid, count(*) AS n_kept,
+                       string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+                FROM kept GROUP BY 1
+            ),
+            totals AS (SELECT cid, count(*) AS n_paras FROM paras GROUP BY 1)
+            SELECT t.cid, t.n_paras,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_paras_kept,
+                   coalesce(r.text_dedup, '') AS text_dedup
+            FROM totals t LEFT JOIN rebuilt r USING (cid)
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_07_SQL,
         # MinHash-LSH at 128 perms / 32 bands misses a τ=0.7 pair with

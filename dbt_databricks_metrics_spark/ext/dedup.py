@@ -482,3 +482,76 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Global exact paragraph dedup, keep-first (C4's span-dedup rule —
+    Raffel et al. 2020 §2.2 "we discard all but one of any
+    three-sentence span occurring more than once", public — applied at
+    paragraph granularity): every distinct paragraph survives only at
+    its lowest (doc, position) occurrence, and documents are rewritten
+    with their surviving paragraphs in original order. This is the
+    boilerplate-removal pass (site footers, cookie banners) a crawl
+    corpus runs before training.
+
+    Scale shape (100 TB posture): paragraphs shuffle by an 8-byte
+    fingerprint (``hash_fn="md5"`` keeps the 64-bit hex prefix so a
+    DuckDB oracle reproduces decisions bit-for-bit), never by text; the
+    keep decision is ONE min(struct(doc, pos)) aggregate per
+    fingerprint; reassembly is one doc-keyed groupBy. A fingerprint
+    collision (P ≈ n²/2⁶⁵) silently merges two distinct paragraphs —
+    acceptable for curation, same trade every hashed dedup here makes.
+
+    Returns (id, n_paras, n_paras_kept, text_dedup); documents whose
+    every paragraph was claimed elsewhere surface with empty text —
+    nothing disappears from the pipeline.
+    """
+    if hash_fn == "xxhash64":
+        fp = F.xxhash64(F.col("para"))
+    elif hash_fn == "md5":
+        fp = F.md5(F.col("para")).substr(1, 16)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("fp", fp)
+    )
+    first = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "keep"
+        )
+    )
+    kept = paras.join(first, "fp").filter(
+        (F.col(id_col) == F.col("keep.i")) & (F.col("pos") == F.col("keep.p"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long").alias(
+            "n_paras_kept"
+        ),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

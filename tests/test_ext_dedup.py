@@ -207,3 +207,42 @@ def test_duplicate_clusters_string_ids_transitive(spark):
     out = dedup.duplicate_clusters(docs, pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+class TestParagraphDedup:
+    def test_keep_first_and_reassembly(self, spark):
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+
+        rows = [
+            (1, "alpha\nshared footer\nbeta"),
+            (2, "gamma\nshared footer"),
+            (3, "alpha\ndelta"),  # 'alpha' already claimed by doc 1 pos 0
+            (4, "shared footer"),  # everything claimed -> empties out
+        ]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(docs, hash_fn="md5").collect()
+        }
+        assert got[1]["text_dedup"] == "alpha\nshared footer\nbeta"
+        assert got[2]["text_dedup"] == "gamma"
+        assert got[3]["text_dedup"] == "delta"
+        assert got[4]["text_dedup"] == ""
+        assert (got[4]["n_paras"], got[4]["n_paras_kept"]) == (1, 0)
+        # kept-paragraph multiset is exactly the distinct paragraph set
+        total_kept = sum(r["n_paras_kept"] for r in got.values())
+        assert total_kept == 5  # alpha, shared footer, beta, gamma, delta
+
+    def test_contract_boilerplate_survives_once(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        out = entry.queries()["paragraph_dedup"](spark, sf_dir).collect()
+        boiler = entry._BOILER_PARA
+        holders = [
+            r["cid"] for r in out if boiler in r["text_dedup"].split("\n")
+        ]
+        assert holders == [0]
+        # repeat containers (cid >= 50) lose every paragraph
+        for r in out:
+            if r["cid"] >= 50:
+                assert r["n_paras_kept"] == 0 and r["text_dedup"] == ""

@@ -61,6 +61,7 @@ LAZY_EXT_QUERIES = [
     "triangle_counts",
     "bpe_encoded",
     "hybrid_search",
+    "paragraph_dedup",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
