@@ -1711,6 +1711,54 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_stream_static_enrich(spark, sf_dir):
+    # stream-static enrichment: the events STREAM left-joins the static
+    # customer-segment dim per micro-batch (stateless, no watermark; the
+    # static side broadcasts). Contract aggregates the enriched sink by
+    # (event_type, segment) — batch oracle is the plain join + group.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming.joins import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = _tf.mkdtemp(prefix="stream_enrich_")
+    ev.write.mode("overwrite").parquet(src_dir)
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    enriched = stream_static_enrich(stream, seg, on="user_id", how="left")
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_static_enrich: availableNow batch exceeded 300s")
+    return (
+        spark.table(name)
+        .groupBy(
+            "event_type",
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def _q_temperature_mix(spark, sf_dir):
     # temperature-scaled source mixing (sample ∝ n^(1/T)): per-language
     # planned fraction (oracle recomputes the same arithmetic) plus a
@@ -2055,6 +2103,28 @@ def _q_rollup_advisor(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "pick_round int, grain string, grain_rows bigint, benefit bigint"
+    )
+
+
+def _q_metric_anomalies(spark, sf_dir):
+    # metric monitoring on the semantic layer: per-segment monthly revenue
+    # z-scored against its own series (population std), flagged at
+    # |z| >= 1.5. Stats window runs over the aggregated |dims × months|
+    # result — no extra source scan. z rounded 6 both sides; the flag
+    # compares unrounded z (1e-14 cross-engine jitter vs the 1.5
+    # threshold — no boundary exposure).
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.metric_view("mv_order_metrics").query_anomalies(
+        ["market_segment"], ["total_revenue"], order_dim="order_month", z=1.5
+    )
+    return df.select(
+        "market_segment",
+        "order_month",
+        F.round("total_revenue", 4).alias("total_revenue"),
+        F.round("total_revenue_z", 6).alias("total_revenue_z"),
+        F.col("total_revenue_anomaly"),
     )
 
 
@@ -3152,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "streaming_dedup": _q_streaming_dedup,
         "stream_stream_join": _q_stream_stream_join,
+        "stream_static_enrich": _q_stream_static_enrich,
         "rollup_advisor": _q_rollup_advisor,
         "advisor_applied_route": _q_advisor_applied_route,
         "source_freshness": _q_source_freshness,
@@ -3169,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vectors": _q_doc_vectors,
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded": _q_bpe_encoded,
+        "metric_anomalies": _q_metric_anomalies,
         "drift_report": _q_drift_report,
         "ab_welch": _q_ab_welch,
         "bm25_search": _q_bm25_search,
@@ -3977,6 +4049,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS status
             FROM src
         """,
+        "stream_static_enrich": """
+            SELECT e.event_type,
+                   coalesce(c.c_mktsegment, 'unknown') AS segment,
+                   count(*) AS n_events,
+                   round(sum(e.value), 4) AS total_value
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
         "stream_stream_join": """
             SELECT c.event_id AS click_id,
                    p.event_id AS purchase_id,
@@ -3988,6 +4068,22 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '4 hours'
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "metric_anomalies": f"""
+            WITH g AS (
+                SELECT market_segment, order_month, sum(total_price) AS rev
+                FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT market_segment, avg(rev) AS m, stddev_pop(rev) AS sd
+                FROM g GROUP BY 1
+            )
+            SELECT g.market_segment, g.order_month,
+                   round(rev, 4) AS total_revenue,
+                   round((rev - m) / nullif(sd, 0), 6) AS total_revenue_z,
+                   (abs((rev - m) / nullif(sd, 0)) >= 1.5)
+                       AS total_revenue_anomaly
+            FROM g JOIN s USING (market_segment)
         """,
         "drift_report": """
             WITH binned AS (

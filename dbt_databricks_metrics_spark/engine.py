@@ -242,6 +242,45 @@ class MetricView:
             ]
         return df.select(*cols)
 
+    def query_anomalies(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        order_dim: str,
+        z: float = 3.0,
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """Metric anomaly flags [EXT beyond the reference]: the routed
+        ``GROUP BY dimensions + order_dim`` series with each period's
+        z-score against its own series' mean / population std, and a
+        boolean flag at ``|z| >= z`` — the standard first monitor on a
+        semantic-layer metric (spike/drop detection per segment).
+
+        The stats window runs over the *aggregated* result
+        (|dims × periods| rows, partitioned by the non-order dims), so it
+        rides whatever route the base query takes — no extra source scan.
+        A constant series has std 0 and yields NULL z (no division
+        noise), hence no anomaly rows."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if order_dim in dimensions:
+            raise QueryError(f"order_dim {order_dim!r} must not repeat in dimensions")
+        if z <= 0:
+            raise QueryError(f"z must be > 0, got {z}")
+        df = self.query([*dimensions, order_dim], measures, where=where)
+        w = Window.partitionBy(*[F.col(d) for d in dimensions])
+        cols = [F.col(c) for c in (*dimensions, order_dim, *measures)]
+        for m in measures:
+            mean = F.avg(m).over(w)
+            sd = F.stddev_pop(m).over(w)
+            zc = (F.col(m) - mean) / F.nullif(sd, F.lit(0.0))
+            cols += [
+                zc.alias(f"{m}_z"),
+                (F.abs(zc) >= F.lit(float(z))).alias(f"{m}_anomaly"),
+            ]
+        return df.select(*cols)
+
     def query_filled(
         self,
         dimensions: Sequence[str],

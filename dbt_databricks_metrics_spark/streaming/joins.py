@@ -74,3 +74,22 @@ def stream_stream_interval_join(
         "gap_seconds",
         (F.col(rts).cast("double") - F.col(lts).cast("double")),
     )
+
+
+def stream_static_enrich(stream_df, static_df, on, how: str = "left"):
+    """Stream-static join — the standard streaming enrichment pattern
+    (events × dimension table). Structured Streaming joins each
+    micro-batch against the static side with plain batch semantics
+    (public Spark behavior): STATELESS — no watermark, no state store,
+    append-mode safe. The static side is re-planned per micro-batch, so
+    at cluster scale it follows the same rules as batch joins: broadcast
+    when it fits ``autoBroadcastJoinThreshold``, pre-bucketed layout
+    otherwise. Inner and left joins are supported by Spark for the
+    stream-on-the-left orientation; right/full would need the stream's
+    unmatched rows to wait forever, so they are rejected here.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports how='inner'|'left', got {how!r}"
+        )
+    return stream_df.join(static_df, on=on, how=how)

@@ -335,3 +335,44 @@ def test_stream_stream_join_gap_bounds(spark, sf_dir):
         (F.col("gap_seconds") < 0) | (F.col("gap_seconds") > 4 * 3600)
     ).count()
     assert bad == 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static left join over availableNow micro-batches must equal
+    the plain batch join; right/full orientations are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming.joins import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream_static_enrich(stream, seg, on="user_id")
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.table("t_enrich").select("event_id", "segment").collect()
+    }
+    exp = {
+        (r["event_id"], r["segment"])
+        for r in ev.join(seg, "user_id", "left").select("event_id", "segment").collect()
+    }
+    assert got == exp
+
+    with pytest.raises(ValueError, match="inner.*left"):
+        stream_static_enrich(stream, seg, on="user_id", how="full")
