@@ -555,3 +555,72 @@ def dedup_paragraphs(
         ),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
+
+
+def drop_common_paragraphs(
+    docs: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """RefinedWeb-style line/paragraph boilerplate removal (Penedo et
+    al. 2023, public): DROP every paragraph that occurs in >= *min_df*
+    distinct documents (site chrome repeats everywhere; real content
+    doesn't), keeping all other paragraphs in place. Complements
+    :func:`dedup_paragraphs` (keep-first): keep-first preserves one copy
+    of boilerplate; the document-frequency rule removes it everywhere.
+
+    Same scale shape as dedup_paragraphs: fingerprint-keyed df-count
+    (one count-distinct aggregate over (fp, doc)), anti-join of
+    paragraphs against the common set, doc-keyed reassembly.
+
+    Returns (id, n_paras, n_paras_kept, text_clean).
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if hash_fn == "xxhash64":
+        fp = F.xxhash64(F.col("para"))
+    elif hash_fn == "md5":
+        fp = F.md5(F.col("para")).substr(1, 16)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("fp", fp)
+    )
+    common = (
+        paras.select("fp", id_col)
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("fp")
+    )
+    kept = paras.join(common, "fp", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long").alias(
+            "n_paras_kept"
+        ),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -246,3 +246,30 @@ class TestParagraphDedup:
         for r in out:
             if r["cid"] >= 50:
                 assert r["n_paras_kept"] == 0 and r["text_dedup"] == ""
+
+    def test_drop_common_paragraphs(self, spark):
+        from dbt_databricks_metrics_spark.ext.dedup import drop_common_paragraphs
+
+        rows = [
+            (1, "footer\nalpha"),
+            (2, "footer\nbeta\nfooter"),  # repeats within one doc: df=1 per doc
+            (3, "footer\ngamma"),
+            (4, "alpha\ndelta"),  # alpha df=2 < 3 -> kept
+        ]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {
+            r["doc_id"]: r
+            for r in drop_common_paragraphs(docs, min_df=3, hash_fn="md5").collect()
+        }
+        assert got[1]["text_clean"] == "alpha"
+        assert got[2]["text_clean"] == "beta"
+        assert got[3]["text_clean"] == "gamma"
+        assert got[4]["text_clean"] == "alpha\ndelta"
+        assert got[2]["n_paras"] == 3 and got[2]["n_paras_kept"] == 1
+
+    def test_drop_common_validates_min_df(self, spark):
+        from dbt_databricks_metrics_spark.ext.dedup import drop_common_paragraphs
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
+        with pytest.raises(ValueError, match="min_df"):
+            drop_common_paragraphs(docs, min_df=1)
