@@ -396,6 +396,65 @@ def main() -> None:
 
     timed("ext_pagerank", _pagerank_bench)
 
+    def _triangle_bench():
+        from dbt_databricks_metrics_spark.ext.graph import triangle_counts
+
+        # same consecutive-event proxy graph as pagerank
+        e = events.select(
+            F.col("user_id").alias("src"),
+            F.pmod(F.col("event_id"), F.lit(500)).alias("dst"),
+        )
+        return triangle_counts(e).count()
+
+    timed("ext_triangle_counts", _triangle_bench)
+
+    def _paragraph_dedup_bench():
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+
+        # containers of 10 docs each + a shared boilerplate paragraph —
+        # the contract's shape at bench scale
+        body = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(50)).alias("cid"),
+            F.col("doc_id").cast("long").alias("ord"),
+            F.col("text").alias("para"),
+        )
+        boiler = body.select("cid").distinct().select(
+            "cid",
+            F.lit(10**7).cast("long").alias("ord"),
+            F.lit("subscribe to our newsletter").alias("para"),
+        )
+        containers = (
+            body.unionByName(boiler)
+            .groupBy("cid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ord", "para"))),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+        )
+        return dedup_paragraphs(containers, id_col="cid").count()
+
+    timed("ext_paragraph_dedup", _paragraph_dedup_bench)
+
+    def _hybrid_bench():
+        from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
+
+        return hybrid_search_rrf(docs, "spark filter window", k=10).count()
+
+    timed("ext_hybrid_search", _hybrid_bench)
+
+    def _bpe_encode_bench():
+        from dbt_databricks_metrics_spark.ext import bpe
+
+        merges = bpe.bpe_train(docs, 8)
+        return bpe.bpe_segment(docs, merges).count()
+
+    timed("ext_bpe_encode", _bpe_encode_bench)
+
     def _ssjoin_bench():
         from dbt_databricks_metrics_spark.ext.ssjoin import ssjoin_pairs
 
