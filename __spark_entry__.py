@@ -781,31 +781,124 @@ def _q_sketch_distinct(spark, sf_dir):
     )
 
 
+def _pricing_exact_parts(eng):
+    """Integer-exact TPC-H Q1 partials (VERDICT r2 #1 audit): every
+    pricing quantity sits on a decimal grid — extended_price on cents,
+    disc_price on 1e-4 (2dp × 2dp), charge on 1e-6 — so per-row
+    ``round(x·scale)`` is the exact integer in BOTH engines and the
+    int64 sums are summation-order-free. All contract values derive
+    from these; the MV's own double measures are tolerance-checked."""
+    from pyspark.sql import functions as F
+
+    li = eng.ref("stg_lineitem").filter(
+        F.col("ship_date") <= F.lit("2001-09-02").cast("date")
+    )
+
+    def r(c):
+        return F.round(c).cast("bigint")
+
+    ep, d, t = F.col("extended_price"), F.col("discount"), F.col("tax")
+    return li.groupBy("return_flag", "line_status").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(r(F.col("quantity"))).alias("_qty"),
+        F.sum(r(ep * 100)).alias("_base_c"),
+        F.sum(r(ep * (1 - d) * 10000)).alias("_disc_u"),
+        F.sum(r(ep * (1 - d) * (1 + t) * 1000000)).alias("_chg_u"),
+        F.sum(r(d * 100)).alias("_dc"),
+    )
+
+
 def _q_lineitem_pricing(spark, sf_dir):
     # TPC-H Q1-style pricing summary via MEASURE() over the big fact
     # (spec filter + sum-over-expr + avg measures; project.py
-    # MV_LINEITEM_PRICING_YAML)
+    # MV_LINEITEM_PRICING_YAML). Contract values are integer-exact
+    # (_pricing_exact_parts); the MV measures themselves are pinned by
+    # the mv_ok tolerance boolean.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_lineitem_pricing").query(
+    mv = eng.metric_view("mv_lineitem_pricing").query(
         dimensions=["return_flag", "line_status"],
         measures=[
             "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
             "avg_qty", "avg_price", "avg_disc", "count_order",
         ],
+    ).select(
+        "return_flag", "line_status",
+        F.col("sum_qty").alias("_mq"), F.col("sum_base_price").alias("_mb"),
+        F.col("sum_disc_price").alias("_md"), F.col("sum_charge").alias("_mc"),
+        F.col("avg_qty").alias("_maq"), F.col("avg_price").alias("_map"),
+        F.col("avg_disc").alias("_mad"), F.col("count_order").alias("_mn"),
+    )
+    j = mv.join(_pricing_exact_parts(eng), ["return_flag", "line_status"])
+    e_base = F.col("_base_c") / 100.0
+    e_disc = F.col("_disc_u") / 10000.0
+    e_chg = F.col("_chg_u") / 1000000.0
+    e_aq = F.col("_qty") / F.col("_n").cast("double")
+    e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
+    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
+    ok = (
+        (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
+        & (F.abs(F.col("_mb") - e_base) < 1e-2)
+        & (F.abs(F.col("_md") - e_disc) < 1e-2)
+        & (F.abs(F.col("_mc") - e_chg) < 1e-2)
+        & (F.abs(F.col("_maq") - e_aq) < 1e-4)
+        & (F.abs(F.col("_map") - e_ap) < 1e-4)
+        & (F.abs(F.col("_mad") - e_ad) < 1e-6)
+        & (F.col("_mn") == F.col("_n"))
+    )
+    return j.select(
+        "return_flag", "line_status",
+        F.col("_qty").alias("sum_qty"),
+        e_base.alias("sum_base_price"),
+        e_disc.alias("sum_disc_price"),
+        e_chg.alias("sum_charge"),
+        e_aq.alias("avg_qty"),
+        e_ap.alias("avg_price"),
+        e_ad.alias("avg_disc"),
+        F.col("_n").alias("count_order"),
+        ok.alias("mv_ok"),
     )
 
 
 def _q_routed_pricing(spark, sf_dir):
     # same query answered from the pricing_by_flag_status rollup: partial
     # states re-aggregated (avg -> sum/count pair), 6 rows read instead of
-    # the full fact scan
+    # the full fact scan. routed_ok pins routed ≡ integer-exact.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
     df, route = eng.metric_view("mv_lineitem_pricing").query_routed(
         ["return_flag", "line_status"],
         ["sum_qty", "sum_disc_price", "avg_price", "avg_disc", "count_order"],
     )
     assert route == "rollup:pricing_by_flag_status", route
-    return df
+    mv = df.select(
+        "return_flag", "line_status",
+        F.col("sum_qty").alias("_mq"), F.col("sum_disc_price").alias("_md"),
+        F.col("avg_price").alias("_map"), F.col("avg_disc").alias("_mad"),
+        F.col("count_order").alias("_mn"),
+    )
+    j = mv.join(_pricing_exact_parts(eng), ["return_flag", "line_status"])
+    e_disc = F.col("_disc_u") / 10000.0
+    e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
+    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
+    ok = (
+        (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
+        & (F.abs(F.col("_md") - e_disc) < 1e-2)
+        & (F.abs(F.col("_map") - e_ap) < 1e-4)
+        & (F.abs(F.col("_mad") - e_ad) < 1e-6)
+        & (F.col("_mn") == F.col("_n"))
+    )
+    return j.select(
+        "return_flag", "line_status",
+        F.col("_qty").alias("sum_qty"),
+        e_disc.alias("sum_disc_price"),
+        e_ap.alias("avg_price"),
+        e_ad.alias("avg_disc"),
+        F.col("_n").alias("count_order"),
+        ok.alias("routed_ok"),
+    )
 
 
 def _q_revenue_by_nation(spark, sf_dir):
@@ -3414,29 +3507,68 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "lineitem_pricing": f"""
+            WITH g AS (
+                SELECT return_flag, line_status,
+                       count(*) AS n,
+                       sum(CAST(round(quantity) AS BIGINT)) AS qty,
+                       sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
+                       sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
+                       sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS chg_u,
+                       sum(CAST(round(discount * 100) AS BIGINT)) AS dc,
+                       sum(quantity) AS mq,
+                       sum(extended_price) AS mb,
+                       sum(extended_price * (1 - discount)) AS md,
+                       sum(extended_price * (1 - discount) * (1 + tax)) AS mc,
+                       avg(quantity) AS maq,
+                       avg(extended_price) AS map,
+                       avg(discount) AS mad
+                FROM ({_STG_LINEITEM})
+                WHERE ship_date <= DATE '2001-09-02'
+                GROUP BY 1, 2
+            )
             SELECT return_flag, line_status,
-                   sum(quantity) AS sum_qty,
-                   sum(extended_price) AS sum_base_price,
-                   sum(extended_price * (1 - discount)) AS sum_disc_price,
-                   sum(extended_price * (1 - discount) * (1 + tax)) AS sum_charge,
-                   avg(quantity) AS avg_qty,
-                   avg(extended_price) AS avg_price,
-                   avg(discount) AS avg_disc,
-                   count(*) AS count_order
-            FROM ({_STG_LINEITEM})
-            WHERE ship_date <= DATE '2001-09-02'
-            GROUP BY 1, 2
+                   qty AS sum_qty,
+                   base_c / 100.0 AS sum_base_price,
+                   disc_u / 10000.0 AS sum_disc_price,
+                   chg_u / 1000000.0 AS sum_charge,
+                   qty / CAST(n AS DOUBLE) AS avg_qty,
+                   base_c / (100.0 * n) AS avg_price,
+                   dc / (100.0 * n) AS avg_disc,
+                   n AS count_order,
+                   (abs(mq - qty) < 1e-6 AND abs(mb - base_c / 100.0) < 1e-2
+                    AND abs(md - disc_u / 10000.0) < 1e-2
+                    AND abs(mc - chg_u / 1000000.0) < 1e-2
+                    AND abs(maq - qty / CAST(n AS DOUBLE)) < 1e-4
+                    AND abs(map - base_c / (100.0 * n)) < 1e-4
+                    AND abs(mad - dc / (100.0 * n)) < 1e-6) AS mv_ok
+            FROM g
         """,
         "routed_pricing": f"""
+            WITH g AS (
+                SELECT return_flag, line_status,
+                       count(*) AS n,
+                       sum(CAST(round(quantity) AS BIGINT)) AS qty,
+                       sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
+                       sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
+                       sum(CAST(round(discount * 100) AS BIGINT)) AS dc,
+                       sum(quantity) AS mq,
+                       sum(extended_price * (1 - discount)) AS md,
+                       avg(extended_price) AS map,
+                       avg(discount) AS mad
+                FROM ({_STG_LINEITEM})
+                WHERE ship_date <= DATE '2001-09-02'
+                GROUP BY 1, 2
+            )
             SELECT return_flag, line_status,
-                   sum(quantity) AS sum_qty,
-                   sum(extended_price * (1 - discount)) AS sum_disc_price,
-                   avg(extended_price) AS avg_price,
-                   avg(discount) AS avg_disc,
-                   count(*) AS count_order
-            FROM ({_STG_LINEITEM})
-            WHERE ship_date <= DATE '2001-09-02'
-            GROUP BY 1, 2
+                   qty AS sum_qty,
+                   disc_u / 10000.0 AS sum_disc_price,
+                   base_c / (100.0 * n) AS avg_price,
+                   dc / (100.0 * n) AS avg_disc,
+                   n AS count_order,
+                   (abs(mq - qty) < 1e-6 AND abs(md - disc_u / 10000.0) < 1e-2
+                    AND abs(map - base_c / (100.0 * n)) < 1e-4
+                    AND abs(mad - dc / (100.0 * n)) < 1e-6) AS routed_ok
+            FROM g
         """,
         "revenue_by_nation": f"""
             SELECT n.n_name AS nation_name, r.r_name AS region_name,

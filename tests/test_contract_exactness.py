@@ -29,6 +29,8 @@ AVG_FAMILY = [
     "measure_global",
     "measure_sql",
     "measure_expr_sql",
+    "lineitem_pricing",
+    "routed_pricing",
 ]
 
 
