@@ -118,6 +118,12 @@ def triangle_counts(
     2·T / (deg·(deg−1)) — both operands exact integers, so the double is
     bit-identical in any engine — and NULL for degree < 2.
     """
+    # e is referenced by deg + ed, deg by ed + the output join, d by both
+    # wedge sides + the closing join — without lineage cuts Spark would
+    # recompute the (possibly expensive) edge-producing upstream for
+    # EVERY reference (~7x: measured 97 exchanges on the dup-graph
+    # contract). localCheckpoint materializes the id-sized edge/degree
+    # tables once, the same pattern pagerank and duplicate_clusters use.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -125,12 +131,14 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     ed = e.join(
         deg.select(F.col("id").alias("u"), F.col("degree").alias("du")), "u"
@@ -142,7 +150,7 @@ def triangle_counts(
         F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     x, y = d.alias("x"), d.alias("y")
     rank_lt = (F.col("x.db") < F.col("y.db")) | (
         (F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b"))
