@@ -2394,6 +2394,94 @@ def _q_bpe_encoded(spark, sf_dir):
     )
 
 
+def _q_logreg_weights(spark, sf_dir):
+    # distributed quality-classifier training (FineWeb-Edu shape): batch
+    # GD logistic regression predicting lang=='en' from the 8-dim hashed
+    # doc vectors. Per round: one codegen residual pass (weights folded
+    # in as literals) + a dim-sized gradient shuffle; the oracle unrolls
+    # the same 3 rounds as CTEs (PageRank/BPE pattern).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.classify import logreg_train
+    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_doc_vectors(
+        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
+    ).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    w = logreg_train(feats, "y", "vector", dim=8, n_iter=3, lr=0.5)
+    return spark.createDataFrame(
+        [(i, round(float(x), 6)) for i, x in enumerate(w)], "i INT, w DOUBLE"
+    )
+
+
+def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5, dim: int = 8) -> str:
+    """Unrolled batch-GD rounds over the idf-less hashed doc vectors.
+    MATERIALIZED on the shared CTEs — each round references the feature
+    triples twice, and inlining would re-open the parquet per reference
+    (the advisor-oracle EMFILE lesson)."""
+    parts = [
+        r"""WITH tokd AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                                             '\s+', ' ', 'g'), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            bk AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 8 AS INT) AS b,
+                     sum(CAST(tf AS DOUBLE)) AS v
+              FROM tf GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT d.doc_id, gs.i AS i, coalesce(bk.v, 0.0) AS x
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN generate_series(0, 7) AS gs(i)
+              LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = gs.i
+            ),
+            nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM dense GROUP BY 1),
+            lab AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents
+            ),
+            v AS MATERIALIZED (
+              SELECT dense.doc_id, i,
+                     CASE WHEN nn > 0 THEN x / nn ELSE x END AS xv, y
+              FROM dense JOIN nrm USING (doc_id) JOIN lab USING (doc_id)
+            ),
+            cnt AS (SELECT count(DISTINCT doc_id) AS n FROM v),
+            w0 AS (SELECT gs.i AS i, CAST(0.0 AS DOUBLE) AS w
+                   FROM generate_series(0, 7) AS gs(i))"""
+    ]
+    for r in range(n_iter):
+        parts.append(f"""
+            , z{r} AS MATERIALIZED (
+              SELECT doc_id, y, sum(xv * w.w) AS z
+              FROM v JOIN w{r} w USING (i) GROUP BY 1, 2
+            ),
+            g{r} AS (
+              SELECT v.i, sum((1.0 / (1.0 + exp(-z{r}.z)) - z{r}.y) * v.xv) AS g
+              FROM v JOIN z{r} USING (doc_id) GROUP BY 1
+            ),
+            w{r + 1} AS MATERIALIZED (
+              SELECT w.i,
+                     w.w - {lr} * coalesce(g.g, 0.0) / (SELECT n FROM cnt) AS w
+              FROM w{r} w LEFT JOIN g{r} g USING (i)
+            )""")
+    parts.append(f"\nSELECT i, round(w, 6) AS w FROM w{n_iter} ORDER BY i")
+    return "".join(parts)
+
+
 def _q_doc_vectors(spark, sf_dir):
     # feature-hashed TF-IDF vectors (hashing trick): text -> fixed-width
     # L2-normalized array ready for the embedding-space operators. md5
@@ -3331,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_lookup": _q_seed_lookup,
         "pca_covariance": _q_pca_covariance,
         "doc_vectors": _q_doc_vectors,
+        "logreg_weights": _q_logreg_weights,
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded": _q_bpe_encoded,
         "metric_anomalies": _q_metric_anomalies,
@@ -4269,6 +4358,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encoded": _bpe_encode_oracle_sql(8),
+        "logreg_weights": _logreg_oracle_sql(3, 0.5, 8),
         "doc_vectors": r"""
             WITH tokd AS (
               SELECT doc_id,

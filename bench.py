@@ -455,6 +455,20 @@ def main() -> None:
 
     timed("ext_bpe_encode", _bpe_encode_bench)
 
+    def _logreg_bench():
+        from dbt_databricks_metrics_spark.ext.classify import logreg_train
+        from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+
+        feats = hashed_doc_vectors(docs, dim=16, idf=False).join(
+            docs.select(
+                "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+            ),
+            "doc_id",
+        )
+        return logreg_train(feats, "y", dim=16, n_iter=3)
+
+    timed("ext_logreg_train", _logreg_bench)
+
     def _ssjoin_bench():
         from dbt_databricks_metrics_spark.ext.ssjoin import ssjoin_pairs
 

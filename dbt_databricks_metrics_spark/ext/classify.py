@@ -1,0 +1,98 @@
+"""Distributed logistic-regression training ([EXT]) — the corpus-scale
+quality-classifier trainer. FineWeb-Edu / DCLM-style pipelines train a
+small linear classifier over document features and score the whole
+corpus with it (public recipe); the algorithm here is plain batch
+gradient descent on the logistic loss (public, any ML textbook).
+
+Scale shape (100 TB posture), the k-means pattern applied to GD:
+
+* per round ONE aggregate pass — the per-document residual
+  ``sigmoid(w·x) − y`` is a codegen column expression with the current
+  weights folded in as ARRAY LITERALS (no weight join, no UDF), and the
+  gradient is a ``posexplode → groupBy(dim) sum`` with map-side combine,
+  so the shuffle carries dim partial sums per partition, independent of
+  corpus size;
+* the driver receives dim doubles per round (the model — like k-means
+  centroids), updates, and folds them into the next round's literals;
+* features are cached/localCheckpointed once — round plans stay flat.
+
+Determinism: given identical features and labels, every round is one
+IEEE expression per row plus order-free integer-count division points —
+summation order contributes ~1e-15; contract outputs round to 6 (the
+repo's float-stability discipline). The training loop unrolls to SQL
+CTEs for the DuckDB oracle exactly like PageRank/BPE.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "vector",
+    dim: int | None = None,
+    n_iter: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """Batch-GD logistic regression; returns the weight vector after
+    *n_iter* full-batch rounds from a zero init (deterministic — no
+    random init, no shuffling; the classic convex-loss setting where
+    batch GD needs none).
+
+    *label_col* must be 0/1 (int); *vec_col* an array<double> of fixed
+    width *dim* (inferred from the first row when omitted).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(vec_col).cast("array<double>").alias("_x"),
+    ).localCheckpoint(eager=True)
+    if dim is None:
+        first = feats.select(F.size("_x").alias("d")).first()
+        if first is None:
+            raise ValueError("logreg_train: empty input")
+        dim = int(first["d"])
+    n = feats.count()
+    w = [0.0] * dim
+    for _ in range(n_iter):
+        wlits = F.array(*[F.lit(float(x)) for x in w])
+        z = F.aggregate(
+            F.zip_with(F.col("_x"), wlits, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+        grad_rows = (
+            feats.select(resid.alias("_r"), F.posexplode("_x").alias("i", "xi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("_r") * F.col("xi")).alias("g"))
+            .collect()
+        )
+        grad = {r["i"]: r["g"] for r in grad_rows}
+        w = [wi - lr * grad.get(i, 0.0) / n for i, wi in enumerate(w)]
+    return w
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    vec_col: str = "vector",
+    out_col: str = "score",
+) -> DataFrame:
+    """Sigmoid scores under a trained model: pure codegen expression
+    (weights as literals), map-only — the corpus-scoring pass."""
+    wlits = F.array(*[F.lit(float(x)) for x in weights])
+    z = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), wlits, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

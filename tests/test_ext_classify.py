@@ -1,0 +1,74 @@
+"""Distributed logistic regression (ext/classify.py): batch-GD rounds
+vs a numpy replay, separation on a separable toy set, validation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext.classify import logreg_score, logreg_train
+
+
+def _toy(spark, n=120, dim=4, seed=3):
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(n, dim))
+    true_w = np.array([2.0, -1.5, 0.5, 0.0])
+    ys = (xs @ true_w > 0).astype(int)
+    rows = [(int(i), [float(v) for v in xs[i]], int(ys[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>, y INT")
+    return df, xs, ys
+
+
+def test_matches_numpy_batch_gd(spark):
+    df, xs, ys = _toy(spark)
+    got = logreg_train(df, "y", dim=4, n_iter=5, lr=0.7)
+    w = np.zeros(4)
+    for _ in range(5):
+        z = xs @ w
+        resid = 1.0 / (1.0 + np.exp(-z)) - ys
+        w = w - 0.7 * (xs.T @ resid) / len(ys)
+    assert got == pytest.approx(w.tolist(), rel=1e-9, abs=1e-12)
+
+
+def test_training_separates(spark):
+    df, xs, ys = _toy(spark)
+    w = logreg_train(df, "y", dim=4, n_iter=10, lr=1.0)
+    scored = logreg_score(df, w).select("y", "score").collect()
+    pos = [r["score"] for r in scored if r["y"] == 1]
+    neg = [r["score"] for r in scored if r["y"] == 0]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.2
+
+
+def test_score_is_sigmoid_of_dot(spark):
+    df, xs, _ys = _toy(spark, n=10)
+    w = [0.3, -0.2, 0.1, 0.05]
+    got = {
+        r["id"]: r["score"] for r in logreg_score(df, w).collect()
+    }
+    for i in range(10):
+        z = float(np.dot(xs[i], w))
+        assert got[i] == pytest.approx(1.0 / (1.0 + math.exp(-z)), rel=1e-12)
+
+
+def test_validation(spark):
+    df, _xs, _ys = _toy(spark, n=5)
+    with pytest.raises(ValueError, match="n_iter"):
+        logreg_train(df, "y", n_iter=0)
+    with pytest.raises(ValueError, match="lr"):
+        logreg_train(df, "y", lr=0.0)
+    empty = spark.createDataFrame([], "vector ARRAY<DOUBLE>, y INT")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(empty, "y")
+
+
+def test_contract_weights_nontrivial(spark, sf_dir):
+    """The lang=='en' classifier must learn a non-zero model on the
+    fixture (a broken gradient pass would leave w at the zero init)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["logreg_weights"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert any(abs(r["w"]) > 1e-4 for r in rows)
