@@ -2421,18 +2421,26 @@ def _q_logreg_weights(spark, sf_dir):
     )
 
 
-def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5, dim: int = 8) -> str:
+def _logreg_oracle_sql(
+    n_iter: int = 3,
+    lr: float = 0.5,
+    dim: int = 8,
+    docs_sql: str = "SELECT doc_id, lang, text FROM documents",
+    label_expr: str = "lang = 'en'",
+) -> str:
     """Unrolled batch-GD rounds over the idf-less hashed doc vectors.
     MATERIALIZED on the shared CTEs — each round references the feature
     triples twice, and inlining would re-open the parquet per reference
-    (the advisor-oracle EMFILE lesson)."""
+    (the advisor-oracle EMFILE lesson). *docs_sql*/*label_expr* let the
+    classifier_metrics contract train on an injected-marker corpus."""
     parts = [
-        r"""WITH tokd AS MATERIALIZED (
+        rf"""WITH src AS MATERIALIZED ({docs_sql}),
+            tokd AS MATERIALIZED (
               SELECT doc_id,
                      list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))),
                                                              '\s+', ' ', 'g'), ' '),
                                  x -> length(x) > 0) AS toks
-              FROM documents
+              FROM src
             ),
             tk AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
             tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -2444,15 +2452,15 @@ def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5, dim: int = 8) -> str:
             ),
             dense AS (
               SELECT d.doc_id, gs.i AS i, coalesce(bk.v, 0.0) AS x
-              FROM (SELECT DISTINCT doc_id FROM documents) d
+              FROM (SELECT DISTINCT doc_id FROM src) d
               CROSS JOIN generate_series(0, 7) AS gs(i)
               LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = gs.i
             ),
             nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM dense GROUP BY 1),
             lab AS (
               SELECT doc_id,
-                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-              FROM documents
+                     CASE WHEN {label_expr} THEN 1.0 ELSE 0.0 END AS y
+              FROM src
             ),
             v AS MATERIALIZED (
               SELECT dense.doc_id, i,
@@ -2480,6 +2488,105 @@ def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5, dim: int = 8) -> str:
             )""")
     parts.append(f"\nSELECT i, round(w, 6) AS w FROM w{n_iter} ORDER BY i")
     return "".join(parts)
+
+
+def _q_classifier_metrics(spark, sf_dir):
+    # evaluate the trained classifier: binned ROC-AUC + 0.5-threshold
+    # confusion counts. The fixture's lang is unlearnable from templated
+    # bag-of-words (AUC ≈ 0.5), so the contract injects a marker token
+    # into every even-id document — the classifier must find its hash
+    # bucket, making the metrics semantically non-trivial (AUC well
+    # above chance) instead of vacuously chance-level. Scores round to 6
+    # before round-edge binning so both engines bucket identical
+    # doubles; the AUC numerator is then integer+halves exact.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.classify import (
+        binary_metrics,
+        logreg_score,
+        logreg_train,
+    )
+    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarkertoken")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("y"),
+    )
+    feats = hashed_doc_vectors(
+        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
+    ).join(docs.select("doc_id", "y"), "doc_id")
+    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
+    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
+        "score", F.round("score", 6)
+    )
+    return binary_metrics(scored, "y", n_bins=10000)
+
+
+def _classifier_metrics_oracle_sql(
+    n_iter: int = 6, lr: float = 2.0, n_bins: int = 10000
+) -> str:
+    """Training CTEs (shared with _logreg_oracle_sql) + round-6 weights,
+    round-6 sigmoid scores, round-edge binning, rank-statistic AUC.
+    Trains on the injected-marker corpus (see _q_classifier_metrics)."""
+    train = _logreg_oracle_sql(
+        n_iter,
+        lr,
+        docs_sql=(
+            "SELECT doc_id, lang, coalesce(text, '') || "
+            "CASE WHEN doc_id % 2 = 0 THEN ' qualitymarkertoken' "
+            "ELSE '' END AS text FROM documents"
+        ),
+        label_expr="doc_id % 2 = 0",
+    )
+    ctes = train[: train.index("\nSELECT i, round(w, 6)")]
+    return (
+        ctes
+        + f"""
+        , wr AS (SELECT i, round(w, 6) AS w FROM w{n_iter}),
+        sc AS MATERIALIZED (
+          SELECT z.doc_id, CAST(z.y AS INT) AS yy,
+                 round(1.0 / (1.0 + exp(-z.z)), 6) AS s
+          FROM (SELECT doc_id, y, sum(xv * w.w) AS z
+                FROM v JOIN wr w USING (i) GROUP BY 1, 2) z
+        ),
+        b AS (
+          SELECT CAST(round(s * {n_bins}) AS INT) AS bin, yy,
+                 (s >= 0.5) AS hit
+          FROM sc
+        ),
+        conf AS (
+          SELECT count_if(yy = 1) AS n_pos, count_if(yy = 0) AS n_neg,
+                 count_if(yy = 1 AND hit) AS tp,
+                 count_if(yy = 0 AND hit) AS fp,
+                 count_if(yy = 0 AND NOT hit) AS tn,
+                 count_if(yy = 1 AND NOT hit) AS fn
+          FROM b
+        ),
+        bins AS (
+          SELECT bin, count_if(yy = 1) AS np, count_if(yy = 0) AS nn
+          FROM b GROUP BY 1
+        ),
+        cumb AS (
+          SELECT bin, np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum
+          FROM bins
+        ),
+        num AS (SELECT sum(np * (cum + nn / 2.0)) AS num FROM cumb)
+        SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN num / (n_pos * n_neg) END AS auc,
+               tp, fp, tn, fn, n_pos, n_neg
+        FROM conf CROSS JOIN num
+    """
+    )
 
 
 def _q_doc_vectors(spark, sf_dir):
@@ -3420,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance": _q_pca_covariance,
         "doc_vectors": _q_doc_vectors,
         "logreg_weights": _q_logreg_weights,
+        "classifier_metrics": _q_classifier_metrics,
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded": _q_bpe_encoded,
         "metric_anomalies": _q_metric_anomalies,
@@ -4359,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encoded": _bpe_encode_oracle_sql(8),
         "logreg_weights": _logreg_oracle_sql(3, 0.5, 8),
+        "classifier_metrics": _classifier_metrics_oracle_sql(6, 2.0, 10000),
         "doc_vectors": r"""
             WITH tokd AS (
               SELECT doc_id,

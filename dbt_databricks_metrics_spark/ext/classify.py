@@ -96,3 +96,68 @@ def logreg_score(
         lambda acc, v: acc + v,
     )
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def binary_metrics(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    n_bins: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classifier evaluation in two bounded passes (public formulas):
+    binned ROC-AUC and threshold confusion counts.
+
+    AUC uses the rank-statistic form over *n_bins* score buckets —
+    Σ_b pos_b · (neg_below_b + neg_b/2) / (P·N), i.e. the probability a
+    random positive outscores a random negative with same-bucket pairs
+    counted half (tie correction). Exact to 1/n_bins; the EXACT rank AUC
+    needs a global sort, and bucketing is the scale path (the same trade
+    ``functions/histogram.py`` makes). The only window runs over
+    ≤ n_bins+1 count-partial rows; everything else is one aggregate
+    pass. The AUC numerator is integers + halves (dyadic rationals
+    summing exactly below 2^52), so the emitted double is bit-identical
+    in any engine — no rounding needed.
+
+    Buckets are ROUND-to-nearest-edge (``round(s·n_bins)``), not floor:
+    floor flips across engines on grid-aligned scores (the double of
+    0.12·100 is 11.999…), while scale-0 round is exact on identical
+    doubles in every engine — the repo's determinism discipline.
+
+    Returns ONE row: (auc, tp, fp, tn, fn, n_pos, n_neg).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col)
+    base = scored.select(
+        F.round(s * n_bins).cast("int").alias("bin"),
+        y.alias("_y"),
+        (s >= F.lit(float(threshold))).alias("_hit"),
+    )
+    conf = base.agg(
+        F.count_if(F.col("_y") == 1).alias("n_pos"),
+        F.count_if(F.col("_y") == 0).alias("n_neg"),
+        F.count_if((F.col("_y") == 1) & F.col("_hit")).alias("tp"),
+        F.count_if((F.col("_y") == 0) & F.col("_hit")).alias("fp"),
+        F.count_if((F.col("_y") == 0) & ~F.col("_hit")).alias("tn"),
+        F.count_if((F.col("_y") == 1) & ~F.col("_hit")).alias("fn"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count_if(F.col("_y") == 1).alias("np"),
+        F.count_if(F.col("_y") == 0).alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum_nn = F.coalesce(F.sum("nn").over(w), F.lit(0))
+    num = bins.select(
+        (F.col("np") * (cum_nn + F.col("nn") / 2.0)).alias("_c")
+    ).agg(F.sum("_c").alias("_num"))
+    return conf.crossJoin(num).select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("_num") / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+        "tp", "fp", "tn", "fn", "n_pos", "n_neg",
+    )

@@ -72,3 +72,46 @@ def test_contract_weights_nontrivial(spark, sf_dir):
     rows = entry.queries()["logreg_weights"](spark, sf_dir).collect()
     assert len(rows) == 8
     assert any(abs(r["w"]) > 1e-4 for r in rows)
+
+
+def test_binary_metrics_matches_manual(spark):
+    rows = [
+        # (score, y): 3 pos high, 2 neg low, one tie bucket
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.3, 0), (0.2, 0), (0.7, 1),
+    ]
+    df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+    from dbt_databricks_metrics_spark.ext.classify import binary_metrics
+
+    out = binary_metrics(df, "y", n_bins=10).collect()[0]
+    # bins (round(10*s)): pos {9,8,7}, neg {8,3,2}
+    # pairs: each neg vs 3 pos: neg .8: below it pos {7}?? ranks:
+    # neg 2: all 3 pos above -> 3; neg 3: 3; neg 8: pos 9 above (1),
+    # pos 8 tie (0.5), pos 7 below (0) -> 1.5 ; AUC = (3+3+1.5)/9
+    assert out["auc"] == pytest.approx(7.5 / 9)
+    assert (out["tp"], out["fp"], out["tn"], out["fn"]) == (3, 1, 2, 0)
+    assert (out["n_pos"], out["n_neg"]) == (3, 3)
+
+
+def test_binary_metrics_perfect_and_degenerate(spark):
+    from dbt_databricks_metrics_spark.ext.classify import binary_metrics
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.95, 1), (0.1, 0), (0.05, 0)], "score DOUBLE, y INT"
+    )
+    assert binary_metrics(perfect, "y").collect()[0]["auc"] == pytest.approx(1.0)
+    onesided = spark.createDataFrame([(0.9, 1), (0.8, 1)], "score DOUBLE, y INT")
+    assert binary_metrics(onesided, "y").collect()[0]["auc"] is None
+    with pytest.raises(ValueError, match="n_bins"):
+        binary_metrics(perfect, "y", n_bins=1)
+
+
+def test_contract_classifier_learns_marker(spark, sf_dir):
+    """The injected-marker contract must stay semantically non-trivial:
+    AUC clearly above chance, both classes populated."""
+    import __spark_entry__ as entry
+
+    r = entry.queries()["classifier_metrics"](spark, sf_dir).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert r["auc"] > 0.55, r["auc"]
+    assert r["tp"] + r["fn"] == r["n_pos"]
+    assert r["fp"] + r["tn"] == r["n_neg"]
