@@ -624,3 +624,48 @@ def drop_common_paragraphs(
         ),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def dedup_against_registry(
+    new_docs: DataFrame,
+    registry_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup against a persistent fingerprint REGISTRY —
+    the batch-shard complement of ``streaming/dedup``'s state-store
+    variant (public pattern: every crawl pipeline keeps a seen-hash set).
+
+    The registry stores ``(fingerprint, doc_id)`` — 8-byte fingerprints of
+    the corpus so far, ~3 orders of magnitude smaller than the text — so
+    an arriving shard dedups with ONE anti-join against it and never
+    rescans the corpus. Within-shard dups collapse keep-lowest-id first;
+    survivors' fingerprints fold into the registry via the crash-safe
+    rename-aside swap (``operators/cdc._promote_state_dir`` — LOCAL
+    POSIX FS only; use a transactional table format on object stores).
+
+    Returns the kept rows of *new_docs* (recomputed via a semi-join
+    against the updated registry, so the returned plan does not depend on
+    the pre-swap state). Ids must be globally unique across shards.
+    """
+    import os
+
+    from ..operators.cdc import _promote_state_dir
+
+    spark = new_docs.sparkSession
+    with_fp = new_docs.withColumn(
+        "_fp", F.xxhash64(normalized_text(text_col))
+    )
+    batch_first = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    if os.path.exists(registry_path):
+        old = spark.read.parquet(registry_path)
+        fresh = batch_first.join(old.select("_fp"), "_fp", "left_anti")
+        updated = old.unionByName(fresh)
+    else:
+        fresh = batch_first
+        updated = fresh
+    _promote_state_dir(updated, registry_path)
+    reg = spark.read.parquet(registry_path)
+    return new_docs.join(
+        reg.select(F.col(id_col)), id_col, "left_semi"
+    )

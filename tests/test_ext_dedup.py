@@ -273,3 +273,26 @@ class TestParagraphDedup:
         docs = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
         with pytest.raises(ValueError, match="min_df"):
             drop_common_paragraphs(docs, min_df=1)
+
+    def test_dedup_against_registry_incremental(self, spark, tmp_path):
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_against_registry
+
+        reg = str(tmp_path / "registry")
+        shard1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "ALPHA  ")],  # 3 normalizes onto 1
+            "doc_id BIGINT, text STRING",
+        )
+        kept1 = {r["doc_id"] for r in dedup_against_registry(shard1, reg).collect()}
+        assert kept1 == {1, 2}
+        shard2 = spark.createDataFrame(
+            [(10, "beta"), (11, "gamma"), (12, "gamma")],
+            "doc_id BIGINT, text STRING",
+        )
+        kept2 = {r["doc_id"] for r in dedup_against_registry(shard2, reg).collect()}
+        assert kept2 == {11}  # beta known from shard1; 12 loses to 11 in-shard
+        # registry now holds 3 fingerprints; replay of shard1 keeps nothing new
+        kept1b = {r["doc_id"] for r in dedup_against_registry(
+            spark.createDataFrame([(20, "alpha")], "doc_id BIGINT, text STRING"), reg
+        ).collect()}
+        assert kept1b == set()
+        assert spark.read.parquet(reg).count() == 3
