@@ -254,6 +254,81 @@ class ModelRegistry:
     def names(self) -> list[str]:
         return list(self._models)
 
+    def _children(self) -> dict[str, list[str]]:
+        ch: dict[str, list[str]] = {n: [] for n in self._models}
+        for m in self._models.values():
+            for d in m.deps:
+                ch.setdefault(d, []).append(m.name)
+        return ch
+
+    def _walk(
+        self, start: str, edges: dict[str, list[str]], depth: Optional[int]
+    ) -> set[str]:
+        out: set[str] = set()
+        frontier = [start]
+        level = 0
+        while frontier and (depth is None or level < depth):
+            level += 1
+            nxt: list[str] = []
+            for n in frontier:
+                for x in edges.get(n, []):
+                    if x not in out:
+                        out.add(x)
+                        nxt.append(x)
+            frontier = nxt
+        return out
+
+    def select_models(self, selectors: Sequence[str]) -> list[str]:
+        """dbt node-selection syntax (public dbt `--select` grammar) over
+        the model graph: ``model``, ``+model`` (ancestors), ``model+``
+        (descendants), ``N+model`` / ``model+N`` (bounded degree),
+        ``+model+``, ``@model`` (model, its descendants, and ALL their
+        ancestors — the "build everything this subtree needs" form) and
+        ``tag:x`` (models whose ``meta['tags']`` contains x). Items
+        union; ``,``-joined parts within one item intersect (dbt's
+        space-vs-comma semantics). Returns names in topo order."""
+        import re
+
+        parents = {n: list(m.deps) for n, m in self._models.items()}
+        children = self._children()
+
+        def atom(sel: str) -> set[str]:
+            sel = sel.strip()
+            if sel.startswith("tag:"):
+                tag = sel[4:]
+                return {
+                    n
+                    for n, m in self._models.items()
+                    if tag in tuple(m.meta.get("tags", ()))
+                }
+            if sel.startswith("@"):
+                name = sel[1:]
+                self[name]  # raises on unknown
+                picked = {name} | self._walk(name, children, None)
+                for d in list(picked):
+                    picked |= self._walk(d, parents, None)
+                return picked
+            m = re.fullmatch(r"(?:(\d*)\+)?([A-Za-z0-9_.]+)(?:\+(\d*))?", sel)
+            if not m:
+                raise ModelError(f"unparseable selector {sel!r}")
+            up, name, down = m.group(1), m.group(2), m.group(3)
+            self[name]  # raises on unknown
+            picked = {name}
+            if up is not None:
+                picked |= self._walk(name, parents, int(up) if up else None)
+            if down is not None:
+                picked |= self._walk(name, children, int(down) if down else None)
+            return picked
+
+        selected: set[str] = set()
+        for item in selectors:
+            for union_part in item.split():
+                parts = [p for p in union_part.split(",") if p]
+                sets = [atom(p) for p in parts]
+                got = set.intersection(*sets) if sets else set()
+                selected |= got
+        return [n for n in self.topo_order() if n in selected]
+
     def topo_order(self) -> list[str]:
         """Kahn topo sort over declared deps; stable w.r.t. insertion order."""
         indeg = {n: 0 for n in self._models}
@@ -343,6 +418,14 @@ class Runner:
         """
         order = self.registry.topo_order()
         if select is not None:
+            # dbt graph-selector syntax expands to model names first;
+            # plain names pass through unchanged
+            if any(
+                "+" in s or "@" in s or "," in s or " " in s
+                or s.startswith("tag:")
+                for s in select
+            ):
+                select = self.registry.select_models(select)
             needed: set[str] = set()
 
             def visit(n: str) -> None:

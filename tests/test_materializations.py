@@ -388,3 +388,75 @@ def test_exposures_validated_after_run(spark, sf_dir, tmp_path):
     eng2 = MetricEngine(spark, reg2, warehouse_dir=str(tmp_path / "whex2"))
     with pytest.raises(ModelError, match="unknown refs.*no_such_model"):
         eng2.run()
+
+
+class TestGraphSelectors:
+    @staticmethod
+    def _registry():
+        from dbt_databricks_metrics_spark.models import ModelRegistry
+
+        reg = ModelRegistry()
+
+        def mk(name, deps=(), tags=()):
+            @reg.model(name, deps=list(deps), meta={"tags": list(tags)})
+            def _m(spark, ref, _n=name):  # pragma: no cover - graph only
+                raise AssertionError("not built in selector tests")
+
+        #   a -> b -> c -> e
+        #        b -> d
+        #   f (island, tagged)
+        mk("a")
+        mk("b", deps=("a",), tags=("mart",))
+        mk("c", deps=("b",))
+        mk("d", deps=("b",), tags=("mart",))
+        mk("e", deps=("c",))
+        mk("f", tags=("island",))
+        return reg
+
+    def test_plus_forms(self):
+        reg = self._registry()
+        assert reg.select_models(["b"]) == ["b"]
+        assert reg.select_models(["+b"]) == ["a", "b"]
+        assert reg.select_models(["b+"]) == ["b", "c", "d", "e"]
+        assert reg.select_models(["+b+"]) == ["a", "b", "c", "d", "e"]
+        assert reg.select_models(["b+1"]) == ["b", "c", "d"]
+        assert reg.select_models(["1+e"]) == ["c", "e"]
+
+    def test_tag_at_union_intersection(self):
+        reg = self._registry()
+        assert reg.select_models(["tag:mart"]) == ["b", "d"]
+        assert reg.select_models(["tag:island f"]) == ["f"]
+        # union via space; intersection via comma
+        assert reg.select_models(["tag:mart b+"]) == ["b", "c", "d", "e"]
+        assert reg.select_models(["b+,tag:mart"]) == ["b", "d"]
+        # @c = c + descendants(e) + all their ancestors
+        assert reg.select_models(["@c"]) == ["a", "b", "c", "e"]
+
+    def test_unknown_selector_raises(self):
+        import pytest as _pytest
+
+        from dbt_databricks_metrics_spark.models import ModelError
+
+        reg = self._registry()
+        with _pytest.raises(ModelError):
+            reg.select_models(["nope+"])
+        with _pytest.raises(ModelError):
+            reg.select_models(["+%bad%"])
+
+    def test_runner_expands_selectors(self, spark, sf_dir):
+        """engine.run(select=['stg_orders+']) builds the staging model and
+        every downstream consumer, nothing unrelated."""
+        import tempfile
+
+        from dbt_databricks_metrics_spark.engine import MetricEngine
+        from dbt_databricks_metrics_spark.project import build_registry
+
+        eng = MetricEngine(
+            spark,
+            build_registry(sf_dir),
+            warehouse_dir=tempfile.mkdtemp(prefix="sel_wh_"),
+        )
+        built = eng._runner.run(select=["stg_orders+"])
+        assert "stg_orders" in built
+        assert "fct_orders" in built  # descendant
+        assert "stg_lineitem" not in built  # unrelated branch
