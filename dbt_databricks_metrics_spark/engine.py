@@ -607,6 +607,31 @@ class MetricEngine:
             )
         return results
 
+    def build(
+        self,
+        select: Optional[list[str]] = None,
+        materialize_rollups: bool = False,
+        fail_fast: bool = True,
+    ) -> tuple[dict[str, DataFrame], list]:
+        """``dbt build`` analogue: run the (selected) models — graph
+        selectors included — then every data check declared on the models
+        that were actually built. With *fail_fast* (default, dbt's
+        behavior) a failing check raises ``ModelError`` naming each
+        failed test; otherwise the results come back for inspection.
+        Returns ``(built_models, check_results)``."""
+        from .models import ModelError
+
+        built = self.run(select=select, materialize_rollups=materialize_rollups)
+        results = self.test(select=list(built))
+        if fail_fast:
+            failed = [r for r in results if not r.passed]
+            if failed:
+                detail = ", ".join(
+                    f"{r.model}.{r.check} ({r.failures} rows)" for r in failed
+                )
+                raise ModelError(f"build: {len(failed)} data check(s) failed: {detail}")
+        return built, results
+
     def source_freshness(
         self,
         model_name: str,

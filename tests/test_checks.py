@@ -165,3 +165,46 @@ def test_unit_test_model_with_mocked_inputs(engine, spark):
 
     with pytest.raises(ValueError, match="no mocked input"):
         engine.unit_test("fct_orders", {"stg_orders": stg_orders}, expect)
+
+
+def test_engine_build_runs_models_then_checks(spark, sf_dir, tmp_path_factory):
+    """dbt build analogue: models + their declared checks in one call;
+    fail_fast raises with the failing check named."""
+    import pytest as _pytest
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.models import ModelError
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    eng = MetricEngine(
+        spark,
+        build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("build_wh")),
+    )
+    built, results = eng.build()
+    assert "fct_orders" in built
+    assert results and all(r.passed for r in results)
+
+    # a registry with a failing declared check must raise under fail_fast
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model(
+        "bad",
+        meta={"checks": [{"expression": "total_price < 0"}]},
+    )
+    def bad(spark, ref):
+        from dbt_databricks_metrics_spark.sources import load_table
+
+        return load_table(spark, sf_dir, "orders").selectExpr(
+            "o_totalprice AS total_price"
+        )
+
+    eng2 = MetricEngine(
+        spark, reg, warehouse_dir=str(tmp_path_factory.mktemp("build_wh2"))
+    )
+    with _pytest.raises(ModelError, match="data check"):
+        eng2.build()
+    _built, res = eng2.build(fail_fast=False)
+    assert any(not r.passed for r in res)
