@@ -668,6 +668,71 @@ class MetricEngine:
         duration)."""
         return list(self._runner.run_results)
 
+    def write_catalog(self, path: str) -> str:
+        """``dbt docs generate`` catalog artifact: every built model's
+        column schema (taken from the lazy plan — metadata only, no
+        scan), materialization and description, plus every registered
+        metric view's dimensions/measures with their v1.1 semantic
+        metadata (display names, synonyms, comments, formats). One JSON
+        file a downstream docs site or LLM agent can consume."""
+        import json
+
+        models: dict[str, Any] = {}
+        for name in self.registry.names():
+            m = self.registry[name]
+            try:
+                cols = [
+                    {"name": f.name, "type": f.dataType.simpleString()}
+                    for f in self.ref(name).schema.fields
+                ]
+            except Exception:
+                cols = []  # not built yet — still list the node
+            models[name] = {
+                "materialized": m.materialized,
+                "description": m.description,
+                "depends_on": list(m.deps),
+                "columns": cols,
+            }
+        views: dict[str, Any] = {}
+        for vname in self.catalog.names():
+            spec = self.catalog.get(vname).spec
+            views[vname] = {
+                "source": spec.source,
+                "version": spec.version,
+                "description": spec.description,
+                "filter": spec.filter,
+                "dimensions": [
+                    {
+                        "name": d.name,
+                        "expr": d.expr,
+                        "display_name": d.display_name,
+                        "comment": d.comment,
+                        "synonyms": list(d.synonyms),
+                    }
+                    for d in spec.dimensions
+                ],
+                "measures": [
+                    {
+                        "name": ms.name,
+                        "expr": ms.expr,
+                        "display_name": ms.display_name,
+                        "comment": ms.comment,
+                        "synonyms": list(ms.synonyms),
+                        "windowed": bool(ms.windows),
+                        **(
+                            {"format": {"type": ms.format.type,
+                                        "currency_code": ms.format.currency_code}}
+                            if ms.format
+                            else {}
+                        ),
+                    }
+                    for ms in spec.measures
+                ],
+            }
+        with open(path, "w") as fh:
+            json.dump({"models": models, "metric_views": views}, fh, indent=2)
+        return path
+
     def write_run_results(self, path: str) -> str:
         """Write the dbt-style ``run_results.json`` artifact for the most
         recent run; returns *path*."""

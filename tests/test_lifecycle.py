@@ -126,3 +126,31 @@ def test_refresh_all(spark, sf_dir, tmp_path):
         assert eng.catalog.get(name).state is not None
     # mv_customer_metrics declares no materialization → no state
     assert eng.catalog.get("mv_customer_metrics").state is None
+
+
+def test_write_catalog_artifact(spark, sf_dir, tmp_path_factory):
+    """docs-generate catalog: built models carry column schemas, metric
+    views carry the v1.1 semantic metadata; round-trips through JSON."""
+    import json
+    import tempfile
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=tempfile.mkdtemp("cat_wh_")
+    )
+    eng.run()
+    path = str(tmp_path_factory.mktemp("docs") / "catalog.json")
+    eng.write_catalog(path)
+    cat = json.load(open(path))
+    fct = cat["models"]["fct_orders"]
+    assert fct["materialized"] == "table"
+    assert {"name": "order_year", "type": "int"} in fct["columns"]
+    assert "stg_orders" in fct["depends_on"]
+    mv = cat["metric_views"]["mv_customer_metrics"]
+    assert any(m["name"] == "avg_customer_value" and m["display_name"]
+               for m in mv["measures"])
+    assert any("segment" in d["synonyms"] for d in mv["dimensions"])
+    assert any(m["windowed"] for v in cat["metric_views"].values()
+               for m in v["measures"])
