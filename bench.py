@@ -520,6 +520,39 @@ def main() -> None:
     # docs is already repartitioned + checkpointed at setup; build the 4x
     # copy with collision-proof id offsets (shift past the current max
     # each doubling round — fixture ids are NOT assumed small)
+    def _para_containers(d):
+        body = d.select(
+            F.pmod(F.col("doc_id"), F.lit(50)).alias("cid"),
+            F.col("doc_id").cast("long").alias("ord"),
+            F.col("text").alias("para"),
+        )
+        boiler = body.select("cid").distinct().select(
+            "cid",
+            F.lit(10**7).cast("long").alias("ord"),
+            F.lit("subscribe to our newsletter").alias("para"),
+        )
+        return (
+            body.unionByName(boiler)
+            .groupBy("cid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ord", "para"))),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+        )
+
+    def _logreg_feats(d):
+        from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+
+        return hashed_doc_vectors(d, dim=16, idf=False).join(
+            d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+            "doc_id",
+        )
+
     docs1 = docs
     docs4 = docs
     for _ in range(2):  # 4x
@@ -539,6 +572,22 @@ def main() -> None:
         (
             "doc_stats",
             lambda d: ext_text.document_stats(d).agg(F.avg("quality_score")).collect(),
+        ),
+        # round-3 ops: paragraph dedup over contract-shaped containers
+        # (outputs stay container-sized — replicated paragraphs COLLAPSE,
+        # they don't explode) and one logreg GD round (linear scans +
+        # dim-sized gradient shuffle)
+        (
+            "paragraph_dedup",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.dedup", fromlist=["x"]
+            ).dedup_paragraphs(_para_containers(d), id_col="cid").count(),
+        ),
+        (
+            "logreg_round",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.classify", fromlist=["x"]
+            ).logreg_train(_logreg_feats(d), "y", dim=16, n_iter=1),
         ),
     ):
         def best_of3(d, f=fn):
