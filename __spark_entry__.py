@@ -565,7 +565,7 @@ def _q_measure_by_dim(spark, sf_dir):
     return df.select(
         "market_segment",
         F.col("total_orders"),
-        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        F.round(F.col("total_revenue"), 2).alias("total_revenue"),
         exact_avg.alias("avg_order_value"),
         (F.abs(F.col("avg_order_value") - exact_avg) < F.lit(1e-6)).alias("avg_ok"),
     )
@@ -577,7 +577,7 @@ def _q_measure_multi_dim(spark, sf_dir):
         dimensions=["order_year", "order_status"],
         measures=["total_revenue", "max_order_value", "total_orders"],
     )
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_measure_global(spark, sf_dir):
@@ -683,9 +683,10 @@ def _q_customer_metrics(spark, sf_dir):
 
 def _q_trailing_7d(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_order_metrics").query(
+    df = eng.metric_view("mv_order_metrics").query(
         dimensions=["market_segment"], measures=["trailing_7d_revenue"]
     )
+    return _round_cols(df, ["trailing_7d_revenue"], 2)
 
 
 def _q_cumulative(spark, sf_dir):
@@ -693,7 +694,7 @@ def _q_cumulative(spark, sf_dir):
     df = eng.metric_view("mv_order_metrics").query(
         dimensions=["order_status"], measures=["cumulative_revenue"]
     )
-    return _round_cols(df, ["cumulative_revenue"])
+    return _round_cols(df, ["cumulative_revenue"], 2)
 
 
 def _q_multi_window_shared(spark, sf_dir):
@@ -705,7 +706,7 @@ def _q_multi_window_shared(spark, sf_dir):
         dimensions=["market_segment"],
         measures=["trailing_7d_revenue", "cumulative_revenue"],
     )
-    return _round_cols(df, ["trailing_7d_revenue", "cumulative_revenue"])
+    return _round_cols(df, ["trailing_7d_revenue", "cumulative_revenue"], 2)
 
 
 def _q_ytd(spark, sf_dir):
@@ -713,14 +714,15 @@ def _q_ytd(spark, sf_dir):
     df = eng.metric_view("mv_ytd").query(
         dimensions=["market_segment"], measures=["ytd_revenue"]
     )
-    return _round_cols(df, ["ytd_revenue"])
+    return _round_cols(df, ["ytd_revenue"], 2)
 
 
 def _q_semiadditive_first(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return eng.metric_view("mv_first").query(
+    df = eng.metric_view("mv_first").query(
         dimensions=["market_segment"], measures=["opening_trailing_7d"]
     )
+    return _round_cols(df, ["opening_trailing_7d"], 2)
 
 
 def _q_filtered_mv(spark, sf_dir):
@@ -728,7 +730,7 @@ def _q_filtered_mv(spark, sf_dir):
     df = eng.metric_view("mv_filtered").query(
         dimensions=["market_segment"], measures=["total_revenue", "total_orders"]
     )
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_routed_segment(spark, sf_dir):
@@ -739,7 +741,7 @@ def _q_routed_segment(spark, sf_dir):
         ["market_segment"], ["total_revenue", "total_orders"]
     )
     assert route == "rollup:revenue_by_segment", route
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_routed_monthly(spark, sf_dir):
@@ -748,7 +750,7 @@ def _q_routed_monthly(spark, sf_dir):
         ["order_year", "order_month"], ["total_revenue"]
     )
     assert route == "rollup:monthly_revenue", route
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_sketch_distinct(spark, sf_dir):
@@ -901,35 +903,173 @@ def _q_routed_pricing(spark, sf_dir):
     )
 
 
+def _star_joined(spark, sf_dir, eng):
+    """The star's flattened rows rebuilt from the refs — the exact-partials
+    side of the snowflake contracts (disc-revenue sits on the 1e-4 grid, so
+    round(sum, 4) has only a 5e-5 margin against sf0.1-size summation
+    jitter; int64 micros partials are order-free — the lineitem_pricing
+    treatment applied to joined dims)."""
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    li = eng.ref("stg_lineitem").select(
+        "order_id", "part_id", "extended_price", "discount", "quantity",
+        "return_flag",
+    )
+    o = eng.ref("stg_orders").select("order_id", "customer_id", "order_date")
+    c = eng.ref("stg_customers").select(
+        "customer_id", "market_segment", "nation_id"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("region_id"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_id"),
+        F.col("r_name").alias("region_name"),
+    )
+    return (
+        li.join(o, "order_id", "left")
+        .join(c, "customer_id", "left")
+        .join(nat, "nation_id", "left")
+        .join(reg, "region_id", "left")
+    )
+
+
 def _q_revenue_by_nation(spark, sf_dir):
     # snowflake star: fact -> orders -> customer -> nation -> region via
-    # declared joins; dims resolve through dotted alias paths
+    # declared joins; dims resolve through dotted alias paths. Values are
+    # integer-exact micros partials; the MV's own measures are pinned by
+    # the mv_ok tolerance boolean.
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    df = eng.metric_view("mv_sales_star").query(
+    mv = eng.metric_view("mv_sales_star").query(
         dimensions=["nation_name", "region_name"],
         measures=["revenue", "line_count", "avg_discount"],
+    ).select(
+        "nation_name", "region_name",
+        F.col("revenue").alias("_mr"), F.col("line_count").alias("_mn"),
+        F.col("avg_discount").alias("_md"),
     )
-    return _round_cols(_round_cols(df, ["revenue"]), ["avg_discount"], 6)
+    ex = _star_joined(spark, sf_dir, eng).groupBy(
+        "nation_name", "region_name"
+    ).agg(
+        F.sum(
+            F.round(F.col("extended_price") * (1 - F.col("discount")) * 10000)
+            .cast("bigint")
+        ).alias("_ru"),
+        F.sum(F.round(F.col("discount") * 100).cast("bigint")).alias("_dc"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = mv.join(ex, ["nation_name", "region_name"])
+    e_rev = F.col("_ru") / 10000.0
+    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
+    ok = (
+        (F.abs(F.col("_mr") - e_rev) < 1e-2)
+        & (F.abs(F.col("_md") - e_ad) < 1e-6)
+        & (F.col("_mn") == F.col("_n"))
+    )
+    return j.select(
+        "nation_name", "region_name",
+        e_rev.alias("revenue"),
+        F.col("_n").alias("line_count"),
+        e_ad.alias("avg_discount"),
+        ok.alias("mv_ok"),
+    )
 
 
 def _q_star_segment_year(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     eng = _engine(spark, sf_dir)
-    df = eng.metric_view("mv_sales_star").query(
+    mv = eng.metric_view("mv_sales_star").query(
         dimensions=["market_segment", "order_year"],
         measures=["revenue", "line_count"],
+    ).select(
+        "market_segment", "order_year",
+        F.col("revenue").alias("_mr"), F.col("line_count").alias("_mn"),
     )
-    return _round_cols(df, ["revenue"])
+    ex = (
+        _star_joined(spark, sf_dir, eng)
+        .withColumn("order_year", F.year("order_date").cast("int"))
+        .groupBy("market_segment", "order_year")
+        .agg(
+            F.sum(
+                F.round(F.col("extended_price") * (1 - F.col("discount")) * 10000)
+                .cast("bigint")
+            ).alias("_ru"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    j = mv.join(ex, ["market_segment", "order_year"])
+    e_rev = F.col("_ru") / 10000.0
+    ok = (F.abs(F.col("_mr") - e_rev) < 1e-2) & (F.col("_mn") == F.col("_n"))
+    return j.select(
+        "market_segment", "order_year",
+        e_rev.alias("revenue"),
+        F.col("_n").alias("line_count"),
+        ok.alias("mv_ok"),
+    )
 
 
 def _q_revenue_by_brand(spark, sf_dir):
     # multi-branch star: the part branch supplies both a dimension and a
-    # measure input (retail_value references part.retail_price)
+    # measure input (retail_value references part.retail_price). Exact
+    # micros/cents partials (retail = int qty x 2dp price -> cent grid).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+
     eng = _engine(spark, sf_dir)
-    df = eng.metric_view("mv_sales_star").query(
+    mv = eng.metric_view("mv_sales_star").query(
         dimensions=["part_brand", "return_flag"],
         measures=["revenue", "retail_value", "line_count"],
+    ).select(
+        "part_brand", "return_flag",
+        F.col("revenue").alias("_mr"), F.col("retail_value").alias("_mv"),
+        F.col("line_count").alias("_mn"),
     )
-    return _round_cols(df, ["revenue", "retail_value"])
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_brand").alias("part_brand"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+    li = eng.ref("stg_lineitem").select(
+        "part_id", "extended_price", "discount", "quantity", "return_flag"
+    )
+    ex = (
+        li.join(part, "part_id", "left")
+        .groupBy("part_brand", "return_flag")
+        .agg(
+            F.sum(
+                F.round(F.col("extended_price") * (1 - F.col("discount")) * 10000)
+                .cast("bigint")
+            ).alias("_ru"),
+            F.sum(
+                F.round(F.col("quantity") * F.col("retail_price") * 100)
+                .cast("bigint")
+            ).alias("_rc"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    j = mv.join(ex, ["part_brand", "return_flag"])
+    e_rev = F.col("_ru") / 10000.0
+    e_ret = F.col("_rc") / 100.0
+    ok = (
+        (F.abs(F.col("_mr") - e_rev) < 1e-2)
+        & (F.abs(F.col("_mv") - e_ret) < 1e-2)
+        & (F.col("_mn") == F.col("_n"))
+    )
+    return j.select(
+        "part_brand", "return_flag",
+        e_rev.alias("revenue"),
+        e_ret.alias("retail_value"),
+        F.col("_n").alias("line_count"),
+        ok.alias("mv_ok"),
+    )
 
 
 _BUCKETED: dict[tuple[int, str], dict] = {}
@@ -973,7 +1113,7 @@ def _q_bucketed_revenue(spark, sf_dir):
         .join(built["bkt_orders"], "order_id")
         .groupBy("order_status")
         .agg(
-            F.sum(F.col("extended_price") * (1 - F.col("discount"))).alias("revenue"),
+            (F.sum(F.round(F.col("extended_price") * (1 - F.col("discount")) * 10000).cast("bigint")) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -1007,7 +1147,7 @@ def _q_sliced_measure(spark, sf_dir):
         where="order_status = 'F'",
     )
     assert route == "rollup:revenue_by_segment", route
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_measure_sql(spark, sf_dir):
@@ -1027,7 +1167,7 @@ def _q_measure_sql(spark, sf_dir):
     exact_avg = F.round(F.col("total_revenue"), 2) / F.col("total_orders")
     return df.select(
         "market_segment",
-        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        F.round(F.col("total_revenue"), 2).alias("total_revenue"),
         exact_avg.alias("avg_order_value"),
         (F.abs(F.col("avg_order_value") - exact_avg) < F.lit(1e-6)).alias("avg_ok"),
     )
@@ -1456,7 +1596,7 @@ def _q_drill_across(spark, sf_dir):
     )
     return out.select(
         "market_segment",
-        F.round("total_revenue", 4).alias("total_revenue"),
+        F.round("total_revenue", 2).alias("total_revenue"),
         "total_customers",
     )
 
@@ -1509,9 +1649,9 @@ def _q_pop_revenue(spark, sf_dir):
     return pop.select(
         "market_segment",
         "order_year",
-        F.round("total_revenue", 4).alias("revenue"),
-        F.round("total_revenue_prev", 4).alias("revenue_prev"),
-        F.round("total_revenue_delta", 4).alias("revenue_delta"),
+        F.round("total_revenue", 2).alias("revenue"),
+        F.round("total_revenue_prev", 2).alias("revenue_prev"),
+        F.round("total_revenue_delta", 2).alias("revenue_delta"),
         F.round("total_revenue_pct", 6).alias("revenue_pct"),
     )
 
@@ -1528,7 +1668,7 @@ def _q_topk_months(spark, sf_dir):
         order_by=["total_revenue desc", "order_year", "order_month"],
         limit=5,
     )
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_having_segments(spark, sf_dir):
@@ -1540,7 +1680,7 @@ def _q_having_segments(spark, sf_dir):
         having="total_orders > 2950",
     )
     assert route == "rollup:revenue_by_segment", route
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_spine_daily_revenue(spark, sf_dir):
@@ -1551,7 +1691,7 @@ def _q_spine_daily_revenue(spark, sf_dir):
     df = eng.metric_view("mv_order_metrics").query_filled(
         ["order_status"], ["total_revenue"], time_dim="order_date"
     )
-    return _round_cols(df, ["total_revenue"])
+    return _round_cols(df, ["total_revenue"], 2)
 
 
 def _q_interpolated_revenue(spark, sf_dir):
@@ -1573,7 +1713,7 @@ def _q_interpolated_revenue(spark, sf_dir):
             F.col("o_orderstatus").alias("order_status"),
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     dense = spine_op.fill_time_gaps(
         sparse, "order_date", ["order_status"], step="day"
@@ -1596,7 +1736,7 @@ def _q_share_of_total(spark, sf_dir):
     df = eng.metric_view("mv_order_metrics").query_share(
         ["market_segment"], ["total_revenue"]
     )
-    return _round_cols(_round_cols(df, ["total_revenue"]), ["total_revenue_share"], 6)
+    return _round_cols(_round_cols(df, ["total_revenue"], 2), ["total_revenue_share"], 6)
 
 
 def _q_dsir_weights(spark, sf_dir):
@@ -1672,7 +1812,7 @@ def _q_incremental_model(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("total_price").alias("revenue"),
     )
-    return _round_cols(summary, ["revenue"])
+    return _round_cols(summary, ["revenue"], 2)
 
 
 def _q_snapshot_scd2(spark, sf_dir):
@@ -2098,8 +2238,15 @@ def _q_advisor_applied_route(spark, sf_dir):
     router finds can only have come from applied advice — the
     ``routed_from_advised`` boolean (route starts with ``rollup:adv_``)
     fails the hash if the advise→build→route chain breaks anywhere.
-    Weights double on re-invocation (the log accumulates) but stay
-    proportional, so the greedy's picks are invocation-stable.
+
+    Invocation stability: the engine is session-cached, so repeat runs
+    re-advise on a grown log AND against already-applied rollups — with
+    ``consider_existing=True`` the third run's incremental advice is
+    empty ([] once everything is optimally covered), which would flip
+    ``advice_nonempty``. The contract therefore advises with
+    ``consider_existing=False`` (from-scratch advice, idempotent
+    rebuild of the same adv_* rollups): the log's weights grow but stay
+    order-preserving, so the greedy picks the same grains every time.
     """
     from pyspark.sql import functions as F
 
@@ -2121,14 +2268,22 @@ def _q_advisor_applied_route(spark, sf_dir):
     for dims, meas, n in workload:
         for _ in range(n):
             mv.query_routed(dims, meas)  # observed only — plans stay lazy
-    choices = mv.advise_rollups(apply=True, max_rollups=2)
+    # advice itself is recomputed every run from scratch (pure metadata —
+    # stable picks); the BUILD happens only once per session, so repeat
+    # invocations don't rewrite rollup parquet under cached readers
+    choices = mv.advise_rollups(
+        apply=False, max_rollups=2, consider_existing=False
+    )
+    state = mv._rv.state
+    if state is None or not any(k.startswith("adv_") for k in state.rollups):
+        mv.advise_rollups(apply=True, max_rollups=2, consider_existing=False)
     routed, route = mv.query_routed(["market_segment"], ["total_revenue"])
     live = mv.query(["market_segment"], ["total_revenue"]).select(
         "market_segment", F.col("total_revenue").alias("_live")
     )
     return routed.join(live, "market_segment").select(
         "market_segment",
-        F.round(F.col("total_revenue"), 4).alias("total_revenue"),
+        F.round(F.col("total_revenue"), 2).alias("total_revenue"),
         F.lit(route.startswith("rollup:adv_")).alias("routed_from_advised"),
         (F.abs(F.col("total_revenue") - F.col("_live")) < F.lit(1e-3)).alias(
             "routed_eq_live"
@@ -2215,7 +2370,7 @@ def _q_metric_anomalies(spark, sf_dir):
     return df.select(
         "market_segment",
         "order_month",
-        F.round("total_revenue", 4).alias("total_revenue"),
+        F.round("total_revenue", 2).alias("total_revenue"),
         F.round("total_revenue_z", 6).alias("total_revenue_z"),
         F.col("total_revenue_anomaly"),
     )
@@ -2446,14 +2601,14 @@ def _logreg_oracle_sql(
             tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
             bk AS (
               SELECT doc_id,
-                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 8 AS INT) AS b,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {dim} AS INT) AS b,
                      sum(CAST(tf AS DOUBLE)) AS v
               FROM tf GROUP BY 1, 2
             ),
             dense AS (
               SELECT d.doc_id, gs.i AS i, coalesce(bk.v, 0.0) AS x
               FROM (SELECT DISTINCT doc_id FROM src) d
-              CROSS JOIN generate_series(0, 7) AS gs(i)
+              CROSS JOIN generate_series(0, {dim} - 1) AS gs(i)
               LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = gs.i
             ),
             nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM dense GROUP BY 1),
@@ -2469,7 +2624,7 @@ def _logreg_oracle_sql(
             ),
             cnt AS (SELECT count(DISTINCT doc_id) AS n FROM v),
             w0 AS (SELECT gs.i AS i, CAST(0.0 AS DOUBLE) AS w
-                   FROM generate_series(0, 7) AS gs(i))"""
+                   FROM generate_series(0, {dim} - 1) AS gs(i))"""
     ]
     for r in range(n_iter):
         parts.append(f"""
@@ -2680,9 +2835,7 @@ def _q_zorder_scan(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")) / 10000.0).alias("revenue"),
         )
     )
     return _round_cols(agg, ["revenue"])
@@ -3106,7 +3259,7 @@ def _q_incremental_refresh(spark, sf_dir):
     return spark.read.parquet(path).select(
         "order_year",
         "order_month",
-        F.round(F.expr(fin), 4).alias("total_revenue"),
+        F.round(F.expr(fin), 2).alias("total_revenue"),
     )
 
 
@@ -3115,7 +3268,7 @@ def _q_trailing_month(spark, sf_dir):
     df = eng.metric_view("mv_trailing_month").query(
         dimensions=["order_status"], measures=["t1m_revenue"]
     )
-    return _round_cols(df, ["t1m_revenue"])
+    return _round_cols(df, ["t1m_revenue"], 2)
 
 
 def _q_salted_join_agg(spark, sf_dir):
@@ -3137,6 +3290,7 @@ def _q_salted_join_agg(spark, sf_dir):
             F.sum("o_totalprice").alias("revenue"),
         ),
         ["revenue"],
+        2,
     )
 
 
@@ -3582,7 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "fct_customer_summary": _FCT_CUSTOMER_SUMMARY,
         "measure_by_dim": f"""
             SELECT market_segment, count(*) AS total_orders,
-                   round(sum(total_price), 4) AS total_revenue,
+                   round(sum(total_price), 2) AS total_revenue,
                    round(sum(total_price), 2) / count(*) AS avg_order_value,
                    (abs(avg(total_price) - round(sum(total_price), 2) / count(*))
                     < 1e-6) AS avg_ok
@@ -3590,7 +3744,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "measure_multi_dim": f"""
             SELECT order_year, order_status,
-                   round(sum(total_price), 4) AS total_revenue,
+                   round(sum(total_price), 2) AS total_revenue,
                    max(total_price) AS max_order_value, count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
@@ -3647,11 +3801,11 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w
                 FROM grain
             )
-            SELECT market_segment, arg_max(w, order_date) AS trailing_7d_revenue
+            SELECT market_segment, round(arg_max(w, order_date), 2) AS trailing_7d_revenue
             FROM win GROUP BY 1
         """,
         "cumulative_revenue": f"""
-            SELECT order_status, round(sum(total_price), 4) AS cumulative_revenue
+            SELECT order_status, round(sum(total_price), 2) AS cumulative_revenue
             FROM ({_STG_ORDERS}) GROUP BY 1
         """,
         "multi_window_shared": f"""
@@ -3668,8 +3822,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM grain
             )
             SELECT market_segment,
-                   round(arg_max(w7, order_date), 4) AS trailing_7d_revenue,
-                   round(arg_max(wc, order_date), 4) AS cumulative_revenue
+                   round(arg_max(w7, order_date), 2) AS trailing_7d_revenue,
+                   round(arg_max(wc, order_date), 2) AS cumulative_revenue
             FROM win GROUP BY 1
         """,
         "ytd_revenue": f"""
@@ -3684,23 +3838,23 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
                 FROM grain
             )
-            SELECT market_segment, round(arg_max(w, order_date), 4) AS ytd_revenue
+            SELECT market_segment, round(arg_max(w, order_date), 2) AS ytd_revenue
             FROM win GROUP BY 1
         """,
         "filtered_mv": f"""
-            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) WHERE order_status = 'F'
             GROUP BY market_segment
         """,
         "routed_segment": f"""
-            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "routed_monthly": f"""
             SELECT order_year, order_month,
-                   round(sum(total_price), 4) AS total_revenue
+                   round(sum(total_price), 2) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "lineitem_pricing": f"""
@@ -3768,42 +3922,72 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "revenue_by_nation": f"""
-            SELECT n.n_name AS nation_name, r.r_name AS region_name,
-                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
-                   count(*) AS line_count,
-                   round(avg(l.discount), 6) AS avg_discount
-            FROM ({_STG_LINEITEM}) l
-            LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
-            LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
-            LEFT JOIN nation n ON c.nation_id = n.n_nationkey
-            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-            GROUP BY 1, 2
+            WITH g AS (
+                SELECT n.n_name AS nation_name, r.r_name AS region_name,
+                       sum(CAST(round(l.extended_price * (1 - l.discount) * 10000) AS BIGINT)) AS ru,
+                       sum(CAST(round(l.discount * 100) AS BIGINT)) AS dc,
+                       count(*) AS n,
+                       sum(l.extended_price * (1 - l.discount)) AS mr,
+                       avg(l.discount) AS md
+                FROM ({_STG_LINEITEM}) l
+                LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
+                LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
+                LEFT JOIN nation n ON c.nation_id = n.n_nationkey
+                LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY 1, 2
+            )
+            SELECT nation_name, region_name,
+                   ru / 10000.0 AS revenue,
+                   n AS line_count,
+                   dc / (100.0 * n) AS avg_discount,
+                   (abs(mr - ru / 10000.0) < 1e-2
+                    AND abs(md - dc / (100.0 * n)) < 1e-6) AS mv_ok
+            FROM g
         """,
         "star_segment_year": f"""
-            SELECT c.market_segment,
-                   CAST(year(o.order_date) AS INT) AS order_year,
-                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
-                   count(*) AS line_count
-            FROM ({_STG_LINEITEM}) l
-            LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
-            LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
-            GROUP BY 1, 2
+            WITH g AS (
+                SELECT c.market_segment,
+                       CAST(year(o.order_date) AS INT) AS order_year,
+                       sum(CAST(round(l.extended_price * (1 - l.discount) * 10000) AS BIGINT)) AS ru,
+                       count(*) AS n,
+                       sum(l.extended_price * (1 - l.discount)) AS mr
+                FROM ({_STG_LINEITEM}) l
+                LEFT JOIN ({_STG_ORDERS}) o ON l.order_id = o.order_id
+                LEFT JOIN ({_STG_CUSTOMERS}) c ON o.customer_id = c.customer_id
+                GROUP BY 1, 2
+            )
+            SELECT market_segment, order_year,
+                   ru / 10000.0 AS revenue,
+                   n AS line_count,
+                   (abs(mr - ru / 10000.0) < 1e-2) AS mv_ok
+            FROM g
         """,
         "bucketed_revenue": """
             SELECT o.o_orderstatus AS order_status,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
                    count(*) AS line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,
         "revenue_by_brand": f"""
-            SELECT p.p_brand AS part_brand, l.return_flag,
-                   round(sum(l.extended_price * (1 - l.discount)), 4) AS revenue,
-                   round(sum(l.quantity * p.p_retailprice), 4) AS retail_value,
-                   count(*) AS line_count
-            FROM ({_STG_LINEITEM}) l
-            LEFT JOIN part p ON l.part_id = p.p_partkey
-            GROUP BY 1, 2
+            WITH g AS (
+                SELECT p.p_brand AS part_brand, l.return_flag,
+                       sum(CAST(round(l.extended_price * (1 - l.discount) * 10000) AS BIGINT)) AS ru,
+                       sum(CAST(round(l.quantity * p.p_retailprice * 100) AS BIGINT)) AS rc,
+                       count(*) AS n,
+                       sum(l.extended_price * (1 - l.discount)) AS mr,
+                       sum(l.quantity * p.p_retailprice) AS mv
+                FROM ({_STG_LINEITEM}) l
+                LEFT JOIN part p ON l.part_id = p.p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT part_brand, return_flag,
+                   ru / 10000.0 AS revenue,
+                   rc / 100.0 AS retail_value,
+                   n AS line_count,
+                   (abs(mr - ru / 10000.0) < 1e-2
+                    AND abs(mv - rc / 100.0) < 1e-2) AS mv_ok
+            FROM g
         """,
         "semiadditive_first": f"""
             WITH grain AS (
@@ -3816,7 +4000,7 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS w
                 FROM grain
             )
-            SELECT market_segment, arg_min(w, order_date) AS opening_trailing_7d
+            SELECT market_segment, round(arg_min(w, order_date), 2) AS opening_trailing_7d
             FROM win GROUP BY 1
         """,
         "measure_expr_sql": f"""
@@ -3840,14 +4024,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY order_status
         """,
         "measure_sql": f"""
-            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    round(sum(total_price), 2) / count(*) AS avg_order_value,
                    (abs(avg(total_price) - round(sum(total_price), 2) / count(*))
                     < 1e-6) AS avg_ok
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "sliced_measure": f"""
-            SELECT market_segment, round(sum(total_price), 4) AS total_revenue,
+            SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) WHERE order_status = 'F'
             GROUP BY market_segment
@@ -3952,10 +4136,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, string_split(text, chr(10)) AS p FROM containers
             ),
             paras AS (
-                SELECT cid, gs.i - 1 AS pos, p[gs.i] AS para,
-                       substr(md5(p[gs.i]), 1, 16) AS f
-                FROM split CROSS JOIN generate_series(1, 12) AS gs(i)
-                WHERE gs.i <= len(p) AND length(trim(p[gs.i])) > 0
+                SELECT cid, i - 1 AS pos, p[i] AS para,
+                       substr(md5(p[i]), 1, 16) AS f
+                FROM (SELECT cid, unnest(generate_series(1, len(p))) AS i, p
+                      FROM split)
+                WHERE length(trim(p[i])) > 0
             ),
             kept AS (
                 SELECT cid, pos, para FROM (
@@ -4037,15 +4222,15 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT market_segment, order_year,
-                   round(rev, 4) AS revenue,
-                   round(prev, 4) AS revenue_prev,
-                   round(rev - prev, 4) AS revenue_delta,
+                   round(rev, 2) AS revenue,
+                   round(prev, 2) AS revenue_prev,
+                   round(rev - prev, 2) AS revenue_delta,
                    round((rev - prev) / nullif(prev, 0), 6) AS revenue_pct
             FROM lagd
         """,
         "topk_months": f"""
             SELECT order_year, order_month,
-                   round(sum(total_price), 4) AS total_revenue,
+                   round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS})
             GROUP BY 1, 2
@@ -4055,7 +4240,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "having_segments": f"""
             SELECT market_segment,
-                   round(sum(total_price), 4) AS total_revenue,
+                   round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS})
             GROUP BY 1 HAVING count(*) > 2950
@@ -4072,7 +4257,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
               SELECT order_status, order_date,
-                     round(sum(total_price), 4) AS rev
+                     round(sum(total_price), 2) AS rev
               FROM fct GROUP BY 1, 2
             )
             SELECT g.order_status, s.order_date,
@@ -4091,7 +4276,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
               SELECT order_status, order_date,
-                     round(sum(total_price), 4) AS rev
+                     round(sum(total_price), 2) AS rev
               FROM fct GROUP BY 1, 2
             ),
             bounds AS (
@@ -4141,7 +4326,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT market_segment, sum(total_price) AS rev
               FROM ({_FCT_ORDERS}) GROUP BY 1
             )
-            SELECT market_segment, round(rev, 4) AS total_revenue,
+            SELECT market_segment, round(rev, 2) AS total_revenue,
                    round(rev / nullif(sum(rev) OVER (), 0), 6)
                        AS total_revenue_share
             FROM agg
@@ -4207,7 +4392,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_model": """
             SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS revenue
+                   round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1
         """,
         "snapshot_scd2": """
@@ -4243,7 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         # routed ≡ live held on the Spark side
         "advisor_applied_route": f"""
             SELECT market_segment,
-                   round(sum(total_price), 4) AS total_revenue,
+                   round(sum(total_price), 2) AS total_revenue,
                    TRUE AS routed_from_advised,
                    TRUE AS routed_eq_live,
                    TRUE AS advice_nonempty
@@ -4408,7 +4593,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM g GROUP BY 1
             )
             SELECT g.market_segment, g.order_month,
-                   round(rev, 4) AS total_revenue,
+                   round(rev, 2) AS total_revenue,
                    round((rev - m) / nullif(sd, 0), 6) AS total_revenue_z,
                    (abs((rev - m) / nullif(sd, 0)) >= 1.5)
                        AS total_revenue_anomaly
@@ -4520,7 +4705,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_scan": """
             SELECT l_returnflag, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_partkey % 50 = 0
             GROUP BY 1
@@ -4985,12 +5170,12 @@ def oracle_sql() -> dict[str, str]:
                  AND r.order_date <= l.order_date
                 GROUP BY 1, 2
             )
-            SELECT order_status, round(arg_max(w, order_date), 4) AS t1m_revenue
+            SELECT order_status, round(arg_max(w, order_date), 2) AS t1m_revenue
             FROM win GROUP BY 1
         """,
         "incremental_refresh": f"""
             SELECT order_year, order_month,
-                   round(sum(total_price), 4) AS total_revenue
+                   round(sum(total_price), 2) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "asof_join": """
@@ -5199,7 +5384,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drill_across": f"""
             WITH rev AS (
-              SELECT market_segment, round(sum(total_price), 4) AS total_revenue
+              SELECT market_segment, round(sum(total_price), 2) AS total_revenue
               FROM ({_FCT_ORDERS}) GROUP BY 1
             ),
             cust AS (

@@ -408,12 +408,8 @@ def main() -> None:
 
     timed("ext_triangle_counts", _triangle_bench)
 
-    def _paragraph_dedup_bench():
-        from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
-
-        # containers of 10 docs each + a shared boilerplate paragraph —
-        # the contract's shape at bench scale
-        body = docs.select(
+    def _para_containers(d):
+        body = d.select(
             F.pmod(F.col("doc_id"), F.lit(50)).alias("cid"),
             F.col("doc_id").cast("long").alias("ord"),
             F.col("text").alias("para"),
@@ -423,7 +419,7 @@ def main() -> None:
             F.lit(10**7).cast("long").alias("ord"),
             F.lit("subscribe to our newsletter").alias("para"),
         )
-        containers = (
+        return (
             body.unionByName(boiler)
             .groupBy("cid")
             .agg(
@@ -436,7 +432,14 @@ def main() -> None:
                 ).alias("text")
             )
         )
-        return dedup_paragraphs(containers, id_col="cid").count()
+
+    def _paragraph_dedup_bench():
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+
+        # containers of 10 docs each + a shared boilerplate paragraph —
+        # the contract's shape at bench scale (_para_containers helper,
+        # shared with the 1x/4x scaling harness)
+        return dedup_paragraphs(_para_containers(docs), id_col="cid").count()
 
     timed("ext_paragraph_dedup", _paragraph_dedup_bench)
 
@@ -520,31 +523,6 @@ def main() -> None:
     # docs is already repartitioned + checkpointed at setup; build the 4x
     # copy with collision-proof id offsets (shift past the current max
     # each doubling round — fixture ids are NOT assumed small)
-    def _para_containers(d):
-        body = d.select(
-            F.pmod(F.col("doc_id"), F.lit(50)).alias("cid"),
-            F.col("doc_id").cast("long").alias("ord"),
-            F.col("text").alias("para"),
-        )
-        boiler = body.select("cid").distinct().select(
-            "cid",
-            F.lit(10**7).cast("long").alias("ord"),
-            F.lit("subscribe to our newsletter").alias("para"),
-        )
-        return (
-            body.unionByName(boiler)
-            .groupBy("cid")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("ord", "para"))),
-                        lambda s: s["para"],
-                    ),
-                    "\n",
-                ).alias("text")
-            )
-        )
-
     def _logreg_feats(d):
         from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
 

@@ -622,7 +622,11 @@ class MetricEngine:
         from .models import ModelError
 
         built = self.run(select=select, materialize_rollups=materialize_rollups)
-        results = self.test(select=list(built))
+        # run() returns every model built in the SESSION (ref accumulates);
+        # scope both the return value and the checks to this run's models
+        this_run = list(self._runner.last_run_models)
+        built = {n: built[n] for n in this_run if n in built}
+        results = self.test(select=this_run)
         if fail_fast:
             failed = [r for r in results if not r.passed]
             if failed:

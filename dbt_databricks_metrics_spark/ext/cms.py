@@ -161,7 +161,10 @@ def cms_fold_stream(
     """
     import os
 
-    from dbt_databricks_metrics_spark.operators.cdc import _promote_state_dir
+    from dbt_databricks_metrics_spark.operators.cdc import (
+        _promote_state_dir,
+        _restore_state_dir,
+    )
 
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
@@ -170,6 +173,7 @@ def cms_fold_stream(
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _restore_state_dir(out_path)  # adopt a crash-orphaned aside
         s = batch_df.sparkSession
         delta = cms_build(batch_df, item_col, depth, width, seed)
         if os.path.exists(out_path):

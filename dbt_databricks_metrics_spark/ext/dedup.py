@@ -484,6 +484,67 @@ def embedding_dup_pairs(
     )
 
 
+def _paragraph_fp(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.col("para"))
+    if hash_fn == "md5":
+        return F.md5(F.col("para")).substr(1, 16)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _exploded_paragraphs(
+    docs: DataFrame, id_col: str, text_col: str, sep: str, hash_fn: str
+) -> DataFrame:
+    """(id, pos, para, fp) — non-blank paragraphs in document order."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("fp", _paragraph_fp(hash_fn))
+    )
+
+
+def _reassembled(
+    docs: DataFrame,
+    paras: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    sep: str,
+    out_col: str,
+) -> DataFrame:
+    """Join totals + surviving paragraphs back onto EVERY input doc —
+    documents whose every paragraph was blank or claimed elsewhere
+    surface with counts 0 and empty text, nothing disappears."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long").alias(
+                "n_paras_kept"
+            ),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -508,26 +569,11 @@ def dedup_paragraphs(
     collision (P ≈ n²/2⁶⁵) silently merges two distinct paragraphs —
     acceptable for curation, same trade every hashed dedup here makes.
 
-    Returns (id, n_paras, n_paras_kept, text_dedup); documents whose
-    every paragraph was claimed elsewhere surface with empty text —
-    nothing disappears from the pipeline.
+    Returns one row per INPUT document — ``(id, n_paras, n_paras_kept,
+    text_dedup)``; documents whose every paragraph was blank or claimed
+    elsewhere surface with zero counts and empty text.
     """
-    if hash_fn == "xxhash64":
-        fp = F.xxhash64(F.col("para"))
-    elif hash_fn == "md5":
-        fp = F.md5(F.col("para")).substr(1, 16)
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    paras = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-            ).alias("pos", "para"),
-        )
-        .filter(F.length(F.trim(F.col("para"))) > 0)
-        .withColumn("fp", fp)
-    )
+    paras = _exploded_paragraphs(docs, id_col, text_col, sep, hash_fn)
     first = paras.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
             "keep"
@@ -536,25 +582,7 @@ def dedup_paragraphs(
     kept = paras.join(first, "fp").filter(
         (F.col(id_col) == F.col("keep.i")) & (F.col("pos") == F.col("keep.p"))
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_paras_kept"),
-    )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_paras",
-        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long").alias(
-            "n_paras_kept"
-        ),
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-    )
+    return _reassembled(docs, paras, kept, id_col, sep, "text_dedup")
 
 
 def drop_common_paragraphs(
@@ -576,26 +604,12 @@ def drop_common_paragraphs(
     (one count-distinct aggregate over (fp, doc)), anti-join of
     paragraphs against the common set, doc-keyed reassembly.
 
-    Returns (id, n_paras, n_paras_kept, text_clean).
+    Returns one row per INPUT document — ``(id, n_paras, n_paras_kept,
+    text_clean)``.
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    if hash_fn == "xxhash64":
-        fp = F.xxhash64(F.col("para"))
-    elif hash_fn == "md5":
-        fp = F.md5(F.col("para")).substr(1, 16)
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    paras = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-            ).alias("pos", "para"),
-        )
-        .filter(F.length(F.trim(F.col("para"))) > 0)
-        .withColumn("fp", fp)
-    )
+    paras = _exploded_paragraphs(docs, id_col, text_col, sep, hash_fn)
     common = (
         paras.select("fp", id_col)
         .distinct()
@@ -605,25 +619,7 @@ def drop_common_paragraphs(
         .select("fp")
     )
     kept = paras.join(common, "fp", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_paras_kept"),
-    )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_paras",
-        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long").alias(
-            "n_paras_kept"
-        ),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-    )
+    return _reassembled(docs, paras, kept, id_col, sep, "text_clean")
 
 
 def dedup_against_registry(

@@ -438,6 +438,9 @@ class Runner:
             for s in select:
                 visit(s)
             order = [n for n in order if n in needed]
+        # the models THIS call materialized (ref() accumulates across
+        # runs; engine.build scopes its data checks to this list)
+        self.last_run_models = list(order)
 
         # topological waves: wave(m) = 1 + max(wave(deps)); every model in a
         # wave depends only on earlier waves, so a wave can run concurrently

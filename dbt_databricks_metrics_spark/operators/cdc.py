@@ -37,22 +37,54 @@ UPSERT = "upsert"
 DELETE = "delete"
 
 
+def _restore_state_dir(state_path: str) -> None:
+    """Crash recovery for the swap-write protocol: if ``state_path`` is
+    missing but an ``__old`` aside survives (a crash landed between the
+    rename-aside and the promote), the newest aside IS the last
+    committed state — restore it before reading. Without this, the next
+    fold would rebuild from the current batch alone and the sweep would
+    delete the only surviving copy."""
+    import os
+
+    if os.path.exists(state_path):
+        return
+    parent = os.path.dirname(state_path) or "."
+    base = os.path.basename(state_path)
+    if not os.path.isdir(parent):
+        return
+    asides = sorted(
+        (
+            os.path.join(parent, name)
+            for name in os.listdir(parent)
+            if name.startswith(f"{base}__old_")
+        ),
+        key=os.path.getmtime,
+    )
+    if asides:
+        os.rename(asides[-1], state_path)
+
+
 def _promote_state_dir(df: DataFrame, state_path: str) -> None:
     """Crash-safe swap-write of a state directory (LOCAL POSIX FS only).
 
     Order matters: write tmp → rename current aside → promote tmp →
     delete the aside copy. A crash at any point leaves a complete state
-    directory on disk (either ``state_path`` or the ``__old`` aside that
-    the next fold's cleanup sweep removes) — the previous
-    write-tmp/rmtree/rename sequence had a window where a crash lost ALL
-    state while the streaming checkpoint still marked the batch
-    committed (ADVICE r2). Object stores lack atomic directory rename;
-    use a transactional table format there instead.
+    directory on disk: either ``state_path`` itself, or an ``__old``
+    aside that :func:`_restore_state_dir` renames back on the next fold
+    (the previous write-tmp/rmtree/rename sequence had a window where a
+    crash lost ALL state while the streaming checkpoint still marked the
+    batch committed — ADVICE r2). Orphaned ``__old``/``__tmp`` residue
+    from earlier crashes is swept only AFTER this promote succeeds, when
+    a newer committed state provably exists. Object stores lack atomic
+    directory rename; use a transactional table format there instead.
     """
     import os
     import shutil
     import uuid
 
+    # NOTE: readers/folds must call _restore_state_dir BEFORE building the
+    # DataFrame they pass here — restoring at promote time would adopt an
+    # aside the merge never saw and then discard it
     token = uuid.uuid4().hex[:8]
     tmp = f"{state_path}__tmp_{token}"
     df.write.mode("overwrite").parquet(tmp)
@@ -62,12 +94,17 @@ def _promote_state_dir(df: DataFrame, state_path: str) -> None:
     os.rename(tmp, state_path)
     if os.path.exists(old):
         shutil.rmtree(old)
-    # sweep asides orphaned by an earlier crash-after-promote
+    # sweep residue orphaned by earlier crashes — safe only now, after a
+    # newer state was promoted (includes stale __tmp_ dirs, which the
+    # old sweep leaked forever)
     parent = os.path.dirname(state_path) or "."
     base = os.path.basename(state_path)
     for name in os.listdir(parent):
+        full = os.path.join(parent, name)
         if name.startswith(f"{base}__old_") and name != os.path.basename(old):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f"{base}__tmp_") and name != os.path.basename(tmp):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def latest_changes(
@@ -173,6 +210,7 @@ def cdc_fold_stream(
 
         if batch_df.isEmpty():
             return
+        _restore_state_dir(state_path)  # adopt a crash-orphaned aside
         s = batch_df.sparkSession
         if os.path.exists(state_path):
             merged = s.read.parquet(state_path).unionByName(batch_df)
@@ -197,6 +235,7 @@ def cdc_post_image(
 ) -> DataFrame:
     """The current table from folded CDC state: surviving upserts with
     tombstones and change metadata dropped."""
+    _restore_state_dir(state_path)
     state = spark.read.parquet(state_path)
     out = state.filter(F.col(op_col) == UPSERT).drop(op_col)
     for c in drop_cols:

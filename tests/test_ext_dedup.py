@@ -218,6 +218,7 @@ class TestParagraphDedup:
             (2, "gamma\nshared footer"),
             (3, "alpha\ndelta"),  # 'alpha' already claimed by doc 1 pos 0
             (4, "shared footer"),  # everything claimed -> empties out
+            (5, "   "),  # all-blank: must still surface, zero counts
         ]
         docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
         got = {
@@ -229,6 +230,7 @@ class TestParagraphDedup:
         assert got[3]["text_dedup"] == "delta"
         assert got[4]["text_dedup"] == ""
         assert (got[4]["n_paras"], got[4]["n_paras_kept"]) == (1, 0)
+        assert (got[5]["n_paras"], got[5]["n_paras_kept"], got[5]["text_dedup"]) == (0, 0, "")
         # kept-paragraph multiset is exactly the distinct paragraph set
         total_kept = sum(r["n_paras_kept"] for r in got.values())
         assert total_kept == 5  # alpha, shared footer, beta, gamma, delta

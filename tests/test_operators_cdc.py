@@ -240,3 +240,36 @@ def test_promote_state_dir_crash_safe(spark, tmp_path):
         if n.startswith("state__old_") or n.startswith("state__tmp_")
     ]
     assert residue == []
+
+
+def test_restore_adopts_crash_orphaned_aside(spark, tmp_path):
+    """Simulated crash between rename-aside and promote: state_path is
+    missing, only the __old aside survives. The next fold must ADOPT the
+    aside (not rebuild from the batch alone and sweep it away)."""
+    import os
+
+    from dbt_databricks_metrics_spark.operators.cdc import (
+        _promote_state_dir,
+        _restore_state_dir,
+    )
+
+    state = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    _promote_state_dir(df1, state)
+    # crash window: current state renamed aside, promote never happened
+    os.rename(state, f"{state}__old_cafe0001")
+    # plus a stale tmp from the same crash
+    os.makedirs(f"{state}__tmp_cafe0001/x", exist_ok=True)
+
+    _restore_state_dir(state)
+    assert {r["k"] for r in spark.read.parquet(state).collect()} == {1, 2}
+
+    # a subsequent promote folds new data on the restored state and
+    # sweeps the stale tmp
+    df2 = spark.read.parquet(state).unionByName(
+        spark.createDataFrame([(3, "c")], "k INT, v STRING")
+    )
+    _promote_state_dir(df2, state)
+    assert spark.read.parquet(state).count() == 3
+    residue = [n for n in os.listdir(tmp_path) if "__old_" in n or "__tmp_" in n]
+    assert residue == []
