@@ -3173,8 +3173,17 @@ def _q_user_activity(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
 
+    # total_value sits on the cent grid (fixture values are 2dp; round 2
+    # is its true grid) and avg_value derives from the cent-snapped sum /
+    # integer count — bit-identical in both engines (the exact-avg
+    # pattern; round(avg, 4) flipped at sf0.1 sums)
+    from pyspark.sql import functions as F
+
     df = sessionize.user_activity(load_table(spark, sf_dir, "events"))
-    return _round_cols(df, ["total_value", "avg_value"])
+    tv = F.round(F.col("total_value"), 2)
+    return df.withColumn("total_value", tv).withColumn(
+        "avg_value", tv / F.col("n_events")
+    )
 
 
 def _q_asof_join(spark, sf_dir):
@@ -5152,8 +5161,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    count(DISTINCT event_type) AS n_event_types,
                    min(ts) AS first_seen, max(ts) AS last_seen,
-                   round(sum(value), 4) AS total_value,
-                   round(avg(value), 4) AS avg_value
+                   round(sum(value), 2) AS total_value,
+                   round(sum(value), 2) / count(*) AS avg_value
             FROM events GROUP BY 1
         """,
         "trailing_month_revenue": f"""
