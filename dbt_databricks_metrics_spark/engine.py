@@ -118,6 +118,63 @@ class MetricView:
             df = df.filter(F.expr(having))
         return df, route
 
+    def explain_route(
+        self,
+        dimensions: Sequence[str] = (),
+        measures: Sequence[str] = (),
+        where: Optional[str] = None,
+    ) -> dict:
+        """Why a query routes where it does — the analyst-facing
+        counterpart of ``query_routed``'s route string. Returns a dict:
+        ``route``, ``candidates`` (every rollup with its stored row count
+        and whether/why it was eligible), and ``reason`` (windowed
+        measures, unresolved WHERE columns, no covering rollup, …).
+        Pure metadata — nothing is executed or logged."""
+        q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
+        state = self._rv.state
+        spec = self.spec
+        need_dims = set(q.dimensions) | set(getattr(q, "where_dims", ()))
+        windowed = [m for m in q.measures if spec.measure(m).is_windowed]
+        candidates = []
+        if state is not None:
+            for b in state.rollups.values():
+                dims_ok = need_dims <= set(b.spec.dimensions)
+                meas_ok = set(q.measures) <= set(b.spec.measures)
+                why = (
+                    "eligible"
+                    if dims_ok and meas_ok and not windowed
+                    else "window measures never rollup-serve"
+                    if windowed
+                    else "missing dims: %s"
+                    % sorted(need_dims - set(b.spec.dimensions))
+                    if not dims_ok
+                    else "missing measures: %s"
+                    % sorted(set(q.measures) - set(b.spec.measures))
+                )
+                candidates.append(
+                    {
+                        "rollup": b.spec.name,
+                        "n_rows": b.n_rows,
+                        "dimensions": list(b.spec.dimensions),
+                        "status": why,
+                    }
+                )
+        route, best = self._engine._rollups.route(q, state)
+        if route == "rollup":
+            reason = (
+                f"smallest covering rollup ({best.n_rows} stored rows)"
+            )
+            route = f"rollup:{best.spec.name}"
+        elif windowed:
+            reason = f"windowed measures {windowed} compile on the fly"
+        elif getattr(q, "where_unresolved", False):
+            reason = "WHERE references raw source columns (not dims)"
+        elif not candidates:
+            reason = "no rollups materialized"
+        else:
+            reason = "no rollup covers the requested dims+measures"
+        return {"route": route, "reason": reason, "candidates": candidates}
+
     def observed_workload(self) -> list["WorkloadQuery"]:
         """The query shapes this view has actually served (recorded by
         ``query_routed``), deduped with weight = times seen — the

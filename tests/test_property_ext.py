@@ -173,3 +173,48 @@ def test_interval_join_matches_duckdb_property(spark, points, intervals):
         if u == vu and s <= t <= e
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "footer", ""]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_invariants(spark, docs):
+    """Keep-first paragraph dedup invariants on arbitrary corpora:
+    (1) one output row per input doc; (2) total kept == number of
+    DISTINCT non-blank paragraphs; (3) each kept paragraph survives at
+    its lowest (doc, pos) occurrence; (4) per-doc kept text is a
+    subsequence of the doc's original paragraphs."""
+    from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+
+    rows = [(i, "\n".join(p)) for i, p in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df, hash_fn="md5").collect()}
+
+    assert set(got) == set(range(len(docs)))
+    distinct = {p for ps in docs for p in ps if p.strip()}
+    assert sum(r["n_paras_kept"] for r in got.values()) == len(distinct)
+
+    first_at = {}
+    for i, ps in enumerate(docs):
+        for pos, p in enumerate(ps):
+            if p.strip() and p not in first_at:
+                first_at[p] = (i, pos)
+    for i, ps in enumerate(docs):
+        kept = [p for p in got[i]["text_dedup"].split("\n") if p]
+        expect = [
+            p for pos, p in enumerate(ps) if p.strip() and first_at[p] == (i, pos)
+        ]
+        assert kept == expect, (i, kept, expect)

@@ -289,3 +289,38 @@ materialization:
 
     with _pytest.raises(Exception):
         engine.drop("mv_droppable")
+
+
+def test_explain_route(spark, sf_dir, tmp_path_factory):
+    """explain_route reports the chosen source, the reason, and every
+    rollup's eligibility — without executing anything."""
+    import tempfile
+
+    from dbt_databricks_metrics_spark.engine import MetricEngine
+    from dbt_databricks_metrics_spark.project import build_registry
+
+    eng = MetricEngine(
+        spark, build_registry(sf_dir), warehouse_dir=tempfile.mkdtemp("xr_wh_")
+    )
+    eng.run(materialize_rollups=True)
+    mv = eng.metric_view("mv_order_metrics")
+
+    ex = mv.explain_route(["market_segment"], ["total_revenue"])
+    assert ex["route"] == "rollup:revenue_by_segment"
+    assert "stored rows" in ex["reason"]
+    assert any(
+        c["rollup"] == "revenue_by_segment" and c["status"] == "eligible"
+        for c in ex["candidates"]
+    )
+
+    exw = mv.explain_route(["market_segment"], ["trailing_7d_revenue"])
+    assert not exw["route"].startswith("rollup:")
+    assert "window" in exw["reason"]
+
+    exm = mv.explain_route(["order_priority"], ["total_revenue"])
+    assert exm["route"] in ("baseline", "live")
+    assert any("missing dims" in c["status"] for c in exm["candidates"])
+
+    # agrees with the actual routing decision
+    _, route = mv.query_routed(["market_segment"], ["total_revenue"])
+    assert route == ex["route"]
