@@ -33,6 +33,22 @@ AVG_FAMILY = [
     "routed_pricing",
 ]
 
+# contracts whose query fn takes with_ok=True to ALSO emit the MV-vs-exact
+# tolerance booleans (dropped from the driver-hashed projection in round 4:
+# raw float aggregates inside hashed booleans were the r03 escape class)
+WITH_OK_FNS = {
+    "customer_metrics": "_q_customer_metrics",
+    "measure_by_dim": "_q_measure_by_dim",
+    "measure_global": "_q_measure_global",
+    "measure_sql": "_q_measure_sql",
+    "measure_expr_sql": "_q_measure_expr_sql",
+    "lineitem_pricing": "_q_lineitem_pricing",
+    "routed_pricing": "_q_routed_pricing",
+    "revenue_by_nation": "_q_revenue_by_nation",
+    "star_segment_year": "_q_star_segment_year",
+    "revenue_by_brand": "_q_revenue_by_brand",
+}
+
 
 def _strict_rows(df):
     cols = sorted(df.columns)
@@ -60,15 +76,25 @@ def test_contract_bit_exact_vs_oracle(spark, sf_dir, duck, name):
         assert a == b, f"{name}: {a} != {b}"
 
 
-@pytest.mark.parametrize("name", AVG_FAMILY)
+@pytest.mark.parametrize("name", sorted(WITH_OK_FNS))
 def test_tolerance_booleans_non_vacuous(spark, sf_dir, name):
-    df = entrymod.queries()[name](spark, sf_dir)
+    fn = getattr(entrymod, WITH_OK_FNS[name])
+    df = fn(spark, sf_dir, with_ok=True)
     ok_cols = [c for c in df.columns if c.endswith("_ok")]
     assert ok_cols, f"{name} carries no MV-agreement boolean"
     agg = df.agg(*[F.min(F.col(c).cast("int")).alias(c) for c in ok_cols])
     row = agg.collect()[0]
     for c in ok_cols:
         assert row[c] == 1, f"{name}.{c} is not uniformly true"
+
+
+@pytest.mark.parametrize("name", sorted(WITH_OK_FNS))
+def test_hashed_projection_has_no_ok_booleans(spark, sf_dir, name):
+    """The driver-hashed projection (default mode) must not carry any
+    tolerance boolean — the r03 postmortem rule (BASELINE.md)."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    leaked = [c for c in df.columns if c.endswith("_ok")]
+    assert not leaked, f"{name} hashes tolerance booleans: {leaked}"
 
 
 def test_integer_partials_order_invariant(spark, sf_dir):
