@@ -720,37 +720,49 @@ def main() -> None:
     # stays flat, so a run with calib_scan_ratio >> calib_ratio is
     # disk-state noise, not a code regression
     calib_scan_ratio = timings["calib_parquet_scan"] / R02_CALIB_PARQUET_SCAN
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_plus_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "value_r01_query_subset": r01_subset,
-                "value_r01_query_subset_calibrated": r01_subset_calibrated,
-                "calib_ratio_vs_r02": round(calib_ratio, 3),
-                "calib_scan_ratio_vs_r02": round(calib_scan_ratio, 3),
-                "queries": timings,
-                "sf": sf,
-                "routed_speedup": round(
-                    timings["q_segment_live"] / max(timings["q_segment_routed"], 1e-9), 2
-                ),
-                "routed_rows_scanned": routed_rows,
-                "live_rows_scanned": live_rows,
-                "skew_salted_speedup_noaqe": round(
-                    timings["ext_skew_join_plain_noaqe"]
-                    / max(timings["ext_skew_join_salted_noaqe"], 1e-9),
-                    2,
-                ),
-                "skew_max_task_rows_plain": skew_max_plain,
-                "skew_max_task_rows_salted": skew_max_salted,
-                "skew_balance_factor": round(skew_max_plain / max(skew_max_salted, 1), 1),
-                "scaling_4x_time_ratio": scaling,
-                "layout_scan_frac_secondary_linear": linear_frac,
-                "layout_scan_frac_secondary_zorder": zorder_frac,
-            }
-        )
-    )
+    payload = {
+        "metric": "pipeline_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "value_r01_query_subset": r01_subset,
+        "value_r01_query_subset_calibrated": r01_subset_calibrated,
+        "calib_ratio_vs_r02": round(calib_ratio, 3),
+        "calib_scan_ratio_vs_r02": round(calib_scan_ratio, 3),
+        "queries": timings,
+        "sf": sf,
+        "routed_speedup": round(
+            timings["q_segment_live"] / max(timings["q_segment_routed"], 1e-9), 2
+        ),
+        "routed_rows_scanned": routed_rows,
+        "live_rows_scanned": live_rows,
+        "skew_salted_speedup_noaqe": round(
+            timings["ext_skew_join_plain_noaqe"]
+            / max(timings["ext_skew_join_salted_noaqe"], 1e-9),
+            2,
+        ),
+        "skew_max_task_rows_plain": skew_max_plain,
+        "skew_max_task_rows_salted": skew_max_salted,
+        "skew_balance_factor": round(skew_max_plain / max(skew_max_salted, 1), 1),
+        "scaling_4x_time_ratio": scaling,
+        "layout_scan_frac_secondary_linear": linear_frac,
+        "layout_scan_frac_secondary_zorder": zorder_frac,
+    }
+    # Full payload: one JSON line (historical format) + a copy on disk.
+    # The driver records only a ~2 KB TAIL of stdout, which truncated the
+    # FRONT of the single ~3 KB line in round 3 (BENCH_r03 parsed: null).
+    # So the LAST line printed is a short scalar-only summary that always
+    # fits the tail capture intact; the full per-query map lives in
+    # BENCH_LOCAL.json and in the (possibly truncated) long line above it.
+    print(json.dumps(payload))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    short = {k: v for k, v in payload.items() if k != "queries"}
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

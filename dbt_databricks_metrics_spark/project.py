@@ -329,7 +329,11 @@ def build_registry(sf_dir: str) -> ModelRegistry:
     reg = ModelRegistry()
 
     def read(spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from .sources.fixtures import perturb_layout
+
+        return perturb_layout(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        )
 
     @reg.model(
         "stg_orders",

@@ -28,11 +28,20 @@ TABLES = (
 )
 
 
+def perturb_layout(df: DataFrame) -> DataFrame:
+    """Test-only hook: when SPARK_GRAFT_PERTURB_REPARTITION=N is set,
+    adversarially repartition every source read so downstream results can
+    be checked for partition-layout invariance (check_entry --paranoid —
+    the property the driver's hash gate actually tests). No-op otherwise."""
+    n = int(os.environ.get("SPARK_GRAFT_PERTURB_REPARTITION", "0") or 0)
+    return df.repartition(n) if n > 0 else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        return perturb_layout(_load_events(spark, path))
+    return perturb_layout(spark.read.parquet(path))
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -1,12 +1,17 @@
 """Mirror of the driver's correctness gate: run every queries() entry and
 its oracle_sql() on the same fixtures, compare rowcount+schema+values.
 
-Usage: python scripts/check_entry.py [--strict] [sf_dir] [query_name ...]
+Usage: python scripts/check_entry.py [--strict|--paranoid] [sf_dir] [query ...]
 (with query names, only those entries are checked and entry() is skipped)
 
 --strict mirrors the driver's hash gate: values must be EXACTLY equal
 (bit-identical floats after both sides' rounding), not merely within
 1e-6 — this is what decides hash_match in CORRECTNESS_r{N}.json.
+
+--paranoid re-runs each contract under adversarial execution layouts
+(source repartition + shuffle-partition + session-timezone perturbation)
+and fails if any value changes bit-wise vs the unperturbed run — the
+layout-invariance property the driver's gate actually tests.
 """
 
 from __future__ import annotations
@@ -71,11 +76,131 @@ def values_exact(a, b) -> bool:
     return a == b
 
 
+# --paranoid: execution-layout invariance sweep (VERDICT r3 #4).
+# The driver's hash gate effectively tests "same values under a DIFFERENT
+# execution layout than my dev host" — twice in three rounds a contract
+# passed the strict local mirror yet failed the driver hash. Each
+# perturbation below re-runs the contract under an adversarial layout and
+# requires every hashed value to be BIT-IDENTICAL to the baseline run:
+#   layout3: repartition(7) on every source read + shuffle.partitions=3
+#   layout200: repartition(3) on every source + shuffle.partitions=200
+#              + a non-UTC session timezone
+# Timestamp-typed output columns are compared only within the same session
+# timezone (collected datetimes are rendered in session tz — a harness
+# representation, not a computed value), and event-time contracts (whose
+# instants are NTZ-derived via the documented UTC-pinned loader,
+# fixtures.py::_load_events) skip the tz-perturbed variant entirely.
+PERTURBATIONS = [
+    {"name": "layout3", "shuffle": "3", "repartition": "7", "tz": None},
+    {"name": "layout200", "shuffle": "200", "repartition": "3",
+     "tz": "America/New_York"},
+]
+
+
+def _reset_entry_caches() -> None:
+    entrymod._ENGINES.clear()
+    entrymod._BUCKETED.clear()
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    dtypes = dict(df.dtypes)
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    return cols, dtypes, sorted(rows, key=lambda t: tuple(str(v) for v in t))
+
+
+def _is_event_time(fn) -> bool:
+    import inspect
+
+    try:
+        return "events" in inspect.getsource(fn)
+    except (OSError, TypeError):
+        return False
+
+
+def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
+    qs = entrymod.queries()
+    names = [n for n in qs if not only or n in only]
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    base_tz = spark.conf.get("spark.sql.session.timeZone")
+    failures = []
+    baseline: dict[str, tuple] = {}
+    print(f"paranoid baseline ({len(names)} queries)")
+    _reset_entry_caches()
+    for n in names:
+        try:
+            baseline[n] = _collect_sorted(qs[n](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            failures.append((n, f"baseline error: {e}"))
+            print(f"FAIL {n}: baseline error: {e}")
+    for pert in PERTURBATIONS:
+        print(f"paranoid variant {pert['name']}")
+        os.environ["SPARK_GRAFT_PERTURB_REPARTITION"] = pert["repartition"]
+        spark.conf.set("spark.sql.shuffle.partitions", pert["shuffle"])
+        if pert["tz"]:
+            spark.conf.set("spark.sql.session.timeZone", pert["tz"])
+        _reset_entry_caches()
+        try:
+            for n in names:
+                if n not in baseline:
+                    continue
+                if pert["tz"] and _is_event_time(qs[n]):
+                    print(f"skip {n} [{pert['name']}]: event-time contract, tz variant n/a")
+                    continue
+                try:
+                    cols, dtypes, rows = _collect_sorted(qs[n](spark, sf_dir))
+                except Exception as e:  # noqa: BLE001
+                    failures.append((n, f"{pert['name']} error: {e}"))
+                    print(f"FAIL {n} [{pert['name']}]: error: {e}")
+                    continue
+                bcols, bdtypes, brows = baseline[n]
+                if cols != bcols:
+                    failures.append((n, f"{pert['name']} schema drift"))
+                    print(f"FAIL {n} [{pert['name']}]: schema {cols} vs {bcols}")
+                    continue
+                if len(rows) != len(brows):
+                    failures.append((n, f"{pert['name']} rowcount {len(rows)} vs {len(brows)}"))
+                    print(f"FAIL {n} [{pert['name']}]: rowcount {len(rows)} vs {len(brows)}")
+                    continue
+                skip_idx = {
+                    i for i, c in enumerate(cols)
+                    if pert["tz"] and bdtypes.get(c, "").startswith("timestamp")
+                }
+                bad = None
+                for a, b in zip(rows, brows):
+                    for i, (x, y) in enumerate(zip(a, b)):
+                        if i in skip_idx:
+                            continue
+                        if not values_exact(x, y):
+                            bad = (cols[i], x, y)
+                            break
+                    if bad:
+                        break
+                if bad:
+                    failures.append((n, f"{pert['name']} value drift in {bad[0]}"))
+                    print(f"FAIL {n} [{pert['name']}]: {bad[0]}: {bad[1]!r} != baseline {bad[2]!r}")
+                else:
+                    print(f"ok   {n} [{pert['name']}]: {len(rows)} rows bit-identical")
+        finally:
+            os.environ.pop("SPARK_GRAFT_PERTURB_REPARTITION", None)
+            spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+            spark.conf.set("spark.sql.session.timeZone", base_tz)
+    _reset_entry_caches()
+    if failures:
+        print(f"\n{len(failures)} PARANOID FAILURES")
+        return 1
+    print("\nall queries layout-invariant")
+    return 0
+
+
 def main() -> int:
     argv = sys.argv[1:]
     strict = "--strict" in argv
     if strict:
         argv = [a for a in argv if a != "--strict"]
+    paranoid = "--paranoid" in argv
+    if paranoid:
+        argv = [a for a in argv if a != "--paranoid"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     compare = values_exact if strict else values_close
@@ -92,6 +217,8 @@ def main() -> int:
     if unknown:
         print(f"unknown query name(s): {sorted(unknown)}")
         return 2
+    if paranoid:
+        return run_paranoid(spark, sf_dir, only)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
