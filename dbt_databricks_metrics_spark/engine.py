@@ -166,7 +166,29 @@ class MetricView:
             )
             route = f"rollup:{best.spec.name}"
         elif windowed:
-            reason = f"windowed measures {windowed} compile on the fly"
+            # mirror compile_routed's split-mixed path: a mixed plain+window
+            # query whose PLAIN subset has a covering rollup is served as
+            # 'rollup:<name>+<window route>' (the window side compiles on
+            # the fly and joins on the query dims). Any '+grain:...' suffix
+            # query_routed may add is a compile-time detail (which stored
+            # grain the window plan read) and is not predicted here.
+            plain = tuple(m for m in q.measures if not spec.measure(m).is_windowed)
+            split_name = None
+            if plain and state is not None:
+                pq = MetricQuery(spec, q.dimensions, plain, where=where)
+                proute, pbuilt = self._engine._rollups.route(pq, state)
+                if proute == "rollup":
+                    split_name = pbuilt.spec.name
+            if split_name is not None:
+                wroute = "baseline" if state.baseline else "live"
+                route = f"rollup:{split_name}+{wroute}"
+                reason = (
+                    f"mixed query split: plain measures from rollup "
+                    f"{split_name}, windowed measures {windowed} compile "
+                    f"on the fly and join on the query dims"
+                )
+            else:
+                reason = f"windowed measures {windowed} compile on the fly"
         elif getattr(q, "where_unresolved", False):
             reason = "WHERE references raw source columns (not dims)"
         elif not candidates:

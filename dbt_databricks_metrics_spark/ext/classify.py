@@ -61,6 +61,10 @@ def logreg_train(
             raise ValueError("logreg_train: empty input")
         dim = int(first["d"])
     n = feats.count()
+    if n == 0:
+        # reachable with an explicit dim (the inference branch above is
+        # skipped); without this the weight update divides by zero
+        raise ValueError("logreg_train: empty input")
     w = [0.0] * dim
     for _ in range(n_iter):
         wlits = F.array(*[F.lit(float(x)) for x in w])

@@ -495,12 +495,20 @@ def _paragraph_fp(hash_fn: str):
 def _exploded_paragraphs(
     docs: DataFrame, id_col: str, text_col: str, sep: str, hash_fn: str
 ) -> DataFrame:
-    """(id, pos, para, fp) — non-blank paragraphs in document order."""
+    """(id, pos, para, fp) — non-blank paragraphs in document order.
+
+    ``sep`` is treated as a LITERAL separator: F.split takes a Java regex,
+    so every regex-meaningful char is backslash-escaped (valid in Java
+    regex for all non-alphanumerics) to match ``_reassembled``'s literal
+    ``array_join`` — otherwise a sep like '.', '|' or '+' silently splits
+    per-character and reassembles wrong."""
+    import re as _re
+
     return (
         docs.select(
             F.col(id_col),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+                F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
             ).alias("pos", "para"),
         )
         .filter(F.length(F.trim(F.col("para"))) > 0)
@@ -646,9 +654,13 @@ def dedup_against_registry(
     """
     import os
 
-    from ..operators.cdc import _promote_state_dir
+    from ..operators.cdc import _promote_state_dir, _restore_state_dir
 
     spark = new_docs.sparkSession
+    # adopt a rename-aside left by a crashed prior promote BEFORE probing
+    # existence — otherwise the registry reads as empty and the promote
+    # sweep below would discard all prior-shard fingerprints
+    _restore_state_dir(registry_path)
     with_fp = new_docs.withColumn(
         "_fp", F.xxhash64(normalized_text(text_col))
     )

@@ -43,7 +43,17 @@ def _restore_state_dir(state_path: str) -> None:
     rename-aside and the promote), the newest aside IS the last
     committed state — restore it before reading. Without this, the next
     fold would rebuild from the current batch alone and the sweep would
-    delete the only surviving copy."""
+    delete the only surviving copy.
+
+    CONCURRENCY CONTRACT: the swap protocol assumes a SINGLE writer and
+    no reader concurrent with a promote. A reader that calls this during
+    another process's promote window (between rename-aside and
+    promote-tmp) would adopt the aside, re-creating ``state_path`` and
+    making the writer's final ``os.rename(tmp, state_path)`` fail with
+    ENOTEMPTY. Streaming folds satisfy this by construction (one query,
+    sequential micro-batches); batch callers must serialize fold/read
+    cycles externally. Multi-writer coordination needs a transactional
+    table format, not this protocol."""
     import os
 
     if os.path.exists(state_path):

@@ -62,6 +62,10 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "vector ARRAY<DOUBLE>, y INT")
     with pytest.raises(ValueError, match="empty"):
         logreg_train(empty, "y")
+    # explicit dim skips the inference branch — must still raise cleanly,
+    # not ZeroDivisionError at the weight update (ADVICE r3)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(empty, "y", dim=3)
 
 
 def test_contract_weights_nontrivial(spark, sf_dir):

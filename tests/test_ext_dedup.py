@@ -235,6 +235,22 @@ class TestParagraphDedup:
         total_kept = sum(r["n_paras_kept"] for r in got.values())
         assert total_kept == 5  # alpha, shared footer, beta, gamma, delta
 
+    def test_regex_meaningful_separator_is_literal(self, spark):
+        """sep is a literal, not a Java regex: '|' would otherwise split
+        per-character (empty-pattern alternation) and corrupt the
+        reassembled text (ADVICE r3)."""
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_paragraphs
+
+        rows = [(1, "alpha|shared|beta"), (2, "shared|gamma")]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(docs, sep="|", hash_fn="md5").collect()
+        }
+        assert got[1]["text_dedup"] == "alpha|shared|beta"
+        assert got[2]["text_dedup"] == "gamma"
+        assert got[1]["n_paras"] == 3 and got[2]["n_paras"] == 2
+
     def test_contract_boilerplate_survives_once(self, spark, sf_dir):
         import __spark_entry__ as entry
 
@@ -298,3 +314,27 @@ class TestParagraphDedup:
         ).collect()}
         assert kept1b == set()
         assert spark.read.parquet(reg).count() == 3
+
+    def test_dedup_against_registry_restores_crashed_promote(self, spark, tmp_path):
+        """A crash between rename-aside and promote leaves only an __old_
+        aside; the next fold must adopt it instead of treating the
+        registry as empty (which would re-admit every known duplicate and
+        then sweep away the only surviving copy) — ADVICE r3 (medium)."""
+        import os
+
+        from dbt_databricks_metrics_spark.ext.dedup import dedup_against_registry
+
+        reg = str(tmp_path / "registry")
+        shard1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id BIGINT, text STRING"
+        )
+        dedup_against_registry(shard1, reg).collect()
+        # simulate the crash window: state renamed aside, promote never ran
+        os.rename(reg, reg + "__old_deadbeef")
+        shard2 = spark.createDataFrame(
+            [(10, "alpha"), (11, "gamma")], "doc_id BIGINT, text STRING"
+        )
+        kept = {r["doc_id"] for r in dedup_against_registry(shard2, reg).collect()}
+        assert kept == {11}  # alpha known from shard1 — NOT re-admitted
+        assert spark.read.parquet(reg).count() == 3
+        assert not [p for p in os.listdir(tmp_path) if "__old_" in p]

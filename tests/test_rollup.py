@@ -324,3 +324,15 @@ def test_explain_route(spark, sf_dir, tmp_path_factory):
     # agrees with the actual routing decision
     _, route = mv.query_routed(["market_segment"], ["total_revenue"])
     assert route == ex["route"]
+
+    # mixed plain+window: explain mirrors compile_routed's split path
+    # ('rollup:<name>+<window route>'), modulo the compile-time
+    # '+grain:...' suffix (ADVICE r3)
+    exs = mv.explain_route(
+        ["market_segment"], ["total_revenue", "trailing_7d_revenue"]
+    )
+    _, sroute = mv.query_routed(
+        ["market_segment"], ["total_revenue", "trailing_7d_revenue"]
+    )
+    assert sroute.split("+grain:")[0] == exs["route"], (sroute, exs["route"])
+    assert "split" in exs["reason"]
