@@ -3437,7 +3437,10 @@ def _q_events_mv(spark, sf_dir):
     df = eng.metric_view("mv_events").query(
         ["event_type"], ["n_events", "total_value", "n_users", "trailing_3d_value"]
     )
-    return _round_cols(df, ["total_value", "trailing_3d_value"])
+    # events.value is cent-grid: round its sums to 2 (the true grid,
+    # 5e-3 margin) — round(·, 4) left only 5e-5 against sf0.1-scale
+    # summation jitter (the margin law, BASELINE.md / VERDICT r3 #5)
+    return _round_cols(df, ["total_value", "trailing_3d_value"], 2)
 
 
 def _q_redact_documents(spark, sf_dir):
@@ -5416,7 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         "events_metric_view": """
             WITH plain AS (
                 SELECT event_type, count(*) AS n_events,
-                       round(sum(value), 4) AS total_value,
+                       round(sum(value), 2) AS total_value,
                        count(DISTINCT user_id) AS n_users
                 FROM events GROUP BY 1
             ),
@@ -5432,7 +5435,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             wl AS (
                 SELECT event_type,
-                       round(arg_max(w, event_date), 4) AS trailing_3d_value
+                       round(arg_max(w, event_date), 2) AS trailing_3d_value
                 FROM win GROUP BY 1
             )
             SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value
