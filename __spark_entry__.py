@@ -2989,6 +2989,32 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(containers, id_col="cid", hash_fn="md5")
 
 
+def _q_substring_dedup(spark, sf_dir):
+    # ExactSubstr dedup (Lee et al. 2022) over the raw corpus: remove
+    # every duplicated substring of >= 48 chars, keep-first. The templated
+    # fixture vocabulary repeats whole sentences verbatim across docs
+    # (5.8k duplicated 48-grams at sf0.001), so the contract is
+    # non-vacuous on the natural corpus — no injection needed. md5 gram
+    # mode lets DuckDB replay the identical pipeline; emitted values are
+    # ints + an md5 of the cleaned text (no floats anywhere).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.substr import dedup_exact_substrings
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_exact_substrings(
+        docs, min_len=48, keep="first", hash_fn="md5"
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_dup_spans",
+        "chars_removed",
+        F.md5(F.col("text_clean")).substr(1, 16).alias("clean_md5"),
+    )
+
+
 def _q_lm_doc_scores(spark, sf_dir):
     # CCNet-style corpus-LM quality signal: self-trained smoothed bigram
     # model, per-doc mean log-probability. avg_logp rounded in query AND
@@ -3194,19 +3220,25 @@ def _q_session_stats(spark, sf_dir):
 
 
 def _q_tumbling_window(spark, sf_dir):
+    # total_value snaps to its cent grid: the raw float sum drifts with
+    # partition layout (caught by check_entry --paranoid, r4) — the same
+    # escape class as the r03 driver reds
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
 
-    return sessionize.tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    df = sessionize.tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    return _round_cols(df, ["total_value"], 2)
 
 
 def _q_sliding_window(spark, sf_dir):
+    # same cent-grid snap as tumbling_window (paranoid-caught, r4)
     from dbt_databricks_metrics_spark.ext import sessionize
     from dbt_databricks_metrics_spark.sources import load_table
 
-    return sessionize.sliding_window_agg(
+    df = sessionize.sliding_window_agg(
         load_table(spark, sf_dir, "events"), "2 hours", "1 hour"
     )
+    return _round_cols(df, ["total_value"], 2)
 
 
 def _q_user_activity(spark, sf_dir):
@@ -3717,7 +3749,7 @@ _DRIVER_PREFIX = [
     "bpe_encoded",
     "ppl_buckets",
     "temperature_mix",
-    "stratified_sample",
+    "substring_dedup",
     "pack_bins",
 ]
 
@@ -3769,6 +3801,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "dedup_exact_summary": _q_dedup_exact_summary,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dedup": _q_substring_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4179,6 +4212,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # ExactSubstr replay: k-gram duplicate marking (md5, keep-first
+        # exemption via row_number), gaps-and-islands span merge, rebuild
+        # via ordered string_agg of the kept segments
+        "substring_dedup": """
+            WITH g AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       left(md5(substr(text, CAST(i AS INT), 48)), 16) AS fp
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 47, 0))) AS i)
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY fp) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                FROM g
+            ),
+            dup AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+            brk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= lag(pos) OVER w + 48 THEN 0 ELSE 1
+                           END AS is_brk
+                FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            grp AS (
+                SELECT doc_id, pos, sum(is_brk) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS gid
+                FROM brk
+            ),
+            spans AS (
+                SELECT doc_id, gid, min(pos) AS s, max(pos) + 47 AS e
+                FROM grp GROUP BY 1, 2
+            ),
+            segs AS (
+                SELECT doc_id, coalesce(lag(e) OVER w, 0) + 1 AS gs,
+                       s - 1 AS ge, s AS ord
+                FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+                UNION ALL
+                SELECT doc_id, max(e) + 1, NULL, 2147483647
+                FROM spans GROUP BY doc_id
+            ),
+            rebuilt AS (
+                SELECT d.doc_id,
+                       string_agg(CASE WHEN ge IS NULL THEN substr(d.text, gs)
+                                       ELSE substr(d.text, gs, ge - gs + 1)
+                                  END, '' ORDER BY ord) AS text_clean
+                FROM segs JOIN documents d USING (doc_id) GROUP BY d.doc_id
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(e - s + 1) AS removed
+                FROM spans GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(a.removed, 0) AS BIGINT) AS chars_removed,
+                   left(md5(coalesce(r.text_clean, d.text)), 16) AS clean_md5
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
         "paragraph_dedup": f"""
             WITH src AS (
@@ -5207,13 +5303,15 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": """
             SELECT date_trunc('hour', ts) AS window_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-                   event_type, count(*) AS n_events, sum(value) AS total_value
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2, 3
         """,
         "sliding_window": """
             SELECT ws AS window_start,
                    ws + INTERVAL 2 HOUR AS window_end,
-                   event_type, count(*) AS n_events, sum(value) AS total_value
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
             FROM (
                 SELECT e.*, date_trunc('hour', ts) - to_hours(t.k) AS ws
                 FROM events e, (SELECT unnest([0, 1]) AS k) t

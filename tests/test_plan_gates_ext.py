@@ -62,6 +62,7 @@ LAZY_EXT_QUERIES = [
     "bpe_encoded",
     "hybrid_search",
     "paragraph_dedup",
+    "substring_dedup",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
