@@ -2989,6 +2989,19 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(containers, id_col="cid", hash_fn="md5")
 
 
+def _q_reranked_search(spark, sf_dir):
+    # retrieve-then-rerank (Nogueira & Cho 2019 shape): BM25 top-30
+    # candidates, then the integer-exact lexical reranker re-orders them
+    # and keeps 15. Emitted columns are ints only (packed lexicographic
+    # score + rank) — layout- and engine-exact by construction.
+    from dbt_databricks_metrics_spark.ext.search import bm25_search, rerank_top_k
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = bm25_search(docs, "spark filter window", k=30)
+    return rerank_top_k(docs, cands, "spark filter window", k=15)
+
+
 def _q_substring_dedup(spark, sf_dir):
     # ExactSubstr dedup (Lee et al. 2022) over the raw corpus: remove
     # every duplicated substring of >= 48 chars, keep-first. The templated
@@ -3747,7 +3760,7 @@ _DRIVER_PREFIX = [
     "classifier_metrics",
     "bpe_merges",
     "bpe_encoded",
-    "ppl_buckets",
+    "reranked_search",
     "temperature_mix",
     "substring_dedup",
     "pack_bins",
@@ -3802,6 +3815,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": _q_dedup_exact_summary,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
+        "reranked_search": _q_reranked_search,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4212,6 +4226,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # first stage = the bm25_search oracle widened to top-30; second
+        # stage packs (terms_present, total_tf, -first_pos) into one int64
+        # exactly as rerank_top_k does
+        "reranked_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+'), x -> length(x) > 0) AS t
+                FROM documents
+            ),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(len(t)) FROM toks) AS avgdl,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'spark')) AS df1,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'filter')) AS df2,
+                       (SELECT count(*) FROM toks WHERE list_contains(t, 'window')) AS df3
+            ),
+            tf AS (
+                SELECT doc_id, t,
+                       len(list_filter(t, x -> x = 'spark')) AS tf1,
+                       len(list_filter(t, x -> x = 'filter')) AS tf2,
+                       len(list_filter(t, x -> x = 'window')) AS tf3,
+                       1.2 * (0.25 + 0.75 * len(t) / avgdl) AS norm,
+                       n, df1, df2, df3
+                FROM toks, consts
+            ),
+            cands AS (
+                SELECT doc_id, t, tf1, tf2, tf3,
+                       round(round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9) * (tf1 * 2.2) / (tf1 + norm)
+                           + round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9) * (tf2 * 2.2) / (tf2 + norm)
+                           + round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9) * (tf3 * 2.2) / (tf3 + norm), 6)
+                           AS bscore
+                FROM tf
+                WHERE (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT > 0
+                ORDER BY bscore DESC, doc_id
+                LIMIT 30
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST((tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS BIGINT)
+                           * 1000000000000
+                       + least(CAST(tf1 + tf2 + tf3 AS BIGINT), 999999) * 1000000
+                       + (999999 - least(least(least(
+                             CASE WHEN tf1 > 0 THEN list_position(t, 'spark') ELSE 1000000 END,
+                             CASE WHEN tf2 > 0 THEN list_position(t, 'filter') ELSE 1000000 END),
+                             CASE WHEN tf3 > 0 THEN list_position(t, 'window') ELSE 1000000 END),
+                             999999))
+                           AS rerank_score
+                FROM cands
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS INT)
+                       AS rerank,
+                   rerank_score
+            FROM packed
+            ORDER BY rerank
+            LIMIT 15
         """,
         # ExactSubstr replay: k-gram duplicate marking (md5, keep-first
         # exemption via row_number), gaps-and-islands span merge, rebuild

@@ -240,3 +240,79 @@ def hybrid_search_rrf(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def rerank_top_k(
+    docs: DataFrame,
+    candidates: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage reranker — the cross-encoder slot of a
+    retrieve-then-rerank stack (Nogueira & Cho 2019, public). First-stage
+    retrieval (BM25 / hybrid RRF) bounds the candidate set; only those
+    |candidates| docs are re-scored against the full query, so the
+    reranker's cost is independent of corpus size.
+
+    The scorer here is a deterministic lexical stand-in for a model-based
+    cross encoder (no ML runtime in this container — swap in an Arrow
+    ``mapInPandas`` model call for real deployments; the plumbing is
+    identical): a lexicographic triple packed into ONE int64,
+
+        score = terms_present·10^12 + min(total_tf, 999999)·10^6
+                + (10^6 − 1 − min(first_pos, 10^6 − 1))
+
+    i.e. more distinct query terms beats more occurrences beats an
+    earlier first match. Integer-exact, so ranking is reproducible
+    bit-for-bit across engines and partition layouts.
+
+    Plan shape: the candidate ids broadcast into a semi-join against the
+    corpus scan (map-only re-read of just the candidate texts), scoring
+    is pure codegen array ops, and the final rank window orders ≤
+    |candidates| rows — the same accepted tiny-input window as
+    hybrid_search's fusion.
+    """
+    from pyspark.sql import Window
+
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand_ids = candidates.select(id_col)
+    texts = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    toks = _all_tokens(text_col)
+
+    from .dedup import _bind_once
+
+    def score_of(t: Column) -> Column:
+        present = F.lit(0)
+        total_tf = F.lit(0)
+        first_pos = F.lit(1000000)
+        for term in terms:
+            tf = F.size(F.filter(t, lambda x: x == F.lit(term)))  # noqa: B023
+            pos = F.array_position(t, term).cast("int")
+            present = present + (tf > 0).cast("int")
+            total_tf = total_tf + tf
+            first_pos = F.when(
+                (pos > 0) & (pos < first_pos), pos
+            ).otherwise(first_pos)
+        packed = (
+            present.cast("bigint") * F.lit(1000000000000).cast("bigint")
+            + F.least(total_tf, F.lit(999999)).cast("bigint") * F.lit(1000000)
+            + (F.lit(999999) - F.least(first_pos, F.lit(999999))).cast("bigint")
+        )
+        return packed
+
+    scored = texts.select(
+        F.col(id_col),
+        _bind_once(toks, score_of).alias("rerank_score"),
+    )
+    w = Window.orderBy(F.desc("rerank_score"), F.col(id_col))
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= k)
+        .select(id_col, "rerank", "rerank_score")
+    )

@@ -110,12 +110,26 @@ def _collect_sorted(df):
 
 
 def _is_event_time(fn) -> bool:
-    import inspect
+    """Event-time contracts read the events table, whose NTZ timestamps
+    are interpreted in the session timezone by the documented UTC-pinned
+    loader — their instants legitimately shift under the tz perturbation.
+    Detection walks the IMPORTED code object's string constants (an
+    earlier inspect.getsource version re-read the file from disk, which
+    mis-attributed source text when the file was edited mid-sweep)."""
 
-    try:
-        return "events" in inspect.getsource(fn)
-    except (OSError, TypeError):
+    def _consts(code):
+        for c in code.co_consts:
+            if isinstance(c, str):
+                yield c
+            elif hasattr(c, "co_consts"):
+                yield from _consts(c)
+
+    code = getattr(fn, "__code__", None)
+    if code is None:
         return False
+    return "events" in getattr(fn, "__name__", "") or any(
+        "events" in s for s in _consts(code)
+    )
 
 
 def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:

@@ -199,3 +199,73 @@ class TestHybridRRF:
                 1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
             )
             assert r["rrf_score"] == exp
+
+
+class TestRerank:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark spark spark"),                      # 1 term, tf 3
+            (2, "the spark filter window runs here"),      # 3 terms early
+            (3, "padding text then spark filter window"),  # 3 terms later
+            (4, "filter only"),                            # 1 term
+            (5, "nothing relevant at all"),                # 0 terms
+        ]
+        return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def test_lexicographic_priorities(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbt_databricks_metrics_spark.ext.search import rerank_top_k
+
+        docs = self._docs(spark)
+        cands = docs.select("doc_id")  # rerank everything
+        got = {
+            r["doc_id"]: r["rerank"]
+            for r in rerank_top_k(docs, cands, "spark filter window", k=5).collect()
+        }
+        # coverage dominates tf: docs 2,3 (3 terms) beat doc 1 (tf=3);
+        # earlier first match breaks the 2-vs-3 tie; doc 5 ranks last
+        assert got[2] == 1 and got[3] == 2
+        assert got[1] == 3  # 1 term but tf 3 beats doc 4's tf 1
+        assert got[4] == 4 and got[5] == 5
+
+    def test_only_candidates_are_ranked(self, spark):
+        from dbt_databricks_metrics_spark.ext.search import rerank_top_k
+
+        docs = self._docs(spark)
+        cands = docs.filter("doc_id IN (3, 4)").select("doc_id")
+        out = rerank_top_k(docs, cands, "spark filter window", k=10).collect()
+        assert {r["doc_id"] for r in out} == {3, 4}
+        assert [r["rerank"] for r in sorted(out, key=lambda r: r["rerank"])] == [1, 2]
+
+    def test_score_is_integer_exact(self, spark):
+        from dbt_databricks_metrics_spark.ext.search import rerank_top_k
+
+        docs = self._docs(spark)
+        out = rerank_top_k(docs, docs.select("doc_id"), "spark", k=5)
+        assert dict(out.dtypes)["rerank_score"] == "bigint"
+        # doc 1: present=1, tf=3, first_pos=1 -> packed
+        row = {r["doc_id"]: r["rerank_score"] for r in out.collect()}
+        assert row[1] == 1 * 10**12 + 3 * 10**6 + (999999 - 1)
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from dbt_databricks_metrics_spark.ext.search import rerank_top_k
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError, match="empty query"):
+            rerank_top_k(docs, docs.select("doc_id"), "   ")
+        with _pytest.raises(ValueError, match="k must be"):
+            rerank_top_k(docs, docs.select("doc_id"), "spark", k=0)
+
+    def test_pipeline_with_bm25_first_stage(self, spark, sf_dir):
+        from dbt_databricks_metrics_spark.ext.search import bm25_search, rerank_top_k
+        from dbt_databricks_metrics_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        cands = bm25_search(docs, "spark filter window", k=30)
+        out = rerank_top_k(docs, cands, "spark filter window", k=10).collect()
+        assert 0 < len(out) <= 10
+        ranks = [r["rerank"] for r in sorted(out, key=lambda r: r["rerank"])]
+        assert ranks == list(range(1, len(out) + 1))

@@ -63,6 +63,7 @@ LAZY_EXT_QUERIES = [
     "hybrid_search",
     "paragraph_dedup",
     "substring_dedup",
+    "reranked_search",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -83,6 +84,7 @@ _SINGLE_PARTITION_OK = {
     "funnel_steps",  # 1-row step-count vector, unpivoted
     "interpolated_revenue",  # 1-row spine min/max bounds aggregate
     "hybrid_search",  # rank windows over two top-k_each (20-row) lists
+    "reranked_search",  # rank window over the 30-row candidate list
 }
 
 
