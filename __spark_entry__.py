@@ -2989,6 +2989,82 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(containers, id_col="cid", hash_fn="md5")
 
 
+SESSIONS_MV_YAML = """
+version: 0.1
+source: stream_sessions
+dimensions:
+  - name: user_bucket
+    expr: user_id % 10
+measures:
+  - name: n_sessions
+    expr: count(*)
+  - name: total_events
+    expr: sum(n_events)
+  - name: max_session_events
+    expr: max(n_events)
+  - name: total_session_value
+    expr: sum(total_value)
+"""
+
+
+def _q_session_metrics_view(spark, sf_dir):
+    # streaming-state metrics surface: the applyInPandasWithState
+    # sessionizer (close-on-successor contract, streaming/sessions.py)
+    # folds the event stream into CLOSED sessions via an availableNow
+    # batch; the session table then registers as a semantic-layer source
+    # and a metric view aggregates it through MEASURE() expansion — the
+    # stream -> state -> metric-view integration path. Projection is
+    # ints + a cent-grid snap + an int-derived avg; the oracle replays
+    # the sessionization (gaps-and-islands, open session excluded) and
+    # the aggregate in SQL.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming import sessions as ssessions
+
+    eng = _engine(spark, sf_dir)
+    if "mv_stream_sessions" not in eng.catalog:
+        ev = load_table(spark, sf_dir, "events")
+        src_dir = _tf.mkdtemp(prefix="sess_mv_src_")
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        name = f"sess_mv_{_uuid.uuid4().hex[:8]}"
+        q = (
+            ssessions.stateful_sessionizer(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "session_metrics_view: availableNow batch exceeded 300s"
+            )
+        spark.table(name).createOrReplaceTempView("stream_sessions")
+        eng.register(
+            MetricViewSpec.from_yaml(SESSIONS_MV_YAML, name="mv_stream_sessions")
+        )
+    df = eng.metric_view("mv_stream_sessions").query(
+        ["user_bucket"],
+        ["n_sessions", "total_events", "max_session_events", "total_session_value"],
+    )
+    return df.select(
+        F.col("user_bucket").cast("long").alias("user_bucket"),
+        "n_sessions",
+        "total_events",
+        "max_session_events",
+        F.round(F.col("total_session_value"), 2).alias("total_session_value"),
+        (F.col("total_events") / F.col("n_sessions")).alias("avg_events_per_session"),
+    )
+
+
 def _q_reranked_search(spark, sf_dir):
     # retrieve-then-rerank (Nogueira & Cho 2019 shape): BM25 top-30
     # candidates, then the integer-exact lexical reranker re-orders them
@@ -3761,7 +3837,7 @@ _DRIVER_PREFIX = [
     "bpe_merges",
     "bpe_encoded",
     "reranked_search",
-    "temperature_mix",
+    "session_metrics_view",
     "substring_dedup",
     "pack_bins",
 ]
@@ -3816,6 +3892,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
         "reranked_search": _q_reranked_search,
+        "session_metrics_view": _q_session_metrics_view,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -5372,6 +5449,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_start, session_end, n_events, total_value
             FROM agg
             QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+        """,
+        # streaming sessionizer replay (closed sessions only — the open
+        # session per user stays in state) aggregated the way the metric
+        # view does; avg derives from int partials
+        "session_metrics_view": _SESSION_CTE
+        + """
+            , agg AS (
+                SELECT user_id, session_seq, count(*) AS n_events,
+                       coalesce(sum(value), 0.0) AS total_value
+                FROM sess GROUP BY 1, 2
+            ),
+            closed AS (
+                SELECT * FROM agg
+                QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+            )
+            SELECT user_id % 10 AS user_bucket,
+                   count(*) AS n_sessions,
+                   sum(n_events) AS total_events,
+                   max(n_events) AS max_session_events,
+                   round(sum(total_value), 2) AS total_session_value,
+                   sum(n_events) / CAST(count(*) AS DOUBLE)
+                       AS avg_events_per_session
+            FROM closed GROUP BY 1
         """,
         "tumbling_window": """
             SELECT date_trunc('hour', ts) AS window_start,

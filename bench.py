@@ -458,6 +458,24 @@ def main() -> None:
 
     timed("ext_bpe_encode", _bpe_encode_bench)
 
+    def _substr_dedup_bench():
+        from pyspark.sql import functions as F
+
+        from dbt_databricks_metrics_spark.ext.substr import dedup_exact_substrings
+
+        out = dedup_exact_substrings(docs, min_len=48, keep="first")
+        return out.agg(F.sum("chars_removed")).collect()[0][0]
+
+    timed("ext_substring_dedup", _substr_dedup_bench)
+
+    def _rerank_bench():
+        from dbt_databricks_metrics_spark.ext.search import bm25_search, rerank_top_k
+
+        cands = bm25_search(docs, "spark filter window", k=30)
+        return rerank_top_k(docs, cands, "spark filter window", k=15).count()
+
+    timed("ext_rerank", _rerank_bench)
+
     def _logreg_bench():
         from dbt_databricks_metrics_spark.ext.classify import logreg_train
         from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
