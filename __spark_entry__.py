@@ -3007,6 +3007,44 @@ measures:
 """
 
 
+def _pq_pieces(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import pq
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq.pq_train(emb, m=4, n_codes=8, n_iter=1)
+    codes = pq.pq_encode(emb, book)
+    return emb, book, codes
+
+
+def _q_pq_codes(spark, sf_dir):
+    # product quantization (Jégou et al. 2011): 64-dim embeddings
+    # compress to 4 codeword ids (4 subspaces × 8-codeword codebooks,
+    # one Lloyd round, deterministic seeds + 6-decimal decision
+    # arithmetic — the kmeans.py reproducibility contract). Output is
+    # pure ints; oracle = the training + encode unrolled in SQL.
+    _, _, codes = _pq_pieces(spark, sf_dir)
+    return codes
+
+
+def _q_pq_topk(spark, sf_dir):
+    # asymmetric distance computation over the PQ codes: query = vector
+    # 0, distance table m×k rounded cells, each vector scored by m table
+    # lookups (the embedding column is never read at query time); vec 0
+    # must rank first. adc_dist sums 6-decimal cells (exact grid snap).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import pq
+
+    emb, book, codes = _pq_pieces(spark, sf_dir)
+    qs = pq.subspace_slices(emb.filter(F.col("vec_id") == 0), 4, 16).select(
+        "sub", "sv"
+    )
+    return pq.pq_adc_topk(codes, book, qs, k=15)
+
+
 def _q_session_metrics_view(spark, sf_dir):
     # streaming-state metrics surface: the applyInPandasWithState
     # sessionizer (close-on-successor contract, streaming/sessions.py)
@@ -3744,6 +3782,64 @@ def _redact_oracle_sql() -> str:
     """
 
 
+# product-quantization training + encode unrolled (ext/pq.py replay):
+# 4 subspaces × 16 dims, 8 codewords, multiplicative-hash seeds, one
+# Lloyd round; every decision value rounds to 6 like the kmeans oracle
+_PQ_CTE = """
+            WITH sl AS (
+              SELECT vec_id, s.sub,
+                     CAST(embedding AS DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS sv
+              FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS sub) s
+            ),
+            seedids AS (
+              SELECT vec_id FROM embeddings
+              ORDER BY (vec_id % 1000000 * (2654435761 % 1000000)) % 1000000, vec_id
+              LIMIT 8
+            ),
+            seeds AS (
+              SELECT vec_id, row_number() OVER (
+                  ORDER BY (vec_id % 1000000 * (2654435761 % 1000000)) % 1000000,
+                           vec_id) - 1 AS code
+              FROM seedids
+            ),
+            c0 AS (
+              SELECT sl.sub, se.code, sl.sv AS cent
+              FROM sl JOIN seeds se USING (vec_id)
+            ),
+            a0 AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT sl.vec_id, sl.sub, c.code,
+                       row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                         ORDER BY round(list_dot_product(sl.sv, sl.sv)
+                                  - 2 * list_dot_product(sl.sv, c.cent)
+                                  + list_dot_product(c.cent, c.cent), 6),
+                                  c.code) AS rk
+                FROM sl JOIN c0 c ON sl.sub = c.sub)
+              WHERE rk = 1
+            ),
+            dims AS (
+              SELECT a0.sub, a0.code, d.i, round(avg(sl.sv[d.i]), 6) AS mval
+              FROM a0 JOIN sl ON a0.vec_id = sl.vec_id AND a0.sub = sl.sub,
+                   (SELECT unnest(generate_series(1, 16)) AS i) d
+              GROUP BY 1, 2, 3
+            ),
+            c1 AS (
+              SELECT sub, code, list(mval ORDER BY i) AS cent
+              FROM dims GROUP BY 1, 2
+            ),
+            enc AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT sl.vec_id, sl.sub, c.code,
+                       row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                         ORDER BY round(list_dot_product(sl.sv, sl.sv)
+                                  - 2 * list_dot_product(sl.sv, c.cent)
+                                  + list_dot_product(c.cent, c.cent), 6),
+                                  c.code) AS rk
+                FROM sl JOIN c1 c ON sl.sub = c.sub)
+              WHERE rk = 1
+            )
+"""
+
 _DOC_STATS_SQL = r"""
             SELECT doc_id,
                    CAST(length(text) AS INT) AS char_len,
@@ -3821,7 +3917,7 @@ _DRIVER_PREFIX = [
     "hist_window",
     "metric_anomalies",
     "drift_report",
-    "ab_welch",
+    "pq_topk",
     "pagerank_dupgraph",
     "triangle_counts",
     "ssjoin_pairs",
@@ -3839,7 +3935,7 @@ _DRIVER_PREFIX = [
     "reranked_search",
     "session_metrics_view",
     "substring_dedup",
-    "pack_bins",
+    "pq_codes",
 ]
 
 
@@ -3893,6 +3989,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "reranked_search": _q_reranked_search,
         "session_metrics_view": _q_session_metrics_view,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4303,6 +4401,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # PQ replay: deterministic seeds -> subspace assignment (argmin of
+        # the rounded dot-identity distance) -> rounded centroid means ->
+        # encode; pq_topk extends with the query's m×k distance table
+        "pq_codes": _PQ_CTE + """
+            SELECT vec_id,
+                   max(CASE WHEN sub = 0 THEN code END) AS code_0,
+                   max(CASE WHEN sub = 1 THEN code END) AS code_1,
+                   max(CASE WHEN sub = 2 THEN code END) AS code_2,
+                   max(CASE WHEN sub = 3 THEN code END) AS code_3
+            FROM enc GROUP BY 1
+        """,
+        "pq_topk": _PQ_CTE + """
+            , q AS (SELECT sub, sv FROM sl WHERE vec_id = 0),
+            tbl AS (
+              SELECT c.sub, c.code,
+                     round(list_dot_product(q.sv, q.sv)
+                           - 2 * list_dot_product(q.sv, c.cent)
+                           + list_dot_product(c.cent, c.cent), 6) AS cell
+              FROM c1 c JOIN q ON c.sub = q.sub
+            ),
+            sc AS (
+              SELECT e.vec_id, round(sum(t.cell), 6) AS adc_dist
+              FROM enc e JOIN tbl t ON e.sub = t.sub AND e.code = t.code
+              GROUP BY 1
+            )
+            SELECT vec_id, adc_dist,
+                   CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT)
+                       AS adc_rank
+            FROM sc ORDER BY adc_dist, vec_id LIMIT 15
         """,
         # first stage = the bm25_search oracle widened to top-30; second
         # stage packs (terms_present, total_tf, -first_pos) into one int64

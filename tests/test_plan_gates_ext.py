@@ -64,6 +64,8 @@ LAZY_EXT_QUERIES = [
     "paragraph_dedup",
     "substring_dedup",
     "reranked_search",
+    "pq_codes",
+    "pq_topk",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -85,6 +87,8 @@ _SINGLE_PARTITION_OK = {
     "interpolated_revenue",  # 1-row spine min/max bounds aggregate
     "hybrid_search",  # rank windows over two top-k_each (20-row) lists
     "reranked_search",  # rank window over the 30-row candidate list
+    "pq_codes",  # seed-code window over the 8 post-limit seed rows
+    "pq_topk",  # same seeds + rank window over the 15 top rows
 }
 
 
