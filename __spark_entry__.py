@@ -3471,6 +3471,48 @@ def _q_incremental_refresh(spark, sf_dir):
     )
 
 
+def _q_streaming_rollup_serve(spark, sf_dir):
+    # rollup maintenance as a STREAM: the metric view's source rows
+    # arrive as an append-only parquet directory (4 files, 1 file per
+    # micro-batch so the old⊕delta partial-state merge runs 4 times),
+    # streaming.refresh.streaming_rollup folds them into a scratch
+    # rollup, and the monthly query is answered from the folded partials
+    # alone. Green means stream-fold ≡ batch rollup ≡ full-data SQL.
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.plans.rollup import BuiltRollup
+    from dbt_databricks_metrics_spark.streaming import refresh as srefresh
+
+    eng = _engine(spark, sf_dir)
+    rv = eng.catalog.get("mv_order_metrics")
+    built = rv.state.rollups["monthly_revenue"]
+    src = eng._compiler.source_plan(rv.spec)
+    base = _tf.mkdtemp(prefix="stream_roll_")
+    src_dir = _os.path.join(base, "src")
+    src.repartition(4).write.parquet(src_dir)
+    scratch = BuiltRollup(
+        spec=built.spec,
+        path=_os.path.join(base, "state"),
+        decompositions=built.decompositions,
+    )
+    q = srefresh.streaming_rollup(
+        spark, scratch, src_dir, _os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_rollup_serve: availableNow exceeded 300s")
+    fin = built.decompositions["total_revenue"].finalize
+    return spark.read.parquet(scratch.path).select(
+        "order_year",
+        "order_month",
+        F.round(F.expr(fin), 2).alias("total_revenue"),
+    )
+
+
 def _q_trailing_month(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     df = eng.metric_view("mv_trailing_month").query(
@@ -3923,7 +3965,7 @@ _DRIVER_PREFIX = [
     "ssjoin_pairs",
     "fuzzy_match_pairs",
     "semantic_dup_pairs",
-    "gram_novelty",
+    "streaming_rollup_serve",
     "bm25_search",
     "hybrid_search",
     "doc_vectors",
@@ -4060,6 +4102,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
+        "streaming_rollup_serve": _q_streaming_rollup_serve,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
         "salted_join_agg": _q_salted_join_agg,
@@ -4185,6 +4228,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "routed_monthly": f"""
+            SELECT order_year, order_month,
+                   round(sum(total_price), 2) AS total_revenue
+            FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+        """,
+        # stream-folded rollup must equal the full-data aggregate
+        "streaming_rollup_serve": f"""
             SELECT order_year, order_month,
                    round(sum(total_price), 2) AS total_revenue
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2

@@ -79,14 +79,21 @@ def streaming_rollup(
     source_dir: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain a rollup from an append-only parquet directory with
     Structured Streaming (`availableNow` = catch up on everything new,
     then stop — the scheduled-batch semantics of the reference's
-    `schedule: every 6 hours`, `models/schema.yml:106-108`)."""
+    `schedule: every 6 hours`, `models/schema.yml:106-108`).
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    honors it), forcing the old⊕delta merge path to run repeatedly —
+    the steady-state shape of a long-lived maintenance stream."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
