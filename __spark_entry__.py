@@ -3045,6 +3045,21 @@ def _q_pq_topk(spark, sf_dir):
     return pq.pq_adc_topk(codes, book, qs, k=15)
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ composition (Jégou et al. 2011 §V): 4 deterministic coarse
+    # cells prune the corpus to 2 probed cells, and ADC over the PQ codes
+    # scores only those candidates — neither the unprobed cells nor any
+    # embedding is read at query time. Fully unrolled SQL oracle (cells,
+    # assignment, probe choice, PQ chain, ADC).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import pq
+
+    emb, book, codes = _pq_pieces(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return pq.ivfpq_topk(emb, codes, book, qv, k=10, n_cells=4, n_probe=2)
+
+
 def _q_session_metrics_view(spark, sf_dir):
     # streaming-state metrics surface: the applyInPandasWithState
     # sessionizer (close-on-successor contract, streaming/sessions.py)
@@ -3958,7 +3973,7 @@ _DRIVER_PREFIX = [
     "hist_percentile",
     "hist_window",
     "metric_anomalies",
-    "drift_report",
+    "ivfpq_topk",
     "pq_topk",
     "pagerank_dupgraph",
     "triangle_counts",
@@ -4033,6 +4048,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_metrics_view": _q_session_metrics_view,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4461,6 +4477,54 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN sub = 2 THEN code END) AS code_2,
                    max(CASE WHEN sub = 3 THEN code END) AS code_3
             FROM enc GROUP BY 1
+        """,
+        "ivfpq_topk": _PQ_CTE + """
+            , cents AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+              ORDER BY (vec_id % 1000000 * (2654435761 % 1000000)) % 1000000,
+                       vec_id
+              LIMIT 4
+            ),
+            iassign AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                           c.cid) AS rk
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rk = 1
+            ),
+            qv AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id = 0
+            ),
+            probes AS (
+              SELECT cid FROM cents, qv
+              ORDER BY round(list_cosine_similarity(cv, v), 6) DESC, cid
+              LIMIT 2
+            ),
+            q AS (SELECT sub, sv FROM sl WHERE vec_id = 0),
+            tbl AS (
+              SELECT c.sub, c.code,
+                     round(list_dot_product(q.sv, q.sv)
+                           - 2 * list_dot_product(q.sv, c.cent)
+                           + list_dot_product(c.cent, c.cent), 6) AS cell
+              FROM c1 c JOIN q ON c.sub = q.sub
+            ),
+            sc AS (
+              SELECT e.vec_id, round(sum(t.cell), 6) AS adc_dist
+              FROM enc e
+              JOIN iassign ia ON e.vec_id = ia.vec_id
+              JOIN tbl t ON e.sub = t.sub AND e.code = t.code
+              WHERE ia.cid IN (SELECT cid FROM probes)
+              GROUP BY 1
+            )
+            SELECT vec_id, adc_dist,
+                   CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT)
+                       AS adc_rank
+            FROM sc ORDER BY adc_dist, vec_id LIMIT 10
         """,
         "pq_topk": _PQ_CTE + """
             , q AS (SELECT sub, sv FROM sl WHERE vec_id = 0),

@@ -200,3 +200,76 @@ def pq_adc_topk(
     return top.withColumn("adc_rank", F.row_number().over(w)).select(
         id_col, "adc_dist", "adc_rank"
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune WHICH vectors to score, PQ codes decide
+    HOW CHEAPLY — the composition behind billion-vector ANN indices
+    (Jégou et al. 2011 §V). Cells here are the deterministic
+    multiplicative-hash seed vectors (``similarity.ivf_centroids``'s
+    routing machinery with the kmeans.py reproducible ordering), cell
+    assignment/probing use 6-decimal-rounded cosines, and scoring is ADC
+    over the probed cells' codes only.
+
+    At scale the cell id is the storage partition key: unprobed cells
+    are never read, and the probed ones are scored from m-int codes —
+    the scan touches neither the unprobed partitions nor any embedding.
+    """
+    from .kmeans import _init_order
+    from .similarity import cosine_similarity
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            _as_double_array(F.col(vec_col)).alias("cv"),
+        )
+        .orderBy(_init_order("cid"), F.col("cid"))
+        .limit(n_cells)
+    )
+    scored = corpus.select(
+        F.col(id_col), _as_double_array(F.col(vec_col)).alias("_v")
+    ).crossJoin(F.broadcast(cents))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(cosine_similarity(F.col("_v"), F.col("cv")), 6).desc(),
+        F.col("cid"),
+    )
+    assign = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cid")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cells = [
+        r["cid"]
+        for r in cents.select(
+            "cid", F.round(cosine_similarity(F.col("cv"), q), 6).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    probed = (
+        codes.join(assign, id_col)
+        .filter(F.col("cid").isin(probe_cells))
+        .drop("cid")
+    )
+    d_sub = dim // m
+    qs_rows = [
+        (s, [float(x) for x in query_vec[s * d_sub:(s + 1) * d_sub]])
+        for s in range(m)
+    ]
+    spark = corpus.sparkSession
+    query_slices = spark.createDataFrame(qs_rows, "sub INT, sv ARRAY<DOUBLE>")
+    return pq_adc_topk(probed, codebook, query_slices, k=k, m=m, id_col=id_col)

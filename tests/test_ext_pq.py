@@ -75,3 +75,29 @@ def test_plan_no_python_udf(emb, trained):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probes_own_cell_and_ranks_self_first(emb, trained):
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    codes = pq.pq_encode(emb, trained)
+    out = sorted(
+        pq.ivfpq_topk(emb, codes, trained, qv, k=10, n_cells=4, n_probe=2).collect(),
+        key=lambda r: r["adc_rank"],
+    )
+    # the query's own cell is always its max-cosine cell, so vec 0 is
+    # among the candidates and its codes minimize the ADC distance
+    assert out[0]["vec_id"] == 0
+    assert [r["adc_rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_ivfpq_is_subset_of_full_adc_candidates(emb, trained):
+    # pruning only removes candidates: every ivfpq hit must also appear
+    # in the unpruned ADC ranking restricted to the probed population
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    codes = pq.pq_encode(emb, trained)
+    pruned = {r["vec_id"] for r in
+              pq.ivfpq_topk(emb, codes, trained, qv, k=50, n_cells=4, n_probe=4).collect()}
+    qs = pq.subspace_slices(emb.filter(F.col("vec_id") == 0), 4, 16).select("sub", "sv")
+    full = {r["vec_id"] for r in pq.pq_adc_topk(codes, trained, qs, k=50).collect()}
+    # with n_probe == n_cells nothing is pruned: identical top-50 sets
+    assert pruned == full

@@ -66,6 +66,7 @@ LAZY_EXT_QUERIES = [
     "reranked_search",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -89,6 +90,7 @@ _SINGLE_PARTITION_OK = {
     "reranked_search",  # rank window over the 30-row candidate list
     "pq_codes",  # seed-code window over the 8 post-limit seed rows
     "pq_topk",  # same seeds + rank window over the 15 top rows
+    "ivfpq_topk",  # same seeds + rank window over the 10 top rows
 }
 
 
