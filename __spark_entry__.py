@@ -3045,6 +3045,65 @@ def _q_pq_topk(spark, sf_dir):
     return pq.pq_adc_topk(codes, book, qs, k=15)
 
 
+def _q_audience_overlap(spark, sf_dir):
+    # KMV set-operation sketches (Beyer et al. 2007): distinct-customer
+    # estimates for two yearly audiences plus UNION and INTERSECTION
+    # estimates from the merged k=64 sketch — the overlap question HLL
+    # cannot answer. The 60-bit md5-prefix hash is engine-portable, so
+    # sketches and estimates reproduce bit-for-bit; exact counts ride
+    # along as ground truth (accuracy pinned in tests/test_functions_kmv).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.functions import kmv as kmvf
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    K = 64
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cid"),
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    )
+    flags = (
+        o.filter(F.col("yr").isin(1995, 1996))
+        .groupBy("cid")
+        .agg(
+            F.max((F.col("yr") == 1995).cast("int")).alias("ia"),
+            F.max((F.col("yr") == 1996).cast("int")).alias("ib"),
+        )
+    )
+    exact = flags.agg(
+        F.sum("ia").cast("long").alias("n_a_exact"),
+        F.sum("ib").cast("long").alias("n_b_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter_exact"),
+    )
+    ska = kmvf.kmv_sketch(
+        o.filter(F.col("yr") == 1995).withColumn("g", F.lit(0)), "cid", ["g"], K
+    ).select(F.col("kmv").alias("ka"), F.col("kmv_n").alias("na"))
+    skb = kmvf.kmv_sketch(
+        o.filter(F.col("yr") == 1996).withColumn("g", F.lit(0)), "cid", ["g"], K
+    ).select(F.col("kmv").alias("kb"), F.col("kmv_n").alias("nb"))
+    j = exact.crossJoin(F.broadcast(ska)).crossJoin(F.broadcast(skb))
+    ku = kmvf.kmv_merge(F.col("ka"), F.col("kb"), K)
+    j = j.withColumn("ku", ku).withColumn("nu", F.size("ku").cast("long"))
+    est_u = kmvf.kmv_estimate(F.col("ku"), F.col("nu"), K)
+    inter_k = F.size(
+        F.array_intersect(F.array_intersect(F.col("ku"), F.col("ka")), F.col("kb"))
+    )
+    return j.select(
+        F.lit(K).alias("k"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        kmvf.kmv_estimate(F.col("ka"), F.col("na"), K).alias("est_a"),
+        kmvf.kmv_estimate(F.col("kb"), F.col("nb"), K).alias("est_b"),
+        est_u.alias("est_union"),
+        (inter_k.cast("double") / F.col("nu").cast("double") * est_u).alias(
+            "est_intersection"
+        ),
+    )
+
+
 def _q_ivfpq_topk(spark, sf_dir):
     # IVF-PQ composition (Jégou et al. 2011 §V): 4 deterministic coarse
     # cells prune the corpus to 2 probed cells, and ADC over the PQ codes
@@ -3971,7 +4030,7 @@ _DRIVER_PREFIX = [
     "stream_static_enrich",
     "streaming_dedup",
     "hist_percentile",
-    "hist_window",
+    "audience_overlap",
     "metric_anomalies",
     "ivfpq_topk",
     "pq_topk",
@@ -4049,6 +4108,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
+        "audience_overlap": _q_audience_overlap,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4466,6 +4526,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # KMV replay: portable md5-prefix hashes, per-set top-64 sketches,
+        # merged-union sketch, and the same estimator arithmetic
+        "audience_overlap": """
+            WITH o AS (
+                SELECT o_custkey AS cid, year(CAST(o_orderdate AS DATE)) AS yr
+                FROM orders
+            ),
+            flags AS (
+                SELECT cid,
+                       max(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS ia,
+                       max(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS ib
+                FROM o WHERE yr IN (1995, 1996) GROUP BY 1
+            ),
+            exact AS (
+                SELECT CAST(sum(ia) AS BIGINT) AS n_a_exact,
+                       CAST(sum(ib) AS BIGINT) AS n_b_exact,
+                       count(*) AS n_union_exact,
+                       CAST(sum(ia * ib) AS BIGINT) AS n_inter_exact
+                FROM flags
+            ),
+            ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM o WHERE yr = 1995),
+            hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM o WHERE yr = 1996),
+            ka AS (SELECT list(h ORDER BY h) AS ka, count(*) AS na
+                   FROM (SELECT h FROM ha ORDER BY h LIMIT 64)),
+            kb AS (SELECT list(h ORDER BY h) AS kb, count(*) AS nb
+                   FROM (SELECT h FROM hb ORDER BY h LIMIT 64)),
+            m AS (
+                SELECT exact.*, ka.ka, ka.na, kb.kb, kb.nb,
+                       list_slice(list_sort(list_distinct(ka.ka || kb.kb)), 1, 64) AS ku
+                FROM exact, ka, kb
+            ),
+            m2 AS (SELECT m.*, len(ku) AS nu FROM m)
+            SELECT 64 AS k, n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+                   CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(ka[-1] AS DOUBLE) END AS est_a,
+                   CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(kb[-1] AS DOUBLE) END AS est_b,
+                   CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(ku[-1] AS DOUBLE) END AS est_union,
+                   CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+                       / CAST(nu AS DOUBLE)
+                       * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                               ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                    / CAST(ku[-1] AS DOUBLE) END)
+                       AS est_intersection
+            FROM m2
         """,
         # PQ replay: deterministic seeds -> subspace assignment (argmin of
         # the rounded dot-identity distance) -> rounded centroid means ->
