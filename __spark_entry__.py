@@ -3045,6 +3045,28 @@ def _q_pq_topk(spark, sf_dir):
     return pq.pq_adc_topk(codes, book, qs, k=15)
 
 
+def _q_k_anonymity(spark, sf_dir):
+    # aggregate privacy gate (Sweeney 2002): customer quasi-identifiers
+    # (segment, nation, balance-thousand bucket) must form groups >= k
+    # before metadata export; the report counts both sides of the k line
+    # and the achieved anonymity after suppression. All-int projection.
+    # Bucket uses floor(x/1000.0) — 2dp inputs make integer quotients
+    # exact doubles, so the floor never sits on a flipped boundary.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import privacy
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    return privacy.k_anonymity_report(
+        c, ["segment", "nation_id", "bal_bucket"], k=10
+    )
+
+
 def _q_audience_overlap(spark, sf_dir):
     # KMV set-operation sketches (Beyer et al. 2007): distinct-customer
     # estimates for two yearly audiences plus UNION and INTERSECTION
@@ -4023,7 +4045,7 @@ _DRIVER_PREFIX = [
     "multiformat_roundtrip",
     "zorder_scan",
     "asof_join",
-    "interval_join",
+    "k_anonymity",
     "salted_join_agg",
     "funnel_steps",
     "stream_stream_join",
@@ -4109,6 +4131,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "audience_overlap": _q_audience_overlap,
+        "k_anonymity": _q_k_anonymity,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4526,6 +4549,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        "k_anonymity": """
+            WITH g AS (
+                SELECT c_mktsegment AS segment, c_nationkey AS nation_id,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                       count(*) AS group_size
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT 10 AS k,
+                   count(*) AS n_groups,
+                   count(CASE WHEN group_size < 10 THEN 1 END)
+                       AS n_groups_suppressed,
+                   CAST(sum(group_size) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN group_size < 10
+                                          THEN group_size END), 0) AS BIGINT)
+                       AS n_rows_suppressed,
+                   coalesce(min(CASE WHEN group_size >= 10
+                                     THEN group_size END), 0) AS achieved_k
+            FROM g
         """,
         # KMV replay: portable md5-prefix hashes, per-set top-64 sketches,
         # merged-union sketch, and the same estimator arithmetic

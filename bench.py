@@ -585,6 +585,15 @@ def main() -> None:
                 "dbt_databricks_metrics_spark.ext.classify", fromlist=["x"]
             ).logreg_train(_logreg_feats(d), "y", dim=16, n_iter=1),
         ),
+        # round-4: exact substring dedup — gram rows scale with corpus
+        # chars, the fp shuffle + per-doc folds must stay ~linear
+        (
+            "substring_dedup",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.substr", fromlist=["x"]
+            ).dedup_exact_substrings(d, min_len=48)
+            .agg(F.sum("chars_removed")).collect(),
+        ),
     ):
         def best_of3(d, f=fn):
             f(d)  # warm

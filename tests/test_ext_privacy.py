@@ -1,0 +1,65 @@
+"""k-anonymity governance (ext/privacy.py): group flagging, report
+arithmetic, suppression semantics, and the released-set invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.ext import privacy
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = (
+        [("NY", "a") for _ in range(5)]
+        + [("NY", "b") for _ in range(2)]
+        + [("CA", "a") for _ in range(7)]
+        + [("TX", "c")]
+    )
+    return spark.createDataFrame(
+        [(i, s, g) for i, (s, g) in enumerate(rows)],
+        "id INT, state STRING, grp STRING",
+    )
+
+
+def test_groups_flagged(people):
+    got = {
+        (r["state"], r["grp"]): (r["group_size"], r["suppressed"])
+        for r in privacy.k_anonymity_groups(people, ["state", "grp"], k=5).collect()
+    }
+    assert got[("NY", "a")] == (5, False)
+    assert got[("NY", "b")] == (2, True)
+    assert got[("CA", "a")] == (7, False)
+    assert got[("TX", "c")] == (1, True)
+
+
+def test_report(people):
+    (r,) = privacy.k_anonymity_report(people, ["state", "grp"], k=5).collect()
+    assert (r["n_groups"], r["n_groups_suppressed"]) == (4, 2)
+    assert (r["n_rows"], r["n_rows_suppressed"]) == (15, 3)
+    assert r["achieved_k"] == 5
+
+
+def test_suppression_yields_k_anonymous_release(people):
+    out = privacy.suppress_small_groups(people, ["state", "grp"], k=5)
+    assert out.count() == 12
+    sizes = [
+        r["group_size"]
+        for r in privacy.k_anonymity_groups(out, ["state", "grp"], k=5).collect()
+    ]
+    assert min(sizes) >= 5  # the release IS k-anonymous
+
+
+def test_all_suppressed_reports_zero_achieved(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id INT, q STRING")
+    (r,) = privacy.k_anonymity_report(df, ["q"], k=5).collect()
+    assert r["achieved_k"] == 0 and r["n_rows_suppressed"] == 2
+    assert privacy.suppress_small_groups(df, ["q"], k=5).count() == 0
+
+
+def test_bad_args(people):
+    with pytest.raises(ValueError, match="k must be"):
+        privacy.k_anonymity_groups(people, ["state"], k=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        privacy.k_anonymity_groups(people, [], k=5)
