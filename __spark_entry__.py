@@ -313,6 +313,58 @@ def _pagerank_oracle_sql(n_iter: int = 4, damping: float = 0.85) -> str:
     )
 
 
+def _lpa_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled synchronous label propagation over the same near-dup
+    graph CTE as the PageRank oracle; per round a neighbor-label count
+    and a (count desc, label asc) argmax — integer-only arithmetic."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"n{i} AS (SELECT e.dst AS id, l.label, count(*) AS c\n"
+            f"    FROM edges e JOIN {prev} l ON e.src = l.id GROUP BY 1, 2),\n"
+            f"l{i} AS (SELECT id, label FROM (\n"
+            f"    SELECT id, label, row_number() OVER (\n"
+            f"        PARTITION BY id ORDER BY c DESC, label) AS rk FROM n{i})\n"
+            f"    WHERE rk = 1)"
+        )
+        prev = f"l{i}"
+    return (
+        r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1,
+                       greatest(length(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g')) - 4, 1)),
+                       i -> substring(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g'), i, 5))) AS s
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        l0 AS (SELECT id, id AS label FROM nodes),
+        """
+        + ",\n".join(rounds)
+        + f"""
+        , sizes AS (SELECT label, count(*) AS community_size
+                    FROM {prev} GROUP BY 1)
+        SELECT l.id AS doc_id, l.label AS community, s.community_size
+        FROM {prev} l JOIN sizes s USING (label)
+        """
+    )
+
+
 _ADVISOR_BUDGET_ROWS = 60
 
 
@@ -2157,6 +2209,34 @@ def _q_pagerank_dupgraph(spark, sf_dir):
     ranks = pagerank(edges, damping=0.85, n_iter=4)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_lpa_communities(spark, sf_dir):
+    # synchronous label-propagation communities (Raghavan et al. 2007)
+    # over the exact near-dup pair graph: template FAMILIES rather than
+    # reachability components (deterministic min-label tie-break makes
+    # the fixed-round run engine-reproducible). Emits (doc_id, community)
+    # plus each community's size via a self-aggregate — all ints.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.ext.graph import label_propagation
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iter=3)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("community"),
+        "community_size",
     )
 
 
@@ -4058,7 +4138,7 @@ _DRIVER_PREFIX = [
     "pq_topk",
     "pagerank_dupgraph",
     "triangle_counts",
-    "ssjoin_pairs",
+    "lpa_communities",
     "fuzzy_match_pairs",
     "semantic_dup_pairs",
     "streaming_rollup_serve",
@@ -4132,6 +4212,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "audience_overlap": _q_audience_overlap,
         "k_anonymity": _q_k_anonymity,
+        "lpa_communities": _q_lpa_communities,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -5148,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "pagerank_dupgraph": _pagerank_oracle_sql(),
+        "lpa_communities": _lpa_oracle_sql(),
         "triangle_counts": f"""
             WITH sh AS (
                 SELECT doc_id,

@@ -181,3 +181,63 @@ def triangle_counts(
             (2.0 * t) / (F.col("degree") * (F.col("degree") - F.lit(1))),
         ).alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, public): labels start as node ids; each round
+    every node adopts the label most frequent among its in-neighbors,
+    ties broken by the SMALLEST label. The synchronous schedule plus the
+    deterministic tie-break make the fixed-round result reproducible
+    (async LPA's randomized order is what this trades away), so the
+    DuckDB oracle can unroll the identical rounds.
+
+    Differs from connected components (``dedup.duplicate_clusters``'s
+    min-label propagation): LPA splits a component into densely-linked
+    communities — on a near-dup graph, template FAMILIES rather than
+    reachability blobs.
+
+    Scale shape: per round ONE edges⋈labels equi-join + a
+    (node, label)-keyed count + a per-node argmax window (partitioned by
+    node — no global window); labels checkpoint each round so the plan
+    stays round-count-independent. Returns (id, label).
+    """
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(n_iter):
+        nbr = (
+            e.join(labels, e.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+        new = (
+            nbr.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "label")
+        )
+        # isolated nodes (none in an undirected pair graph) keep their label
+        labels = (
+            nodes.join(new.withColumnRenamed("label", "_nl"), "id", "left")
+            .select("id", F.coalesce(F.col("_nl"), F.col("id")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

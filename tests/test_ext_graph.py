@@ -111,3 +111,41 @@ class TestTriangleCounts:
         got = self._run(spark, edge_list)
         for n, (deg, t, _c) in got.items():
             assert t == exp_tri[n], f"node {n}"
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        both = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(both, "src BIGINT, dst BIGINT")
+
+    def test_two_cliques_with_bridge(self, spark):
+        from dbt_databricks_metrics_spark.ext.graph import label_propagation
+
+        # clique {1,2,3}, clique {10,11,12}, one bridge 3-10
+        pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(self._edges(spark, pairs), n_iter=3).collect()
+        }
+        # each clique converges to its minimum id; the bridge does not
+        # merge the two communities (the clique majority wins)
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == got[12]
+        assert got[10] != got[1]
+
+    def test_deterministic_under_repartition(self, spark):
+        from dbt_databricks_metrics_spark.ext.graph import label_propagation
+
+        pairs = [(i, i + 1) for i in range(0, 30, 2)] + [(0, 29), (4, 17)]
+        e = self._edges(spark, pairs)
+        a = sorted(map(tuple, label_propagation(e, n_iter=4).collect()))
+        b = sorted(map(tuple, label_propagation(e.repartition(7), n_iter=4).collect()))
+        assert a == b
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from dbt_databricks_metrics_spark.ext.graph import label_propagation
+
+        with _pytest.raises(ValueError, match="n_iter"):
+            label_propagation(self._edges(spark, [(1, 2)]), n_iter=0)
