@@ -4138,9 +4138,9 @@ _DRIVER_PREFIX = [
     "pq_topk",
     "pagerank_dupgraph",
     "triangle_counts",
-    "lpa_communities",
+    "ssjoin_pairs",
     "fuzzy_match_pairs",
-    "semantic_dup_pairs",
+    "lpa_communities",
     "streaming_rollup_serve",
     "bm25_search",
     "hybrid_search",
