@@ -3125,6 +3125,22 @@ def _q_pq_topk(spark, sf_dir):
     return pq.pq_adc_topk(codes, book, qs, k=15)
 
 
+def _q_gopher_gate(spark, sf_dir):
+    # the full Gopher quality-rule gate (Rae et al. 2021 App. A): 7
+    # independent per-doc rule flags + overall pass. Every ratio divides
+    # per-row integer counts (identical doubles both engines), so the
+    # hashed booleans are deterministic per the BASELINE.md rules.
+    # min_words=30 fits the fixture's short docs, and the required-word
+    # list adapts to the TEMPLATED vocabulary ('the'/'a' are the only
+    # function words it contains — the levenshtein-threshold lesson), so
+    # both gopher_pass outcomes are populated (non-vacuous gate).
+    from dbt_databricks_metrics_spark.ext.textstats import gopher_gate
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_gate(docs, min_words=30, required_words=("the", "a"))
+
+
 def _q_k_anonymity(spark, sf_dir):
     # aggregate privacy gate (Sweeney 2002): customer quasi-identifiers
     # (segment, nation, balance-thousand bucket) must form groups >= k
@@ -4139,7 +4155,7 @@ _DRIVER_PREFIX = [
     "pagerank_dupgraph",
     "triangle_counts",
     "ssjoin_pairs",
-    "fuzzy_match_pairs",
+    "gopher_gate",
     "lpa_communities",
     "streaming_rollup_serve",
     "bm25_search",
@@ -4213,6 +4229,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": _q_audience_overlap,
         "k_anonymity": _q_k_anonymity,
         "lpa_communities": _q_lpa_communities,
+        "gopher_gate": _q_gopher_gate,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4630,6 +4647,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # Gopher-rule replay: same tokenization (\\s+ words, newline
+        # lines), integer counts, identical ratio arithmetic
+        "gopher_gate": r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t, text,
+                       list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> length(x) > 0) AS w,
+                       list_filter(list_transform(
+                           string_split(coalesce(text, ''), chr(10)),
+                           l -> trim(l)), l -> length(l) > 0) AS ln
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, text, t,
+                       len(w) AS n_words,
+                       CAST(greatest(len(w), 1) AS DOUBLE) AS nw1,
+                       CAST(greatest(len(ln), 1) AS DOUBLE) AS nl1,
+                       len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                           AS n_alpha,
+                       coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                           AS chars_words,
+                       CAST(length(t) - length(replace(t, '#', '')) AS INT)
+                           AS hash_n,
+                       CAST((length(t) - length(replace(t, '...', ''))) / 3
+                           AS INT) AS ell_n,
+                       len(list_filter(ln, l -> regexp_matches(l, '^[-*•]')))
+                           AS bullet_lines,
+                       len(list_filter(ln, l -> regexp_matches(l, '\.\.\.$')))
+                           AS ell_lines,
+                       regexp_matches(lower(t), '\bthe\b')::INT
+                       + regexp_matches(lower(t), '\ba\b')::INT
+                           AS stop_present
+                FROM base
+            )
+            SELECT doc_id, text,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(chars_words AS DOUBLE) / nw1 AS mean_word_len,
+                   (n_words >= 30 AND n_words <= 100000) AS words_ok,
+                   (CAST(chars_words AS DOUBLE) / nw1 >= 3.0
+                    AND CAST(chars_words AS DOUBLE) / nw1 <= 10.0)
+                       AS mean_len_ok,
+                   (CAST(hash_n + ell_n AS DOUBLE) / nw1 <= 0.1) AS symbol_ok,
+                   (CAST(bullet_lines AS DOUBLE) / nl1 <= 0.9) AS bullet_ok,
+                   (CAST(ell_lines AS DOUBLE) / nl1 <= 0.3) AS ellipsis_ok,
+                   (CAST(n_alpha AS DOUBLE) / nw1 >= 0.8) AS alpha_ok,
+                   (stop_present >= 2) AS stop_ok,
+                   ((n_words >= 30 AND n_words <= 100000)
+                    AND (CAST(chars_words AS DOUBLE) / nw1 >= 3.0
+                         AND CAST(chars_words AS DOUBLE) / nw1 <= 10.0)
+                    AND (CAST(hash_n + ell_n AS DOUBLE) / nw1 <= 0.1)
+                    AND (CAST(bullet_lines AS DOUBLE) / nl1 <= 0.9)
+                    AND (CAST(ell_lines AS DOUBLE) / nl1 <= 0.3)
+                    AND (CAST(n_alpha AS DOUBLE) / nw1 >= 0.8)
+                    AND (stop_present >= 2)) AS gopher_pass
+            FROM c
         """,
         "k_anonymity": """
             WITH g AS (

@@ -208,3 +208,97 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_fingerprint(
         with_language_id(with_quality_score(df, text_col), text_col), text_col
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A —
+# public). Word-count bounds are scaled to the fixture's short docs via
+# the min_words parameter; every other threshold is the paper's.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    min_required: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule flags + overall pass.
+
+    Rules (each an independent boolean so pipelines can loosen one
+    without re-deriving the rest):
+
+    * ``words_ok``    — word count in [min_words, max_words]
+    * ``mean_len_ok`` — mean word length in [3, 10]
+    * ``symbol_ok``   — (# + ellipsis) to word ratio <= 0.1
+    * ``bullet_ok``   — <= 90% of lines start with a bullet
+    * ``ellipsis_ok`` — <= 30% of lines end with an ellipsis
+    * ``alpha_ok``    — >= 80% of words contain an alphabetic character
+    * ``stop_ok``     — >= min_required of ``required_words`` present
+                        (Gopher's 8 English stop words by default; pass a
+                        corpus-appropriate list for non-English or
+                        synthetic vocabularies)
+    * ``gopher_pass`` — all of the above
+
+    Every ratio divides two per-row INTEGER counts, so both engines
+    compute the identical double and every threshold comparison is
+    deterministic (no float aggregates anywhere — the hashed-boolean
+    rules of BASELINE.md are satisfied). Pure codegen, map-only.
+    """
+    from .dedup import _bind_once
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def build(w: Column, ln: Column) -> Column:
+        n_words = F.size(w)
+        nw1 = F.greatest(n_words, F.lit(1)).cast("double")
+        n_lines = F.size(ln)
+        nl1 = F.greatest(n_lines, F.lit(1)).cast("double")
+        n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        chars_in_words = F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+        )
+        mean_len = chars_in_words.cast("double") / nw1
+        hash_n = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("int")
+        ell_n = (
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        ).cast("int")
+        bullet_lines = F.size(
+            F.filter(ln, lambda l: l.rlike(r"^[-*•]"))
+        )
+        ell_lines = F.size(F.filter(ln, lambda l: l.rlike(r"\.\.\.$")))
+        stop_present = sum(
+            (F.regexp_count(F.lower(t), F.lit(rf"\b{word}\b")) > 0).cast("int")
+            for word in required_words
+        )
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            ((n_words >= min_words) & (n_words <= max_words)).alias("words_ok"),
+            ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_len_ok"),
+            (((hash_n + ell_n).cast("double") / nw1) <= 0.1).alias("symbol_ok"),
+            ((bullet_lines.cast("double") / nl1) <= 0.9).alias("bullet_ok"),
+            ((ell_lines.cast("double") / nl1) <= 0.3).alias("ellipsis_ok"),
+            ((n_alpha.cast("double") / nw1) >= 0.8).alias("alpha_ok"),
+            (stop_present >= min_required).alias("stop_ok"),
+        )
+
+    s = _bind_once(words, lambda w: _bind_once(lines, lambda ln: build(w, ln)))
+    out = df.withColumn("_g", s)
+    flags = [
+        "words_ok", "mean_len_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stop_ok",
+    ]
+    for c in ("n_words", "mean_word_len", *flags):
+        out = out.withColumn(c, F.col("_g")[c])
+    gate = F.lit(True)
+    for c in flags:
+        gate = gate & F.col(c)
+    return out.withColumn("gopher_pass", gate).drop("_g")

@@ -186,3 +186,43 @@ def test_vocab_topk_two_level_distinct(docs):
 
     plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan[:2000]
+
+
+class TestGopherGate:
+    def test_rule_flags(self, spark):
+        from dbt_databricks_metrics_spark.ext.textstats import gopher_gate
+
+        good = ("the quick brown fox jumps over a lazy dog and then it "
+                "sat down to rest with all of that energy have spent") * 1
+        rows = [
+            (1, good),                                   # passes all
+            (2, "short text"),                           # words_ok fails
+            (3, "### " * 30),                            # symbol + alpha fail
+            (4, "- a\n- b\n- c\n- d"),                   # bullets fail
+            (5, "w " * 60),                              # mean_len fails (1.0)
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {r["doc_id"]: r for r in gopher_gate(df, min_words=20).collect()}
+        assert got[1]["gopher_pass"] is True
+        assert got[2]["words_ok"] is False and got[2]["gopher_pass"] is False
+        assert got[3]["symbol_ok"] is False and got[3]["alpha_ok"] is False
+        assert got[4]["bullet_ok"] is False
+        assert got[5]["mean_len_ok"] is False
+
+    def test_stop_word_requirement(self, spark):
+        from dbt_databricks_metrics_spark.ext.textstats import gopher_gate
+
+        df = spark.createDataFrame(
+            [(1, "lorem ipsum dolor sit amet " * 10),
+             (2, "the cat and dog " * 10)],
+            "doc_id INT, text STRING",
+        )
+        got = {r["doc_id"]: r["stop_ok"] for r in gopher_gate(df, min_words=5).collect()}
+        assert got[1] is False and got[2] is True
+
+    def test_empty_and_null(self, spark):
+        from dbt_databricks_metrics_spark.ext.textstats import gopher_gate
+
+        df = spark.createDataFrame([(1, ""), (2, None)], "doc_id INT, text STRING")
+        for r in gopher_gate(df).collect():
+            assert r["n_words"] == 0 and r["gopher_pass"] is False
