@@ -3125,6 +3125,26 @@ def _q_pq_topk(spark, sf_dir):
     return pq.pq_adc_topk(codes, book, qs, k=15)
 
 
+def _q_curation_v2(spark, sf_dir):
+    # the modern curation recipe composed end-to-end (quality → Gopher
+    # gate → exact dedup → ExactSubstr span removal) with a one-row
+    # run-ledger summary; every stage is the standalone operator, so
+    # green means the COMPOSITION preserves each operator's semantics.
+    # All-int projection; md5 grams let DuckDB chain the same stages.
+    from dbt_databricks_metrics_spark.ext import pipeline
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pipeline.curation_v2_stats(
+        docs,
+        min_quality=0.5,
+        substr_min_len=48,
+        gopher_min_words=30,
+        gopher_required_words=("the", "a"),
+        hash_fn="md5",
+    )
+
+
 def _q_gopher_gate(spark, sf_dir):
     # the full Gopher quality-rule gate (Rae et al. 2021 App. A): 7
     # independent per-doc rule flags + overall pass. Every ratio divides
@@ -4156,7 +4176,7 @@ _DRIVER_PREFIX = [
     "triangle_counts",
     "ssjoin_pairs",
     "gopher_gate",
-    "lpa_communities",
+    "curation_v2",
     "streaming_rollup_serve",
     "bm25_search",
     "hybrid_search",
@@ -4230,6 +4250,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "lpa_communities": _q_lpa_communities,
         "gopher_gate": _q_gopher_gate,
+        "curation_v2": _q_curation_v2,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -4647,6 +4668,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT {_NORM.format(c='text')}) FROM documents)
                        AS n_unique
+        """,
+        # curation v2 replay: quality formula -> gopher conditions ->
+        # min-id-per-normalized-text dedup -> substring chain (all the
+        # standalone oracles re-targeted at each stage's survivor set)
+        "curation_v2": rf"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       length(text) AS char_len,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS ws_tokens,
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                           AS punct,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in|that|with|for|was)\b'))
+                           AS en_hits
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, text FROM scored
+                WHERE (least(char_len / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE))
+                       + greatest(CAST(0 AS DOUBLE),
+                           CAST(1 AS DOUBLE)
+                           - (punct / greatest(char_len, 1)) * 4)
+                       + least((en_hits / greatest(ws_tokens, 1)) * 4,
+                           CAST(1 AS DOUBLE))) / CAST(3 AS DOUBLE) >= 0.5
+            ),
+            gb AS (
+                SELECT doc_id, text, coalesce(text, '') AS t,
+                       list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> length(x) > 0) AS w,
+                       list_filter(list_transform(
+                           string_split(coalesce(text, ''), chr(10)),
+                           l -> trim(l)), l -> length(l) > 0) AS ln
+                FROM q
+            ),
+            gc AS (
+                SELECT doc_id, text,
+                       len(w) AS n_words,
+                       CAST(greatest(len(w), 1) AS DOUBLE) AS nw1,
+                       CAST(greatest(len(ln), 1) AS DOUBLE) AS nl1,
+                       len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                           AS n_alpha,
+                       coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                           AS chars_words,
+                       CAST(length(t) - length(replace(t, '#', '')) AS INT)
+                           AS hash_n,
+                       CAST((length(t) - length(replace(t, '...', ''))) / 3
+                           AS INT) AS ell_n,
+                       len(list_filter(ln, l -> regexp_matches(l, '^[-*•]')))
+                           AS bullet_lines,
+                       len(list_filter(ln, l -> regexp_matches(l, '\.\.\.$')))
+                           AS ell_lines,
+                       regexp_matches(lower(t), '\bthe\b')::INT
+                       + regexp_matches(lower(t), '\ba\b')::INT AS stop_present
+                FROM gb
+            ),
+            g AS (
+                SELECT doc_id, text FROM gc
+                WHERE n_words >= 30 AND n_words <= 100000
+                  AND CAST(chars_words AS DOUBLE) / nw1 >= 3.0
+                  AND CAST(chars_words AS DOUBLE) / nw1 <= 10.0
+                  AND CAST(hash_n + ell_n AS DOUBLE) / nw1 <= 0.1
+                  AND CAST(bullet_lines AS DOUBLE) / nl1 <= 0.9
+                  AND CAST(ell_lines AS DOUBLE) / nl1 <= 0.3
+                  AND CAST(n_alpha AS DOUBLE) / nw1 >= 0.8
+                  AND stop_present >= 2
+            ),
+            d AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY {_NORM.format(c='text')}
+                        ORDER BY doc_id) AS rk
+                    FROM g)
+                WHERE rk = 1
+            ),
+            sgr AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       left(md5(substr(text, CAST(i AS INT), 48)), 16) AS fp
+                FROM d,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(length(text) - 47, 0))) AS i)
+            ),
+            smarked AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY fp) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                FROM sgr
+            ),
+            sdup AS (SELECT doc_id, pos FROM smarked WHERE cnt > 1 AND rn > 1),
+            sbrk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= lag(pos) OVER w + 48 THEN 0 ELSE 1
+                           END AS is_brk
+                FROM sdup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            sgrp AS (
+                SELECT doc_id, pos, sum(is_brk) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS gid
+                FROM sbrk
+            ),
+            sspans AS (
+                SELECT doc_id, gid, min(pos) AS s, max(pos) + 47 AS e
+                FROM sgrp GROUP BY 1, 2
+            ),
+            ssegs AS (
+                SELECT doc_id, coalesce(lag(e) OVER w, 0) + 1 AS gs,
+                       s - 1 AS ge, s AS ord
+                FROM sspans WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+                UNION ALL
+                SELECT doc_id, max(e) + 1, NULL, 2147483647
+                FROM sspans GROUP BY doc_id
+            ),
+            srebuilt AS (
+                SELECT d.doc_id,
+                       string_agg(CASE WHEN ge IS NULL THEN substr(d.text, gs)
+                                       ELSE substr(d.text, gs, ge - gs + 1)
+                                  END, '' ORDER BY ord) AS text_clean
+                FROM ssegs JOIN d USING (doc_id) GROUP BY d.doc_id
+            ),
+            sagg AS (
+                SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS removed
+                FROM sspans GROUP BY 1
+            ),
+            cleaned AS (
+                SELECT d.doc_id, coalesce(r.text_clean, d.text) AS tc
+                FROM d LEFT JOIN srebuilt r USING (doc_id)
+            )
+            SELECT (SELECT count(*) FROM scored) AS n_raw,
+                   (SELECT count(*) FROM q) AS n_quality,
+                   (SELECT count(*) FROM g) AS n_gopher,
+                   (SELECT count(*) FROM d) AS n_dedup,
+                   (SELECT count(*) FROM sagg WHERE n_spans > 0)
+                       AS n_substr_touched,
+                   (SELECT CAST(coalesce(sum(removed), 0) AS BIGINT)
+                    FROM sagg) AS substr_chars_removed,
+                   (SELECT CAST(sum(CASE WHEN length(trim(tc)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(tc), '\s+')) END)
+                        AS BIGINT)
+                    FROM cleaned) AS total_ws_tokens_clean
         """,
         # Gopher-rule replay: same tokenization (\\s+ words, newline
         # lines), integer counts, identical ratio arithmetic

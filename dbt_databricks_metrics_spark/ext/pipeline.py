@@ -145,3 +145,66 @@ def curation_stats(
             )
         )
     )
+
+
+def curation_v2_stats(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    substr_min_len: int = 48,
+    gopher_min_words: int = 50,
+    gopher_required_words: tuple[str, ...] = ts.GOPHER_REQUIRED_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The modern curation recipe end-to-end (C4 → Gopher → RefinedWeb →
+    ExactSubstr lineage), one lazy funnel:
+
+        raw → heuristic quality → Gopher rule gate → exact dedup
+            → duplicated-substring removal (Lee et al. 2022)
+
+    Returns ONE summary row: survivor counts per stage, how many
+    surviving docs had duplicated spans cut, total chars removed, and
+    the post-clean whitespace-token budget — the run-ledger numbers a
+    production curation job reports. Each stage reuses the standalone
+    operator (textstats.gopher_gate, dedup.exact_dedup,
+    substr.dedup_exact_substrings), so the funnel IS the composition,
+    not a reimplementation.
+    """
+    from .substr import dedup_exact_substrings
+
+    scored = ts.document_stats(documents, text_col).cache()
+    after_q = scored.filter(F.col("quality_score_raw") >= min_quality)
+    after_g = ts.gopher_gate(
+        after_q,
+        text_col,
+        min_words=gopher_min_words,
+        required_words=gopher_required_words,
+    ).filter(F.col("gopher_pass"))
+    after_d = dd.exact_dedup(after_g, id_col, text_col)
+    cleaned = dedup_exact_substrings(
+        after_d.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        min_len=substr_min_len,
+        keep="first",
+        hash_fn=hash_fn,
+    )
+    clean_toks = F.when(
+        F.length(F.trim(F.col("text_clean"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text_clean")), r"\s+")))
+    return (
+        scored.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(after_q.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(after_g.agg(F.count(F.lit(1)).alias("n_gopher")))
+        .crossJoin(after_d.agg(F.count(F.lit(1)).alias("n_dedup")))
+        .crossJoin(
+            cleaned.agg(
+                F.count(F.when(F.col("n_dup_spans") > 0, 1)).alias(
+                    "n_substr_touched"
+                ),
+                F.sum("chars_removed").alias("substr_chars_removed"),
+                F.sum(clean_toks).cast("long").alias("total_ws_tokens_clean"),
+            )
+        )
+    )

@@ -172,3 +172,35 @@ def test_cluster_best_keeps_highest_quality_duplicate(spark):
     }
     assert q[2] > q[1]
     assert best_ids == {2, 3}, best_ids  # best-quality representative
+
+
+def test_curation_v2_funnel_monotone(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext.pipeline import curation_v2_stats
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (r,) = curation_v2_stats(
+        docs, min_quality=0.5, substr_min_len=48, gopher_min_words=30,
+        gopher_required_words=("the", "a"),
+    ).collect()
+    assert r["n_raw"] >= r["n_quality"] >= r["n_gopher"] >= r["n_dedup"] > 0
+    assert 0 <= r["n_substr_touched"] <= r["n_dedup"]
+    assert r["substr_chars_removed"] >= 0
+    assert r["total_ws_tokens_clean"] > 0
+
+
+def test_curation_v2_substr_stage_actually_cuts(spark):
+    from dbt_databricks_metrics_spark.ext.pipeline import curation_v2_stats
+
+    base = ("the a quick brown fox jumps over the lazy dog near a river "
+            "bank and walks home slowly tonight under the quiet stars now")
+    shared = "SHARED-BOILERPLATE-SEGMENT-THAT-REPEATS-ACROSS-DOCS-" * 2
+    rows = [(i, base + " " + shared + f" tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    (r,) = curation_v2_stats(
+        docs, min_quality=0.0, substr_min_len=32, gopher_min_words=5,
+        gopher_required_words=("the", "a"),
+    ).collect()
+    assert r["n_dedup"] == 6  # distinct tails -> no exact dups
+    assert r["n_substr_touched"] >= 5  # later copies lose the shared span
+    assert r["substr_chars_removed"] > 0
