@@ -2473,26 +2473,65 @@ def _q_rollup_advisor(spark, sf_dir):
     )
 
 
-def _q_metric_anomalies(spark, sf_dir):
+def _q_metric_anomalies(spark, sf_dir, with_ok=False):
     # metric monitoring on the semantic layer: per-segment monthly revenue
     # z-scored against its own series (population std), flagged at
-    # |z| >= 1.5. Stats window runs over the aggregated |dims × months|
-    # result — no extra source scan. z rounded 6 both sides; the flag
-    # compares unrounded z (1e-14 cross-engine jitter vs the 1.5
-    # threshold — no boundary exposure).
+    # |z| >= 1.5. The engine's query_anomalies drives the shape; hashed
+    # VALUES derive from exact int partials via the identity
+    #   z = (n·x − S) / sqrt(n·Q − S²)
+    # with x = monthly cents (int64), S = Σx (int64), Q = Σx² (decimal —
+    # exceeds int64 at sf0.1 sums), so both engines convert the SAME
+    # exact integers to double once and every emitted double (and the
+    # |z| >= 1.5 flag) is bit-identical — no raw float aggregate reaches
+    # the hash (BASELINE.md rules; r03 postmortem class). The MV path's
+    # own z stays pytest-pinned via with_ok.
     from pyspark.sql import functions as F
 
     eng = _engine(spark, sf_dir)
-    df = eng.metric_view("mv_order_metrics").query_anomalies(
+    mv = eng.metric_view("mv_order_metrics").query_anomalies(
         ["market_segment"], ["total_revenue"], order_dim="order_month", z=1.5
+    ).select(
+        "market_segment", "order_month",
+        F.col("total_revenue_z").alias("_mz"),
+        F.col("total_revenue_anomaly").alias("_ma"),
     )
-    return df.select(
-        "market_segment",
-        "order_month",
-        F.round("total_revenue", 2).alias("total_revenue"),
-        F.round("total_revenue_z", 6).alias("total_revenue_z"),
-        F.col("total_revenue_anomaly"),
+    cents = F.round(F.col("total_price") * 100).cast("bigint")
+    monthly = (
+        eng.ref("fct_orders")
+        .groupBy("market_segment", "order_month")
+        .agg(F.sum(cents).alias("_x"))
     )
+    stats = monthly.groupBy("market_segment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(
+            F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)")
+        ).alias("_q"),
+    )
+    j = monthly.join(stats, "market_segment").join(
+        mv, ["market_segment", "order_month"]
+    )
+    num = (F.col("_n") * F.col("_x") - F.col("_s")).cast("double")
+    den = F.sqrt(
+        (
+            F.col("_n").cast("decimal(38,0)") * F.col("_q")
+            - F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+        ).cast("double")
+    )
+    z = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    cols = [
+        F.col("market_segment"),
+        F.col("order_month"),
+        (F.col("_x") / 100.0).alias("total_revenue"),
+        z.alias("total_revenue_z"),
+        (F.abs(z) >= 1.5).alias("total_revenue_anomaly"),
+    ]
+    if with_ok:
+        cols += [
+            (F.abs(F.col("_mz") - z) < F.lit(1e-6)).alias("z_ok"),
+            (F.col("_ma") == (F.abs(z) >= 1.5)).alias("flag_ok"),
+        ]
+    return j.select(*cols)
 
 
 def _q_drift_report(spark, sf_dir):
@@ -5617,19 +5656,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "metric_anomalies": f"""
             WITH g AS (
-                SELECT market_segment, order_month, sum(total_price) AS rev
+                SELECT market_segment, order_month,
+                       sum(CAST(round(total_price * 100) AS BIGINT)) AS x
                 FROM ({_FCT_ORDERS}) GROUP BY 1, 2
             ),
             s AS (
-                SELECT market_segment, avg(rev) AS m, stddev_pop(rev) AS sd
+                SELECT market_segment, count(*) AS n,
+                       sum(x) AS sm,
+                       sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
                 FROM g GROUP BY 1
+            ),
+            z AS (
+                SELECT g.market_segment, g.order_month, g.x,
+                       CASE WHEN CAST(n AS HUGEINT) * q
+                                 - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT) > 0
+                            THEN CAST(n * g.x - sm AS DOUBLE)
+                                 / sqrt(CAST(CAST(n AS HUGEINT) * q
+                                        - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                                        AS DOUBLE))
+                            ELSE CAST(0 AS DOUBLE) END AS zz
+                FROM g JOIN s USING (market_segment)
             )
-            SELECT g.market_segment, g.order_month,
-                   round(rev, 2) AS total_revenue,
-                   round((rev - m) / nullif(sd, 0), 6) AS total_revenue_z,
-                   (abs((rev - m) / nullif(sd, 0)) >= 1.5)
-                       AS total_revenue_anomaly
-            FROM g JOIN s USING (market_segment)
+            SELECT market_segment, order_month,
+                   x / CAST(100 AS DOUBLE) AS total_revenue,
+                   zz AS total_revenue_z,
+                   (abs(zz) >= 1.5) AS total_revenue_anomaly
+            FROM z
         """,
         "drift_report": """
             WITH binned AS (

@@ -47,6 +47,7 @@ WITH_OK_FNS = {
     "revenue_by_nation": "_q_revenue_by_nation",
     "star_segment_year": "_q_star_segment_year",
     "revenue_by_brand": "_q_revenue_by_brand",
+    "metric_anomalies": "_q_metric_anomalies",
 }
 
 
