@@ -476,6 +476,30 @@ def main() -> None:
 
     timed("ext_rerank", _rerank_bench)
 
+    def _pq_bench():
+        from pyspark.sql import functions as F
+
+        from dbt_databricks_metrics_spark.ext import pq
+        from dbt_databricks_metrics_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        book = pq.pq_train(emb, m=4, n_codes=8, n_iter=1)
+        codes = pq.pq_encode(emb, book)
+        qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return pq.ivfpq_topk(emb, codes, book, qv, k=10).count()
+
+    timed("ext_pq_ivfpq", _pq_bench)
+
+    def _curation_v2_bench():
+        from dbt_databricks_metrics_spark.ext.pipeline import curation_v2_stats
+
+        return curation_v2_stats(
+            docs, min_quality=0.5, substr_min_len=48, gopher_min_words=30,
+            gopher_required_words=("the", "a"),
+        ).collect()
+
+    timed("ext_curation_v2", _curation_v2_bench)
+
     def _logreg_bench():
         from dbt_databricks_metrics_spark.ext.classify import logreg_train
         from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
