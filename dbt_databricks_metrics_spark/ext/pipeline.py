@@ -147,6 +147,81 @@ def curation_stats(
     )
 
 
+def source_reputation(
+    documents: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    quality_micro_floor: int = 500_000,
+    dup_num: int = 1,
+    dup_den: int = 5,
+) -> DataFrame:
+    """Per-source curation report: duplicate and quality accounting with
+    keep/flag decisions (the RefinedWeb/CCNet per-domain filtering idea —
+    Penedo et al. 2023 §3.1, Wenzek et al. 2020 — applied at the
+    ``source`` grain).
+
+    A document is a *duplicate* when the corpus-wide first occurrence of
+    its normalized fingerprint (min id) is a different document — the
+    copy, not the original, is charged to its source. Flags are integer
+    cross-multiplications so the decision is engine-exact:
+
+    * ``dup_flag``         — n_dup / n_docs > dup_num / dup_den
+    * ``low_quality_flag`` — mean quality < quality_micro_floor / 1e6
+                             (per-row micro-quantized scores, int64 sum)
+    * ``keep``             — neither flag
+
+    Scale shape (100 TB): one 8-byte fingerprint shuffle for the
+    corpus-wide min-id, one tiny per-source aggregate; no text ever
+    shuffles. The report has |sources| rows.
+    """
+    scored = ts.with_fingerprint(
+        ts.with_quality_score(documents, text_col), text_col
+    )
+    first = scored.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_first_id")
+    )
+    joined = scored.join(first, "fingerprint")
+    is_dup = (F.col(id_col) != F.col("_first_id")).cast("int")
+    q_micro = F.round(
+        F.col("quality_score_raw") * F.lit(1_000_000.0), 0
+    ).cast("long")
+    rep = joined.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup).cast("long").alias("n_dup"),
+        F.sum((F.col("quality_score_raw") < F.lit(min_quality)).cast("int"))
+        .cast("long")
+        .alias("n_low_quality"),
+        F.sum(q_micro).alias("sum_quality_micro"),
+    )
+    dup_flag = F.col("n_dup") * F.lit(dup_den) > F.col("n_docs") * F.lit(dup_num)
+    low_q = F.col("sum_quality_micro") < F.lit(quality_micro_floor) * F.col(
+        "n_docs"
+    )
+    return (
+        rep.withColumn("dup_flag", dup_flag)
+        .withColumn("low_quality_flag", low_q)
+        .withColumn("keep", ~(dup_flag | low_q))
+    )
+
+
+def gate_by_source(
+    documents: DataFrame,
+    reputation: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep only documents from sources the reputation report kept.
+
+    Broadcast semi-join on the (tiny) source dimension — map-only on the
+    corpus side.
+    """
+    keep = reputation.filter(F.col("keep")).select(
+        F.col("source").alias(source_col)
+    )
+    return documents.join(F.broadcast(keep), source_col, "left_semi")
+
+
 def curation_v2_stats(
     documents: DataFrame,
     min_quality: float = 0.5,

@@ -1,0 +1,146 @@
+"""Bloom-filter join pruning — broadcast-bitset semi-join pre-filter.
+
+Classic Bloom filter (Bloom 1970, "Space/time trade-offs in hash coding
+with allowable errors" — public) expressed relationally: the build side
+aggregates its join keys into a bitset stored as a tiny table of 32-bit
+words packed in BIGINTs, and the probe side tests membership with k
+broadcast equi-joins on the word index — no shuffle of the probe side,
+no driver collect, no UDF. This is the manual, engine-portable analogue
+of Spark's own runtime bloom pruning
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``), exposed as an
+operator so pipelines can prune *before* an expensive shuffle join and
+so the false-positive accounting itself is testable cross-engine.
+
+Hashing is the repo's portable 60-bit md5-prefix (`functions/kmv.h60`),
+so the bitset, the membership booleans, and the false-positive counts
+reproduce bit-for-bit in DuckDB:
+
+    Spark:  conv(substring(md5(key || '#' || i), 1, 15), 16, 10) % m
+    DuckDB: CAST('0x'||substr(md5(key || '#' || i),1,15) AS BIGINT) % m
+
+Scale shape (100 TB): the words table has m/32 rows regardless of
+corpus size (m = 2**27 bits → 4 M rows ≈ 64 MB, still broadcastable);
+building it is one distinct-key shuffle on the (small) build side; the
+probe side gains only map-local work — k broadcast hash joins plus a
+bitwise filter inside whole-stage codegen. A pruned fact then enters
+the real join shuffling ~(selectivity + fp_rate) of its rows instead of
+all of them. Expected fp rate is the textbook (1 - e^{-kn/m})^k.
+
+Words pack 32 bits per BIGINT (not 64) so every mask ``1 << bit`` stays
+positive — no sign-bit asymmetry between engines' shift semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kmv import h60
+
+WORD_BITS = 32
+
+
+def _positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """The k bit positions of *key*: h60(key '#' i) mod m, i in [0, k)."""
+    return [
+        h60(F.concat(key.cast("string"), F.lit(f"#{i}"))) % F.lit(m_bits)
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 16, n_hashes: int = 3
+) -> DataFrame:
+    """Aggregate the distinct values of ``key_col`` into a bitset table.
+
+    Returns (word_idx int, word long) — at most ``m_bits / 32`` rows,
+    independent of ``df``'s size. One shuffle of the distinct keys'
+    (word_idx, mask) pairs with map-side bit_or partials.
+    """
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    keys = df.select(F.col(key_col).alias("_key")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(*_positions(F.col("_key"), n_hashes, m_bits))
+        ).alias("_pos")
+    )
+    masks = pos.select(
+        F.shiftright(F.col("_pos"), 5).cast("int").alias("word_idx"),
+        # SQL shiftleft accepts a column shift; the typed PySpark wrapper
+        # only takes a python int, hence the expr
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))"
+        ).alias("mask"),
+    )
+    return masks.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+
+def with_bloom_member(
+    fact: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    member_col: str = "bloom_member",
+) -> DataFrame:
+    """Add a membership boolean: True iff all k bits of ``key_col`` are set.
+
+    k broadcast left joins on the word index (missing word row → 0) and a
+    bitwise test — entirely map-local on the fact side.
+    """
+    out = fact
+    tests: list[Column] = []
+    for i, p in enumerate(_positions(F.col(key_col), n_hashes, m_bits)):
+        wi, wc, bc = f"_bw{i}", f"_wv{i}", f"_bb{i}"
+        out = out.withColumn(wi, F.shiftright(p, 5).cast("int")).withColumn(
+            bc, (p % F.lit(WORD_BITS)).cast("int")
+        )
+        out = out.join(
+            F.broadcast(
+                words.select(
+                    F.col("word_idx").alias(wi), F.col("word").alias(wc)
+                )
+            ),
+            on=wi,
+            how="left",
+        )
+        tests.append(
+            F.expr(
+                f"(coalesce({wc}, CAST(0 AS BIGINT)) &"
+                f" shiftleft(CAST(1 AS BIGINT), {bc})) != 0"
+            )
+        )
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    out = out.withColumn(member_col, member)
+    drop = [c for i in range(n_hashes) for c in (f"_bw{i}", f"_wv{i}", f"_bb{i}")]
+    return out.drop(*drop)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Exact semi-join with a bloom pre-filter on the fact side.
+
+    The bloom prunes fact rows map-side before the semi-join shuffle;
+    the semi-join then removes the bloom's false positives, so the
+    result is EXACTLY ``fact LEFT SEMI JOIN dim`` — the filter only
+    shrinks the shuffle. At 100 TB this is the difference between
+    shuffling every fact row and shuffling selectivity + fp_rate.
+    """
+    words = bloom_build(dim, dim_key, m_bits, n_hashes)
+    pruned = with_bloom_member(
+        fact, fact_key, words, m_bits, n_hashes, "_bm"
+    ).filter(F.col("_bm")).drop("_bm")
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_semi",
+    )

@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.operators import bloom
+from dbt_databricks_metrics_spark.sources import load_table
+
+M, K = 4096, 3
+
+
+@pytest.fixture(scope="module")
+def dim(spark, sf_dir):
+    return load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+
+
+@pytest.fixture(scope="module")
+def fact(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_words_table_bounded(spark, dim):
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    rows = words.collect()
+    assert 0 < len(rows) <= M // 32
+    assert all(0 <= r["word_idx"] < M // 32 for r in rows)
+    assert all(r["word"] >= 0 for r in rows)  # 32-bit packing: no sign bit
+
+
+def test_no_false_negatives(spark, dim):
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    probed = bloom.with_bloom_member(
+        dim.select("p_partkey"), "p_partkey", words, M, K
+    )
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_fp_rate_near_textbook(spark, dim, fact):
+    n = dim.select("p_partkey").distinct().count()
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    probe_keys = fact.select(F.col("l_partkey").alias("k")).distinct()
+    member_keys = probe_keys.join(
+        dim.select(F.col("p_partkey").alias("k")).distinct(), "k", "left_anti"
+    )
+    probed = bloom.with_bloom_member(member_keys, "k", words, M, K)
+    total = member_keys.count()
+    fps = probed.filter(F.col("bloom_member")).count()
+    expected = (1.0 - math.exp(-K * n / M)) ** K
+    # textbook rate with generous slack on a small sample
+    assert fps / max(total, 1) <= max(4 * expected, 0.05)
+
+
+def test_semi_join_exact(spark, dim, fact):
+    got = bloom.bloom_semi_join(fact, "l_partkey", dim, "p_partkey", M, K)
+    want = fact.join(
+        dim.select(F.col("p_partkey").alias("l_partkey")).distinct(),
+        "l_partkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.select(F.sum("l_quantity")).first()[0] == pytest.approx(
+        want.select(F.sum("l_quantity")).first()[0]
+    )
+
+
+def test_member_matches_duckdb(spark, dim, duck):
+    """The membership booleans reproduce bit-for-bit in DuckDB."""
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    probed = (
+        bloom.with_bloom_member(
+            dim.sparkSession.range(1, 300).select(
+                F.col("id").alias("k")
+            ),
+            "k",
+            words,
+            M,
+            K,
+        )
+        .orderBy("k")
+        .collect()
+    )
+    hashes = ",".join(
+        f"CAST('0x'||substr(md5(CAST(k AS VARCHAR) || '#{i}'),1,15) AS BIGINT)"
+        f" % {M} AS p{i}"
+        for i in range(K)
+    )
+    tests = " AND ".join(
+        f"(coalesce(w{i}.word, CAST(0 AS BIGINT)) &"
+        f" (CAST(1 AS BIGINT) << CAST(p.p{i} % 32 AS INTEGER))) <> 0"
+        for i in range(K)
+    )
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word_idx = p.p{i} // 32"
+        for i in range(K)
+    )
+    sql = f"""
+    WITH keys AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size <= 5),
+    pos AS (
+      SELECT CAST('0x'||substr(md5(CAST(key AS VARCHAR) || '#' ||
+                 CAST(i.i AS VARCHAR)),1,15) AS BIGINT) % {M} AS pos
+      FROM keys CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) i
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ),
+    p AS (SELECT k, {hashes} FROM (SELECT range AS k FROM range(1, 300)) t)
+    SELECT p.k, ({tests}) AS member FROM p {joins} ORDER BY p.k
+    """
+    want = duck.execute(sql).fetchall()
+    got = [(r["k"], r["bloom_member"]) for r in probed]
+    assert got == [(k, bool(m)) for k, m in want]
+
+
+def test_m_bits_validated(spark, dim):
+    with pytest.raises(ValueError):
+        bloom.bloom_build(dim, "p_partkey", m_bits=100)

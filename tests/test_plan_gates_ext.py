@@ -67,6 +67,8 @@ LAZY_EXT_QUERIES = [
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
+    "bloom_prune",
+    "source_reputation",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -91,6 +93,7 @@ _SINGLE_PARTITION_OK = {
     "pq_codes",  # seed-code window over the 8 post-limit seed rows
     "pq_topk",  # same seeds + rank window over the 15 top rows
     "ivfpq_topk",  # same seeds + rank window over the 10 top rows
+    "bloom_prune",  # 1-row accounting aggregate + broadcast n_keys row
 }
 
 
