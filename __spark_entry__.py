@@ -4036,7 +4036,7 @@ def _q_bloom_prune(spark, sf_dir):
     fact = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    words = bloom.bloom_build(dim, "p_partkey", M_BITS, K_H)
+    words = bloom.bloom_build_local(dim, "p_partkey", M_BITS, K_H)
     probed = bloom.with_bloom_member(fact, "l_partkey", words, M_BITS, K_H)
     flagged = probed.join(
         F.broadcast(keys.withColumn("_in_dim", F.lit(1))), "l_partkey", "left"

@@ -700,6 +700,48 @@ def main() -> None:
         .first()[0]
     )
 
+    # bloom-pruning evidence: rows entering the semi-join shuffle with and
+    # without the bitset pre-filter (broadcast disabled so the join IS a
+    # shuffle join, the 100 TB case where the dim exceeds the broadcast
+    # threshold). Wall-clock at sf0.1 is scheduling-bound; the
+    # scale-invariant number is the shuffle-row ratio — a pruned fact
+    # ships selectivity + fp_rate of its rows instead of all of them.
+    from dbt_databricks_metrics_spark.operators import bloom as _bloom
+
+    bl_dim = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).filter(
+        F.col("p_size") <= 5
+    )
+    bl_fact = li.select("l_partkey", "l_extendedprice")
+
+    def plain_semi():
+        return bl_fact.join(
+            bl_dim.select(F.col("p_partkey").alias("l_partkey")).distinct(),
+            "l_partkey",
+            "left_semi",
+        ).count()
+
+    def bloom_semi():
+        return _bloom.bloom_semi_join(
+            bl_fact, "l_partkey", bl_dim, "p_partkey", m_bits=1 << 16, n_hashes=3
+        ).count()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed("ext_semi_join_plain_noBroadcast", plain_semi, warm=True)
+        timed("ext_semi_join_bloom_noBroadcast", bloom_semi, warm=True)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            _saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
+    bloom_words = _bloom.bloom_build_local(bl_dim, "p_partkey", 1 << 16, 3)
+    bloom_rows_pruned = (
+        _bloom.with_bloom_member(bl_fact, "l_partkey", bloom_words, 1 << 16, 3)
+        .filter(F.col("bloom_member"))
+        .count()
+    )
+    bloom_rows_plain = bl_fact.count()
+
     # layout evidence: Z-order vs single-key sort — fraction of parquet
     # row groups a secondary-column point filter must read (min/max
     # pruning straight from the footers; scale-invariant — the fraction,
@@ -797,6 +839,11 @@ def main() -> None:
         "scaling_4x_time_ratio": scaling,
         "layout_scan_frac_secondary_linear": linear_frac,
         "layout_scan_frac_secondary_zorder": zorder_frac,
+        "bloom_shuffle_rows_plain": bloom_rows_plain,
+        "bloom_shuffle_rows_pruned": bloom_rows_pruned,
+        "bloom_shuffle_reduction": round(
+            bloom_rows_plain / max(bloom_rows_pruned, 1), 1
+        ),
     }
     # Full payload: one JSON line (historical format) + a copy on disk.
     # The driver records only a ~2 KB TAIL of stdout, which truncated the

@@ -5,7 +5,8 @@ with allowable errors" — public) expressed relationally: the build side
 aggregates its join keys into a bitset stored as a tiny table of 32-bit
 words packed in BIGINTs, and the probe side tests membership with k
 broadcast equi-joins on the word index — no shuffle of the probe side,
-no driver collect, no UDF. This is the manual, engine-portable analogue
+no UDF (the only collect is `bloom_build_local`'s config-bounded ≤ m/32
+words round-trip). This is the manual, engine-portable analogue
 of Spark's own runtime bloom pruning
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``), exposed as an
 operator so pipelines can prune *before* an expensive shuffle join and
@@ -40,16 +41,36 @@ from ..functions.kmv import h60
 WORD_BITS = 32
 
 
-def _positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
-    """The k bit positions of *key*: h60(key '#' i) mod m, i in [0, k)."""
-    return [
-        h60(F.concat(key.cast("string"), F.lit(f"#{i}"))) % F.lit(m_bits)
-        for i in range(n_hashes)
-    ]
+def _positions(
+    key: Column, n_hashes: int, m_bits: int, hash_fn: str = "md5"
+) -> list[Column]:
+    """The k bit positions of *key*, i in [0, k).
+
+    ``md5`` (default): h60(key '#' i) mod m — the portable 60-bit prefix
+    hash, bit-identical in DuckDB, used by the oracle contracts.
+    ``xxhash64``: pmod(xxhash64(key, i), m) — the production path; the
+    JVM-native hash is ~an order of magnitude cheaper than the md5 hex
+    round-trip on wide probes.
+    """
+    if hash_fn == "md5":
+        return [
+            h60(F.concat(key.cast("string"), F.lit(f"#{i}"))) % F.lit(m_bits)
+            for i in range(n_hashes)
+        ]
+    if hash_fn == "xxhash64":
+        return [
+            F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 1 << 16, n_hashes: int = 3
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Aggregate the distinct values of ``key_col`` into a bitset table.
 
@@ -62,7 +83,7 @@ def bloom_build(
     keys = df.select(F.col(key_col).alias("_key")).distinct()
     pos = keys.select(
         F.explode(
-            F.array(*_positions(F.col("_key"), n_hashes, m_bits))
+            F.array(*_positions(F.col("_key"), n_hashes, m_bits, hash_fn))
         ).alias("_pos")
     )
     masks = pos.select(
@@ -76,6 +97,25 @@ def bloom_build(
     return masks.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
 
 
+def bloom_build_local(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """`bloom_build`, materialized once via a driver round-trip.
+
+    The k probe joins each re-evaluate their broadcast subplan, so an
+    unmaterialized bitset would be built k times. The words table is
+    ≤ m/32 rows — bounded by CONFIG, not data (the k-means-centroids
+    collect class) — so collapsing it to a local DataFrame is the
+    cheapest way to evaluate the build exactly once.
+    """
+    words = bloom_build(df, key_col, m_bits, n_hashes, hash_fn)
+    return df.sparkSession.createDataFrame(words.collect(), words.schema)
+
+
 def with_bloom_member(
     fact: DataFrame,
     key_col: str,
@@ -83,6 +123,7 @@ def with_bloom_member(
     m_bits: int = 1 << 16,
     n_hashes: int = 3,
     member_col: str = "bloom_member",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Add a membership boolean: True iff all k bits of ``key_col`` are set.
 
@@ -91,7 +132,9 @@ def with_bloom_member(
     """
     out = fact
     tests: list[Column] = []
-    for i, p in enumerate(_positions(F.col(key_col), n_hashes, m_bits)):
+    for i, p in enumerate(
+        _positions(F.col(key_col), n_hashes, m_bits, hash_fn)
+    ):
         wi, wc, bc = f"_bw{i}", f"_wv{i}", f"_bb{i}"
         out = out.withColumn(wi, F.shiftright(p, 5).cast("int")).withColumn(
             bc, (p % F.lit(WORD_BITS)).cast("int")
@@ -126,6 +169,7 @@ def bloom_semi_join(
     dim_key: str,
     m_bits: int = 1 << 16,
     n_hashes: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact semi-join with a bloom pre-filter on the fact side.
 
@@ -135,9 +179,9 @@ def bloom_semi_join(
     shrinks the shuffle. At 100 TB this is the difference between
     shuffling every fact row and shuffling selectivity + fp_rate.
     """
-    words = bloom_build(dim, dim_key, m_bits, n_hashes)
+    words = bloom_build_local(dim, dim_key, m_bits, n_hashes, hash_fn)
     pruned = with_bloom_member(
-        fact, fact_key, words, m_bits, n_hashes, "_bm"
+        fact, fact_key, words, m_bits, n_hashes, "_bm", hash_fn
     ).filter(F.col("_bm")).drop("_bm")
     return pruned.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
