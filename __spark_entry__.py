@@ -2534,6 +2534,101 @@ def _q_metric_anomalies(spark, sf_dir, with_ok=False):
     return j.select(*cols)
 
 
+def _q_metric_anomalies_robust(spark, sf_dir, with_ok=False):
+    # Hampel-filter metric monitoring (Leys et al. 2013; Pearson 2002):
+    # per-segment monthly revenue flagged at |x − median| >= 3·1.4826·MAD
+    # — the robust counterpart of metric_anomalies (a spike inflates the
+    # z-score's own std and can mask itself; it barely moves the median).
+    # The engine's query_anomalies_robust drives the percentile-window
+    # shape; hashed VALUES derive from exact int64 partials: 2·median =
+    # the sum of the two middle elements (rank window over cents), 4·MAD
+    # likewise over |2x − med2|, the flag is the integer
+    # cross-multiplication |4x − 2·med2|·10000 >= 44478·mad4, and rz
+    # divides two identically-derived int64s converted to double once —
+    # no raw float aggregate reaches the hash (BASELINE.md rules).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    rob = (
+        eng.metric_view("mv_order_metrics")
+        .query_anomalies_robust(
+            ["market_segment"], ["total_revenue"], order_dim="order_month", k=3.0
+        )
+        .select(
+            "market_segment",
+            "order_month",
+            F.col("total_revenue_rz").alias("_erz"),
+            F.col("total_revenue_outlier").alias("_eo"),
+        )
+    )
+    cents = F.round(F.col("total_price") * 100).cast("bigint")
+    monthly = (
+        eng.ref("fct_orders")
+        .groupBy("market_segment", "order_month")
+        .agg(F.sum(cents).alias("_x"))
+    )
+    w = Window.partitionBy("market_segment")
+    m1 = (
+        monthly.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("market_segment").orderBy("_x", "order_month")
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_lo", F.shiftright(F.col("_n") + 1, 1))
+        .withColumn("_hi", F.shiftright(F.col("_n") + 2, 1))
+    )
+    med2 = F.sum(
+        F.when(F.col("_r") == F.col("_lo"), F.col("_x")).otherwise(F.lit(0))
+        + F.when(F.col("_r") == F.col("_hi"), F.col("_x")).otherwise(F.lit(0))
+    ).over(w)
+    m2 = m1.withColumn("_med2", med2).withColumn(
+        "_dev2", F.abs(2 * F.col("_x") - F.col("_med2"))
+    )
+    m3 = m2.withColumn(
+        "_r2",
+        F.row_number().over(
+            Window.partitionBy("market_segment").orderBy("_dev2", "order_month")
+        ),
+    )
+    mad4 = F.sum(
+        F.when(F.col("_r2") == F.col("_lo"), F.col("_dev2")).otherwise(F.lit(0))
+        + F.when(F.col("_r2") == F.col("_hi"), F.col("_dev2")).otherwise(F.lit(0))
+    ).over(w)
+    m4 = m3.withColumn("_mad4", mad4).join(rob, ["market_segment", "order_month"])
+    num_i = (4 * F.col("_x") - 2 * F.col("_med2")) * F.lit(10000)
+    den_i = F.lit(14826) * F.col("_mad4")
+    rz = F.when(
+        F.col("_mad4") > 0, num_i.cast("double") / den_i.cast("double")
+    ).otherwise(F.lit(0.0))
+    flag = F.when(
+        F.col("_mad4") > 0,
+        F.abs(4 * F.col("_x") - 2 * F.col("_med2")) * F.lit(10000)
+        >= F.lit(44478) * F.col("_mad4"),
+    ).otherwise(F.lit(False))
+    cols = [
+        F.col("market_segment"),
+        F.col("order_month"),
+        (F.col("_x") / 100.0).alias("total_revenue"),
+        (F.col("_med2") / 200.0).alias("median_revenue"),
+        (F.col("_mad4") / 400.0).alias("mad_revenue"),
+        rz.alias("total_revenue_rz"),
+        flag.alias("total_revenue_outlier"),
+    ]
+    if with_ok:
+        cols += [
+            F.when(F.col("_mad4") > 0, F.abs(F.col("_erz") - rz) < F.lit(1e-6))
+            .otherwise(F.col("_erz").isNull())
+            .alias("rz_ok"),
+            F.when(F.col("_mad4") > 0, F.col("_eo") == flag)
+            .otherwise(F.col("_eo").isNull())
+            .alias("flag_ok"),
+        ]
+    return m4.select(*cols)
+
+
 def _q_drift_report(spark, sf_dir):
     # distribution drift between event cohorts: per-bin PSI terms and the
     # running CDF gap (binned KS). One aggregation per side, bin-sized
@@ -4402,6 +4497,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded": _q_bpe_encoded,
         "metric_anomalies": _q_metric_anomalies,
+        "metric_anomalies_robust": _q_metric_anomalies_robust,
         "drift_report": _q_drift_report,
         "ab_welch": _q_ab_welch,
         "bm25_search": _q_bm25_search,
@@ -5859,6 +5955,57 @@ def oracle_sql() -> dict[str, str]:
                    zz AS total_revenue_z,
                    (abs(zz) >= 1.5) AS total_revenue_anomaly
             FROM z
+        """,
+        # robust-anomaly replay: same cents series; 2·median and 4·MAD
+        # from rank windows (sum of the two middle elements — pure int64),
+        # flag by integer cross-multiplication, one int->double division
+        "metric_anomalies_robust": f"""
+            WITH g AS (
+                SELECT market_segment, order_month,
+                       sum(CAST(round(total_price * 100) AS BIGINT)) AS x
+                FROM ({_FCT_ORDERS}) GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY market_segment
+                                          ORDER BY x, order_month) AS r,
+                       count(*) OVER (PARTITION BY market_segment) AS n
+                FROM g
+            ),
+            med AS (SELECT *, (n + 1) // 2 AS lo, (n + 2) // 2 AS hi FROM rk),
+            m2 AS (
+                SELECT *,
+                       sum(CASE WHEN r = lo THEN x ELSE 0 END
+                           + CASE WHEN r = hi THEN x ELSE 0 END)
+                           OVER (PARTITION BY market_segment) AS med2
+                FROM med
+            ),
+            d AS (SELECT *, abs(2 * x - med2) AS dev2 FROM m2),
+            rk2 AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY market_segment
+                                          ORDER BY dev2, order_month) AS r2
+                FROM d
+            ),
+            m4 AS (
+                SELECT *,
+                       sum(CASE WHEN r2 = lo THEN dev2 ELSE 0 END
+                           + CASE WHEN r2 = hi THEN dev2 ELSE 0 END)
+                           OVER (PARTITION BY market_segment) AS mad4
+                FROM rk2
+            )
+            SELECT market_segment, order_month,
+                   x / CAST(100 AS DOUBLE) AS total_revenue,
+                   med2 / CAST(200 AS DOUBLE) AS median_revenue,
+                   mad4 / CAST(400 AS DOUBLE) AS mad_revenue,
+                   CASE WHEN mad4 > 0
+                        THEN CAST((4 * x - 2 * med2) * 10000 AS DOUBLE)
+                             / CAST(14826 * mad4 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS total_revenue_rz,
+                   CASE WHEN mad4 > 0
+                        THEN abs(4 * x - 2 * med2) * 10000 >= 44478 * mad4
+                        ELSE FALSE END AS total_revenue_outlier
+            FROM m4
         """,
         "drift_report": """
             WITH binned AS (

@@ -360,6 +360,59 @@ class MetricView:
             ]
         return df.select(*cols)
 
+    def query_anomalies_robust(
+        self,
+        dimensions: Sequence[str],
+        measures: Sequence[str],
+        order_dim: str,
+        k: float = 3.0,
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """Hampel-style robust anomaly flags [EXT beyond the reference]:
+        median / MAD instead of mean / std (Leys et al. 2013; Pearson
+        2002 "hampel filter") — a genuine spike inflates a z-score's own
+        std and can mask itself, but barely moves the median and MAD.
+        Per measure: ``<m>_rz`` = (x − median) / (1.4826 · MAD) and
+        ``<m>_outlier`` at |rz| >= k. A series whose majority value
+        repeats has MAD 0 → NULL rz and NULL flag (query_anomalies'
+        constant-series convention).
+
+        Same shape as query_anomalies: exact-median windows run over the
+        AGGREGATED |dims × periods| result partitioned by the non-order
+        dims, so the detector rides whatever route the base query takes.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if order_dim in dimensions:
+            raise QueryError(f"order_dim {order_dim!r} must not repeat in dimensions")
+        if k <= 0:
+            raise QueryError(f"k must be > 0, got {k}")
+        out = self.query([*dimensions, order_dim], measures, where=where)
+        w = Window.partitionBy(*[F.col(d) for d in dimensions])
+        # median and MAD are staged projections: a window aggregate can't
+        # take another window expression as its argument in one select
+        for m in measures:
+            out = out.withColumn(
+                f"_med_{m}", F.percentile(F.col(m), F.lit(0.5)).over(w)
+            )
+        for m in measures:
+            out = out.withColumn(
+                f"_mad_{m}",
+                F.percentile(
+                    F.abs(F.col(m) - F.col(f"_med_{m}")), F.lit(0.5)
+                ).over(w),
+            )
+        cols = [F.col(c) for c in (*dimensions, order_dim, *measures)]
+        for m in measures:
+            sigma = F.lit(1.4826) * F.col(f"_mad_{m}")
+            rz = (F.col(m) - F.col(f"_med_{m}")) / F.nullif(sigma, F.lit(0.0))
+            cols += [
+                rz.alias(f"{m}_rz"),
+                (F.abs(rz) >= F.lit(float(k))).alias(f"{m}_outlier"),
+            ]
+        return out.select(*cols)
+
     def query_filled(
         self,
         dimensions: Sequence[str],

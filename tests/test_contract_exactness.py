@@ -48,6 +48,7 @@ WITH_OK_FNS = {
     "star_segment_year": "_q_star_segment_year",
     "revenue_by_brand": "_q_revenue_by_brand",
     "metric_anomalies": "_q_metric_anomalies",
+    "metric_anomalies_robust": "_q_metric_anomalies_robust",
 }
 
 

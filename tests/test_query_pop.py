@@ -208,6 +208,72 @@ def test_anomalies_constant_series_null(engine, spark):
         pytest.skip("no single-period series in fixture")
 
 
+def test_anomalies_robust_matches_manual_hampel(engine):
+    import statistics
+
+    mv = engine.metric_view("mv_order_metrics")
+    base = {
+        (r["market_segment"], r["order_month"]): r["total_revenue"]
+        for r in mv.query(["market_segment", "order_month"], ["total_revenue"]).collect()
+    }
+    series: dict[str, list[float]] = {}
+    for (seg, _m), v in base.items():
+        series.setdefault(seg, []).append(v)
+    got = mv.query_anomalies_robust(
+        ["market_segment"], ["total_revenue"], order_dim="order_month", k=2.0
+    ).collect()
+    assert len(got) == len(base)
+    for r in got:
+        xs = series[r["market_segment"]]
+        med = statistics.median(xs)
+        mad = statistics.median([abs(x - med) for x in xs])
+        x = base[(r["market_segment"], r["order_month"])]
+        if mad == 0:
+            assert r["total_revenue_rz"] is None
+            assert r["total_revenue_outlier"] is None
+        else:
+            exp = (x - med) / (1.4826 * mad)
+            assert r["total_revenue_rz"] == pytest.approx(exp, rel=1e-9)
+            assert r["total_revenue_outlier"] == (abs(exp) >= 2.0)
+
+
+def test_anomalies_robust_resists_single_spike(engine, spark):
+    # the defining property vs the z-score: one huge spike inflates the
+    # std enough to shrink its own z, but the median/MAD barely move
+    import statistics
+
+    mv = engine.metric_view("mv_order_metrics")
+    rows = mv.query(
+        ["market_segment", "order_month"], ["total_revenue"]
+    ).collect()
+    series: dict[str, list[float]] = {}
+    for r in rows:
+        series.setdefault(r["market_segment"], []).append(r["total_revenue"])
+    seg, xs = next((s, v) for s, v in series.items() if len(v) >= 5)
+    spiked = xs[:-1] + [max(xs) * 50]
+    med = statistics.median(spiked)
+    mad = statistics.median([abs(x - med) for x in spiked])
+    mean = statistics.fmean(spiked)
+    sd = (sum((x - mean) ** 2 for x in spiked) / len(spiked)) ** 0.5
+    z_spike = abs((spiked[-1] - mean) / sd)
+    rz_spike = abs((spiked[-1] - med) / (1.4826 * mad))
+    assert rz_spike > z_spike  # robust detector sees the spike more clearly
+
+
+def test_anomalies_robust_validation(engine):
+    from dbt_databricks_metrics_spark.engine import QueryError
+
+    mv = engine.metric_view("mv_order_metrics")
+    with pytest.raises(QueryError):
+        mv.query_anomalies_robust(
+            ["order_year"], ["total_revenue"], order_dim="order_year"
+        )
+    with pytest.raises(QueryError):
+        mv.query_anomalies_robust(
+            ["market_segment"], ["total_revenue"], order_dim="order_month", k=0
+        )
+
+
 def test_anomalies_validation(engine):
     mv = engine.metric_view("mv_order_metrics")
     with pytest.raises(QueryError):
