@@ -125,7 +125,15 @@ def _round_cols(df: DataFrame, cols: Sequence[str], n: int = 4) -> DataFrame:
     For quotients, derive the contract value from exact integer partials
     instead (see _q_customer_metrics / _q_measure_by_dim): identical int64
     sums divided by identical counts are bit-identical in both engines
-    with no rounding step at all."""
+    with no rounding step at all.
+
+    Second sanctioned class — BOUNDED-magnitude derived statistics (log
+    ratios, PSI terms, t-stats, shares in [0,1], interpolations): their
+    cross-engine jitter is O(ulp of the value) and does NOT grow with
+    the data (unlike a money sum, whose absolute jitter scales with the
+    total — the sf0.1 margin-law lesson), so a 1e-4/1e-6 round keeps a
+    >=1000x margin at any SF. Each such call site carries a comment
+    naming its bound; anything else must be int-derived."""
     from pyspark.sql import functions as F
 
     for c in cols:
@@ -1813,6 +1821,9 @@ def _q_interpolated_revenue(spark, sf_dir):
     out = spine_op.interpolate_time_series(
         dense, "order_date", ["order_status"], ["revenue"], method="linear"
     )
+    # round-6 on a bounded value: interpolated revenue mixes two
+    # cent-grid endpoints with a day-ratio weight — jitter is O(ulp) of a
+    # ~1e5 value (~1e-11), margin 5e-7 (bounded-statistic class)
     return _round_cols(
         out.select("order_status", "order_date", "revenue", "observed"),
         ["revenue"],
@@ -1827,6 +1838,8 @@ def _q_share_of_total(spark, sf_dir):
     df = eng.metric_view("mv_order_metrics").query_share(
         ["market_segment"], ["total_revenue"]
     )
+    # share is in [0,1]: jitter O(1e-10) from summation order, margin
+    # 5e-7 at any SF (bounded-statistic class)
     return _round_cols(_round_cols(df, ["total_revenue"], 2), ["total_revenue_share"], 6)
 
 
@@ -1844,6 +1857,9 @@ def _q_dsir_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     w = dsir.dsir_weights(docs, target, hash_fn="md5")
+    # log-likelihood ratios are O(10) with O(1e-13) jitter (logs of
+    # identical count-derived doubles) — margin 5e-5 at any SF
+    # (bounded-statistic class)
     return _round_cols(w, ["log_weight"])
 
 
@@ -2647,6 +2663,8 @@ def _q_drift_report(spark, sf_dir):
         100.0,
         bins=10,
     )
+    # fractions/PSI terms are O(1) with O(1e-15) jitter — margin 5e-7
+    # at any SF (bounded-statistic class)
     return _round_cols(rep, ["frac_a", "frac_b", "psi_term", "cdf_gap"], 6)
 
 
@@ -2658,6 +2676,8 @@ def _q_ab_welch(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     t = welch_t(ev, "event_type", "value", "click", "purchase")
+    # means/t/dof are O(100)-bounded with O(1e-12) jitter — margin 5e-7
+    # at any SF (bounded-statistic class)
     return _round_cols(t, ["mean_a", "mean_b", "t_stat", "dof"], 6)
 
 
