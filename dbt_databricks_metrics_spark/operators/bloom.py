@@ -128,8 +128,21 @@ def with_bloom_member(
     """Add a membership boolean: True iff all k bits of ``key_col`` are set.
 
     k broadcast left joins on the word index (missing word row → 0) and a
-    bitwise test — entirely map-local on the fact side.
+    bitwise test — entirely map-local on the fact side. A NULL key hashes
+    to NULL positions → NULL membership (and is dropped by
+    ``bloom_semi_join``'s filter — consistent with semi-join semantics,
+    where a NULL key never matches).
     """
+    scratch = {
+        c
+        for i in range(n_hashes)
+        for c in (f"_bw{i}", f"_wv{i}", f"_bb{i}")
+    }
+    clash = scratch & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"fact columns collide with bloom scratch names: {sorted(clash)}"
+        )
     out = fact
     tests: list[Column] = []
     for i, p in enumerate(

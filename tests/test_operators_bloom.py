@@ -118,3 +118,35 @@ def test_member_matches_duckdb(spark, dim, duck):
 def test_m_bits_validated(spark, dim):
     with pytest.raises(ValueError):
         bloom.bloom_build(dim, "p_partkey", m_bits=100)
+
+
+def test_scratch_column_collision_raises(spark, dim):
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    bad = dim.select("p_partkey", F.lit(1).alias("_bw0"))
+    with pytest.raises(ValueError, match="collide"):
+        bloom.with_bloom_member(bad, "p_partkey", words, M, K)
+
+
+def test_null_keys_dropped_by_semi_join(spark, dim):
+    fact = dim.sparkSession.createDataFrame(
+        [(None,), (1,)], "l_partkey bigint"
+    )
+    got = bloom.bloom_semi_join(fact, "l_partkey", dim, "p_partkey", M, K)
+    assert got.filter(F.col("l_partkey").isNull()).count() == 0
+
+
+def test_hash_fn_validated(spark, dim):
+    with pytest.raises(ValueError, match="hash_fn"):
+        bloom.bloom_build(dim, "p_partkey", M, K, hash_fn="sha1")
+
+
+def test_xxhash_path_semi_join_exact(spark, dim, fact):
+    got = bloom.bloom_semi_join(
+        fact, "l_partkey", dim, "p_partkey", M, K, hash_fn="xxhash64"
+    )
+    want = fact.join(
+        dim.select(F.col("p_partkey").alias("l_partkey")).distinct(),
+        "l_partkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
