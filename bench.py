@@ -618,6 +618,14 @@ def main() -> None:
             ).dedup_exact_substrings(d, min_len=48)
             .agg(F.sum("chars_removed")).collect(),
         ),
+        # round-4: per-source reputation — fingerprint shuffle + a
+        # |sources|-row aggregate; output size is corpus-independent
+        (
+            "source_reputation",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.pipeline", fromlist=["x"]
+            ).source_reputation(d).collect(),
+        ),
     ):
         def best_of3(d, f=fn):
             f(d)  # warm
