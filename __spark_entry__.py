@@ -4201,6 +4201,18 @@ _SHINGLES = (
 )
 _NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
 
+# quality_score_raw replay (textstats.with_quality_score, IEEE op order —
+# the three curation-family oracles must stay in lockstep with the Spark
+# expression or the strict hash gate breaks; this is the single source).
+# Expects columns char_len, punct, en_hits, ws_tokens in scope.
+_QSR = (
+    "(least(char_len / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE))"
+    " + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)"
+    " - (punct / greatest(char_len, 1)) * 4)"
+    " + least((en_hits / greatest(ws_tokens, 1)) * 4, CAST(1 AS DOUBLE))"
+    ") / CAST(3 AS DOUBLE)"
+)
+
 _NGRAM_JACCARD_07_SQL = f"""
     WITH sh AS (
         SELECT doc_id,
@@ -4912,12 +4924,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
                 SELECT doc_id, text FROM scored
-                WHERE (least(char_len / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE))
-                       + greatest(CAST(0 AS DOUBLE),
-                           CAST(1 AS DOUBLE)
-                           - (punct / greatest(char_len, 1)) * 4)
-                       + least((en_hits / greatest(ws_tokens, 1)) * 4,
-                           CAST(1 AS DOUBLE))) / CAST(3 AS DOUBLE) >= 0.5
+                WHERE {_QSR} >= CAST(0.5 AS DOUBLE)
             ),
             gb AS (
                 SELECT doc_id, text, coalesce(text, '') AS t,
@@ -5228,23 +5235,24 @@ def oracle_sql() -> dict[str, str]:
         # keep-first dup accounting over normalized text, integer
         # cross-multiplied flags
         "source_reputation": rf"""
-            WITH scored AS (
+            WITH feats AS (
+                SELECT doc_id, source, text,
+                       length(text) AS char_len,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS ws_tokens,
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                           AS punct,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in|that|with|for|was)\b'))
+                           AS en_hits
+                FROM documents
+            ),
+            scored AS (
                 SELECT doc_id, source,
                        {_NORM.format(c='text')} AS norm,
-                       (least(length(text) / CAST(200 AS DOUBLE),
-                              CAST(1 AS DOUBLE))
-                        + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
-                            - (length(regexp_replace(text, '[A-Za-z0-9\s]',
-                                                     '', 'g'))
-                               / greatest(length(text), 1)) * 4)
-                        + least((len(regexp_extract_all(lower(text),
-                            '\b(the|and|of|to|is|in|that|with|for|was)\b'))
-                            / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text),
-                                                               '\s+'))
-                                END, 1)) * 4,
-                            CAST(1 AS DOUBLE))) / CAST(3 AS DOUBLE) AS qsr
-                FROM documents
+                       {_QSR} AS qsr
+                FROM feats
             ),
             d AS (
                 SELECT source, qsr,
@@ -6706,10 +6714,7 @@ def oracle_sql() -> dict[str, str]:
                        -- unrounded: same IEEE op order as the Spark side, so
                        -- the >= threshold compare is bit-identical (rounding
                        -- first would create engine-dependent boundary ties)
-                       (least(char_len / 200.0, 1.0)
-                              + greatest(0.0, 1.0 - (punct / greatest(char_len, 1)) * 4)
-                              + least((en_hits / greatest(ws_tokens, 1)) * 4, 1.0)
-                             ) / 3.0 AS quality_raw,
+                       {_QSR} AS quality_raw,
                        CASE WHEN greatest(
                                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')),
                                 len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|une|dans|que|pour)\b')),

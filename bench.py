@@ -742,9 +742,14 @@ def main() -> None:
             "spark.sql.autoBroadcastJoinThreshold",
             _saved["spark.sql.autoBroadcastJoinThreshold"],
         )
-    bloom_words = _bloom.bloom_build_local(bl_dim, "p_partkey", 1 << 16, 3)
+    # evidence probe uses the SAME hash as the timed run (xxhash64)
+    bloom_words = _bloom.bloom_build_local(
+        bl_dim, "p_partkey", 1 << 16, 3, hash_fn="xxhash64"
+    )
     bloom_rows_pruned = (
-        _bloom.with_bloom_member(bl_fact, "l_partkey", bloom_words, 1 << 16, 3)
+        _bloom.with_bloom_member(
+            bl_fact, "l_partkey", bloom_words, 1 << 16, 3, hash_fn="xxhash64"
+        )
         .filter(F.col("bloom_member"))
         .count()
     )

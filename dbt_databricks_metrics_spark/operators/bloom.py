@@ -52,6 +52,8 @@ def _positions(
     JVM-native hash is ~an order of magnitude cheaper than the md5 hex
     round-trip on wide probes.
     """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     if hash_fn == "md5":
         return [
             h60(F.concat(key.cast("string"), F.lit(f"#{i}"))) % F.lit(m_bits)
@@ -138,10 +140,15 @@ def with_bloom_member(
         for i in range(n_hashes)
         for c in (f"_bw{i}", f"_wv{i}", f"_bb{i}")
     }
-    clash = scratch & set(fact.columns)
+    clash = (scratch | {member_col}) & set(fact.columns)
     if clash:
         raise ValueError(
-            f"fact columns collide with bloom scratch names: {sorted(clash)}"
+            f"fact columns collide with bloom output/scratch names:"
+            f" {sorted(clash)}"
+        )
+    if member_col in scratch:
+        raise ValueError(
+            f"member_col {member_col!r} collides with a scratch name"
         )
     out = fact
     tests: list[Column] = []

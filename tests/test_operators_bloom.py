@@ -150,3 +150,31 @@ def test_xxhash_path_semi_join_exact(spark, dim, fact):
         "left_semi",
     )
     assert got.count() == want.count()
+
+
+def test_build_plan_quality(spark, dim):
+    # the probe-side gate (test_plan_gates_ext) can't see the build side
+    # past bloom_build_local's collect — gate the build plan here
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_member_col_collision_raises(spark, dim):
+    words = bloom.bloom_build(dim, "p_partkey", M, K)
+    with pytest.raises(ValueError, match="collide"):
+        bloom.with_bloom_member(
+            dim.select("p_partkey"), "p_partkey", words, M, K,
+            member_col="_wv1",
+        )
+    with pytest.raises(ValueError, match="collide"):
+        bloom.with_bloom_member(
+            dim.select("p_partkey", F.lit(1).alias("flag")),
+            "p_partkey", words, M, K, member_col="flag",
+        )
+
+
+def test_n_hashes_validated(spark, dim):
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom.bloom_build(dim, "p_partkey", M, n_hashes=0)

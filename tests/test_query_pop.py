@@ -237,27 +237,20 @@ def test_anomalies_robust_matches_manual_hampel(engine):
             assert r["total_revenue_outlier"] == (abs(exp) >= 2.0)
 
 
-def test_anomalies_robust_resists_single_spike(engine, spark):
-    # the defining property vs the z-score: one huge spike inflates the
-    # std enough to shrink its own z, but the median/MAD barely move
-    import statistics
-
+def test_anomalies_robust_flags_non_vacuously(engine):
+    # at k=1 the OPERATOR must produce true flags on the fixture, and
+    # each flag must agree with the rz it reports
     mv = engine.metric_view("mv_order_metrics")
-    rows = mv.query(
-        ["market_segment", "order_month"], ["total_revenue"]
+    got = mv.query_anomalies_robust(
+        ["market_segment"], ["total_revenue"], order_dim="order_month", k=1.0
     ).collect()
-    series: dict[str, list[float]] = {}
-    for r in rows:
-        series.setdefault(r["market_segment"], []).append(r["total_revenue"])
-    seg, xs = next((s, v) for s, v in series.items() if len(v) >= 5)
-    spiked = xs[:-1] + [max(xs) * 50]
-    med = statistics.median(spiked)
-    mad = statistics.median([abs(x - med) for x in spiked])
-    mean = statistics.fmean(spiked)
-    sd = (sum((x - mean) ** 2 for x in spiked) / len(spiked)) ** 0.5
-    z_spike = abs((spiked[-1] - mean) / sd)
-    rz_spike = abs((spiked[-1] - med) / (1.4826 * mad))
-    assert rz_spike > z_spike  # robust detector sees the spike more clearly
+    flagged = [r for r in got if r["total_revenue_outlier"]]
+    assert flagged, "k=1 must flag at least one period"
+    for r in got:
+        if r["total_revenue_rz"] is not None:
+            assert r["total_revenue_outlier"] == (
+                abs(r["total_revenue_rz"]) >= 1.0
+            )
 
 
 def test_anomalies_robust_validation(engine):
