@@ -3601,6 +3601,25 @@ def _q_topk_join(spark, sf_dir):
     return similarity.topk_join(queries_df, emb, k=3)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    # hard-negative mining for contrastive training (ANCE idea, Xiong et
+    # al. 2021): per anchor, the 3 most-similar DIFFERENT-label vectors —
+    # label filter BEFORE the rank window (filtering a plain top-k after
+    # the fact under-fills anchors with same-label neighborhoods). Same
+    # round-6 cosine parity as topk_join.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import similarity
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(queries_df, emb, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_srp_pairs(spark, sf_dir):
     # Same injected-copies de-vacuification as embedding_dup_pairs:
     # identical vectors get identical SRP signatures, so they are
@@ -4544,6 +4563,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "topk_similar": _q_topk_similar,
         "topk_join": _q_topk_join,
+        "hard_negatives": _q_hard_negatives,
         "srp_similar_pairs": _q_srp_pairs,
         "ivf_topk": _q_ivf_topk,
         "sessionize": _q_sessionize,
@@ -6469,6 +6489,25 @@ def oracle_sql() -> dict[str, str]:
                              DESC,
                          c.vec_id
             ) <= 3
+        """,
+        # same cosine parity as topk_join; label filter precedes the rank
+        "hard_negatives": """
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, c.vec_id, c.label,
+                       round(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+                                        DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.label IS DISTINCT FROM q.label
+            ) WHERE rank <= 3
         """,
         "sketch_distinct": f"""
             SELECT market_segment,

@@ -85,6 +85,60 @@ def topk_join(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negative selection idea, Xiong et al. 2021 — public): for
+    each query row, the k most-cosine-similar corpus rows whose
+    ``label_col`` DIFFERS from the query's — the negatives the model
+    currently confuses, which carry the training signal random negatives
+    don't.
+
+    The label filter runs BEFORE the per-query rank window (filtering
+    after a plain top-k would under-fill queries whose neighborhoods are
+    same-label). Plan shape mirrors `topk_join`: the query side is the
+    broadcastable anchor batch by contract; the corpus scan is map-only
+    into a per-query window over k survivors. For corpus-scale anchor
+    sets, run per-IVF-cell (`ivf_topk`) instead of one broadcast.
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        _as_double_array(F.col(vec_col)).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        _as_double_array(F.col(vec_col)).alias("_cv"),
+        F.col(label_col).alias("_clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(~F.col("_clabel").eqNullSafe(F.col("_qlabel")))
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("_clabel").alias(label_col),
+            F.round(
+                cosine_similarity(F.col("_qv"), F.col("_cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH
 # ---------------------------------------------------------------------------

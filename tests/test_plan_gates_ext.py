@@ -33,6 +33,7 @@ LAZY_EXT_QUERIES = [
     "embedding_dup_pairs",
     "topk_similar",
     "topk_join",
+    "hard_negatives",
     "srp_similar_pairs",
     "sessionize",
     "session_stats",
