@@ -158,15 +158,30 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
             for n in names:
                 if n not in baseline:
                     continue
-                if pert["tz"] and _is_event_time(qs[n]):
-                    print(f"skip {n} [{pert['name']}]: event-time contract, tz variant n/a")
-                    continue
+                # event-time contracts legitimately shift under the tz
+                # perturbation, but the LAYOUT part of a tz-bundled
+                # variant still applies — run them with the variant's
+                # layout at the base tz instead of skipping the variant
+                tz_detuned = bool(pert["tz"]) and _is_event_time(qs[n])
+                if tz_detuned:
+                    spark.conf.set("spark.sql.session.timeZone", base_tz)
+                    _reset_entry_caches()
+                    print(
+                        f"note {n} [{pert['name']}]: event-time contract,"
+                        " layout perturbed at base tz"
+                    )
                 try:
                     cols, dtypes, rows = _collect_sorted(qs[n](spark, sf_dir))
                 except Exception as e:  # noqa: BLE001
                     failures.append((n, f"{pert['name']} error: {e}"))
                     print(f"FAIL {n} [{pert['name']}]: error: {e}")
                     continue
+                finally:
+                    if tz_detuned:
+                        spark.conf.set(
+                            "spark.sql.session.timeZone", pert["tz"]
+                        )
+                        _reset_entry_caches()
                 bcols, bdtypes, brows = baseline[n]
                 if cols != bcols:
                     failures.append((n, f"{pert['name']} schema drift"))
@@ -178,7 +193,8 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
                     continue
                 skip_idx = {
                     i for i, c in enumerate(cols)
-                    if pert["tz"] and bdtypes.get(c, "").startswith("timestamp")
+                    if pert["tz"] and not tz_detuned
+                    and bdtypes.get(c, "").startswith("timestamp")
                 }
                 bad = None
                 for a, b in zip(rows, brows):
