@@ -4009,6 +4009,67 @@ def _q_keyword_search(spark, sf_dir):
     return search.keyword_search(docs, "spark filter window", k=10)
 
 
+def _q_phrase_search(spark, sf_dir):
+    # exact phrase matching via positional-inverted-index adjacency
+    # self-join (Manning et al. IIR ch.2): postings filtered to the
+    # phrase's terms at the scan, n-1 equi-joins on (doc, pos+i), top-k
+    # by integer occurrence count — bit-reproducible ranking.
+    from dbt_databricks_metrics_spark.ext import search
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.phrase_search(docs, "spark window", k=10)
+
+
+def _q_cluster_keep_best(spark, sf_dir):
+    # quality-aware near-dup retention: connected components over the
+    # exact n-gram-Jaccard pair graph (same graph as dup_clusters), then
+    # keep the highest-token-count member per cluster (ties: smallest
+    # id) via one packed-int64 max per cluster — no window, one shuffle.
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    clusters = dedup.duplicate_clusters(docs, pairs)
+    return dedup.keep_best_in_cluster(docs, clusters)
+
+
+def _q_corpus_diff(spark, sf_dir):
+    # release-gate corpus diff: v_new derives from documents by a
+    # deterministic mutation (drop id%13==0, rewrite id%7==0, add id%17
+    # copies under id+1e6), then added/removed/changed/unchanged counts
+    # via the 8-byte-fingerprint full-outer join (text never shuffles).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import versioning
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v_new = base.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", changed.alias("text")
+    ).unionByName(
+        base.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return versioning.diff_summary(base, v_new)
+
+
+def _q_shard_plan(spark, sf_dir):
+    # deterministic training-shard assignment (explicit Knuth
+    # multiplicative hash — engine-portable int64 arithmetic) + balance
+    # audit: per-shard doc/token counts and id checksum, all integers.
+    from dbt_databricks_metrics_spark.ext import packing
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.shard_plan(docs, n_shards=8)
+
+
 def _q_events_mv(spark, sf_dir):
     # semantic layer over the event stream: derived dims + distinct +
     # trailing window in one metric view
@@ -4591,6 +4652,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_metric_view": _q_events_mv,
         "documents_metric_view": _q_documents_mv,
         "keyword_search": _q_keyword_search,
+        "phrase_search": _q_phrase_search,
+        "cluster_keep_best": _q_cluster_keep_best,
+        "corpus_diff": _q_corpus_diff,
+        "shard_plan": _q_shard_plan,
     }
 
 
@@ -7102,6 +7167,110 @@ def oracle_sql() -> dict[str, str]:
                OR list_contains(t, 'window')
             ORDER BY score DESC, doc_id
             LIMIT 10
+        """,
+        "phrase_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+'), x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+                FROM toks
+            )
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+            FROM pos a
+            JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                      AND b.tok = 'window'
+            WHERE a.tok = 'spark'
+            GROUP BY a.doc_id
+            ORDER BY n_phrase DESC, a.doc_id
+            LIMIT 10
+        """,
+        "cluster_keep_best": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       {_SHINGLES.format(t=_NORM.format(c='text'))} AS s
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+            ),
+            labels AS (
+                SELECT id AS doc_id, min(comp) AS cluster_id
+                FROM walk GROUP BY id
+            ),
+            keyed AS (
+                SELECT l.cluster_id,
+                       CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                            END AS BIGINT) * 1000000000000
+                           + (1000000000000 - 1 - d.doc_id) AS key
+                FROM labels l JOIN documents d USING (doc_id)
+            )
+            SELECT cluster_id,
+                   CAST(1000000000000 - 1 - (max(key) % 1000000000000) AS BIGINT)
+                       AS kept_doc_id,
+                   CAST(max(key) // 1000000000000 AS BIGINT) AS kept_tokens,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   CAST(count(*) - 1 AS BIGINT) AS n_removed
+            FROM keyed GROUP BY cluster_id
+        """,
+        "corpus_diff": r"""
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new_v AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 17 = 0
+            ),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN regexp_replace(lower(trim(o.text)), '\s+', ' ', 'g')
+                               = regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')
+                                THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM j GROUP BY status
+        """,
+        "shard_plan": r"""
+            WITH a AS (
+                SELECT (((doc_id * 2654435761) % 4294967296) * 8)
+                           // 4294967296 AS shard_id,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens,
+                       doc_id
+                FROM documents
+            )
+            SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM a GROUP BY shard_id
         """,
     }
     # the exact prefix-filtered join must reproduce the brute-force pair

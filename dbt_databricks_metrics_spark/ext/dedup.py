@@ -677,3 +677,58 @@ def dedup_against_registry(
     return new_docs.join(
         reg.select(F.col(id_col)), id_col, "left_semi"
     )
+
+
+def keep_best_in_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware retention over near-dup clusters: instead of
+    keep-first (the ``duplicate_clusters`` consumer default), keep the
+    HIGHEST-QUALITY member of each component — the policy production
+    curation pipelines actually want (near-dup groups usually contain one
+    canonical page and N truncated/boilerplate mirrors; keeping the
+    longest member preserves the canonical one).
+
+    Quality key here = whitespace token count (integer — bit-reproducible
+    ranking in any engine), ties broken by smallest id. The argmax is a
+    single packed-int64 ``max`` per cluster:
+
+        key = n_tokens · 10^12 + (10^12 − 1 − id)
+
+    so one groupBy shuffle on ``cluster_id`` resolves winner, size and
+    removal count together — no window over the corpus, no second pass.
+    Ids must be non-negative and < 10^12 (asserted cheaply via the pack
+    itself: a violation would produce a negative key).
+
+    *clusters* is ``duplicate_clusters`` output (id_col, cluster_id).
+    Returns one row per cluster: (cluster_id, kept_<id>, kept_tokens,
+    cluster_size, n_removed) — all integers.
+    """
+    p = F.lit(1000000000000).cast("bigint")
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    keyed = (
+        df.select(F.col(id_col), n_tok.cast("bigint").alias("_nt"))
+        .join(clusters, id_col)
+        .select(
+            "cluster_id",
+            (
+                F.col("_nt") * p + (p - 1 - F.col(id_col).cast("bigint"))
+            ).alias("_key"),
+        )
+    )
+    agg = keyed.groupBy("cluster_id").agg(
+        F.max("_key").alias("_best"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return agg.select(
+        "cluster_id",
+        (p - 1 - F.col("_best") % p).alias(f"kept_{id_col}"),
+        # integer DIV, not float /: keys exceed 2^53 once token counts do
+        F.expr("_best DIV 1000000000000").alias("kept_tokens"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_removed"),
+    )

@@ -72,3 +72,66 @@ def bin_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit.
+
+    Training jobs consume a corpus as N fixed shards; the assignment must
+    be (a) stable across re-runs and engines (resumable training), and
+    (b) well-mixed, so no shard is dominated by one crawl segment or id
+    range. ``id % N`` fails (b) for clustered ids, and engine-native
+    hashes fail (a) — so the shard key is an explicit Knuth
+    multiplicative hash, plain int64 arithmetic any engine reproduces
+    bit-for-bit. The reduction to N buckets takes the hash's HIGH bits
+    (fixed-point range reduction): for a multiplicative hash, bit k of
+    ``id·c`` depends only on bits ≤ k of ``id``, so a low-bits ``mod N``
+    with power-of-2 N degenerates to ``id mod N`` (c is odd ⇒ c ≡ 1 mod
+    small 2^j) — the exact clustered-id failure being avoided:
+
+        shard = (((id · 2654435761) mod 2³²) · N) div 2³²
+
+    Returns one row per shard: (shard_id, n_docs, n_tokens, id_checksum)
+    — all integers. The balance check is the consumer's: max(n_tokens) /
+    min(n_tokens) ≈ 1 for healthy mixing. One map-only scan + one
+    groupBy over an N-row domain; the assignment column itself
+    (``assign_shards``) is reusable as a write-partitioning key, so the
+    physical shard files fall out of a single ``partitionBy`` write.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return assign_shards(docs, n_shards, id_col, text_col).groupBy(
+        "shard_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col(id_col).cast("bigint")).alias("id_checksum"),
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc shard assignment (see :func:`shard_plan`): adds integer
+    ``shard_id`` and ``n_tokens`` columns, map-only."""
+    # high-bits reduction (see shard_plan docstring); (2^32-1)·N stays
+    # far inside int64 for any sane shard count. Integer DIV — float /
+    # would lose exactness past 2^53.
+    shard = F.expr(
+        f"(pmod(CAST(`{id_col}` AS BIGINT) * 2654435761, 4294967296)"
+        f" * {int(n_shards)}) DIV 4294967296"
+    )
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return docs.withColumn("shard_id", shard.cast("bigint")).withColumn(
+        "n_tokens", n_tok.cast("bigint")
+    )

@@ -316,3 +316,76 @@ def rerank_top_k(
         .filter(F.col("rerank") <= k)
         .select(id_col, "rerank", "rerank_score")
     )
+
+
+def phrase_positions(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional postings ``(id, tok, pos)`` for exactly the phrase's
+    terms, 1-based positions.
+
+    The filter to phrase terms happens in the same map stage as the
+    explode, so only the (few) matching postings ever reach a shuffle.
+    At 100 TB this is the ad-hoc form of a prebuilt positional inverted
+    index — a ``(tok, id, pos)`` table bucketed by ``tok`` — which this
+    function's output schema matches on purpose: swap ``phrase_positions``
+    for a pushed-down scan of that table and ``phrase_search`` below is
+    unchanged.
+    """
+    toks = _all_tokens(text_col)
+    return (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("tok").isin([t.lower() for t in terms]))
+        # 1-based positions (matches SQL generate_subscripts semantics)
+        .select(F.col(id_col), F.col("tok"), (F.col("pos") + 1).alias("pos"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via a positional inverted index — the
+    adjacency self-join plan every positional search engine runs
+    (Manning, Raghavan & Schütze, IIR ch. 2, public).
+
+    An n-term phrase anchors on its first term's postings and chains
+    n−1 equi-joins on ``(id, pos + i)`` — each a partitionable hash join
+    keyed by document, with candidate postings already filtered to the
+    phrase's own terms at the scan. Returns the top-k documents by
+    phrase-occurrence count (``n_phrase``), ties broken by id. Counts
+    are integers, so ranking is bit-reproducible across engines.
+
+    Scale shape: no corpus-wide explode survives the first map stage
+    (non-phrase tokens are dropped pre-shuffle); the join chain's key is
+    ``(id, pos)`` so all n−1 joins reuse one partitioning; the final
+    top-k is a TakeOrderedAndProject, never a global sort.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    post = phrase_positions(docs, terms, id_col=id_col, text_col=text_col)
+    anchor = (
+        post.filter(F.col("tok") == terms[0])
+        .select(F.col(id_col), F.col("pos"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (
+            post.filter(F.col("tok") == t)
+            .select(F.col(id_col), (F.col("pos") - i).alias("pos"))
+        )
+        anchor = anchor.join(nxt, [id_col, "pos"])
+    return (
+        anchor.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_phrase"))
+        .orderBy(F.desc("n_phrase"), F.col(id_col))
+        .limit(k)
+    )
