@@ -351,35 +351,76 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact phrase matching via a positional inverted index — the
-    adjacency self-join plan every positional search engine runs
-    (Manning, Raghavan & Schütze, IIR ch. 2, public).
+    """Exact phrase matching, index-less: top-k documents by
+    phrase-occurrence count (``n_phrase``), ties broken by id.
 
-    An n-term phrase anchors on its first term's postings and chains
-    n−1 equi-joins on ``(id, pos + i)`` — each a partitionable hash join
-    keyed by document, with candidate postings already filtered to the
-    phrase's own terms at the scan. Returns the top-k documents by
-    phrase-occurrence count (``n_phrase``), ties broken by id. Counts
-    are integers, so ranking is bit-reproducible across engines.
-
-    Scale shape: no corpus-wide explode survives the first map stage
-    (non-phrase tokens are dropped pre-shuffle); the join chain's key is
-    ``(id, pos)`` so all n−1 joins reuse one partitioning; the final
-    top-k is a TakeOrderedAndProject, never a global sort.
+    A phrase occurrence is entirely WITHIN one document row, so ad-hoc
+    search needs no join at all: one map-only scan counts, per doc, the
+    token offsets i where tokens[i..i+n−1] equals the phrase — a
+    higher-order-function fold fully inside whole-stage codegen, ending
+    in a TakeOrderedAndProject. (The classic positional-inverted-index
+    adjacency join — Manning, Raghavan & Schütze, IIR ch. 2 — is the
+    right plan only when the index already EXISTS as a table; built
+    ad-hoc it costs one corpus scan PER TERM, since the per-term posting
+    branches share no exchange Catalyst can reuse. That plan is
+    :func:`phrase_search_indexed`, fed by a prebuilt
+    :func:`phrase_positions` table.) Counts are integers, so ranking is
+    bit-reproducible across engines.
     """
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("empty phrase")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    post = phrase_positions(docs, terms, id_col=id_col, text_col=text_col)
+    n = len(terms)
+
+    def is_match_at(i: Column) -> Column:
+        cond = None
+        for j, t in enumerate(terms):
+            eq = F.element_at(F.col("_t"), (i + j).cast("int")) == F.lit(t)
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    starts = F.sequence(F.lit(1), F.size(F.col("_t")) - (n - 1))
+    cnt = F.when(
+        F.size(F.col("_t")) >= n, F.size(F.filter(starts, is_match_at))
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(F.col(id_col), _all_tokens(text_col).alias("_t"))
+        .select(F.col(id_col), cnt.cast("bigint").alias("n_phrase"))
+        .filter(F.col("n_phrase") > 0)
+        .orderBy(F.desc("n_phrase"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase matching over a PREBUILT positional index (the
+    :func:`phrase_positions` schema — at scale, a ``(tok, id, pos)``
+    table bucketed by ``tok`` so the term filters prune at the scan).
+
+    An n-term phrase anchors on its first term's postings and chains
+    n−1 equi-joins on ``(id, pos + i)``; rare-term postings are small,
+    so these are broadcast/partitioned hash joins over index rows —
+    never a corpus scan. Same output contract as :func:`phrase_search`.
+    """
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     anchor = (
-        post.filter(F.col("tok") == terms[0])
+        postings.filter(F.col("tok") == terms[0])
         .select(F.col(id_col), F.col("pos"))
     )
     for i, t in enumerate(terms[1:], start=1):
         nxt = (
-            post.filter(F.col("tok") == t)
+            postings.filter(F.col("tok") == t)
             .select(F.col(id_col), (F.col("pos") - i).alias("pos"))
         )
         anchor = anchor.join(nxt, [id_col, "pos"])

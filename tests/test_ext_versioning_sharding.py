@@ -198,3 +198,26 @@ def test_shard_plan_validates_n_shards(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
     with pytest.raises(ValueError, match="n_shards"):
         packing.shard_plan(df, 0)
+
+
+def test_phrase_search_indexed_matches_scan(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big red fox big red fox jumps"),
+            (2, "big red herring and a big red fox"),
+            (3, "red fox big"),
+            (4, "Big, RED fox!"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    terms = ["big", "red", "fox"]
+    post = search.phrase_positions(df, terms)
+    via_index = {
+        r["doc_id"]: r["n_phrase"]
+        for r in search.phrase_search_indexed(post, terms, k=10).collect()
+    }
+    via_scan = {
+        r["doc_id"]: r["n_phrase"]
+        for r in search.phrase_search(df, "big red fox", k=10).collect()
+    }
+    assert via_index == via_scan == {1: 2, 2: 1, 4: 1}

@@ -74,6 +74,12 @@ LAZY_EXT_QUERIES = [
     # tests/test_operators_bloom.py::test_build_plan_quality
     "bloom_prune",
     "source_reputation",
+    # round-4 rotation-pool ops (cluster_keep_best excluded: its
+    # duplicate_clusters input runs eager localCheckpoint rounds, like
+    # dup_clusters)
+    "phrase_search",
+    "corpus_diff",
+    "shard_plan",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -99,6 +105,7 @@ _SINGLE_PARTITION_OK = {
     "pq_topk",  # same seeds + rank window over the 15 top rows
     "ivfpq_topk",  # same seeds + rank window over the 10 top rows
     "bloom_prune",  # 1-row accounting aggregate + broadcast n_keys row
+    "phrase_search",  # TakeOrderedAndProject top-k merge
 }
 
 
