@@ -4444,6 +4444,19 @@ _DOC_STATS_SQL = r"""
 # anchors that keep the reference surface attested. The remaining
 # contracts stay strict-mirror + paranoid-mode verified (scripts/
 # check_entry.py) and rotate in next round.
+#
+# ROUND-5 ROTATION PLAN (precomputed 2026-08-15; after r4's driver run,
+# exactly these 32 contracts will never have had a driver row — lead the
+# r5 prefix with all of them plus ~18 re-anchors, retiring the backlog):
+#   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
+#   seed_lookup metric_anomalies_robust drift_report ab_welch
+#   profile_orders drill_across gram_novelty hist_window
+#   semantic_dup_pairs ppl_buckets hard_negatives debounced_events
+#   incremental_refresh interval_join distinct_count_salted
+#   stratified_sample pack_bins curation_stats topk_docs_per_lang
+#   redact_documents quantize_roundtrip events_metric_view
+#   documents_metric_view keyword_search phrase_search cluster_keep_best
+#   corpus_diff shard_plan
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
