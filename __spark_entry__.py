@@ -4059,6 +4059,47 @@ def _q_corpus_diff(spark, sf_dir):
     return versioning.diff_summary(base, v_new)
 
 
+def _q_incremental_targets(spark, sf_dir):
+    # the work-list a corpus bump implies for an incremental consumer
+    # (re-embed upserts, index deletes) — corpus_diff minus 'unchanged',
+    # same deterministic version simulation as the corpus_diff contract.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import versioning
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v_new = base.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", changed.alias("text")
+    ).unionByName(
+        base.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return versioning.incremental_targets(base, v_new)
+
+
+def _q_token_budget(spark, sf_dir):
+    # best-first corpus selection under a 3000-token budget: whole
+    # quality tiers from the top, boundary tier filled in id order.
+    # Integer length-tier score (chars DIV 50) keeps every decision —
+    # tier totals, the cut, the boundary cumsum — engine-exact.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.sampling import select_token_budget
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("length(text) DIV 50").alias("score"), "text"
+    )
+    return select_token_budget(docs, 3000, "score").select(
+        "doc_id", "score", "n_tokens"
+    )
+
+
 def _q_shard_plan(spark, sf_dir):
     # deterministic training-shard assignment (explicit Knuth
     # multiplicative hash — engine-portable int64 arithmetic) + balance
@@ -4446,8 +4487,8 @@ _DOC_STATS_SQL = r"""
 # check_entry.py) and rotate in next round.
 #
 # ROUND-5 ROTATION PLAN (precomputed 2026-08-15; after r4's driver run,
-# exactly these 32 contracts will never have had a driver row — lead the
-# r5 prefix with all of them plus ~18 re-anchors, retiring the backlog):
+# exactly these 34 contracts will never have had a driver row — lead the
+# r5 prefix with all of them plus ~16 re-anchors, retiring the backlog):
 #   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
 #   seed_lookup metric_anomalies_robust drift_report ab_welch
 #   profile_orders drill_across gram_novelty hist_window
@@ -4456,7 +4497,7 @@ _DOC_STATS_SQL = r"""
 #   stratified_sample pack_bins curation_stats topk_docs_per_lang
 #   redact_documents quantize_roundtrip events_metric_view
 #   documents_metric_view keyword_search phrase_search cluster_keep_best
-#   corpus_diff shard_plan
+#   corpus_diff shard_plan incremental_targets token_budget
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4669,6 +4710,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": _q_cluster_keep_best,
         "corpus_diff": _q_corpus_diff,
         "shard_plan": _q_shard_plan,
+        "incremental_targets": _q_incremental_targets,
+        "token_budget": _q_token_budget,
     }
 
 
@@ -7269,6 +7312,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM j GROUP BY status
+        """,
+        "incremental_targets": r"""
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new_v AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 17 = 0
+            ),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN regexp_replace(lower(trim(o.text)), '\s+', ' ', 'g')
+                               = regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')
+                                THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN status = 'removed' THEN 'delete'
+                        ELSE 'upsert' END AS action
+            FROM j WHERE status <> 'unchanged'
+        """,
+        "token_budget": r"""
+            WITH base AS (
+                SELECT doc_id, length(text) // 50 AS score,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            tiers AS (
+                SELECT score, sum(n_tokens) AS tier_tok FROM base GROUP BY score
+            ),
+            cum AS (
+                SELECT score, tier_tok,
+                       coalesce(sum(tier_tok) OVER (
+                           ORDER BY score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS above
+                FROM tiers
+            ),
+            verd AS (
+                SELECT score, above,
+                       CASE WHEN above + tier_tok <= 3000 THEN 'all'
+                            WHEN above >= 3000 THEN 'none'
+                            ELSE 'boundary' END AS v
+                FROM cum
+            ),
+            j AS (
+                SELECT b.doc_id, b.score, b.n_tokens, v.v, v.above
+                FROM base b JOIN verd v USING (score)
+            ),
+            bnd AS (
+                SELECT doc_id, score, n_tokens, above,
+                       sum(n_tokens) OVER (
+                           PARTITION BY score ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cumtok
+                FROM j WHERE v = 'boundary'
+            )
+            SELECT doc_id, score, n_tokens FROM j WHERE v = 'all'
+            UNION ALL
+            SELECT doc_id, score, n_tokens FROM bnd
+            WHERE above + cumtok <= 3000
         """,
         "shard_plan": r"""
             WITH a AS (

@@ -182,3 +182,80 @@ def temperature_sample(
     filter (map-only, partitioning-invariant, reproducible)."""
     fr = temperature_fractions(df, group_col, temperature, budget_rows)
     return stratified_sample(df, group_col, fr, default=0.0, key_col=key_col)
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-first corpus selection under a token budget — "fill a
+    fixed-size training run with the highest-quality documents": take
+    whole quality tiers from the best score down while they fit, then
+    fill the remaining budget from the boundary tier in deterministic
+    (id) order. ``score_col`` must be an INTEGER quality score (higher =
+    better) so tier totals and the cut are bit-reproducible cross-engine.
+
+    Scale shape — the greedy is NOT a global sorted cumsum (that window
+    is a single-partition sort of the corpus): per-tier token totals
+    aggregate to a |score-domain|-sized table, the running-total window
+    runs over THOSE few rows to find the boundary tier and its residual
+    budget, and docs join the per-tier verdict (keep-all / keep-none /
+    boundary) by score. Only the boundary TIER needs a per-doc cumsum —
+    a window partitioned by that one score value, bounded by the tier's
+    size, never the corpus. Two shuffles total (tier agg + boundary
+    window), both keyed.
+
+    Returns the selected rows of *docs* plus ``n_tokens``. Whole-tier
+    keeps are exact; the boundary tier admits docs in ascending-id order
+    while they fit (first doc of the boundary tier that would overflow
+    stops the fill — documents are atomic).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = docs.withColumn("n_tokens", n_tok.cast("bigint"))
+
+    tiers = base.groupBy(score_col).agg(F.sum("n_tokens").alias("_tier_tok"))
+    w = Window.orderBy(F.col(score_col).desc())  # |score domain| rows only
+    tiers = tiers.select(
+        F.col(score_col),
+        (
+            F.sum("_tier_tok").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_above"),
+        "_tier_tok",
+    ).select(
+        F.col(score_col),
+        F.coalesce(F.col("_above"), F.lit(0)).alias("_above"),
+        "_tier_tok",
+    ).withColumn(
+        "_verdict",
+        F.when(F.col("_above") + F.col("_tier_tok") <= budget_tokens, F.lit("all"))
+        .when(F.col("_above") >= budget_tokens, F.lit("none"))
+        .otherwise(F.lit("boundary")),
+    )
+    joined = base.join(
+        F.broadcast(tiers.select(score_col, "_verdict", "_above")), score_col
+    )
+    keep_all = joined.filter(F.col("_verdict") == "all")
+    wb = Window.partitionBy(score_col).orderBy(F.col(id_col))
+    boundary = (
+        joined.filter(F.col("_verdict") == "boundary")
+        .withColumn(
+            "_cum",
+            F.sum("n_tokens").over(
+                wb.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("_above") + F.col("_cum") <= budget_tokens)
+        .drop("_cum")
+    )
+    return keep_all.unionByName(boundary).drop("_verdict", "_above")

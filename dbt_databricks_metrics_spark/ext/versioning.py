@@ -66,3 +66,27 @@ def diff_summary(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(id_col).cast("bigint")).alias("id_checksum"),
     )
+
+
+def incremental_targets(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The downstream work-list a corpus bump implies: which documents an
+    incremental consumer (embedding index, feature store, search index)
+    must re-process (``upsert`` = added or changed) and which it must
+    evict (``delete`` = removed). Unchanged docs never appear — the whole
+    point of consuming the diff instead of the corpus.
+
+    Same single fingerprint full-outer join as :func:`corpus_diff`; the
+    work-list is corpus-bump-sized, not corpus-sized.
+    """
+    d = corpus_diff(old, new, id_col=id_col, text_col=text_col)
+    return d.filter(F.col("status") != "unchanged").select(
+        F.col(id_col),
+        F.when(F.col("status") == "removed", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("action"),
+    )

@@ -221,3 +221,64 @@ def test_phrase_search_indexed_matches_scan(spark):
         for r in search.phrase_search(df, "big red fox", k=10).collect()
     }
     assert via_index == via_scan == {1: 2, 2: 1, 4: 1}
+
+
+# ------------------------------------------------- incremental + budget
+
+
+def test_incremental_targets_worklist(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id BIGINT, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["action"]
+        for r in versioning.incremental_targets(old, new).collect()
+    }
+    assert got == {2: "upsert", 3: "delete", 4: "upsert"}
+
+
+def test_select_token_budget_tiers_and_boundary(spark):
+    from dbt_databricks_metrics_spark.ext.sampling import select_token_budget
+
+    # score 3: 4+4=8 tokens; score 2: 3+3+3=9; score 1: 2
+    df = spark.createDataFrame(
+        [
+            (1, 3, "a b c d"),
+            (2, 3, "a b c d"),
+            (10, 2, "a b c"),
+            (11, 2, "a b c"),
+            (12, 2, "a b c"),
+            (20, 1, "a b"),
+        ],
+        "doc_id BIGINT, score INT, text STRING",
+    )
+    # budget 14: tier 3 fits whole (8); boundary tier 2 fills ids 10, 11
+    # (8+3+3=14); id 12 would overflow; tier 1 is below the boundary
+    got = sorted(
+        r["doc_id"]
+        for r in select_token_budget(df, 14, "score").collect()
+    )
+    assert got == [1, 2, 10, 11]
+    # budget smaller than the best tier: boundary is tier 3, id order
+    got = sorted(
+        r["doc_id"] for r in select_token_budget(df, 4, "score").collect()
+    )
+    assert got == [1]
+    # zero budget selects nothing; negative raises
+    assert select_token_budget(df, 0, "score").count() == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        select_token_budget(df, -1, "score")
+
+
+def test_select_token_budget_whole_corpus_when_budget_large(spark):
+    from dbt_databricks_metrics_spark.ext.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "w " * (i + 1)) for i in range(6)],
+        "doc_id BIGINT, score INT, text STRING",
+    )
+    assert select_token_budget(df, 10_000, "score").count() == 6

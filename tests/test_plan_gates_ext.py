@@ -80,6 +80,8 @@ LAZY_EXT_QUERIES = [
     "phrase_search",
     "corpus_diff",
     "shard_plan",
+    "incremental_targets",
+    "token_budget",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -106,6 +108,7 @@ _SINGLE_PARTITION_OK = {
     "ivfpq_topk",  # same seeds + rank window over the 10 top rows
     "bloom_prune",  # 1-row accounting aggregate + broadcast n_keys row
     "phrase_search",  # TakeOrderedAndProject top-k merge
+    "token_budget",  # tier running-total window over |score-domain| rows
 }
 
 
