@@ -732,3 +732,147 @@ def keep_best_in_cluster(
         "cluster_size",
         (F.col("cluster_size") - 1).alias("n_removed"),
     )
+
+
+def _banded_keys(sig_col: Column, num_perm: int, bands: int) -> Column:
+    """array<struct<band,key>> of LSH band hashes for a signature."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows + r + 1)
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def neardup_against_registry(
+    new_docs: DataFrame,
+    registry_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup of an arriving shard against a
+    persistent MinHash registry — the banded complement of
+    ``dedup_against_registry`` (which is exact-match only). This is how
+    a crawl pipeline keeps near-dedup incremental: the corpus so far is
+    represented by its band keys + signatures (~num_perm·8 bytes/doc,
+    text never retained), an arriving shard probes the band table with
+    one equi-join, and survivors fold back in.
+
+    Cross-shard verification estimates Jaccard as the fraction of
+    agreeing signature positions (unbiased, stderr ≈ √(s(1−s)/num_perm)
+    ≈ 0.035 at s=0.8, num_perm=128 — the standard estimator once raw
+    text is gone); within-shard dedup uses the exact-shingle verify
+    (``minhash_dedup``) since the shard's text is at hand. Keep rule:
+    within-shard lowest id wins, and any survivor matching a registered
+    doc is dropped (the registry is older by construction).
+
+    Registry layout: ``<path>/sigs`` (id, sig) and ``<path>/bands``
+    (id, band, key), each folded with the crash-safe rename-aside swap
+    (``operators/cdc._promote_state_dir`` — LOCAL POSIX FS only). Sigs
+    promote BEFORE bands and both folds anti-join on id first, so a
+    crash between the two promotes leaves only an under-banded shard
+    (re-running the shard re-folds idempotently); a doc is never
+    band-discoverable without its verification signature.
+
+    Returns the kept rows of *new_docs*. Ids must be globally unique
+    across shards.
+    """
+    import os
+
+    from ..operators.cdc import _promote_state_dir, _restore_state_dir
+
+    spark = new_docs.sparkSession
+    sigs_path = os.path.join(registry_path, "sigs")
+    bands_path = os.path.join(registry_path, "bands")
+    _restore_state_dir(sigs_path)
+    _restore_state_dir(bands_path)
+
+    survivors = minhash_dedup(
+        new_docs, id_col, text_col, k, num_perm, bands, threshold
+    )
+    sh = survivors.select(
+        F.col(id_col),
+        minhash_signature(char_shingles(text_col, k), num_perm).alias("_sig"),
+    ).localCheckpoint(eager=True)  # signatures are reused three times below
+    shard_bands = sh.select(
+        F.col(id_col),
+        F.explode(_banded_keys(F.col("_sig"), num_perm, bands)).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+
+    if os.path.exists(bands_path):
+        reg_bands = spark.read.parquet(bands_path)
+        reg_sigs = spark.read.parquet(sigs_path)
+        cand = (
+            shard_bands.join(
+                reg_bands.select(
+                    F.col(id_col).alias("_old_id"), "band", "key"
+                ),
+                ["band", "key"],
+            )
+            .select(F.col(id_col), F.col("_old_id"))
+            .distinct()
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_sig"), F.col("_old_sig"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        )
+        matched = (
+            cand.join(sh, id_col)
+            .join(
+                reg_sigs.select(
+                    F.col(id_col).alias("_old_id"),
+                    F.col("_sig").alias("_old_sig"),
+                ),
+                "_old_id",
+            )
+            .filter(agree >= int(threshold * num_perm))
+            .select(id_col)
+            .distinct()
+        )
+        kept_ids = sh.select(id_col).join(matched, id_col, "left_anti")
+    else:
+        reg_sigs = None
+        kept_ids = sh.select(id_col)
+
+    # cut lineage to the pre-swap registry files: everything promoted or
+    # returned below must not lazily re-read sigs/bands after the swap
+    # replaces them (shard-sized id/sig tables, cheap to pin)
+    kept_ids = kept_ids.localCheckpoint(eager=True)
+    kept_sigs = sh.join(kept_ids, id_col, "left_semi")
+    if reg_sigs is not None:
+        fresh_sigs = kept_sigs.join(
+            reg_sigs.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        new_sigs = reg_sigs.unionByName(fresh_sigs)
+        fresh_ids = fresh_sigs.select(id_col)
+        new_bands = spark.read.parquet(bands_path).unionByName(
+            shard_bands.join(fresh_ids, id_col, "left_semi")
+        ).localCheckpoint(eager=True)
+    else:
+        new_sigs = kept_sigs
+        new_bands = shard_bands.join(kept_ids, id_col, "left_semi")
+    # sigs first (see docstring crash-ordering contract); the bands fold
+    # was pinned above, so replacing sigs_path cannot invalidate it
+    _promote_state_dir(new_sigs, sigs_path)
+    _promote_state_dir(new_bands, bands_path)
+    return new_docs.join(kept_ids, id_col, "left_semi")

@@ -282,3 +282,52 @@ def test_select_token_budget_whole_corpus_when_budget_large(spark):
         "doc_id BIGINT, score INT, text STRING",
     )
     assert select_token_budget(df, 10_000, "score").count() == 6
+
+
+# ------------------------------------------------ near-dup registry
+
+
+def test_neardup_registry_across_shards(spark, tmp_path):
+    reg = str(tmp_path / "neardup_reg")
+    long_a = "the quick brown fox jumps over the lazy dog " * 6
+    long_b = "pack my box with five dozen liquor jugs today " * 6
+    shard1 = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id BIGINT, text STRING"
+    )
+    kept1 = dedup.neardup_against_registry(shard1, reg, threshold=0.8)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    # shard 2: a near-copy of doc 1 (tiny suffix edit), one fresh doc,
+    # and an in-shard near-dup pair (4 ~ 5, keep-lowest-id)
+    fresh = "sphinx of black quartz judge my vow immediately " * 6
+    shard2 = spark.createDataFrame(
+        [
+            (3, long_a + " tail edit"),
+            (4, fresh),
+            (5, fresh + " x"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    kept2 = dedup.neardup_against_registry(shard2, reg, threshold=0.8)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [4]
+
+    # re-running the same shard is idempotent: 4 is now registered, so
+    # it survives as an exact registry match?? no — 4 matches itself in
+    # the registry and is dropped; uniqueness of ids across folds holds
+    kept2b = dedup.neardup_against_registry(shard2, reg, threshold=0.8)
+    assert kept2b.count() == 0
+
+
+def test_neardup_registry_unrelated_docs_survive(spark, tmp_path):
+    reg = str(tmp_path / "neardup_reg2")
+    d1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta " * 8)],
+        "doc_id BIGINT, text STRING",
+    )
+    dedup.neardup_against_registry(d1, reg)
+    d2 = spark.createDataFrame(
+        [(11, "one two three four five six seven eight " * 8)],
+        "doc_id BIGINT, text STRING",
+    )
+    kept = dedup.neardup_against_registry(d2, reg)
+    assert [r["doc_id"] for r in kept.collect()] == [11]
