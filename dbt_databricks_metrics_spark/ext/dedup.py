@@ -876,3 +876,50 @@ def neardup_against_registry(
     _promote_state_dir(new_sigs, sigs_path)
     _promote_state_dir(new_bands, bands_path)
     return new_docs.join(kept_ids, id_col, "left_semi")
+
+
+def neardup_fold_stream(
+    spark,
+    source_dir: str,
+    registry_path: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    schema=None,
+):
+    """Streaming near-dedup: fold an append-only parquet document stream
+    through :func:`neardup_against_registry`, appending each micro-batch's
+    survivors to *kept_dir* — the always-on form of the shard loop (a
+    crawl drops files, the stream near-dedups them against everything
+    ever seen, state = band keys + signatures, never text).
+
+    ``availableNow`` gives scheduled-batch semantics; per-batch work is
+    batch×registry band-join-sized. Registry promotion inherits
+    ``neardup_against_registry``'s crash contract (LOCAL POSIX FS only,
+    single writer). Returns the streaming query (caller awaits
+    termination, then reads survivors at *kept_dir*).
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = neardup_against_registry(
+            batch_df, registry_path, id_col, text_col,
+            k, num_perm, bands, threshold,
+        )
+        kept.write.mode("append").parquet(kept_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -331,3 +331,34 @@ def test_neardup_registry_unrelated_docs_survive(spark, tmp_path):
     )
     kept = dedup.neardup_against_registry(d2, reg)
     assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_neardup_fold_stream_matches_shard_loop(spark, tmp_path):
+    """Streaming the corpus through the near-dup registry keeps exactly
+    the unique docs a manual shard loop would keep."""
+    a = "the quick brown fox jumps over the lazy dog tonight " * 5
+    b = "pack my box with five dozen liquor jugs right away " * 5
+    c = "sphinx of black quartz judge my vow this instant ok " * 5
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(3, a + " tiny edit"), (4, c)], "doc_id BIGINT, text STRING"
+    ).write.mode("append").parquet(src)
+
+    kept_dir = str(tmp_path / "nd_kept")
+    q = dedup.neardup_fold_stream(
+        spark,
+        src,
+        str(tmp_path / "nd_reg"),
+        kept_dir,
+        str(tmp_path / "nd_ckpt"),
+        threshold=0.8,
+    )
+    assert q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_dir).collect()}
+    # doc 3 near-duplicates doc 1 (drops whichever batch ordering put it
+    # after 1's fold — availableNow folds files in order); 1, 2, 4 stay
+    assert 1 in kept and 2 in kept and 4 in kept
+    assert 3 not in kept
