@@ -170,3 +170,41 @@ def decontaminate(
     return corpus.join(
         drop, corpus[id_col] == drop["_drop_id"], "left_anti"
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    holdout: str = "test",
+    train: str = "train",
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Cross-split leakage audit: HOLDOUT documents that share >=
+    *min_shared* distinct word *n*-grams with any TRAIN document — the
+    eval-integrity check a pipeline runs AFTER splitting (near-duplicate
+    pairs that straddle the split silently inflate held-out metrics even
+    when the split itself is group-coherent). Same gram-join plan as
+    ``ngram_contamination``: the doc×doc comparison never materializes.
+
+    Returns (doc_id, n_train_docs, max_shared, total_shared) per leaky
+    holdout doc; empty result = clean split. All-integer projection.
+    """
+    te = docs.filter(F.col(split_col) == F.lit(holdout))
+    tr = docs.filter(F.col(split_col) == F.lit(train))
+    pairs = ngram_contamination(
+        te, tr, n, id_col, text_col, bench_id_col=id_col,
+        hash_ngrams=hash_ngrams,
+    )
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.max("n_shared").alias("max_shared"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+    )

@@ -5,7 +5,9 @@ combination of quasi-identifier values is shared by >= k rows — groups
 below k single out individuals and must be suppressed or generalized.
 This complements ``ext/redact.py`` (pattern-level PII removal) with the
 AGGREGATE leak check a curation pipeline runs before exporting metadata
-tables alongside a corpus.
+tables alongside a corpus. Distinct l-diversity (Machanavajjhala et al.
+2007, public) closes k-anonymity's homogeneity gap: a group of >= k rows
+that all share one sensitive value still discloses it.
 
 Scale shape: one groupBy over the quasi-identifier columns (the same
 shuffle a metric view's aggregation pays), then suppression is a
@@ -68,3 +70,76 @@ def suppress_small_groups(
         .select(*quasi_cols)
     )
     return df.join(F.broadcast(small), list(quasi_cols), "left_anti")
+
+
+def l_diversity_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """(quasi..., group_size, n_sensitive, low_diversity): distinct
+    l-diversity (Machanavajjhala et al. 2007, public) — a k-anonymous
+    group still leaks when everyone in it shares the same SENSITIVE
+    value (homogeneity attack); each group must contain >= l distinct
+    sensitive values. NULL sensitive values don't count as a value
+    (count(DISTINCT) semantics, identical in ANSI SQL).
+
+    Scale shape: one groupBy over the quasi columns with two partial-
+    aggregating measures (count + distinct-count) — the distinct count
+    expands to Spark's two-phase partial/final distinct aggregate, no
+    extra full-table shuffle beyond the quasi-key one."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .withColumn("low_diversity", F.col("n_sensitive") < l)
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """One summary row: group/row counts on both sides of the l line and
+    the achieved diversity level (min distinct-sensitive count among
+    surviving groups; 0 when nothing survives). All-integer projection."""
+    g = l_diversity_groups(df, quasi_cols, sensitive_col, l)
+    return g.agg(
+        F.lit(l).alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("low_diversity"), 1)).alias("n_groups_low"),
+        F.sum("group_size").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("low_diversity"), F.col("group_size"))), F.lit(0)
+        ).alias("n_rows_low"),
+        F.coalesce(
+            F.min(F.when(~F.col("low_diversity"), F.col("n_sensitive"))), F.lit(0)
+        ).alias("achieved_l"),
+    )
+
+
+def suppress_low_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Drop every row whose quasi-identifier group has fewer than l
+    distinct sensitive values — the release then IS (distinct)
+    l-diverse over those columns. Like ``suppress_small_groups`` the
+    violating keys broadcast to an anti-join; one data-table scan."""
+    low = (
+        l_diversity_groups(df, quasi_cols, sensitive_col, l)
+        .filter(F.col("low_diversity"))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(low), list(quasi_cols), "left_anti")

@@ -81,3 +81,57 @@ def quantize_embeddings(
     if normalize:
         v = l2_normalize(v)
     return df.withColumn(out_col, quantize_int8(v))
+
+
+def binary_quantize(vec: Column) -> Column:
+    """Pack sign bits (x >= 0 → 1) into ``array<long>``, 32 bits per
+    word, bit i of word w = component w*32+i — 1-bit binary quantization
+    (sign-of-coordinate LSH; 32x smaller than float32, the coarsest rung
+    of the int8/PQ ladder in this module, retrieval via Hamming
+    distance). 32 (not 64) bits per word keeps every per-word value and
+    the 2^i constants exactly representable and non-negative in ANY
+    engine — no signed-int64 sign-bit trap, and ``pow(2.0, i)`` is exact
+    in doubles up to i=31. Trailing components beyond ``size(vec)`` are
+    zero bits."""
+    v = _as_double(vec)
+    n = F.size(v)
+    nwords = F.floor((n + F.lit(31)) / F.lit(32)).cast("int")
+
+    def _word(w: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                ((w * F.lit(32) + i) < n)
+                & (F.element_at(v, (w * F.lit(32) + i + F.lit(1)).cast("int")) >= 0),
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return F.transform(F.sequence(F.lit(0), nwords - F.lit(1)), _word)
+
+
+def pack_sign_bits(values) -> list[int]:
+    """Driver-side mirror of ``binary_quantize`` for a literal query
+    vector (bit-identical packing; pinned against the Column version in
+    tests)."""
+    words = []
+    for w in range((len(values) + 31) // 32):
+        word = 0
+        for i in range(32):
+            j = w * 32 + i
+            if j < len(values) and float(values[j]) >= 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR across aligned packed-bit words (arrays must have
+    equal length — both from ``binary_quantize`` at the same dim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

@@ -335,3 +335,121 @@ def ivf_topk(
     ]
     probed = corpus.join(assign, id_col).filter(F.col("centroid_id").isin(probe_cells))
     return topk_similar(probed, query_vec, k, id_col, vec_col)
+
+
+def truncation_agreement(
+    corpus: DataFrame,
+    trunc_dim: int,
+    k: int = 10,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Retrieval agreement between full-dimension and TRUNCATED-dimension
+    cosine top-k — the eval behind the "can we store/search the first d
+    dims only?" decision (Matryoshka representation learning, Kusupati
+    et al. 2022, public; the index-shrink every 100 TB embedding pipeline
+    considers). For each of the first ``n_queries`` ids (deterministic
+    probe set), retrieve exact top-k twice — full vectors vs
+    ``slice(vec, 1, trunc_dim)`` (cosine renormalizes, so no explicit
+    re-norm) — and report the per-query overlap count and recall@k.
+
+    Returns (query_id, trunc_dim, k, n_overlap, recall_at_k); n_overlap
+    is an integer and recall derives from it, so the projection hashes
+    deterministically. Scores round to 6dp before ranking (the repo's
+    bounded-statistic grid) with id tie-breaks, so the top-k SETS are
+    layout- and engine-invariant.
+
+    Scale shape: the probe set broadcasts; the corpus is scanned ONCE
+    with both scores computed map-side. Per-query top-k then runs in two
+    window stages: first partitioned by (query, salt) — n_queries×n_salts
+    balanced keys, never the q-reducer skew a bare per-query window has —
+    keeping a superset (per-salt top-k under either metric, the standard
+    distributed-top-k refinement), then the exact window over the
+    surviving n_queries×n_salts×2k rows.
+    """
+    if trunc_dim < 1:
+        raise ValueError(f"trunc_dim must be >= 1, got {trunc_dim}")
+    v = corpus.select(
+        F.col(id_col).alias("_cid"), _as_double_array(F.col(vec_col)).alias("_cv")
+    )
+    q = (
+        v.select(F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv"))
+        .orderBy("_qid")
+        .limit(n_queries)
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_cid",
+            F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("_qv"), 1, trunc_dim),
+                    F.slice(F.col("_cv"), 1, trunc_dim),
+                ),
+                6,
+            ).alias("_trunc"),
+        )
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("_cid")), F.lit(n_salts)))
+    )
+    pre_f = Window.partitionBy("_qid", "_salt").orderBy(
+        F.col("_full").desc(), F.col("_cid")
+    )
+    pre_t = Window.partitionBy("_qid", "_salt").orderBy(
+        F.col("_trunc").desc(), F.col("_cid")
+    )
+    survivors = (
+        scored.withColumn("_pf", F.row_number().over(pre_f))
+        .withColumn("_pt", F.row_number().over(pre_t))
+        .filter((F.col("_pf") <= k) | (F.col("_pt") <= k))
+    )
+    wf = Window.partitionBy("_qid").orderBy(F.col("_full").desc(), F.col("_cid"))
+    wt = Window.partitionBy("_qid").orderBy(F.col("_trunc").desc(), F.col("_cid"))
+    flagged = (
+        survivors.withColumn("_in_full", F.row_number().over(wf) <= k)
+        .withColumn("_in_trunc", F.row_number().over(wt) <= k)
+        .filter(F.col("_in_full") | F.col("_in_trunc"))
+    )
+    return (
+        flagged.groupBy(F.col("_qid").alias("query_id"))
+        .agg(
+            F.lit(trunc_dim).alias("trunc_dim"),
+            F.lit(k).alias("k"),
+            F.sum(
+                F.when(F.col("_in_full") & F.col("_in_trunc"), 1).otherwise(0)
+            ).alias("n_overlap"),
+        )
+        .withColumn("recall_at_k", F.col("n_overlap") / F.lit(float(k)))
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by HAMMING distance over 1-bit binary-quantized
+    vectors (``ext.quantize.binary_quantize``) — the 32x-compressed
+    retrieval rung: at 100 TB the packed codes fit where floats can't,
+    and the scan is integer xor+popcount instead of FMA. The query packs
+    driver-side (bit-identical mirror, pinned in tests) and folds into
+    the plan; per-partition scoring merges through
+    TakeOrderedAndProject — no shuffle, all-integer output
+    (id, hamming). Ties break by id."""
+    from .quantize import binary_quantize, hamming_distance, pack_sign_bits
+
+    q = F.array(
+        *[F.lit(w).cast("long") for w in pack_sign_bits(list(query_vec))]
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        hamming_distance(
+            binary_quantize(_as_double_array(F.col(vec_col))), q
+        ).alias("hamming"),
+    )
+    return scored.orderBy(F.col("hamming"), F.col(id_col)).limit(k)

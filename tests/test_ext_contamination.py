@@ -152,3 +152,37 @@ def test_gram_novelty_hashed_keys_equal(spark, sf_dir):
     raw = {tuple(r) for r in gram_novelty(docs, n=5).collect()}
     hashed = {tuple(r) for r in gram_novelty(docs, n=5, hash_ngrams=True).collect()}
     assert raw == hashed
+
+
+def test_split_leakage_detects_straddling_dup(spark):
+    from dbt_databricks_metrics_spark.ext.contamination import split_leakage
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text, "train"),
+        (2, text, "test"),  # exact dup of a train doc -> leaks
+        (3, "one two three four five six seven eight nine ten", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = split_leakage(df, n=8).collect()
+    assert len(got) == 1
+    (r,) = got
+    # 10 tokens -> 3 distinct 8-grams, all shared with doc 1
+    assert (r["doc_id"], r["n_train_docs"], r["max_shared"], r["total_shared"]) == (
+        2, 1, 3, 3,
+    )
+
+
+def test_split_leakage_clean_split_is_empty(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "train"),
+        (2, "one two three four five six seven eight", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    assert split_leakage_count(spark, df) == 0
+
+
+def split_leakage_count(spark, df):
+    from dbt_databricks_metrics_spark.ext.contamination import split_leakage
+
+    return split_leakage(df, n=8).count()

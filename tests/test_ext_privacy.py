@@ -63,3 +63,72 @@ def test_bad_args(people):
         privacy.k_anonymity_groups(people, ["state"], k=1)
     with pytest.raises(ValueError, match="non-empty"):
         privacy.k_anonymity_groups(people, [], k=5)
+
+
+@pytest.fixture(scope="module")
+def patients(spark):
+    # (state, grp) quasi-groups with controlled sensitive diversity:
+    # NY/a: 5 rows, 3 distinct conditions (diverse at l=2, low at l=4)
+    # CA/a: 4 rows, 1 distinct condition (homogeneous — the attack case)
+    # TX/b: 3 rows, 3 distinct (fully diverse), one NULL doesn't count
+    rows = [
+        ("NY", "a", "flu"),
+        ("NY", "a", "flu"),
+        ("NY", "a", "cold"),
+        ("NY", "a", "cold"),
+        ("NY", "a", "burn"),
+        ("CA", "a", "flu"),
+        ("CA", "a", "flu"),
+        ("CA", "a", "flu"),
+        ("CA", "a", "flu"),
+        ("TX", "b", "flu"),
+        ("TX", "b", "cold"),
+        ("TX", "b", "burn"),
+        ("TX", "b", None),
+    ]
+    return spark.createDataFrame(
+        [(i, s, g, c) for i, (s, g, c) in enumerate(rows)],
+        "id INT, state STRING, grp STRING, condition STRING",
+    )
+
+
+def test_l_diversity_groups(patients):
+    got = {
+        (r["state"], r["grp"]): (r["group_size"], r["n_sensitive"], r["low_diversity"])
+        for r in privacy.l_diversity_groups(
+            patients, ["state", "grp"], "condition", l=3
+        ).collect()
+    }
+    assert got[("NY", "a")] == (5, 3, False)
+    assert got[("CA", "a")] == (4, 1, True)  # k-anonymous yet homogeneous
+    assert got[("TX", "b")] == (4, 3, False)  # NULL is not a 4th value
+
+
+def test_l_diversity_report(patients):
+    (r,) = privacy.l_diversity_report(
+        patients, ["state", "grp"], "condition", l=3
+    ).collect()
+    assert (r["n_groups"], r["n_groups_low"]) == (3, 1)
+    assert (r["n_rows"], r["n_rows_low"]) == (13, 4)
+    assert r["achieved_l"] == 3
+
+
+def test_suppression_yields_l_diverse_release(patients):
+    out = privacy.suppress_low_diversity(patients, ["state", "grp"], "condition", l=3)
+    assert out.count() == 9
+    assert out.filter(F.col("state") == "CA").count() == 0
+    (r,) = privacy.l_diversity_report(
+        out, ["state", "grp"], "condition", l=3
+    ).collect()
+    assert r["n_groups_low"] == 0  # the release IS l-diverse
+
+
+def test_l_diversity_all_low_and_bad_args(spark, patients):
+    df = spark.createDataFrame([(1, "x", "c"), (2, "x", "c")], "id INT, q STRING, s STRING")
+    (r,) = privacy.l_diversity_report(df, ["q"], "s", l=2).collect()
+    assert r["achieved_l"] == 0 and r["n_rows_low"] == 2
+    assert privacy.suppress_low_diversity(df, ["q"], "s", l=2).count() == 0
+    with pytest.raises(ValueError, match="l must be"):
+        privacy.l_diversity_groups(patients, ["state"], "condition", l=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        privacy.l_diversity_groups(patients, [], "condition", l=2)

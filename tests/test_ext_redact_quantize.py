@@ -140,3 +140,44 @@ def test_quantize_with_normalization(spark, sf_dir):
     back = q.select(quantize.l2_norm(quantize.dequantize(F.col("embedding_q8"))).alias("n"))
     for r in back.collect():
         assert abs(r["n"] - 1.0) < 0.02  # unit length within int8 error
+
+
+def test_binary_quantize_known_bits(spark):
+    # dim 3: bits 0 and 2 set (x >= 0 includes 0.0) -> word 0b101 = 5
+    df = spark.createDataFrame([(1, [0.5, -1.0, 0.0])], "id long, v array<double>")
+    (r,) = df.select(quantize.binary_quantize(F.col("v")).alias("code")).collect()
+    assert r["code"] == [5]
+    # dim 33 spills into a second word: component 32 -> word 1 bit 0
+    vals = [-1.0] * 32 + [3.0]
+    df2 = spark.createDataFrame([(1, vals)], "id long, v array<double>")
+    (r2,) = df2.select(quantize.binary_quantize(F.col("v")).alias("code")).collect()
+    assert r2["code"] == [0, 1]
+
+
+def test_pack_sign_bits_mirrors_column_version(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(5)
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        quantize.binary_quantize(F.col("embedding").cast("array<double>")).alias(
+            "code"
+        ),
+    ).collect()
+    for r in rows:
+        assert quantize.pack_sign_bits(list(r["embedding"])) == list(r["code"])
+
+
+def test_hamming_distance_properties(spark):
+    df = spark.createDataFrame(
+        [(1, [5, 0], [5, 0]), (2, [5, 0], [6, 1]), (3, [0, 0], [2**31 - 1, 0])],
+        "id long, a array<long>, b array<long>",
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", quantize.hamming_distance(F.col("a"), F.col("b")).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0  # identical codes
+    assert got[2] == 3  # 5^6 = 0b011 (2 bits) + 0^1 (1 bit)
+    assert got[3] == 31  # popcount of 31 set bits

@@ -127,3 +127,97 @@ def test_no_unpartitioned_window_in_ext_plans(emb):
     ):
         p = plan_of(df)
         assert "Exchange SinglePartition" not in p, p[:1500]
+
+
+def test_truncation_agreement_vs_oracle(emb, duck):
+    df = similarity.truncation_agreement(emb, trunc_dim=32, k=10, n_queries=4)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qv FROM v ORDER BY vec_id LIMIT 4),
+        scored AS (
+            SELECT qid, v.vec_id AS cid,
+                   round(list_cosine_similarity(qv, v.e), 6) AS f,
+                   round(list_cosine_similarity(qv[1:32], v.e[1:32]), 6) AS t
+            FROM q, v WHERE v.vec_id <> qid
+        ),
+        ranked AS (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY f DESC, cid) AS rf,
+                   row_number() OVER (PARTITION BY qid ORDER BY t DESC, cid) AS rt
+            FROM scored
+        )
+        SELECT qid AS query_id, 32 AS trunc_dim, 10 AS k,
+               CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap,
+               CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   / 10.0 AS recall_at_k
+        FROM ranked GROUP BY qid
+        """,
+    )
+
+
+def test_truncation_agreement_full_dim_is_identity(emb):
+    # truncating to the FULL dimension must agree with itself perfectly
+    rows = similarity.truncation_agreement(
+        emb, trunc_dim=DIM, k=5, n_queries=3
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["n_overlap"] == 5 and r["recall_at_k"] == 1.0 for r in rows)
+
+
+def test_truncation_agreement_salt_invariance(emb):
+    # the two-stage (salted) top-k must be exact: any salt count gives
+    # the same answer
+    a = sorted(
+        (r["query_id"], r["n_overlap"])
+        for r in similarity.truncation_agreement(
+            emb, trunc_dim=16, k=8, n_queries=3, n_salts=2
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["n_overlap"])
+        for r in similarity.truncation_agreement(
+            emb, trunc_dim=16, k=8, n_queries=3, n_salts=57
+        ).collect()
+    )
+    assert a == b
+
+
+def test_truncation_agreement_bad_args(emb):
+    with pytest.raises(ValueError, match="trunc_dim"):
+        similarity.truncation_agreement(emb, trunc_dim=0)
+
+
+def test_hamming_topk_vs_oracle(emb, duck, query_vec):
+    df = similarity.hamming_topk(emb, query_vec, k=10)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bits AS (
+            SELECT vec_id, i // 32 AS w,
+                   CAST(sum(CASE WHEN e[i + 1] >= 0
+                            THEN CAST(power(2, i % 32) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS word
+            FROM v, range(64) r(i) GROUP BY 1, 2
+        ),
+        codes AS (SELECT vec_id, list(word ORDER BY w) AS code FROM bits GROUP BY 1),
+        qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+        h AS (
+            SELECT c.vec_id,
+                   CAST(bit_count(xor(c.code[1], qcode[1]))
+                      + bit_count(xor(c.code[2], qcode[2])) AS BIGINT) AS hamming
+            FROM codes c, qc
+        )
+        SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 10
+        """,
+    )
+
+
+def test_hamming_topk_self_is_zero(emb, query_vec):
+    rows = similarity.hamming_topk(emb, query_vec, k=1).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["hamming"] == 0
