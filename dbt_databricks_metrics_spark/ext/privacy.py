@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,3 +143,125 @@ def suppress_low_diversity(
         .select(*quasi_cols)
     )
     return df.join(F.broadcast(low), list(quasi_cols), "left_anti")
+
+
+def t_closeness_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_bucket_col: str,
+    t: tuple = (1, 5),
+) -> DataFrame:
+    """(quasi..., group_size, emd_num, emd_den, distant): t-closeness
+    (Li, Li & Venkatasubramanian 2007, public) for an ORDERED bucketed
+    sensitive attribute — the distribution-shape check the l-diversity
+    count misses (a group can span l distinct values yet still sit in
+    the distribution's tail, leaking "this group is rich/sick/…").
+
+    Earth-mover's distance between the group's and the global bucket
+    distribution, for ordered equal-step buckets:
+    ``EMD = sum_j |cum_p_j - cum_q_j| / (m-1)``. Computed as an EXACT
+    integer rational: ``emd_num = sum_j |cumg_j*N - cumt_j*gs|``,
+    ``emd_den = gs*N*max(m-1,1)`` (cumg/cumt = cumulative group/global
+    counts, gs/N = group/total rows, m = bucket count) — no float ever
+    appears, so the flag is engine- and layout-exact. ``distant`` ⇔
+    ``emd_num * t_den > t_num * emd_den`` with ``t = (t_num, t_den)``.
+    Magnitudes: emd_num <= m*gs*N — int64-safe through petabyte N for
+    bounded group sizes; re-derive before trusting beyond ~1e18.
+
+    Scale shape: the global distribution is m rows (one small agg,
+    broadcast back); the per-group work is one groupBy on
+    (quasi..., bucket) plus a cumulative window partitioned by the
+    quasi key — the same shuffle key, no extra exchange. The dense
+    group×bucket grid is |groups|×m rows, never |rows|×m.
+    """
+    t_num, t_den = t
+    if t_num < 0 or t_den <= 0:
+        raise ValueError(f"t must be a non-negative rational, got {t!r}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    qc = list(quasi_cols)
+    base = df.select(*qc, F.col(sensitive_bucket_col).alias("_b"))
+    glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gn"))
+    # m-row frames: single-partition windows/aggs are bounded by the
+    # bucket cardinality, not the data size
+    gw = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    glob_cum = glob.select(
+        "_b", F.sum("_gn").over(gw).alias("_cumt")
+    ).crossJoin(
+        F.broadcast(
+            glob.agg(
+                F.sum("_gn").alias("_N"), F.count(F.lit(1)).alias("_m")
+            )
+        )
+    )
+    groups = base.groupBy(*qc).agg(F.count(F.lit(1)).alias("group_size"))
+    cells = base.groupBy(*qc, "_b").agg(F.count(F.lit(1)).alias("_cn"))
+    dense = (
+        groups.crossJoin(F.broadcast(glob_cum))
+        .join(cells, qc + ["_b"], "left")
+        .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
+    )
+    cw = (
+        Window.partitionBy(*qc)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    contrib = dense.withColumn("_cumg", F.sum("_cn").over(cw)).withColumn(
+        "_dev",
+        F.abs(
+            F.col("_cumg") * F.col("_N") - F.col("_cumt") * F.col("group_size")
+        ),
+    )
+    return (
+        contrib.groupBy(*qc, "group_size")
+        .agg(
+            F.sum("_dev").alias("emd_num"),
+            F.max(
+                F.col("group_size")
+                * F.col("_N")
+                * F.greatest(F.col("_m") - F.lit(1), F.lit(1))
+            ).alias("emd_den"),
+        )
+        .withColumn(
+            "distant",
+            F.col("emd_num") * F.lit(t_den) > F.lit(t_num) * F.col("emd_den"),
+        )
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_bucket_col: str,
+    t: tuple = (1, 5),
+) -> DataFrame:
+    """One summary row: group/row counts on both sides of the t line.
+    All-integer projection."""
+    g = t_closeness_groups(df, quasi_cols, sensitive_bucket_col, t)
+    return g.agg(
+        F.lit(t[0]).alias("t_num"),
+        F.lit(t[1]).alias("t_den"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("distant"), 1)).alias("n_groups_far"),
+        F.sum("group_size").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("distant"), F.col("group_size"))), F.lit(0)
+        ).alias("n_rows_far"),
+    )
+
+
+def suppress_distant_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_bucket_col: str,
+    t: tuple = (1, 5),
+) -> DataFrame:
+    """Drop every row whose quasi-group's sensitive distribution sits
+    farther than t (EMD) from the global one — the release then IS
+    t-close. Broadcast anti-join; one data-table scan."""
+    far = (
+        t_closeness_groups(df, quasi_cols, sensitive_bucket_col, t)
+        .filter(F.col("distant"))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(far), list(quasi_cols), "left_anti")

@@ -302,3 +302,50 @@ def gopher_gate(
     for c in flags:
         gate = gate & F.col(c)
     return out.withColumn("gopher_pass", gate).drop("_g")
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference VOCAB
+    table (any DataFrame with a ``token`` column — typically
+    ``vocab_topk``'s head, or a tokenizer's real vocabulary) — the
+    coverage eval run before committing to a tokenizer: high OOV = the
+    vocabulary fragments this slice of the corpus.
+
+    Returns (id, n_tokens, n_oov, oov_rate); counts are exact integers
+    and the rate is their quotient (identical-int-operand double). Docs
+    with no tokens (empty/NULL text) surface with counts 0 and NULL
+    rate — nothing disappears.
+
+    Scale shape: token explode (map-side) → broadcast LEFT join against
+    the (small) vocab → one groupBy on the doc id. The corpus shuffles
+    once, keyed by doc id; the vocab never shuffles.
+    """
+    from .dedup import _norm_col
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(_norm_col(text_col), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    v = vocab.select("token").distinct().withColumn("_in", F.lit(1))
+    per_doc = (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.count_if(F.col("_in").isNull()).alias("_no"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_doc")).distinct()
+    nt = F.coalesce(F.col("_nt"), F.lit(0))
+    no = F.coalesce(F.col("_no"), F.lit(0))
+    return ids.join(per_doc, "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        nt.alias("n_tokens"),
+        no.alias("n_oov"),
+        (no / F.nullif(nt, F.lit(0))).alias("oov_rate"),
+    )

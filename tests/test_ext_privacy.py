@@ -132,3 +132,54 @@ def test_l_diversity_all_low_and_bad_args(spark, patients):
         privacy.l_diversity_groups(patients, ["state"], "condition", l=1)
     with pytest.raises(ValueError, match="non-empty"):
         privacy.l_diversity_groups(patients, [], "condition", l=2)
+
+
+@pytest.fixture(scope="module")
+def salaries(spark):
+    # buckets: X all low (b1), Y all high (b3), Z mirrors the global
+    # 50/50 split. N=8, m=2, cumt=(4,8):
+    #   X (gs=3): cumg=(3,3) -> emd_num=|24-12|=12, den=24, EMD=1/2
+    #   Y (gs=3): cumg=(0,3) -> emd_num=12,           EMD=1/2
+    #   Z (gs=2): cumg=(1,2) -> emd_num=0,            EMD=0
+    rows = (
+        [("X", 1)] * 3 + [("Y", 3)] * 3 + [("Z", 1), ("Z", 3)]
+    )
+    return spark.createDataFrame(
+        [(i, g, b) for i, (g, b) in enumerate(rows)],
+        "id INT, grp STRING, bucket INT",
+    )
+
+
+def test_t_closeness_groups_exact_rational(salaries):
+    got = {
+        r["grp"]: (r["group_size"], r["emd_num"], r["emd_den"], r["distant"])
+        for r in privacy.t_closeness_groups(
+            salaries, ["grp"], "bucket", t=(1, 4)
+        ).collect()
+    }
+    assert got["X"] == (3, 12, 24, True)   # EMD 1/2 > 1/4
+    assert got["Y"] == (3, 12, 24, True)
+    assert got["Z"] == (2, 0, 16, False)   # EMD 0
+
+
+def test_t_closeness_report_and_suppress(salaries):
+    (r,) = privacy.t_closeness_report(salaries, ["grp"], "bucket", t=(1, 4)).collect()
+    assert (r["t_num"], r["t_den"]) == (1, 4)
+    assert (r["n_groups"], r["n_groups_far"]) == (3, 2)
+    assert (r["n_rows"], r["n_rows_far"]) == (8, 6)
+    out = privacy.suppress_distant_groups(salaries, ["grp"], "bucket", t=(1, 4))
+    assert sorted(x["grp"] for x in out.collect()) == ["Z", "Z"]
+
+
+def test_t_closeness_single_bucket_is_zero(spark):
+    df = spark.createDataFrame([(1, "a", 7), (2, "b", 7)], "id INT, g STRING, b INT")
+    rows = privacy.t_closeness_groups(df, ["g"], "b", t=(1, 100)).collect()
+    assert all(r["emd_num"] == 0 and not r["distant"] for r in rows)
+    assert all(r["emd_den"] > 0 for r in rows)  # max(m-1,1) guard
+
+
+def test_t_closeness_bad_args(salaries):
+    with pytest.raises(ValueError, match="rational"):
+        privacy.t_closeness_groups(salaries, ["grp"], "bucket", t=(1, 0))
+    with pytest.raises(ValueError, match="non-empty"):
+        privacy.t_closeness_groups(salaries, [], "bucket")

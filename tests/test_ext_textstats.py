@@ -226,3 +226,40 @@ class TestGopherGate:
         df = spark.createDataFrame([(1, ""), (2, None)], "doc_id INT, text STRING")
         for r in gopher_gate(df).collect():
             assert r["n_words"] == 0 and r["gopher_pass"] is False
+
+
+def test_oov_stats_counts_and_rate(spark):
+    from dbt_databricks_metrics_spark.ext.textstats import oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "quantum flux capacitor"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",), ("mat",)], "token string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_stats(docs, vocab).collect()
+    }
+    assert got[1] == (6, 1, 1 / 6)  # only 'sat' is OOV
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (0, 0, None)  # empty and NULL docs surface
+    assert got[4] == (0, 0, None)
+
+
+def test_oov_stats_composes_with_vocab_topk(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext.textstats import oov_stats, vocab_topk
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = vocab_topk(docs, k=50)
+    out = oov_stats(docs, vocab)
+    assert out.count() == docs.count()
+    row = out.filter(F.col("n_tokens") > 0).first()
+    assert 0.0 <= row["oov_rate"] <= 1.0
