@@ -3017,6 +3017,85 @@ def _classifier_metrics_oracle_sql(
     )
 
 
+def _q_calibration(spark, sf_dir):
+    # reliability-diagram eval (Guo et al. 2017) on the trained quality
+    # classifier: per round-edge confidence bin, occurrence rate vs mean
+    # confidence. n_bins=100 — the fixture classifier's logits are small,
+    # so decile bins collapse to one row; centile bins spread the mass
+    # over 7 bins with a 0.0→1.0 pos_rate gradient at sf0.01.
+    # Same train/score pipeline as classifier_metrics (round-6
+    # weights and scores); hashed values are exact int64 partials
+    # (n, n_pos, sum of 1e-6-grid scores) and their identical-integer
+    # quotients.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.classify import (
+        calibration_bins,
+        logreg_score,
+        logreg_train,
+    )
+    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarkertoken")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("y"),
+    )
+    feats = hashed_doc_vectors(
+        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
+    ).join(docs.select("doc_id", "y"), "doc_id")
+    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
+    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
+        "score", F.round("score", 6)
+    )
+    return calibration_bins(scored, "y", n_bins=100)
+
+
+def _calibration_oracle_sql(n_iter: int = 6, lr: float = 2.0, n_bins: int = 10) -> str:
+    """Training + round-6 scoring CTEs (shared with the classifier
+    oracles), then round-edge calibration bins with int64 partials."""
+    train = _logreg_oracle_sql(
+        n_iter,
+        lr,
+        docs_sql=(
+            "SELECT doc_id, lang, coalesce(text, '') || "
+            "CASE WHEN doc_id % 2 = 0 THEN ' qualitymarkertoken' "
+            "ELSE '' END AS text FROM documents"
+        ),
+        label_expr="doc_id % 2 = 0",
+    )
+    ctes = train[: train.index("\nSELECT i, round(w, 6)")]
+    return (
+        ctes
+        + f"""
+        , wr AS (SELECT i, round(w, 6) AS w FROM w{n_iter}),
+        sc AS MATERIALIZED (
+          SELECT z.doc_id, CAST(z.y AS INT) AS yy,
+                 round(1.0 / (1.0 + exp(-z.z)), 6) AS s
+          FROM (SELECT doc_id, y, sum(xv * w.w) AS z
+                FROM v JOIN wr w USING (i) GROUP BY 1, 2) z
+        ),
+        cb AS (
+          SELECT CAST(round(s * {n_bins}) AS INT) AS bin, yy,
+                 CAST(round(s * 1000000) AS BIGINT) AS micro
+          FROM sc
+        )
+        SELECT bin, count(*) AS n,
+               CAST(sum(yy) AS BIGINT) AS n_pos,
+               CAST(sum(micro) AS BIGINT) AS sum_score_micro,
+               CAST(sum(yy) AS BIGINT) / count(*) AS pos_rate,
+               CAST(sum(micro) AS BIGINT) / count(*) AS mean_conf_micro
+        FROM cb GROUP BY bin
+    """
+    )
+
+
 def _q_doc_vectors(spark, sf_dir):
     # feature-hashed TF-IDF vectors (hashing trick): text -> fixed-width
     # L2-normalized array ready for the embedding-space operators. md5
@@ -4611,7 +4690,7 @@ def _q_oov_rate(spark, sf_dir):
 #   documents_metric_view keyword_search phrase_search cluster_keep_best
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
-#   t_closeness oov_rate
+#   t_closeness oov_rate calibration
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4832,6 +4911,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "t_closeness": _q_t_closeness,
         "oov_rate": _q_oov_rate,
+        "calibration": _q_calibration,
     }
 
 
@@ -6350,6 +6430,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoded": _bpe_encode_oracle_sql(8),
         "logreg_weights": _logreg_oracle_sql(3, 0.5, 8),
         "classifier_metrics": _classifier_metrics_oracle_sql(6, 2.0, 10000),
+        "calibration": _calibration_oracle_sql(6, 2.0, 100),
         "doc_vectors": r"""
             WITH tokd AS (
               SELECT doc_id,

@@ -165,3 +165,65 @@ def binary_metrics(
         ).alias("auc"),
         "tp", "fp", "tn", "fn", "n_pos", "n_neg",
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram counts (Guo et al. 2017, "On Calibration of
+    Modern Neural Networks", public): per confidence bin, how often the
+    positive class actually occurs vs the mean predicted confidence —
+    the eval behind temperature-scaling decisions for model-scored
+    training data (an over-confident quality classifier silently skews
+    a corpus mix).
+
+    Bins are round-edge (``round(s·n_bins)``, the ``binary_metrics``
+    discipline — identical doubles round identically in every engine;
+    floor flips on grid-aligned products). Scores are expected on the
+    1e-6 grid (``logreg_score`` round-6), so ``sum_score_micro`` =
+    Σ round(s·1e6) is an exact int64 partial, and both emitted doubles
+    (``pos_rate``, ``mean_conf_micro``) divide identical integers.
+
+    One aggregate pass; output is ≤ n_bins+1 rows.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col)
+    return (
+        scored.groupBy(F.round(s * n_bins).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("n_pos"),
+            F.sum(F.round(s * 1_000_000).cast("bigint")).alias(
+                "sum_score_micro"
+            ),
+        )
+        .withColumn("pos_rate", F.col("n_pos") / F.col("n"))
+        .withColumn("mean_conf_micro", F.col("sum_score_micro") / F.col("n"))
+    )
+
+
+def ece_report(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error as an EXACT integer rational (the
+    t-closeness trick): ``ECE = Σ_b (n_b/N)·|acc_b − conf_b|`` =
+    ``ece_num / ece_den`` with ``ece_num = Σ_b |n_pos_b·1e6 −
+    sum_score_micro_b|`` and ``ece_den = N·1e6`` — no float enters the
+    comparison path. One row: (n_bins, n_rows, ece_num, ece_den)."""
+    g = calibration_bins(scored, label_col, score_col, n_bins)
+    return g.agg(
+        F.lit(n_bins).alias("n_bins"),
+        F.sum("n").alias("n_rows"),
+        F.sum(
+            F.abs(F.col("n_pos") * F.lit(1_000_000) - F.col("sum_score_micro"))
+        ).alias("ece_num"),
+        (F.sum("n") * F.lit(1_000_000)).alias("ece_den"),
+    )

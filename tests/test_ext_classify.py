@@ -119,3 +119,46 @@ def test_contract_classifier_learns_marker(spark, sf_dir):
     assert r["auc"] > 0.55, r["auc"]
     assert r["tp"] + r["fn"] == r["n_pos"]
     assert r["fp"] + r["tn"] == r["n_neg"]
+
+
+def test_calibration_bins_hand_computed(spark):
+    from dbt_databricks_metrics_spark.ext.classify import calibration_bins
+
+    # scores on the 1e-6 grid; n_bins=2 -> bin = round(s*2): 0, 1, 2
+    rows = [
+        (1, 1, 0.9),   # bin 2
+        (2, 0, 0.8),   # bin 2
+        (3, 1, 0.5),   # bin 1
+        (4, 0, 0.4),   # bin 1
+        (5, 0, 0.1),   # bin 0
+    ]
+    df = spark.createDataFrame(rows, "id long, y int, score double")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["sum_score_micro"], r["pos_rate"])
+        for r in calibration_bins(df, "y", n_bins=2).collect()
+    }
+    assert got[2] == (2, 1, 1_700_000, 0.5)
+    assert got[1] == (2, 1, 900_000, 0.5)
+    assert got[0] == (1, 0, 100_000, 0.0)
+
+
+def test_ece_report_exact_rational(spark):
+    from dbt_databricks_metrics_spark.ext.classify import ece_report
+
+    # bin 2: |1*1e6 - 1.7e6| = 7e5 ; bin 1: |1e6 - 9e5| = 1e5 ;
+    # bin 0: |0 - 1e5| = 1e5  -> ece_num = 9e5, den = 5e6 (ECE = 0.18)
+    rows = [(1, 1, 0.9), (2, 0, 0.8), (3, 1, 0.5), (4, 0, 0.4), (5, 0, 0.1)]
+    df = spark.createDataFrame(rows, "id long, y int, score double")
+    (r,) = ece_report(df, "y", n_bins=2).collect()
+    assert (r["n_bins"], r["n_rows"]) == (2, 5)
+    assert (r["ece_num"], r["ece_den"]) == (900_000, 5_000_000)
+
+
+def test_calibration_bad_args(spark):
+    import pytest as _pt
+
+    from dbt_databricks_metrics_spark.ext.classify import calibration_bins
+
+    df = spark.createDataFrame([(1, 1, 0.5)], "id long, y int, score double")
+    with _pt.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "y", n_bins=1)
