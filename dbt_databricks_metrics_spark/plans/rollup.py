@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from ..functions.aggregates import Decomposition, decompose_aggregate, merge_column
 from ..specs import MetricViewSpec, RollupSpec
-from .compiler import MetricQuery, QueryCompiler, QueryError
+from .compiler import (
+    MetricQuery,
+    QueryCompiler,
+    QueryError,
+    apply_derived,
+    expand_derived,
+)
 
 
 @dataclass
@@ -368,7 +374,11 @@ class RollupManager:
     def route(
         self, query: MetricQuery, state: Optional[MaterializationState]
     ) -> tuple[str, Optional[BuiltRollup]]:
-        """Pick the physical source for *query*: ('rollup'|'baseline'|'live')."""
+        """Pick the physical source for *query*: ('rollup'|'baseline'|'live').
+
+        Derived measures route on their DEPENDENCIES (the derived value
+        is never stored), so the expansion happens before eligibility."""
+        query, _ = expand_derived(query)
         spec = query.spec
         if state is None:
             return "live", None
@@ -413,7 +423,15 @@ class RollupManager:
         plain measures route to a covering rollup and join on the query
         dims with the on-the-fly window plan. At scale this replaces one of
         the two full source scans with a |dim-combination|-row read.
+
+        Derived measures compile through their dependency query (every
+        route, including splits, is decided on the dependencies) and are
+        projected post-aggregation.
         """
+        inner, proj = expand_derived(query)
+        if proj is not None:
+            df, route = self.compile_routed(inner, state)
+            return apply_derived(df, query, proj), route
         route, built = self.route(query, state)
         if route == "rollup":
             assert built is not None

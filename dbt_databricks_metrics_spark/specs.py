@@ -173,6 +173,7 @@ class Measure:
     comment: Optional[str] = None
     synonyms: tuple[str, ...] = ()
     format: Optional[MeasureFormat] = None
+    derived: bool = False  # expr references sibling MEASURE names, not columns
 
     @property
     def is_windowed(self) -> bool:
@@ -185,6 +186,12 @@ class Measure:
         if not name or not expr:
             raise SpecError(f"measure needs 'name' and 'expr': {d!r}")
         windows = tuple(WindowClause.from_dict(w) for w in d.get("window", ()) or ())
+        derived = bool(d.get("derived", False))
+        if derived and windows:
+            raise SpecError(
+                f"measure {name!r}: a derived measure cannot declare windows "
+                f"(wrap windowed measures as dependencies instead)"
+            )
         fmt = d.get("format")
         # pseudo-aggregates (hist_percentile) expand to plain SQL here, so
         # everything downstream — live expansion, rollup decomposition,
@@ -194,12 +201,17 @@ class Measure:
 
         return cls(
             name=str(name),
-            expr=expand_pseudo_aggregates(str(expr).strip()),
+            expr=(
+                str(expr).strip()
+                if derived  # derived exprs reference measures, not columns
+                else expand_pseudo_aggregates(str(expr).strip())
+            ),
             windows=windows,
             display_name=d.get("display_name"),
             comment=d.get("comment"),
             synonyms=tuple(d.get("synonyms", ()) or ()),
             format=MeasureFormat.from_dict(fmt) if isinstance(fmt, dict) else None,
+            derived=derived,
         )
 
 
@@ -305,6 +317,32 @@ class MetricViewSpec:
                     raise SpecError(
                         f"measure {m.name!r}: window order {o!r} is not a declared dimension"
                     )
+        derived_names = {m.name for m in self.measures if m.derived}
+        for m in self.measures:
+            if not m.derived:
+                continue
+            refs = self.measure_refs(m.name)
+            if not refs:
+                raise SpecError(
+                    f"derived measure {m.name!r} references no sibling "
+                    f"measure — declare it as a plain measure instead"
+                )
+            chained = [r for r in refs if r in derived_names]
+            if chained:
+                raise SpecError(
+                    f"derived measure {m.name!r} references derived "
+                    f"measure(s) {chained} — chaining is not supported; "
+                    f"reference the base measures directly"
+                )
+        if self.materialization and derived_names:
+            for r in self.materialization.materialized_views:
+                bad = [mn for mn in r.measures if mn in derived_names]
+                if bad:
+                    raise SpecError(
+                        f"rollup {r.name!r}: derived measure(s) {bad} cannot "
+                        f"be materialized — store their dependencies and the "
+                        f"query router serves the derived value from them"
+                    )
         if self.materialization:
             for r in self.materialization.materialized_views:
                 for dname in r.dimensions:
@@ -333,6 +371,26 @@ class MetricViewSpec:
             if m.name == name:
                 return m
         raise SpecError(f"metric view {self.name!r} has no measure {name!r}")
+
+    def measure_refs(self, name: str) -> tuple[str, ...]:
+        """Sibling measure names a derived measure's expr references, in
+        first-appearance order (empty for plain measures). Bare-identifier
+        matches only — a token followed by ``(`` is a function call, and a
+        measure name inside a string literal never matches the word
+        boundary scan's identifier grammar positions."""
+        m = self.measure(name)
+        if not m.derived:
+            return ()
+        names = {mm.name for mm in self.measures}
+        out: list[str] = []
+        for match in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", m.expr):
+            tok = match.group(0)
+            rest = m.expr[match.end():].lstrip()
+            if rest.startswith("("):
+                continue  # function call, not a measure reference
+            if tok in names and tok != name and tok not in out:
+                out.append(tok)
+        return tuple(out)
 
     @property
     def dimension_names(self) -> tuple[str, ...]:
