@@ -168,11 +168,12 @@ def t_closeness_groups(
     Magnitudes: emd_num <= m*gs*N — int64-safe through petabyte N for
     bounded group sizes; re-derive before trusting beyond ~1e18.
 
-    Scale shape: the global distribution is m rows (one small agg,
-    broadcast back); the per-group work is one groupBy on
-    (quasi..., bucket) plus a cumulative window partitioned by the
-    quasi key — the same shuffle key, no extra exchange. The dense
-    group×bucket grid is |groups|×m rows, never |rows|×m.
+    Scale shape: ONE source scan builds the (quasi..., bucket) cell
+    table; the group and global distributions re-aggregate its
+    |groups|·m rows, so the cell shuffle is the only data-sized
+    exchange. The global cumulative window runs over m rows
+    (single-partition by construction, bounded by bucket cardinality);
+    the dense group×bucket grid is |groups|×m rows, never |rows|×m.
     """
     t_num, t_den = t
     if t_num < 0 or t_den <= 0:
@@ -181,7 +182,11 @@ def t_closeness_groups(
         raise ValueError("quasi_cols must be non-empty")
     qc = list(quasi_cols)
     base = df.select(*qc, F.col(sensitive_bucket_col).alias("_b"))
-    glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gn"))
+    # ONE source scan: the (quasi, bucket) cell table; the group and
+    # global distributions re-aggregate its |groups|·m rows (map-side
+    # combine makes the scan's shuffle the only data-sized exchange)
+    cells = base.groupBy(*qc, "_b").agg(F.count(F.lit(1)).alias("_cn"))
+    glob = cells.groupBy("_b").agg(F.sum("_cn").alias("_gn"))
     # m-row frames: single-partition windows/aggs are bounded by the
     # bucket cardinality, not the data size
     gw = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
@@ -194,8 +199,7 @@ def t_closeness_groups(
             )
         )
     )
-    groups = base.groupBy(*qc).agg(F.count(F.lit(1)).alias("group_size"))
-    cells = base.groupBy(*qc, "_b").agg(F.count(F.lit(1)).alias("_cn"))
+    groups = cells.groupBy(*qc).agg(F.sum("_cn").alias("group_size"))
     dense = (
         groups.crossJoin(F.broadcast(glob_cum))
         .join(cells, qc + ["_b"], "left")
