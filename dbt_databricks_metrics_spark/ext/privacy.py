@@ -168,10 +168,12 @@ def t_closeness_groups(
     Magnitudes: emd_num <= m*gs*N — int64-safe through petabyte N for
     bounded group sizes; re-derive before trusting beyond ~1e18.
 
-    Scale shape: ONE source scan builds the (quasi..., bucket) cell
-    table; the group and global distributions re-aggregate its
-    |groups|·m rows, so the cell shuffle is the only data-sized
-    exchange. The global cumulative window runs over m rows
+    Scale shape: the (quasi..., bucket) cell aggregation is the only
+    data-sized exchange; the group and global distributions
+    re-aggregate its |groups|·m rows. The cell subplan appears in three
+    branches, which Spark's exchange-reuse dedupes at execution
+    (verified: ReusedExchange nodes in the executed plan) — the source
+    is scanned and shuffled once. The global cumulative window runs over m rows
     (single-partition by construction, bounded by bucket cardinality);
     the dense group×bucket grid is |groups|×m rows, never |rows|×m.
     """
