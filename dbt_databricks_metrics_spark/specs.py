@@ -505,6 +505,7 @@ class MetricViewSpec:
                     "name": m.name,
                     "expr": m.expr,
                     "windowed": m.is_windowed,
+                    "derived": m.derived,
                     "display_name": m.display_name,
                     "comment": m.comment,
                     "synonyms": list(m.synonyms),
@@ -551,6 +552,8 @@ def spec_to_yaml_doc(spec: MetricViewSpec) -> dict:
 
     def _meas(m: Measure) -> dict:
         out: dict = {"name": m.name, "expr": m.expr}
+        if m.derived:
+            out["derived"] = True
         if m.windows:
             out["window"] = [
                 {"order": w.order, "range": w.range, "semiadditive": w.semiadditive}

@@ -182,3 +182,20 @@ materialization:
 """,
             name="mv_x",
         )
+
+
+def test_derived_yaml_roundtrip_and_describe():
+    spec = MetricViewSpec.from_yaml(SPEC_YAML, name="mv_rt")
+    import yaml as _yaml
+
+    doc = spec.to_yaml_doc()
+    back = MetricViewSpec.from_yaml(
+        _yaml.safe_dump(doc, sort_keys=False), name="mv_rt"
+    )
+    assert back.measure("aov_cents").derived is True
+    assert back == spec
+    desc = spec.describe()
+    flags = {m["name"]: m["derived"] for m in desc["measures"]}
+    assert flags == {
+        "order_count": False, "revenue_cents": False, "aov_cents": True,
+    }
