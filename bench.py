@@ -552,6 +552,35 @@ def main() -> None:
         ).collect(),
     )
 
+    def _hamming_bench():
+        from dbt_databricks_metrics_spark.ext.similarity import hamming_topk
+
+        qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return hamming_topk(emb, qv, k=10).collect()
+
+    timed("ext_hamming_topk", _hamming_bench)
+
+    def _trunc_bench():
+        from dbt_databricks_metrics_spark.ext.similarity import truncation_agreement
+
+        return truncation_agreement(emb, trunc_dim=32, k=10, n_queries=8).collect()
+
+    timed("ext_truncation_eval", _trunc_bench)
+
+    def _privacy_bench():
+        from dbt_databricks_metrics_spark.ext import privacy
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_id"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        return privacy.t_closeness_report(
+            c, ["segment", "nation_id"], "bal_bucket", t=(2, 25)
+        ).collect()
+
+    timed("ext_t_closeness", _privacy_bench)
+
     # scaling evidence: warm per-op time at 1x vs 4x corpus (distinct ids,
     # same text distribution). Linear map/shuffle ops should scale ≤4x —
     # the sub-linear gap is fixed scheduling/plan overhead, which shrinks

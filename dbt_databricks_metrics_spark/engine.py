@@ -461,6 +461,58 @@ class MetricView:
             df, time_dim, group_cols=tuple(dimensions), step=step, fill=fills
         )
 
+    def query_pivot(
+        self,
+        dimensions: Sequence[str],
+        pivot_dim: str,
+        measures: Sequence[str],
+        where: Optional[str] = None,
+        values: Optional[Sequence[Any]] = None,
+    ) -> DataFrame:
+        """Crosstab [EXT beyond the reference]: the routed ``GROUP BY
+        dims + pivot_dim`` result reshaped so every (measure × pivot
+        value) pair is its own column (``<measure>_<value>``) — the BI
+        matrix view of a metric.
+
+        The pivot is POST-aggregation: it reshapes the |dims × values|
+        aggregated rows, so it rides whatever route the base query takes
+        and adds no data-sized work. Pass *values* to pin the columns
+        (and skip the discovery job); otherwise they're discovered from
+        the aggregated result and sorted, so the column order is
+        deterministic. Missing (dims, value) combinations surface as
+        NULL cells.
+        """
+        from pyspark.sql import functions as F
+
+        if pivot_dim in dimensions:
+            raise QueryError(f"pivot_dim {pivot_dim!r} must not repeat in dimensions")
+        df = self.query([*dimensions, pivot_dim], measures, where=where)
+        if values is None:
+            values = [
+                r[0]
+                for r in df.select(pivot_dim).distinct().orderBy(pivot_dim).collect()
+            ]
+        else:
+            values = list(values)
+        gb = df.groupBy(*[F.col(d) for d in dimensions])
+        pivoted = gb.pivot(pivot_dim, values).agg(
+            *[F.first(m).alias(m) for m in measures]
+        )
+        # normalize Spark's pivot naming ("<value>" for one measure,
+        # "<value>_<measure>" for several) to "<measure>_<value>"
+        renames: dict[str, str] = {}
+        for v in values:
+            if len(measures) == 1:
+                renames[str(v)] = f"{measures[0]}_{v}"
+            else:
+                for m in measures:
+                    renames[f"{v}_{m}"] = f"{m}_{v}"
+        out = pivoted
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        ordered = [*dimensions] + [f"{m}_{v}" for m in measures for v in values]
+        return out.select(*ordered)
+
     def query_share(
         self,
         dimensions: Sequence[str],
