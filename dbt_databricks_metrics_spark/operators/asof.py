@@ -190,3 +190,38 @@ def interval_join(
         if c not in by:
             missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(missing)
+
+
+def point_in_time_features(
+    spine: DataFrame,
+    features: "dict[str, DataFrame]",
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Leakage-free training-set assembly — the feature-store
+    point-in-time pattern: every SPINE row (label event) is joined with
+    the latest value of each named feature table at-or-before its own
+    timestamp, never a later one (future leakage is the classic offline/
+    online skew bug). Each feature table's payload columns are emitted
+    with a ``_<name>`` suffix; unmatched rows keep NULLs, and
+    ``tolerance_seconds`` bounds staleness per table.
+
+    Cost: one ``by``-keyed union+window shuffle PER feature table
+    (|spine| + |table_i| rows each) — N tables = N bounded shuffles on
+    the same key, no candidate-pair blowup, no broadcast requirement.
+    """
+    if not features:
+        raise ValueError("features must name at least one table")
+    out = spine
+    for name, tbl in features.items():
+        out = asof_join(
+            out,
+            tbl,
+            on=on,
+            by=by,
+            direction="backward",
+            tolerance_seconds=tolerance_seconds,
+            right_suffix=f"_{name}",
+        )
+    return out

@@ -222,3 +222,48 @@ def test_asof_forward_null_left_ts_never_matches(spark):
     rows = {r["event_id"]: r for r in asof_join(left, right, on="ts", by=["user_id"], direction="forward").collect()}
     assert rows[1]["ts_r"] is None and rows[1]["value_r"] is None
     assert rows[2]["ts_r"] == 50 and rows[2]["value_r"] == 2.0
+
+
+def test_point_in_time_features_no_future_leakage(spark):
+    from dbt_databricks_metrics_spark.operators.asof import point_in_time_features
+
+    spine = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00")], "id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    past = spark.createDataFrame(
+        [(100, "2024-01-01 09:00:00", 5.0), (100, "2024-01-01 11:00:00", 9.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    (r,) = point_in_time_features(spine, {"bal": past}).collect()
+    assert r["value_bal"] == 5.0  # the 11:00 (future) row never leaks
+
+
+def test_point_in_time_features_multi_table_and_tolerance(spark):
+    from dbt_databricks_metrics_spark.operators.asof import point_in_time_features
+
+    spine = spark.createDataFrame(
+        [(1, 100, "2024-01-02 00:00:00"), (2, 200, "2024-01-02 00:00:00")],
+        "id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    a = spark.createDataFrame(
+        [(100, "2024-01-01 23:00:00", 1.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b = spark.createDataFrame(
+        [(100, "2023-12-01 00:00:00", 2.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = point_in_time_features(
+        spine, {"a": a, "b": b}, tolerance_seconds=7 * 86400
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["value_a"] == 1.0
+    assert rows[1]["value_b"] is None  # match exists but is staler than 7d
+    assert rows[2]["value_a"] is None and rows[2]["value_b"] is None  # no user
+    assert set(out.columns) >= {"value_a", "ts_a", "value_b", "ts_b"}
+
+
+def test_point_in_time_features_empty_dict_rejected(spark):
+    from dbt_databricks_metrics_spark.operators.asof import point_in_time_features
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="at least one"):
+        point_in_time_features(df, {})
