@@ -82,6 +82,16 @@ LAZY_EXT_QUERIES = [
     "shard_plan",
     "incremental_targets",
     "token_budget",
+    # late round-4 ops (calibration excluded: logreg training collects
+    # eagerly; derived_measure/pivot_orders build engines)
+    "l_diversity",
+    "t_closeness",
+    "truncation_eval",
+    "hamming_topk",
+    "split_leakage",
+    "oov_rate",
+    "event_transitions",
+    "training_set",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -108,6 +118,9 @@ _SINGLE_PARTITION_OK = {
     "ivfpq_topk",  # same seeds + rank window over the 10 top rows
     "bloom_prune",  # 1-row accounting aggregate + broadcast n_keys row
     "phrase_search",  # TakeOrderedAndProject top-k merge
+    "l_diversity",  # 1-row governance report aggregate
+    "t_closeness",  # m-row (bucket-cardinality) global cumsum + 1-row report
+    "hamming_topk",  # TakeOrderedAndProject merge
     "token_budget",  # tier running-total window over |score-domain| rows
 }
 
