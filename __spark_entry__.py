@@ -4839,9 +4839,10 @@ def _q_token_fertility(spark, sf_dir):
 # contracts stay strict-mirror + paranoid-mode verified (scripts/
 # check_entry.py) and rotate in next round.
 #
-# ROUND-5 ROTATION PLAN (precomputed 2026-08-15; after r4's driver run,
-# exactly these 34 contracts will never have had a driver row — lead the
-# r5 prefix with all of them plus ~16 re-anchors, retiring the backlog):
+# ROUND-5 ROTATION PLAN (updated through session 3, 2026-08-15; after
+# r4's driver run, exactly these 48 contracts will never have had a
+# driver row — r5 needs them to fill the whole 50-entry prefix, so lead
+# with all 48 plus 2 core anchors; the backlog retires in one round):
 #   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
 #   seed_lookup metric_anomalies_robust drift_report ab_welch
 #   profile_orders drill_across gram_novelty hist_window
