@@ -2983,12 +2983,12 @@ def _q_classifier_metrics(spark, sf_dir):
     return binary_metrics(scored, "y", n_bins=10000)
 
 
-def _classifier_metrics_oracle_sql(
-    n_iter: int = 6, lr: float = 2.0, n_bins: int = 10000
-) -> str:
-    """Training CTEs (shared with _logreg_oracle_sql) + round-6 weights,
-    round-6 sigmoid scores, round-edge binning, rank-statistic AUC.
-    Trains on the injected-marker corpus (see _q_classifier_metrics)."""
+def _scored_docs_ctes(n_iter: int = 6, lr: float = 2.0) -> str:
+    """Shared oracle prefix for every classifier-eval contract: the
+    logreg training CTEs on the injected-marker corpus, round-6 weights
+    (`wr`), and round-6 sigmoid scores (`sc`). classifier_metrics and
+    calibration append their own final SELECTs, so the fragile
+    CTE-slicing and the scoring discipline live in exactly one place."""
     train = _logreg_oracle_sql(
         n_iter,
         lr,
@@ -3009,8 +3009,19 @@ def _classifier_metrics_oracle_sql(
                  round(1.0 / (1.0 + exp(-z.z)), 6) AS s
           FROM (SELECT doc_id, y, sum(xv * w.w) AS z
                 FROM v JOIN wr w USING (i) GROUP BY 1, 2) z
-        ),
-        b AS (
+        )"""
+    )
+
+
+def _classifier_metrics_oracle_sql(
+    n_iter: int = 6, lr: float = 2.0, n_bins: int = 10000
+) -> str:
+    """Scored-docs CTEs (shared) + round-edge binning + rank-statistic
+    AUC + 0.5-threshold confusion counts."""
+    return (
+        _scored_docs_ctes(n_iter, lr)
+        + f"""
+        , b AS (
           SELECT CAST(round(s * {n_bins}) AS INT) AS bin, yy,
                  (s >= 0.5) AS hit
           FROM sc
@@ -3084,30 +3095,12 @@ def _q_calibration(spark, sf_dir):
 
 
 def _calibration_oracle_sql(n_iter: int = 6, lr: float = 2.0, n_bins: int = 10) -> str:
-    """Training + round-6 scoring CTEs (shared with the classifier
-    oracles), then round-edge calibration bins with int64 partials."""
-    train = _logreg_oracle_sql(
-        n_iter,
-        lr,
-        docs_sql=(
-            "SELECT doc_id, lang, coalesce(text, '') || "
-            "CASE WHEN doc_id % 2 = 0 THEN ' qualitymarkertoken' "
-            "ELSE '' END AS text FROM documents"
-        ),
-        label_expr="doc_id % 2 = 0",
-    )
-    ctes = train[: train.index("\nSELECT i, round(w, 6)")]
+    """Scored-docs CTEs (shared) + round-edge calibration bins with
+    int64 partials."""
     return (
-        ctes
+        _scored_docs_ctes(n_iter, lr)
         + f"""
-        , wr AS (SELECT i, round(w, 6) AS w FROM w{n_iter}),
-        sc AS MATERIALIZED (
-          SELECT z.doc_id, CAST(z.y AS INT) AS yy,
-                 round(1.0 / (1.0 + exp(-z.z)), 6) AS s
-          FROM (SELECT doc_id, y, sum(xv * w.w) AS z
-                FROM v JOIN wr w USING (i) GROUP BY 1, 2) z
-        ),
-        cb AS (
+        , cb AS (
           SELECT CAST(round(s * {n_bins}) AS INT) AS bin, yy,
                  CAST(round(s * 1000000) AS BIGINT) AS micro
           FROM sc

@@ -488,12 +488,25 @@ class MetricView:
             raise QueryError(f"pivot_dim {pivot_dim!r} must not repeat in dimensions")
         df = self.query([*dimensions, pivot_dim], measures, where=where)
         if values is None:
+            # NULL pivot values are excluded: Spark names their pivoted
+            # column 'null', which can't round-trip through the
+            # <measure>_<value> naming — coalesce the dimension to a
+            # sentinel first if NULL groups matter
             values = [
                 r[0]
-                for r in df.select(pivot_dim).distinct().orderBy(pivot_dim).collect()
+                for r in df.select(pivot_dim)
+                .filter(F.col(pivot_dim).isNotNull())
+                .distinct()
+                .orderBy(pivot_dim)
+                .collect()
             ]
         else:
             values = list(values)
+            if any(v is None for v in values):
+                raise QueryError(
+                    "query_pivot: values must not contain None — coalesce "
+                    f"{pivot_dim!r} to a sentinel value instead"
+                )
         gb = df.groupBy(*[F.col(d) for d in dimensions])
         pivoted = gb.pivot(pivot_dim, values).agg(
             *[F.first(m).alias(m) for m in measures]

@@ -184,8 +184,15 @@ def embedding_drift(
         "n_a",
         "n_b",
     )
-    folded = terms.groupBy("n_a", "n_b").agg(
-        F.array_sort(F.collect_list("t")).alias("_ts")
+    # ONE output row always: counts fold as max (with ragged vector
+    # lengths the per-dim counts differ — grouping on them would emit one
+    # partial row per count combination). Dims present on only one side
+    # are dropped by the inner join above: the cosine covers the COMMON
+    # dimensions, and n_a/n_b report the max per-dim row count.
+    folded = terms.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.array_sort(F.collect_list("t")).alias("_ts"),
     )
 
     def _fold(field: str):

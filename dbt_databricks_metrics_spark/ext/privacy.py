@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _anti_join_null_safe(
+    df: DataFrame, keys: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """LEFT ANTI join matching NULL keys too (a quasi group whose key IS
+    NULL must still be suppressible — a plain equi-join anti never
+    matches NULL and would leak the flagged rows into the release)."""
+    k = keys
+    for c in cols:
+        k = k.withColumnRenamed(c, f"__k_{c}")
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(F.broadcast(k), cond, "left_anti")
+
+
 def k_anonymity_groups(
     df: DataFrame, quasi_cols: Sequence[str], k: int = 5
 ) -> DataFrame:
@@ -69,7 +85,7 @@ def suppress_small_groups(
         .filter(F.col("suppressed"))
         .select(*quasi_cols)
     )
-    return df.join(F.broadcast(small), list(quasi_cols), "left_anti")
+    return _anti_join_null_safe(df, small, list(quasi_cols))
 
 
 def l_diversity_groups(
@@ -142,7 +158,7 @@ def suppress_low_diversity(
         .filter(F.col("low_diversity"))
         .select(*quasi_cols)
     )
-    return df.join(F.broadcast(low), list(quasi_cols), "left_anti")
+    return _anti_join_null_safe(df, low, list(quasi_cols))
 
 
 def t_closeness_groups(
@@ -183,7 +199,14 @@ def t_closeness_groups(
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
     qc = list(quasi_cols)
-    base = df.select(*qc, F.col(sensitive_bucket_col).alias("_b"))
+    # a NULL bucket has no position on the ordered axis — rows with a
+    # NULL sensitive bucket are excluded from BOTH distributions (they'd
+    # otherwise inflate group_size/N without entering either cumulative,
+    # yielding nonzero EMD for identical distributions — and Spark/ANSI
+    # engines disagree on NULL ORDER BY placement)
+    base = df.select(*qc, F.col(sensitive_bucket_col).alias("_b")).filter(
+        F.col("_b").isNotNull()
+    )
     # ONE source scan: the (quasi, bucket) cell table; the group and
     # global distributions re-aggregate its |groups|·m rows (map-side
     # combine makes the scan's shuffle the only data-sized exchange)
@@ -202,10 +225,21 @@ def t_closeness_groups(
         )
     )
     groups = cells.groupBy(*qc).agg(F.sum("_cn").alias("group_size"))
+    # NULL-SAFE grid join: a group whose quasi key itself is NULL must
+    # still pick up its cells (plain equi-join would miss them and flag
+    # the group maximally distant)
+    cells_r = cells
+    for c in qc + ["_b"]:
+        cells_r = cells_r.withColumnRenamed(c, f"__c_{c}")
+    cond = None
+    for c in qc + ["_b"]:
+        e = F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+        cond = e if cond is None else (cond & e)
     dense = (
         groups.crossJoin(F.broadcast(glob_cum))
-        .join(cells, qc + ["_b"], "left")
+        .join(cells_r, cond, "left")
         .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
+        .drop(*[f"__c_{c}" for c in qc + ["_b"]])
     )
     cw = (
         Window.partitionBy(*qc)
@@ -270,4 +304,4 @@ def suppress_distant_groups(
         .filter(F.col("distant"))
         .select(*quasi_cols)
     )
-    return df.join(F.broadcast(far), list(quasi_cols), "left_anti")
+    return _anti_join_null_safe(df, far, list(quasi_cols))

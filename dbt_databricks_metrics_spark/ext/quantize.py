@@ -92,7 +92,11 @@ def binary_quantize(vec: Column) -> Column:
     the 2^i constants exactly representable and non-negative in ANY
     engine — no signed-int64 sign-bit trap, and ``pow(2.0, i)`` is exact
     in doubles up to i=31. Trailing components beyond ``size(vec)`` are
-    zero bits."""
+    zero bits. An empty (or NULL-size) vector packs to an empty array —
+    guarded explicitly, since ``sequence(0, -1)`` would otherwise count
+    DOWN and evaluate ``element_at(v, 0)``. NaN packs as a 1 bit (Spark
+    orders NaN above every number, so ``NaN >= 0`` is true;
+    ``pack_sign_bits`` mirrors this)."""
     v = _as_double(vec)
     n = F.size(v)
     nwords = F.floor((n + F.lit(31)) / F.lit(32)).cast("int")
@@ -109,20 +113,27 @@ def binary_quantize(vec: Column) -> Column:
             ).otherwise(F.lit(0).cast("long")),
         )
 
-    return F.transform(F.sequence(F.lit(0), nwords - F.lit(1)), _word)
+    return F.when(
+        n <= 0, F.array().cast("array<long>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), nwords - F.lit(1)), _word))
 
 
 def pack_sign_bits(values) -> list[int]:
     """Driver-side mirror of ``binary_quantize`` for a literal query
     vector (bit-identical packing; pinned against the Column version in
     tests)."""
+    import math
+
     words = []
     for w in range((len(values) + 31) // 32):
         word = 0
         for i in range(32):
             j = w * 32 + i
-            if j < len(values) and float(values[j]) >= 0:
-                word |= 1 << i
+            if j < len(values):
+                x = float(values[j])
+                # NaN mirrors Spark's ordering (NaN > any number => bit 1)
+                if x >= 0 or math.isnan(x):
+                    word |= 1 << i
         words.append(word)
     return words
 

@@ -432,6 +432,7 @@ def hamming_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Exact top-k by HAMMING distance over 1-bit binary-quantized
     vectors (``ext.quantize.binary_quantize``) — the 32x-compressed
@@ -440,9 +441,24 @@ def hamming_topk(
     driver-side (bit-identical mirror, pinned in tests) and folds into
     the plan; per-partition scoring merges through
     TakeOrderedAndProject — no shuffle, all-integer output
-    (id, hamming). Ties break by id."""
+    (id, hamming). Ties break by id.
+
+    The query dimension is validated against ONE sampled corpus vector
+    (a mismatched query would NULL every distance via zip_with padding
+    and silently return the k lowest ids) — pass
+    ``validate_dim=False`` to skip that one tiny job in hot loops where
+    the dimension is known."""
     from .quantize import binary_quantize, hamming_distance, pack_sign_bits
 
+    if validate_dim:
+        row = corpus.select(F.size(F.col(vec_col)).alias("_n")).first()
+        if row is not None and row["_n"] is not None and row["_n"] != len(
+            list(query_vec)
+        ):
+            raise ValueError(
+                f"hamming_topk: query dim {len(list(query_vec))} != corpus "
+                f"dim {row['_n']} — distances would be NULL"
+            )
     q = F.array(
         *[F.lit(w).cast("long") for w in pack_sign_bits(list(query_vec))]
     )

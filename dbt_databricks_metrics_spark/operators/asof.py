@@ -198,6 +198,7 @@ def point_in_time_features(
     on: str = "ts",
     by: Sequence[str] = ("user_id",),
     tolerance_seconds: Optional[float] = None,
+    tiebreaks: "Optional[dict[str, Sequence[str]]]" = None,
 ) -> DataFrame:
     """Leakage-free training-set assembly — the feature-store
     point-in-time pattern: every SPINE row (label event) is joined with
@@ -210,9 +211,18 @@ def point_in_time_features(
     Cost: one ``by``-keyed union+window shuffle PER feature table
     (|spine| + |table_i| rows each) — N tables = N bounded shuffles on
     the same key, no candidate-pair blowup, no broadcast requirement.
+
+    ``tiebreaks`` maps a feature-table name to its ``right_tiebreak``
+    columns — REQUIRED for determinism when that table can hold
+    duplicate (by, on) rows (asof_join's documented tie contract;
+    without it, which duplicate wins depends on partition layout).
     """
     if not features:
         raise ValueError("features must name at least one table")
+    tiebreaks = tiebreaks or {}
+    unknown = set(tiebreaks) - set(features)
+    if unknown:
+        raise ValueError(f"tiebreaks name unknown feature tables: {sorted(unknown)}")
     out = spine
     for name, tbl in features.items():
         out = asof_join(
@@ -223,5 +233,6 @@ def point_in_time_features(
             direction="backward",
             tolerance_seconds=tolerance_seconds,
             right_suffix=f"_{name}",
+            right_tiebreak=tuple(tiebreaks.get(name, ())),
         )
     return out

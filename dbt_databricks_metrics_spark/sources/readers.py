@@ -165,8 +165,17 @@ def with_json_fields(
         schema = inferred
     parsed = F.from_json(F.col(json_col), schema)
     tmp = "_json_parsed"
+    while tmp in df.columns:  # never clobber a user column
+        tmp = f"_{tmp}"
     out = df.withColumn(tmp, parsed)
-    fields = [f.name for f in out.schema[tmp].dataType.fields]
+    dt = out.schema[tmp].dataType
+    if not hasattr(dt, "fields"):
+        raise ValueError(
+            f"with_json_fields: schema must describe a JSON OBJECT "
+            f"(struct), got {dt.simpleString()} — wrap arrays/scalars in "
+            f"a named field"
+        )
+    fields = [f.name for f in dt.fields]
     clash = [f for f in fields if f in df.columns]
     if clash:
         raise ValueError(

@@ -334,15 +334,6 @@ class MetricViewSpec:
                     f"measure(s) {chained} — chaining is not supported; "
                     f"reference the base measures directly"
                 )
-        if self.materialization and derived_names:
-            for r in self.materialization.materialized_views:
-                bad = [mn for mn in r.measures if mn in derived_names]
-                if bad:
-                    raise SpecError(
-                        f"rollup {r.name!r}: derived measure(s) {bad} cannot "
-                        f"be materialized — store their dependencies and the "
-                        f"query router serves the derived value from them"
-                    )
         if self.materialization:
             for r in self.materialization.materialized_views:
                 for dname in r.dimensions:
@@ -356,6 +347,13 @@ class MetricViewSpec:
                         # materialized (README.md:431)
                         raise SpecError(
                             f"rollup {r.name!r}: window measure {mname!r} cannot be materialized"
+                        )
+                    if mname in derived_names:
+                        raise SpecError(
+                            f"rollup {r.name!r}: derived measure {mname!r} "
+                            f"cannot be materialized — store its "
+                            f"dependencies and the query router serves "
+                            f"the derived value from them"
                         )
 
     # -- lookups -------------------------------------------------------

@@ -129,3 +129,17 @@ def test_embedding_drift_self_is_one(spark, sf_dir):
     (r,) = embedding_drift(emb, emb).collect()
     assert r["centroid_cosine"] == 1.0
     assert r["n_a"] == r["n_b"] > 0
+
+
+def test_embedding_drift_ragged_lengths_single_row(spark):
+    # review fix: ragged vector lengths must yield ONE row (cosine over
+    # the common dims), not one partial row per count combination
+    from dbt_databricks_metrics_spark.ext.drift import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0, 5.0]), (2, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    b = spark.createDataFrame([(3, [2.0, 0.0])], "id long, embedding array<double>")
+    rows = embedding_drift(a, b).collect()
+    assert len(rows) == 1
+    assert rows[0]["centroid_cosine"] == 1.0  # common dims agree exactly

@@ -183,3 +183,43 @@ def test_t_closeness_bad_args(salaries):
         privacy.t_closeness_groups(salaries, ["grp"], "bucket", t=(1, 0))
     with pytest.raises(ValueError, match="non-empty"):
         privacy.t_closeness_groups(salaries, [], "bucket")
+
+
+def test_null_quasi_keys_are_suppressible(spark):
+    # review fix: plain equi anti-joins never match NULL keys, leaking
+    # flagged rows into the release
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "A", "x")] + [("%d" % i, "B", "x") for i in range(4, 10)],
+        "id STRING, state STRING, cond STRING",
+    )
+    out = privacy.suppress_small_groups(df, ["state"], k=5)
+    assert out.filter(F.col("state").isNull()).count() == 0  # NULL group (2 rows) suppressed
+    assert out.count() == 6  # only the B group survives
+    out2 = privacy.suppress_low_diversity(df, ["state"], "cond", l=2)
+    states = {r["state"] for r in out2.collect()}
+    assert "B" not in states  # B has 1 distinct cond -> suppressed
+    assert None in states  # NULL group has 2 distinct conds -> kept
+
+
+def test_t_closeness_null_quasi_and_null_bucket(spark):
+    rows = (
+        [(None, 1)] * 2 + [(None, 3)] * 2   # NULL-key group mirrors global
+        + [("X", 1)] * 2 + [("Y", 3)] * 2
+        + [("X", None)]                      # NULL bucket: excluded entirely
+    )
+    df = spark.createDataFrame(
+        [(i, g, b) for i, (g, b) in enumerate(rows)],
+        "id INT, grp STRING, bucket INT",
+    )
+    got = {
+        r["grp"]: (r["group_size"], r["emd_num"], r["distant"])
+        for r in privacy.t_closeness_groups(df, ["grp"], "bucket", t=(1, 4)).collect()
+    }
+    # NULL-key group: 50/50 like the global -> EMD 0, NOT maximally distant
+    assert got[None] == (4, 0, False)
+    # X's NULL-bucket row is excluded: group_size 2, all in bucket 1
+    assert got["X"][0] == 2 and got["X"][2] is True
+    assert got["Y"][2] is True
+    out = privacy.suppress_distant_groups(df, ["grp"], "bucket", t=(1, 4))
+    kept = {r["grp"] for r in out.collect()}
+    assert kept == {None}  # X and Y suppressed; NULL-key group kept

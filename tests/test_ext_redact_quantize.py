@@ -181,3 +181,21 @@ def test_hamming_distance_properties(spark):
     assert got[1] == 0  # identical codes
     assert got[2] == 3  # 5^6 = 0b011 (2 bits) + 0^1 (1 bit)
     assert got[3] == 31  # popcount of 31 set bits
+
+
+def test_binary_quantize_empty_and_nan(spark):
+    # review fixes: empty vector packs to [], and NaN packs as bit 1 in
+    # BOTH the Column version and the driver-side mirror
+    df = spark.createDataFrame(
+        [(1, []), (2, [float("nan"), -1.0])], "id long, v array<double>"
+    )
+    got = {
+        r["id"]: r["code"]
+        for r in df.select(
+            "id", quantize.binary_quantize(F.col("v")).alias("code")
+        ).collect()
+    }
+    assert got[1] == []
+    assert got[2] == [1]  # NaN -> bit 0 set, -1.0 -> bit 1 clear
+    assert quantize.pack_sign_bits([]) == []
+    assert quantize.pack_sign_bits([float("nan"), -1.0]) == [1]

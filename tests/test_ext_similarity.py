@@ -221,3 +221,8 @@ def test_hamming_topk_vs_oracle(emb, duck, query_vec):
 def test_hamming_topk_self_is_zero(emb, query_vec):
     rows = similarity.hamming_topk(emb, query_vec, k=1).collect()
     assert rows[0]["vec_id"] == 0 and rows[0]["hamming"] == 0
+
+
+def test_hamming_topk_dim_mismatch_raises(emb):
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.hamming_topk(emb, [1.0] * 32, k=5)

@@ -75,3 +75,10 @@ def test_pivot_rejects_repeated_dim(engine):
     mv = engine.metric_view("mv_order_metrics")
     with pytest.raises(QueryError, match="must not repeat"):
         mv.query_pivot(["market_segment"], "market_segment", ["total_orders"])
+
+
+def test_pivot_null_values_excluded_and_pinned_none_rejected(engine, spark):
+    mv = engine.metric_view("mv_order_metrics")
+    with pytest.raises(QueryError, match="must not contain None"):
+        mv.query_pivot(["order_year"], "market_segment", ["total_orders"],
+                       values=["BUILDING", None])
