@@ -985,6 +985,16 @@ class MetricEngine:
         REPLACE semantics)."""
         return self.catalog.load(directory)
 
+    def write_manifest(self, path: str) -> dict[str, str]:
+        """Persist model fingerprints — the ``--state`` artifact for
+        slim-CI ``state:modified`` selection on a later run."""
+        return self.registry.write_manifest(path)
+
+    def load_state(self, path: str) -> None:
+        """Load a prior manifest so ``run(select=['state:modified+'])``
+        rebuilds only what changed (plus descendants) — dbt's slim CI."""
+        self.registry.load_state(path)
+
     # ---------------- SQL front-end ----------------
 
     def sql(self, text: str) -> DataFrame:

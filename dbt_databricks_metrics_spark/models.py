@@ -105,6 +105,7 @@ class ModelRegistry:
     def __init__(self) -> None:
         self._models: dict[str, Model] = {}
         self._exposures: dict[str, Exposure] = {}
+        self._state_manifest: "Optional[dict[str, str]]" = None
 
     def exposure(
         self,
@@ -278,6 +279,62 @@ class ModelRegistry:
             frontier = nxt
         return out
 
+    def fingerprints(self) -> dict[str, str]:
+        """Content fingerprint per model — the basis of dbt's
+        ``state:modified`` slim-CI selection: the model function's source
+        plus every build-affecting config field, hashed. A fingerprint
+        changes iff a rebuild could produce different output (source
+        edit, dep change, materialization/partitioning/incremental
+        config, or attached metric-view meta)."""
+        import hashlib
+        import inspect
+        import json
+
+        out: dict[str, str] = {}
+        for n, m in sorted(self._models.items()):
+            try:
+                src = inspect.getsource(m.fn)
+            except (OSError, TypeError):  # builtins / dynamically built fns
+                code = getattr(m.fn, "__code__", None)
+                src = (
+                    code.co_code.hex() + repr(code.co_consts)
+                    if code is not None
+                    else repr(m.fn)
+                )
+            cfg = {
+                "deps": m.deps,
+                "materialized": m.materialized,
+                "partition_by": m.partition_by,
+                "bucket_by": m.bucket_by,
+                "sort_by": m.sort_by,
+                "incremental_strategy": m.incremental_strategy,
+                "unique_key": m.unique_key,
+                "check_cols": m.check_cols,
+                "meta": m.meta,
+            }
+            payload = src + "\n" + json.dumps(cfg, sort_keys=True, default=str)
+            out[n] = hashlib.sha256(payload.encode()).hexdigest()
+        return out
+
+    def write_manifest(self, path: str) -> dict[str, str]:
+        """Persist the current fingerprints — the ``--state`` artifact a
+        later run compares against. Returns what was written."""
+        import json
+
+        fps = self.fingerprints()
+        with open(path, "w") as f:
+            json.dump({"version": 1, "models": fps}, f, indent=2, sort_keys=True)
+        return fps
+
+    def load_state(self, path: str) -> None:
+        """Load a prior manifest for ``state:modified`` / ``state:new``
+        selection (dbt's ``--state`` flag)."""
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        self._state_manifest = dict(doc.get("models", {}))
+
     def select_models(self, selectors: Sequence[str]) -> list[str]:
         """dbt node-selection syntax (public dbt `--select` grammar) over
         the model graph: ``model``, ``+model`` (ancestors), ``model+``
@@ -294,6 +351,26 @@ class ModelRegistry:
 
         def atom(sel: str) -> set[str]:
             sel = sel.strip()
+            sm = re.fullmatch(r"state:(modified|new)(\+)?", sel)
+            if sm:
+                if self._state_manifest is None:
+                    raise ModelError(
+                        "state: selectors need a prior manifest — call "
+                        "load_state(path) (written by write_manifest) first"
+                    )
+                fps = self.fingerprints()
+                if sm.group(1) == "new":
+                    picked = {n for n in fps if n not in self._state_manifest}
+                else:
+                    picked = {
+                        n
+                        for n, fp in fps.items()
+                        if self._state_manifest.get(n) != fp
+                    }
+                if sm.group(2):  # state:modified+ -> changed + descendants
+                    for n in list(picked):
+                        picked |= self._walk(n, children, None)
+                return picked
             if sel.startswith("tag:"):
                 tag = sel[4:]
                 return {
@@ -422,7 +499,7 @@ class Runner:
             # plain names pass through unchanged
             if any(
                 "+" in s or "@" in s or "," in s or " " in s
-                or s.startswith("tag:")
+                or s.startswith("tag:") or s.startswith("state:")
                 for s in select
             ):
                 select = self.registry.select_models(select)
