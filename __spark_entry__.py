@@ -4876,9 +4876,9 @@ def _q_top_next_events(spark, sf_dir):
 # check_entry.py) and rotate in next round.
 #
 # ROUND-5 ROTATION PLAN (updated through session 3, 2026-08-15; after
-# r4's driver run, exactly these 48 contracts will never have had a
-# driver row — r5 needs them to fill the whole 50-entry prefix, so lead
-# with all 48 plus 2 core anchors; the backlog retires in one round):
+# r4's driver run, exactly these 50 contracts will never have had a
+# driver row — they ARE r5's 50-entry prefix; the backlog retires in
+# one round and r6 resumes anchor re-attestation):
 #   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
 #   seed_lookup metric_anomalies_robust drift_report ab_welch
 #   profile_orders drill_across gram_novelty hist_window
