@@ -4908,10 +4908,11 @@ def _q_privacy_release(spark, sf_dir):
 # contracts stay strict-mirror + paranoid-mode verified (scripts/
 # check_entry.py) and rotate in next round.
 #
-# ROUND-5 ROTATION PLAN (updated through session 3, 2026-08-15; after
-# r4's driver run, exactly these 50 contracts will never have had a
-# driver row — they ARE r5's 50-entry prefix; the backlog retires in
-# one round and r6 resumes anchor re-attestation):
+# ROUND-5 ROTATION PLAN (maintained through round-4 session 3): every
+# contract named below has NEVER had a driver row after r4's run — the
+# authoritative pool is this list; r5's prefix should be its first 50
+# (add any overflow to r6's lead), then r6 resumes anchor
+# re-attestation. Names append as late-round contracts land:
 #   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
 #   seed_lookup metric_anomalies_robust drift_report ab_welch
 #   profile_orders drill_across gram_novelty hist_window
