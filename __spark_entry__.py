@@ -2944,22 +2944,14 @@ def _logreg_oracle_sql(
     return "".join(parts)
 
 
-def _q_classifier_metrics(spark, sf_dir):
-    # evaluate the trained classifier: binned ROC-AUC + 0.5-threshold
-    # confusion counts. The fixture's lang is unlearnable from templated
-    # bag-of-words (AUC ≈ 0.5), so the contract injects a marker token
-    # into every even-id document — the classifier must find its hash
-    # bucket, making the metrics semantically non-trivial (AUC well
-    # above chance) instead of vacuously chance-level. Scores round to 6
-    # before round-edge binning so both engines bucket identical
-    # doubles; the AUC numerator is then integer+halves exact.
+def _scored_docs(spark, sf_dir):
+    """Spark-side counterpart of _scored_docs_ctes: the injected-marker
+    corpus, hashed features, round-6 logreg weights, round-6 sigmoid
+    scores — the train/score recipe every classifier-eval contract
+    (classifier_metrics, calibration, ece) shares, in exactly one place."""
     from pyspark.sql import functions as F
 
-    from dbt_databricks_metrics_spark.ext.classify import (
-        binary_metrics,
-        logreg_score,
-        logreg_train,
-    )
+    from dbt_databricks_metrics_spark.ext.classify import logreg_score, logreg_train
     from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
     from dbt_databricks_metrics_spark.sources import load_table
 
@@ -2977,10 +2969,22 @@ def _q_classifier_metrics(spark, sf_dir):
         docs, dim=8, idf=False, normalize=True, hash_fn="md5"
     ).join(docs.select("doc_id", "y"), "doc_id")
     w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
-    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
+    return logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
         "score", F.round("score", 6)
     )
-    return binary_metrics(scored, "y", n_bins=10000)
+
+
+def _q_classifier_metrics(spark, sf_dir):
+    # evaluate the trained classifier: binned ROC-AUC + 0.5-threshold
+    # confusion counts. The fixture's lang is unlearnable from templated
+    # bag-of-words (AUC ~ 0.5), so the shared pipeline injects a marker
+    # token into every even-id document — the classifier must find its
+    # hash bucket, making the metrics semantically non-trivial. Scores
+    # round to 6 before round-edge binning so both engines bucket
+    # identical doubles; the AUC numerator is then integer+halves exact.
+    from dbt_databricks_metrics_spark.ext.classify import binary_metrics
+
+    return binary_metrics(_scored_docs(spark, sf_dir), "y", n_bins=10000)
 
 
 def _scored_docs_ctes(n_iter: int = 6, lr: float = 2.0) -> str:
@@ -3059,39 +3063,12 @@ def _q_calibration(spark, sf_dir):
     # classifier: per round-edge confidence bin, occurrence rate vs mean
     # confidence. n_bins=100 — the fixture classifier's logits are small,
     # so decile bins collapse to one row; centile bins spread the mass
-    # over 7 bins with a 0.0→1.0 pos_rate gradient at sf0.01.
-    # Same train/score pipeline as classifier_metrics (round-6
-    # weights and scores); hashed values are exact int64 partials
-    # (n, n_pos, sum of 1e-6-grid scores) and their identical-integer
-    # quotients.
-    from pyspark.sql import functions as F
+    # over 7 bins with a 0.0->1.0 pos_rate gradient at sf0.01. Shared
+    # train/score pipeline (_scored_docs); hashed values are exact int64
+    # partials and their identical-integer quotients.
+    from dbt_databricks_metrics_spark.ext.classify import calibration_bins
 
-    from dbt_databricks_metrics_spark.ext.classify import (
-        calibration_bins,
-        logreg_score,
-        logreg_train,
-    )
-    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
-    from dbt_databricks_metrics_spark.sources import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 2 == 0, F.lit(" qualitymarkertoken")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-        (F.col("doc_id") % 2 == 0).cast("int").alias("y"),
-    )
-    feats = hashed_doc_vectors(
-        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
-    ).join(docs.select("doc_id", "y"), "doc_id")
-    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
-    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
-        "score", F.round("score", 6)
-    )
-    return calibration_bins(scored, "y", n_bins=100)
+    return calibration_bins(_scored_docs(spark, sf_dir), "y", n_bins=100)
 
 
 def _calibration_oracle_sql(n_iter: int = 6, lr: float = 2.0, n_bins: int = 10) -> str:
@@ -4826,35 +4803,10 @@ def _q_token_fertility(spark, sf_dir):
 def _q_ece(spark, sf_dir):
     # expected calibration error as an EXACT integer rational (postmortem
     # rule 6): ece_num/ece_den with no float anywhere in the comparison
-    # path; same classifier pipeline as calibration/classifier_metrics.
-    from pyspark.sql import functions as F
+    # path; shared train/score pipeline (_scored_docs).
+    from dbt_databricks_metrics_spark.ext.classify import ece_report
 
-    from dbt_databricks_metrics_spark.ext.classify import (
-        ece_report,
-        logreg_score,
-        logreg_train,
-    )
-    from dbt_databricks_metrics_spark.ext.vectors import hashed_doc_vectors
-    from dbt_databricks_metrics_spark.sources import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 2 == 0, F.lit(" qualitymarkertoken")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-        (F.col("doc_id") % 2 == 0).cast("int").alias("y"),
-    )
-    feats = hashed_doc_vectors(
-        docs, dim=8, idf=False, normalize=True, hash_fn="md5"
-    ).join(docs.select("doc_id", "y"), "doc_id")
-    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
-    scored = logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
-        "score", F.round("score", 6)
-    )
-    return ece_report(scored, "y", n_bins=100)
+    return ece_report(_scored_docs(spark, sf_dir), "y", n_bins=100)
 
 
 def _q_top_next_events(spark, sf_dir):
@@ -5286,9 +5238,12 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2 HAVING count(DISTINCT b) >= 8
             ),
             r2 AS (SELECT r1.* FROM r1 JOIN g2 USING (segment, nation_id)),
+            -- the t stage's distributions exclude NULL buckets (no
+            -- ordered position) exactly like t_closeness_groups; the k/l
+            -- stages above and the final summary below keep those rows
             cells AS (
                 SELECT segment, nation_id, b, count(*) AS cn
-                FROM r2 GROUP BY 1, 2, 3
+                FROM r2 WHERE b IS NOT NULL GROUP BY 1, 2, 3
             ),
             gdist AS (SELECT b, sum(cn) AS gn FROM cells GROUP BY 1),
             tot AS (
@@ -5322,11 +5277,16 @@ def oracle_sql() -> dict[str, str]:
                            AS emd_den
                 FROM cum, tot GROUP BY 1, 2, N, m
             ),
-            keep AS (
+            -- suppression mirrors the Spark anti-join on DISTANT keys: a
+            -- group absent from emd (all-NULL buckets) is never flagged
+            distant AS (
                 SELECT segment, nation_id FROM emd
-                WHERE emd_num * 25 <= 2 * emd_den
+                WHERE emd_num * 25 > 2 * emd_den
             ),
-            r3 AS (SELECT r2.* FROM r2 JOIN keep USING (segment, nation_id)),
+            r3 AS (
+                SELECT r2.* FROM r2 ANTI JOIN distant
+                USING (segment, nation_id)
+            ),
             fin AS (
                 SELECT segment, nation_id, count(*) AS gs,
                        count(DISTINCT b) AS ns
@@ -8233,9 +8193,13 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB keyword); same floor-grid bucket as k_anonymity
         "t_closeness": """
             WITH base AS (
-                SELECT c_mktsegment AS segment, c_nationkey AS nation_id,
-                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
-                FROM customer
+                -- mirrors t_closeness_groups' NULL-bucket exclusion (no
+                -- ordered position; engines disagree on NULL ORDER BY)
+                SELECT * FROM (
+                    SELECT c_mktsegment AS segment, c_nationkey AS nation_id,
+                           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+                    FROM customer
+                ) WHERE b IS NOT NULL
             ),
             gdist AS (SELECT b, count(*) AS gn FROM base GROUP BY b),
             tot AS (

@@ -240,6 +240,16 @@ class ModelRegistry:
                 fn=fn,
                 materialized="table",
                 description=description or f"seed from {path}",
+                # recorded so state:modified fingerprints cover the seed's
+                # identity (path/options via the meta hash) AND contents
+                # (file checksum in fingerprints() — dbt checksums seeds)
+                meta={
+                    "seed": {
+                        "path": path,
+                        "schema": str(schema),
+                        "csv_options": dict(csv_options),
+                    }
+                },
             )
         )
 
@@ -289,6 +299,42 @@ class ModelRegistry:
         import hashlib
         import inspect
         import json
+        import os
+        import types
+
+        def stable_code(code) -> str:
+            """Reproducible code-object digest: bytecode + names, with
+            nested code objects recursed and everything address-bearing
+            (repr of code/function objects) excluded."""
+            parts = [
+                code.co_code.hex(),
+                repr(code.co_names),
+                repr(code.co_varnames),
+                repr(code.co_freevars),
+            ]
+            for c in code.co_consts:
+                if isinstance(c, types.CodeType):
+                    parts.append(stable_code(c))
+                elif isinstance(c, (str, bytes, int, float, bool, tuple, frozenset)) or c is None:
+                    parts.append(repr(c))
+                else:
+                    parts.append(type(c).__name__)
+            return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+        def stable_cell(v) -> str:
+            """Closure-captured state enters the fingerprint where it is
+            stable: primitives by value, functions/code by their stable
+            digest, everything else by type name (better a rare false
+            'modified' than a silent false 'unchanged')."""
+            if isinstance(v, (str, bytes, int, float, bool, tuple, frozenset)) or v is None:
+                return repr(v)
+            if isinstance(v, dict):
+                return json.dumps(v, sort_keys=True, default=str)
+            if isinstance(v, types.FunctionType):
+                return stable_code(v.__code__)
+            if isinstance(v, types.CodeType):
+                return stable_code(v)
+            return type(v).__name__
 
         out: dict[str, str] = {}
         for n, m in sorted(self._models.items()):
@@ -296,11 +342,18 @@ class ModelRegistry:
                 src = inspect.getsource(m.fn)
             except (OSError, TypeError):  # builtins / dynamically built fns
                 code = getattr(m.fn, "__code__", None)
-                src = (
-                    code.co_code.hex() + repr(code.co_consts)
-                    if code is not None
-                    else repr(m.fn)
+                src = stable_code(code) if code is not None else m.fn.__class__.__name__
+            cells = getattr(m.fn, "__closure__", None) or ()
+            if cells:
+                src += "\n[closure] " + "|".join(
+                    stable_cell(c.cell_contents) for c in cells
                 )
+            seed_meta = (m.meta or {}).get("seed")
+            if seed_meta and isinstance(seed_meta, dict):
+                sp = seed_meta.get("path")
+                if sp and os.path.exists(sp):
+                    with open(sp, "rb") as f:
+                        src += "\n[seed sha256] " + hashlib.sha256(f.read()).hexdigest()
             cfg = {
                 "deps": m.deps,
                 "materialized": m.materialized,

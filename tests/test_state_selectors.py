@@ -72,3 +72,53 @@ def test_engine_manifest_roundtrip(spark, sf_dir, tmp_path):
     assert eng.registry.select_models(["state:modified"]) == []
     built = eng.run(select=["state:modified"])
     assert built == {}
+
+
+def test_seed_fingerprint_covers_path_options_and_contents(tmp_path):
+    # review fix: every seed shares one closure fn, so path/options/file
+    # contents must reach the fingerprint explicitly
+    f1, f2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    f1.write_text("k\n1\n")
+    f2.write_text("k\n2\n")
+
+    def mk(path, **opts):
+        reg = ModelRegistry()
+        reg.seed("s", str(path), **opts)
+        return reg.fingerprints()["s"]
+
+    base = mk(f1)
+    assert mk(f1) == base  # reproducible
+    assert mk(f2) != base  # different path (and contents)
+    assert mk(f1, sep="|") != base  # different csv options
+    f1.write_text("k\n1\n9\n")
+    assert mk(f1) != base  # same path, edited contents
+
+
+def test_dynamic_fn_fingerprint_is_reproducible():
+    # review fix: the getsource fallback must not embed memory addresses
+    src = "def m(spark, ref):\n    f = lambda x: x\n    return f(spark)\n"
+
+    def mk():
+        ns = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        reg = ModelRegistry()
+        reg.model("m")(ns["m"])
+        return reg.fingerprints()["m"]
+
+    assert mk() == mk()
+
+
+def test_closure_state_reaches_fingerprint():
+    def factory(limit):
+        def m(spark, ref):
+            return spark.range(limit)
+
+        return m
+
+    def mk(limit):
+        reg = ModelRegistry()
+        reg.model("m")(factory(limit))
+        return reg.fingerprints()["m"]
+
+    assert mk(3) != mk(4)  # captured parameter differs -> modified
+    assert mk(3) == mk(3)
