@@ -135,3 +135,57 @@ def assign_shards(
     return docs.withColumn("shard_id", shard.cast("bigint")).withColumn(
         "n_tokens", n_tok.cast("bigint")
     )
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style contiguous token-stream packing: within each training
+    shard, documents concatenate in deterministic id order into one token
+    stream that is cut into fixed ``seq_len`` sequences — documents SPAN
+    sequence boundaries (the standard pretraining pack; the bin-packing
+    in :func:`pack_bins` is the no-splitting alternative for SFT).
+
+    Per-doc placement, all exact integers: (id, shard_id, n_tokens,
+    start_tok [exclusive-cumsum offset within the shard's stream],
+    end_tok, first_seq, last_seq [global sequence ids =
+    shard_id * ceil(shard_stream / seq_len) would need the stream length,
+    so sequence ids are SHARD-LOCAL: floor(offset / seq_len)]). Zero-token
+    docs occupy no stream space (first_seq = last_seq = the sequence at
+    their offset).
+
+    Scale shape: the cumulative offset is a window ordered by id within
+    each shard — exactly n_shards reducers, so size n_shards to the
+    cluster (hundreds at 100 TB; the same knob shard_plan exposes). One
+    shuffle, map-only otherwise.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    assigned = assign_shards(docs, n_shards, id_col, text_col)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = assigned.select(
+        F.col(id_col),
+        "shard_id",
+        "n_tokens",
+        start.alias("start_tok"),
+    ).withColumn("end_tok", F.col("start_tok") + F.col("n_tokens"))
+    return out.select(
+        id_col,
+        "shard_id",
+        "n_tokens",
+        "start_tok",
+        "end_tok",
+        F.expr("start_tok DIV " + str(int(seq_len))).alias("first_seq"),
+        F.expr(
+            f"greatest(end_tok - 1, start_tok) DIV {int(seq_len)}"
+        ).alias("last_seq"),
+    )

@@ -87,3 +87,52 @@ def test_packing_single_shuffle(docs):
     df = packing.pack_bins(docs, 512)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_pack_token_stream_hand_computed(spark):
+    from dbt_databricks_metrics_spark.ext.packing import pack_token_stream
+
+    # single shard (n_shards=1): docs concatenate in id order
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, ""), (4, "h i")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["first_seq"], r["last_seq"])
+        for r in pack_token_stream(docs, seq_len=4, n_shards=1).collect()
+    }
+    assert got[1] == (0, 3, 0, 0)        # tokens 0-2 -> seq 0
+    assert got[2] == (3, 7, 0, 1)        # spans the seq-0/seq-1 boundary
+    assert got[3] == (7, 7, 1, 1)        # zero tokens, no stream space
+    assert got[4] == (7, 9, 1, 2)        # spans seq 1 -> 2
+
+
+def test_pack_token_stream_shard_streams_independent(spark):
+    from dbt_databricks_metrics_spark.ext.packing import (
+        assign_shards,
+        pack_token_stream,
+    )
+    from dbt_databricks_metrics_spark.sources import load_table
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = pack_token_stream(docs, seq_len=128, n_shards=4)
+    # per shard: offsets tile the stream exactly (sum of lengths == max end)
+    import pyspark.sql.functions as F
+
+    per = out.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("end_tok").alias("e")
+    ).collect()
+    assert per and all(r["s"] == r["e"] for r in per)
+    assert out.filter(F.col("last_seq") < F.col("first_seq")).count() == 0
+
+
+def test_pack_token_stream_bad_args(spark):
+    from dbt_databricks_metrics_spark.ext.packing import pack_token_stream
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_token_stream(docs, seq_len=0)
