@@ -92,6 +92,14 @@ LAZY_EXT_QUERIES = [
     "oov_rate",
     "event_transitions",
     "training_set",
+    # latest round-4 ops (ece excluded: eager logreg training like
+    # calibration; derived_measure/pivot_orders build engines)
+    "top_next_events",
+    "privacy_release",
+    "token_stream_pack",
+    "token_fertility",
+    "json_props",
+    "embedding_drift",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -121,6 +129,11 @@ _SINGLE_PARTITION_OK = {
     "l_diversity",  # 1-row governance report aggregate
     "t_closeness",  # m-row (bucket-cardinality) global cumsum + 1-row report
     "hamming_topk",  # TakeOrderedAndProject merge
+    "privacy_release",  # t-stage m-row cumsum + 1-row release summary
+    "embedding_drift",  # |dims|-row term fold + 1-row result
+    "json_props",  # |event-types|-row aggregate may coalesce to one task
+    "token_fertility",  # |langs|-row aggregate, same
+    "top_next_events",  # |types|^2-row matrix ranking windows
     "token_budget",  # tier running-total window over |score-domain| rows
 }
 
