@@ -793,6 +793,48 @@ class MetricEngine:
                 "append"
             ).parquet(rv.state.baseline)
 
+    def refresh_cdc(
+        self, name: str, before: DataFrame, after: DataFrame
+    ) -> None:
+        """Fold an UPSERT/DELETE change batch into the view's rollups
+        without a full recompute — the CDC complement of
+        :meth:`refresh_incremental`: *before* carries the rows leaving
+        the source (deletes + pre-images of updates), *after* the rows
+        entering it (inserts + post-images), both in the shape of the
+        view's filtered+joined source. Sum-family rollups retract
+        exactly; min/max/sketch rollups are refused
+        (``streaming/refresh.py::fold_retractions``). Baseline snapshots
+        are append-only and cannot retract — a view with a baseline is
+        refused (drop it or rebuild)."""
+        from .streaming.refresh import fold_retractions
+
+        rv = self.catalog.get(name)
+        if rv.state is None:
+            raise QueryError(
+                f"metric view {name!r} has no materialized state to fold into"
+            )
+        if rv.state.baseline:
+            raise QueryError(
+                f"metric view {name!r} has an (append-only) baseline "
+                f"snapshot — CDC folds cannot retract from it; rebuild "
+                f"instead"
+            )
+        self._rollups._invalidate(os.path.join(self._rollups.storage_dir, name))
+        from pyspark.sql import functions as F
+
+        def _with_dims(df: DataFrame) -> DataFrame:
+            for d in rv.spec.dimensions:
+                if d.name not in df.columns:
+                    df = df.withColumn(
+                        d.name,
+                        F.expr(self._compiler._rewrite_dim_expr(rv.spec, d.expr)),
+                    )
+            return df
+
+        b, a = _with_dims(before), _with_dims(after)
+        for built in rv.state.rollups.values():
+            fold_retractions(self.spark, built, b, a)
+
     def refresh_all(self) -> None:
         self._refresh_many(
             [

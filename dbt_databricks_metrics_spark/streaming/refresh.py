@@ -112,3 +112,68 @@ def streaming_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_retractions(
+    spark: SparkSession,
+    built: BuiltRollup,
+    before: DataFrame,
+    after: DataFrame,
+) -> None:
+    """Upsert/delete-aware incremental maintenance — the CDC complement
+    of :func:`fold_increment`: fold one change batch's PRE-images (rows
+    leaving the table: deletes + old versions of updates) and
+    POST-images (inserts + new versions) into the stored rollup in one
+    swap-write, via
+
+        rollup(S ∪ ΔS⁺ ∖ ΔS⁻) = merge(rollup(S), rollup(ΔS⁺), −rollup(ΔS⁻))
+
+    Sum-mergeable partials (sum/count/count_if and composites built from
+    them, incl. avg's (sum, count) pair) retract EXACTLY by merging the
+    NEGATED pre-image partials. min/max and sketch partials cannot
+    retract — a departed max needs the runner-up the rollup never kept —
+    so such rollups are refused up front (rebuild them, or restrict CDC
+    folds to sum-family rollups). Retraction of FLOAT sums is exact only
+    up to summation-order jitter; keep money partials on the int64 cent
+    grid (the repo-wide discipline) for bit-exact maintenance.
+
+    Groups whose row count reaches zero are pruned when the rollup
+    carries a count-derived partial (identified by its source
+    expression); without one, a fully-retracted group survives as an
+    all-zero row — correct for re-aggregation, just not garbage-free.
+
+    Cost: |rollup| + |Δ| rows, like fold_increment — an upsert stream at
+    100 TB never re-reads the source.
+    """
+    bad = sorted(
+        {
+            fn
+            for dec in built.decompositions.values()
+            for fn in dec.merges.values()
+            if fn != "sum"
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"fold_retractions: rollup {built.spec.name!r} has "
+            f"non-retractable partials (merge fns {bad}) — min/max/sketch "
+            f"partials cannot subtract a departed row; rebuild instead"
+        )
+    dims = list(built.spec.dimensions)
+    pos = _partial_agg(after, built)
+    pcols = [c for c in pos.columns if c not in dims]
+    neg = _partial_agg(before, built).select(
+        *[F.col(d) for d in dims],
+        *[(-F.col(c)).alias(c) for c in pcols],
+    )
+    old = spark.read.parquet(built.path)
+    merged = merge_partials(old, pos.unionByName(neg), built)
+    count_partials = [
+        p_col
+        for dec in built.decompositions.values()
+        for p_expr, p_col in dec.partials
+        if p_expr.lstrip().lower().startswith(("count(", "count_if("))
+    ]
+    if count_partials:
+        merged = merged.filter(F.col(count_partials[0]) != 0)
+    _swap_write(merged, spark, built.path)

@@ -1,0 +1,140 @@
+"""CDC-aware rollup maintenance (fold_retractions): exact retraction of
+sum-family partials, zero-group pruning, min/max refusal, and equivalence
+with a full rebuild after an upsert+delete batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_databricks_metrics_spark.engine import MetricEngine
+from dbt_databricks_metrics_spark.specs import MetricViewSpec
+from dbt_databricks_metrics_spark.streaming.refresh import fold_retractions
+
+SPEC = """
+version: 0.1
+source: ret_src
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: n
+    expr: count(*)
+  - name: cents
+    expr: sum(cast(round(price * 100) as bigint))
+  - name: avg_cents
+    expr: avg(cast(round(price * 100) as bigint))
+materialization:
+  materialized_views:
+    - name: by_seg
+      type: aggregated
+      dimensions: [seg]
+      measures: [n, cents, avg_cents]
+"""
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id long, seg string, price double")
+
+
+def test_fold_retractions_matches_rebuild(spark, tmp_path):
+    initial = _rows(
+        spark,
+        [
+            (1, "A", 10.0),
+            (2, "A", 20.0),
+            (3, "B", 5.0),
+            (4, "C", 7.0),
+        ],
+    )
+    initial.createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh"))
+    mv = eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_ret"))
+    eng.refresh("mv_ret")
+    built = eng.catalog.get("mv_ret").state.rollups["by_seg"]
+
+    # CDC batch: update row 2 (A: 20 -> 25), delete row 3 (B's only
+    # row), insert row 5 (new segment D)
+    before = _rows(spark, [(2, "A", 20.0), (3, "B", 5.0)])
+    after = _rows(spark, [(2, "A", 25.0), (5, "D", 9.0)])
+    fold_retractions(spark, built, before, after)
+
+    folded = spark.read.parquet(built.path)
+    dec = built.decompositions
+    got = {
+        r["seg"]: (r["n"], r["cents"], r["avg_cents"])
+        for r in folded.select(
+            "seg",
+            F.expr(dec["n"].finalize).alias("n"),
+            F.expr(dec["cents"].finalize).alias("cents"),
+            F.expr(dec["avg_cents"].finalize).alias("avg_cents"),
+        ).collect()
+    }
+    assert got["A"] == (2, 3500, 1750.0)
+    assert got["C"] == (1, 700, 700.0)
+    assert got["D"] == (1, 900, 900.0)
+    assert "B" not in got  # fully retracted group pruned (count partial)
+
+    # routed equivalence vs full rebuild on the post-change table
+    post = _rows(
+        spark,
+        [(1, "A", 10.0), (2, "A", 25.0), (4, "C", 7.0), (5, "D", 9.0)],
+    )
+    post.createOrReplaceTempView("ret_src")
+    eng2 = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh2"))
+    mv2 = eng2.register(MetricViewSpec.from_yaml(SPEC, name="mv_ret"))
+    eng2.refresh("mv_ret")
+    df2, route2 = mv2.query_routed(["seg"], ["n", "cents", "avg_cents"])
+    assert route2 == "rollup:by_seg"
+    rebuilt = {
+        r["seg"]: (r["n"], r["cents"], r["avg_cents"]) for r in df2.collect()
+    }
+    assert rebuilt == got
+
+
+def test_fold_retractions_refuses_min_max(spark, tmp_path):
+    spec = """
+version: 0.1
+source: ret_src2
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: top
+    expr: max(price)
+materialization:
+  materialized_views:
+    - name: bad
+      type: aggregated
+      dimensions: [seg]
+      measures: [top]
+"""
+    _rows(spark, [(1, "A", 1.0)]).createOrReplaceTempView("ret_src2")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whm"))
+    eng.register(MetricViewSpec.from_yaml(spec, name="mv_ret2"))
+    eng.refresh("mv_ret2")
+    built = eng.catalog.get("mv_ret2").state.rollups["bad"]
+    with pytest.raises(ValueError, match="non-retractable"):
+        fold_retractions(
+            spark,
+            built,
+            _rows(spark, [(1, "A", 1.0)]),
+            _rows(spark, [(1, "A", 2.0)]),
+        )
+
+
+def test_engine_refresh_cdc_end_to_end(spark, tmp_path):
+    initial = _rows(spark, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    initial.createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "wh3"))
+    mv = eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_ret"))
+    eng.refresh("mv_ret")
+    eng.refresh_cdc(
+        "mv_ret",
+        before=_rows(spark, [(3, "B", 5.0)]),
+        after=_rows(spark, [(4, "B", 8.0), (5, "B", 2.0)]),
+    )
+    df, route = mv.query_routed(["seg"], ["n", "cents"])
+    assert route == "rollup:by_seg"
+    got = {r["seg"]: (r["n"], r["cents"]) for r in df.collect()}
+    assert got == {"A": (2, 3000), "B": (2, 1000)}
