@@ -138,3 +138,46 @@ def test_engine_refresh_cdc_end_to_end(spark, tmp_path):
     assert route == "rollup:by_seg"
     got = {r["seg"]: (r["n"], r["cents"]) for r in df.collect()}
     assert got == {"A": (2, 3000), "B": (2, 1000)}
+
+
+def test_streaming_rollup_cdc_availablenow(spark, tmp_path):
+    from dbt_databricks_metrics_spark.streaming.refresh import (
+        streaming_rollup_cdc,
+    )
+
+    initial = _rows(spark, [(1, "A", 10.0), (2, "B", 5.0)])
+    initial.createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whs"))
+    mv = eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_ret"))
+    eng.refresh("mv_ret")
+    built = eng.catalog.get("mv_ret").state.rollups["by_seg"]
+
+    # Debezium-style change log: update row 1 (10 -> 15), delete row 2,
+    # insert row 3
+    log = spark.createDataFrame(
+        [
+            ("update_before", "before", 1, "A", 10.0),
+            ("update_after", "after", 1, "A", 15.0),
+            ("delete", "before", 2, "B", 5.0),
+            ("insert", "after", 3, "C", 4.0),
+        ],
+        "op string, image string, id long, seg string, price double",
+    )
+    logdir = str(tmp_path / "changelog")
+    log.write.parquet(logdir)
+    q = streaming_rollup_cdc(
+        spark, built, logdir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    folded = spark.read.parquet(built.path)
+    dec = built.decompositions
+    got = {
+        r["seg"]: (r["n"], r["cents"])
+        for r in folded.select(
+            "seg",
+            F.expr(dec["n"].finalize).alias("n"),
+            F.expr(dec["cents"].finalize).alias("cents"),
+        ).collect()
+    }
+    assert got == {"A": (1, 1500), "C": (1, 400)}  # B fully retracted
