@@ -774,24 +774,28 @@ class MetricEngine:
         if rv.state is None:
             raise QueryError(f"metric view {name!r} has no materialized state to fold into")
         self._rollups._invalidate(os.path.join(self._rollups.storage_dir, name))
-        # materialize any dimension whose name is not already a delta
-        # column (dim exprs like `o_orderstatus` aliased `order_status`):
-        # the fold groups by dimension NAMES. No-op for flattened deltas.
-        from pyspark.sql import functions as F
-
-        delta = delta_source_rows
-        for d in rv.spec.dimensions:
-            if d.name not in delta.columns:
-                delta = delta.withColumn(
-                    d.name,
-                    F.expr(self._compiler._rewrite_dim_expr(rv.spec, d.expr)),
-                )
+        delta = self._materialize_dims(rv.spec, delta_source_rows)
         for built in rv.state.rollups.values():
             fold_increment(self.spark, built, delta)
         if rv.state.baseline:
             self._compiler.baseline_projection(rv.spec, delta_source_rows).write.mode(
                 "append"
             ).parquet(rv.state.baseline)
+
+    def _materialize_dims(self, spec: MetricViewSpec, df: DataFrame) -> DataFrame:
+        """Materialize any dimension whose NAME is not already a column
+        (dim exprs like ``o_orderstatus`` aliased ``order_status``) —
+        incremental folds group by dimension names. No-op for flattened
+        relations."""
+        from pyspark.sql import functions as F
+
+        for d in spec.dimensions:
+            if d.name not in df.columns:
+                df = df.withColumn(
+                    d.name,
+                    F.expr(self._compiler._rewrite_dim_expr(spec, d.expr)),
+                )
+        return df
 
     def refresh_cdc(
         self, name: str, before: DataFrame, after: DataFrame
@@ -819,19 +823,16 @@ class MetricEngine:
                 f"snapshot — CDC folds cannot retract from it; rebuild "
                 f"instead"
             )
+        # pre-validate EVERY rollup before folding ANY: a mid-loop
+        # refusal would leave some rollups folded and others stale (and a
+        # retry would double-fold the batch)
+        from .streaming.refresh import validate_retractable
+
+        for built in rv.state.rollups.values():
+            validate_retractable(built)
         self._rollups._invalidate(os.path.join(self._rollups.storage_dir, name))
-        from pyspark.sql import functions as F
-
-        def _with_dims(df: DataFrame) -> DataFrame:
-            for d in rv.spec.dimensions:
-                if d.name not in df.columns:
-                    df = df.withColumn(
-                        d.name,
-                        F.expr(self._compiler._rewrite_dim_expr(rv.spec, d.expr)),
-                    )
-            return df
-
-        b, a = _with_dims(before), _with_dims(after)
+        b = self._materialize_dims(rv.spec, before)
+        a = self._materialize_dims(rv.spec, after)
         for built in rv.state.rollups.values():
             fold_retractions(self.spark, built, b, a)
 

@@ -114,6 +114,43 @@ def streaming_rollup(
     )
 
 
+def validate_retractable(built: BuiltRollup) -> str:
+    """Raise unless *built* can be maintained by retraction folds; returns
+    the rollup's ``count(*)``/``count(1)`` partial column. Two
+    preconditions: (a) every merge fn is ``sum`` (min/max/sketch partials
+    cannot subtract a departed row), and (b) a row-count partial exists —
+    without one, a fully-retracted group is indistinguishable from a live
+    group whose sums happen to be zero, so fold-vs-rebuild equivalence
+    would break (add an ``n: count(*)`` measure to the rollup)."""
+    import re
+
+    bad = sorted(
+        {
+            fn
+            for dec in built.decompositions.values()
+            for fn in dec.merges.values()
+            if fn != "sum"
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"fold_retractions: rollup {built.spec.name!r} has "
+            f"non-retractable partials (merge fns {bad}) — min/max/sketch "
+            f"partials cannot subtract a departed row; rebuild instead"
+        )
+    for dec in built.decompositions.values():
+        for p_expr, p_col in dec.partials:
+            if re.fullmatch(r"count\(\s*(\*|1)\s*\)", p_expr.strip().lower()):
+                return p_col
+    raise ValueError(
+        f"fold_retractions: rollup {built.spec.name!r} has no count(*) "
+        f"partial — retraction folds need a row count to prune fully-"
+        f"retracted groups exactly (count_if/count(col) partials can be "
+        f"legitimately 0 for live groups); add an 'n: count(*)' measure "
+        f"to the rollup"
+    )
+
+
 def fold_retractions(
     spark: SparkSession,
     built: BuiltRollup,
@@ -130,35 +167,19 @@ def fold_retractions(
 
     Sum-mergeable partials (sum/count/count_if and composites built from
     them, incl. avg's (sum, count) pair) retract EXACTLY by merging the
-    NEGATED pre-image partials. min/max and sketch partials cannot
-    retract — a departed max needs the runner-up the rollup never kept —
-    so such rollups are refused up front (rebuild them, or restrict CDC
-    folds to sum-family rollups). Retraction of FLOAT sums is exact only
-    up to summation-order jitter; keep money partials on the int64 cent
-    grid (the repo-wide discipline) for bit-exact maintenance.
-
-    Groups whose row count reaches zero are pruned when the rollup
-    carries a count-derived partial (identified by its source
-    expression); without one, a fully-retracted group survives as an
-    all-zero row — correct for re-aggregation, just not garbage-free.
+    NEGATED pre-image partials; :func:`validate_retractable` states the
+    preconditions (all-sum merges + a ``count(*)`` partial, which prunes
+    fully-retracted groups exactly — fold-vs-rebuild equivalence is
+    tested). Retraction of FLOAT sums is exact only up to
+    summation-order jitter; keep money partials on the int64 cent grid
+    (the repo-wide discipline) for bit-exact maintenance. A missing
+    rollup path bootstraps from the batch itself (first-batch semantics,
+    like :func:`streaming_rollup`).
 
     Cost: |rollup| + |Δ| rows, like fold_increment — an upsert stream at
     100 TB never re-reads the source.
     """
-    bad = sorted(
-        {
-            fn
-            for dec in built.decompositions.values()
-            for fn in dec.merges.values()
-            if fn != "sum"
-        }
-    )
-    if bad:
-        raise ValueError(
-            f"fold_retractions: rollup {built.spec.name!r} has "
-            f"non-retractable partials (merge fns {bad}) — min/max/sketch "
-            f"partials cannot subtract a departed row; rebuild instead"
-        )
+    count_col = validate_retractable(built)
     dims = list(built.spec.dimensions)
     pos = _partial_agg(after, built)
     pcols = [c for c in pos.columns if c not in dims]
@@ -166,17 +187,13 @@ def fold_retractions(
         *[F.col(d) for d in dims],
         *[(-F.col(c)).alias(c) for c in pcols],
     )
-    old = spark.read.parquet(built.path)
-    merged = merge_partials(old, pos.unionByName(neg), built)
-    count_partials = [
-        p_col
-        for dec in built.decompositions.values()
-        for p_expr, p_col in dec.partials
-        if p_expr.lstrip().lower().startswith(("count(", "count_if("))
-    ]
-    if count_partials:
-        merged = merged.filter(F.col(count_partials[0]) != 0)
-    _swap_write(merged, spark, built.path)
+    if os.path.exists(built.path):
+        merged = merge_partials(
+            spark.read.parquet(built.path), pos.unionByName(neg), built
+        )
+    else:
+        merged = merge_partials(pos, neg, built)
+    _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
 
 
 def streaming_rollup_cdc(
@@ -215,6 +232,13 @@ def streaming_rollup_cdc(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # a NULL image would match NEITHER filter below and the change
+        # would be silently lost — refuse the batch instead
+        if not batch_df.filter(F.col(image_col).isNull()).isEmpty():
+            raise ValueError(
+                f"streaming_rollup_cdc: NULL {image_col!r} in change batch "
+                f"{batch_id} — every log row must be marked before/after"
+            )
         before = batch_df.filter(F.col(image_col) == "before").select(*payload_cols)
         after = batch_df.filter(F.col(image_col) != "before").select(*payload_cols)
         fold_retractions(batch_df.sparkSession, built, before, after)

@@ -181,3 +181,121 @@ def test_streaming_rollup_cdc_availablenow(spark, tmp_path):
         ).collect()
     }
     assert got == {"A": (1, 1500), "C": (1, 400)}  # B fully retracted
+
+
+def test_fold_retractions_requires_count_star(spark, tmp_path):
+    # review fix: count_if/count(col) partials can be 0 for LIVE groups —
+    # pruning on them would delete real data; a count(*) partial is the
+    # only exact zero-group witness, so rollups without one are refused
+    spec = """
+version: 0.1
+source: ret_src3
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: cents
+    expr: sum(cast(round(price * 100) as bigint))
+materialization:
+  materialized_views:
+    - name: sums_only
+      type: aggregated
+      dimensions: [seg]
+      measures: [cents]
+"""
+    _rows(spark, [(1, "A", 1.0)]).createOrReplaceTempView("ret_src3")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whc"))
+    eng.register(MetricViewSpec.from_yaml(spec, name="mv_ret3"))
+    eng.refresh("mv_ret3")
+    built = eng.catalog.get("mv_ret3").state.rollups["sums_only"]
+    with pytest.raises(ValueError, match="count\\(\\*\\) partial"):
+        fold_retractions(
+            spark, built, _rows(spark, []), _rows(spark, [(2, "A", 2.0)])
+        )
+
+
+def test_refresh_cdc_validates_all_rollups_before_folding(spark, tmp_path):
+    # review fix: a mid-loop refusal must not leave some rollups folded
+    spec = """
+version: 0.1
+source: ret_src4
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: n
+    expr: count(*)
+  - name: cents
+    expr: sum(cast(round(price * 100) as bigint))
+  - name: top
+    expr: max(price)
+materialization:
+  materialized_views:
+    - name: ok_roll
+      type: aggregated
+      dimensions: [seg]
+      measures: [n, cents]
+    - name: bad_roll
+      type: aggregated
+      dimensions: [seg]
+      measures: [top]
+"""
+    _rows(spark, [(1, "A", 10.0)]).createOrReplaceTempView("ret_src4")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whv"))
+    eng.register(MetricViewSpec.from_yaml(spec, name="mv_ret4"))
+    eng.refresh("mv_ret4")
+    ok_built = eng.catalog.get("mv_ret4").state.rollups["ok_roll"]
+    before_fold = spark.read.parquet(ok_built.path).collect()
+    with pytest.raises(ValueError, match="non-retractable"):
+        eng.refresh_cdc(
+            "mv_ret4",
+            before=_rows(spark, []),
+            after=_rows(spark, [(2, "A", 5.0)]),
+        )
+    # the sum-family rollup was NOT folded (atomic refusal)
+    assert spark.read.parquet(ok_built.path).collect() == before_fold
+
+
+def test_streaming_cdc_rejects_null_image_and_bootstraps(spark, tmp_path):
+    import shutil
+
+    from dbt_databricks_metrics_spark.streaming.refresh import (
+        streaming_rollup_cdc,
+    )
+
+    _rows(spark, [(1, "A", 10.0)]).createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whn"))
+    eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_ret"))
+    eng.refresh("mv_ret")
+    built = eng.catalog.get("mv_ret").state.rollups["by_seg"]
+
+    # bootstrap: missing rollup path must not kill the stream
+    shutil.rmtree(built.path)
+    log = spark.createDataFrame(
+        [("insert", "after", 1, "A", 10.0), ("insert", "after", 2, "B", 4.0)],
+        "op string, image string, id long, seg string, price double",
+    )
+    d1 = str(tmp_path / "log1")
+    log.write.parquet(d1)
+    q = streaming_rollup_cdc(spark, built, d1, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    dec = built.decompositions
+    got = {
+        r["seg"]: r["n"]
+        for r in spark.read.parquet(built.path)
+        .select("seg", F.expr(dec["n"].finalize).alias("n"))
+        .collect()
+    }
+    assert got == {"A": 1, "B": 1}
+
+    # NULL image: the batch is refused, not silently dropped
+    bad = spark.createDataFrame(
+        [(None, None, 3, "C", 1.0)],
+        "op string, image string, id long, seg string, price double",
+    )
+    d2 = str(tmp_path / "log2")
+    bad.write.parquet(d2)
+    q2 = streaming_rollup_cdc(spark, built, d2, str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="NULL 'image'|StreamingQueryException"):
+        q2.awaitTermination(120)
+        raise RuntimeError(str(q2.exception()))
