@@ -218,3 +218,84 @@ def test_paragraph_dedup_invariants(spark, docs):
             p for pos, p in enumerate(ps) if p.strip() and first_at[p] == (i, pos)
         ]
         assert kept == expect, (i, kept, expect)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=32),
+        min_size=0,
+        max_size=70,
+    )
+)
+def test_pack_sign_bits_structure(values):
+    """pack_sign_bits: word count = ceil(n/32); bit i of word w mirrors
+    the sign test (>= 0, NaN counted as 1 per Spark ordering); padding
+    bits are zero. Pure-python property over the driver-side mirror."""
+    import math
+
+    from dbt_databricks_metrics_spark.ext.quantize import pack_sign_bits
+
+    words = pack_sign_bits(values)
+    assert len(words) == (len(values) + 31) // 32
+    for w, word in enumerate(words):
+        assert 0 <= word < 2**32
+        for i in range(32):
+            j = w * 32 + i
+            bit = (word >> i) & 1
+            if j < len(values):
+                x = float(values[j])
+                expected = 1 if (x >= 0 or math.isnan(x)) else 0
+                assert bit == expected
+            else:
+                assert bit == 0  # padding
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_t_closeness_emd_is_a_normalized_rational(spark, rows):
+    """0 <= emd_num <= emd_den for every group (EMD is normalized), and
+    a group distributed exactly like the global one has emd_num == 0."""
+    from dbt_databricks_metrics_spark.ext import privacy
+
+    df = spark.createDataFrame(
+        [(i, g, b) for i, (g, b) in enumerate(rows)],
+        "id INT, grp STRING, bucket INT",
+    )
+    out = privacy.t_closeness_groups(df, ["grp"], "bucket", t=(1, 2)).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["emd_num"] <= r["emd_den"]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.permutations(["m1", "m2", "m3"]))
+def test_fingerprints_invariant_to_registration_order(order):
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+
+    def fns():
+        def m1(spark, ref):
+            return spark.range(1)
+
+        def m2(spark, ref):
+            return spark.range(2)
+
+        def m3(spark, ref):
+            return spark.range(3)
+
+        return {"m1": m1, "m2": m2, "m3": m3}
+
+    reg = ModelRegistry()
+    fn_map = fns()
+    for name in order:
+        reg.model(name)(fn_map[name])
+    base = ModelRegistry()
+    for name in ["m1", "m2", "m3"]:
+        base.model(name)(fns()[name])
+    assert reg.fingerprints() == base.fingerprints()
