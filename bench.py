@@ -102,6 +102,25 @@ def main() -> None:
     timed("q_segment_routed", routed, warm=True, best_of=3)
     timed("q_segment_exact_cover", routed_exact, warm=True, best_of=3)
     timed("q_segment_live", live, warm=True, best_of=3)
+
+    # IVM evidence: folding a 1000-row CDC batch into the segment rollup
+    # (|rollup| + |delta| rows) vs rebuilding the view's rollups from the
+    # source. before == after -> numerically a no-op, so later queries are
+    # unaffected, but the fold pays its full cost (2 partial aggs + merge
+    # + swap-write).
+    def _ivm_fold():
+        from dbt_databricks_metrics_spark.streaming.refresh import (
+            fold_retractions,
+        )
+
+        built = eng.catalog.get("mv_order_metrics").state.rollups[
+            "revenue_by_segment"
+        ]
+        batch = eng.ref("fct_orders").limit(1000)
+        fold_retractions(spark, built, batch, batch)
+
+    timed("ivm_cdc_fold", _ivm_fold)
+    timed("ivm_full_refresh", lambda: eng.refresh("mv_order_metrics"))
     timed(
         "q_monthly_routed",
         lambda: mv.query(["order_year", "order_month"], ["total_revenue"]).collect(),
@@ -889,6 +908,9 @@ def main() -> None:
         ),
         "routed_rows_scanned": routed_rows,
         "live_rows_scanned": live_rows,
+        "ivm_fold_speedup": round(
+            timings["ivm_full_refresh"] / max(timings["ivm_cdc_fold"], 1e-9), 2
+        ),
         "skew_salted_speedup_noaqe": round(
             timings["ext_skew_join_plain_noaqe"]
             / max(timings["ext_skew_join_salted_noaqe"], 1e-9),
