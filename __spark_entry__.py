@@ -916,12 +916,15 @@ def _pricing_exact_parts(eng):
 def _q_lineitem_pricing(spark, sf_dir, with_ok=False):
     # TPC-H Q1-style pricing summary via MEASURE() over the big fact
     # (spec filter + sum-over-expr + avg measures; project.py
-    # MV_LINEITEM_PRICING_YAML). Every hashed column is a pure function
-    # of int64 partials (_pricing_exact_parts) plus the MV's integer
-    # count — r03's driver red came from the mv_ok tolerance boolean
-    # (raw float MV aggregates compared cross-engine inside a hashed
-    # value; VERDICT r3 #1), so the MV float measures are now asserted
-    # in pytest (``with_ok=True``) and never reach the hash.
+    # MV_LINEITEM_PRICING_YAML). Round-5 escalation (VERDICT r4 #1):
+    # the hashed projection is ALL-INTEGER — the int64 partials
+    # themselves (_pricing_exact_parts) plus the MV's integer count.
+    # r03 hashed raw-float tolerance booleans (red), r04 hashed doubles
+    # derived from int64 partials (still red on the driver despite local
+    # bit-exactness) — integers are the only projection type never red
+    # in four rounds of driver history (BASELINE.md postmortem rule 6).
+    # The quotient presentation and the MV float-agreement checks live
+    # in pytest ``with_ok=True`` mode (tests/test_contract_exactness.py).
     from pyspark.sql import functions as F
 
     eng = _engine(spark, sf_dir)
@@ -939,45 +942,52 @@ def _q_lineitem_pricing(spark, sf_dir, with_ok=False):
         F.col("avg_disc").alias("_mad"), F.col("count_order").alias("_mn"),
     )
     j = mv.join(_pricing_exact_parts(eng), ["return_flag", "line_status"])
-    e_base = F.col("_base_c") / 100.0
-    e_disc = F.col("_disc_u") / 10000.0
-    e_chg = F.col("_chg_u") / 1000000.0
-    e_aq = F.col("_qty") / F.col("_n").cast("double")
-    e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
-    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
     cols = [
         F.col("return_flag"), F.col("line_status"),
         F.col("_qty").alias("sum_qty"),
-        e_base.alias("sum_base_price"),
-        e_disc.alias("sum_disc_price"),
-        e_chg.alias("sum_charge"),
-        e_aq.alias("avg_qty"),
-        e_ap.alias("avg_price"),
-        e_ad.alias("avg_disc"),
+        F.col("_base_c").alias("base_price_cents"),
+        F.col("_disc_u").alias("disc_price_u"),
+        F.col("_chg_u").alias("charge_u"),
+        F.col("_dc").alias("disc_cents"),
         # the MV's own count (integer aggregate — deterministic); a broken
         # MEASURE() grouping would change it and fail the driver hash
         F.col("_mn").cast("bigint").alias("count_order"),
     ]
     if with_ok:
-        cols.append((
-            (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
-            & (F.abs(F.col("_mb") - e_base) < 1e-2)
-            & (F.abs(F.col("_md") - e_disc) < 1e-2)
-            & (F.abs(F.col("_mc") - e_chg) < 1e-2)
-            & (F.abs(F.col("_maq") - e_aq) < 1e-4)
-            & (F.abs(F.col("_map") - e_ap) < 1e-4)
-            & (F.abs(F.col("_mad") - e_ad) < 1e-6)
-            & (F.col("_mn") == F.col("_n"))
-        ).alias("mv_ok"))
+        e_base = F.col("_base_c") / 100.0
+        e_disc = F.col("_disc_u") / 10000.0
+        e_chg = F.col("_chg_u") / 1000000.0
+        e_aq = F.col("_qty") / F.col("_n").cast("double")
+        e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
+        e_ad = F.col("_dc") / (100.0 * F.col("_n"))
+        cols += [
+            e_base.alias("sum_base_price"),
+            e_disc.alias("sum_disc_price"),
+            e_chg.alias("sum_charge"),
+            e_aq.alias("avg_qty"),
+            e_ap.alias("avg_price"),
+            e_ad.alias("avg_disc"),
+            (
+                (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
+                & (F.abs(F.col("_mb") - e_base) < 1e-2)
+                & (F.abs(F.col("_md") - e_disc) < 1e-2)
+                & (F.abs(F.col("_mc") - e_chg) < 1e-2)
+                & (F.abs(F.col("_maq") - e_aq) < 1e-4)
+                & (F.abs(F.col("_map") - e_ap) < 1e-4)
+                & (F.abs(F.col("_mad") - e_ad) < 1e-6)
+                & (F.col("_mn") == F.col("_n"))
+            ).alias("mv_ok"),
+        ]
     return j.select(*cols)
 
 
 def _q_routed_pricing(spark, sf_dir, with_ok=False):
     # same query answered from the pricing_by_flag_status rollup: partial
     # states re-aggregated (avg -> sum/count pair), 6 rows read instead of
-    # the full fact scan. Hashed columns are int64-partial-derived plus the
-    # routed integer count; routed-vs-exact float tolerance is asserted in
-    # pytest (with_ok mode), not hashed (VERDICT r3 #1).
+    # the full fact scan. Round-5: hashed columns are the int64 partials
+    # themselves plus the routed integer count — NO doubles in the hash
+    # (VERDICT r4 #1, postmortem rule 6); routed-vs-exact float tolerance
+    # and the quotient presentation live in pytest (with_ok mode).
     from pyspark.sql import functions as F
 
     eng = _engine(spark, sf_dir)
@@ -993,26 +1003,68 @@ def _q_routed_pricing(spark, sf_dir, with_ok=False):
         F.col("count_order").alias("_mn"),
     )
     j = mv.join(_pricing_exact_parts(eng), ["return_flag", "line_status"])
-    e_disc = F.col("_disc_u") / 10000.0
-    e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
-    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
     cols = [
         F.col("return_flag"), F.col("line_status"),
         F.col("_qty").alias("sum_qty"),
-        e_disc.alias("sum_disc_price"),
-        e_ap.alias("avg_price"),
-        e_ad.alias("avg_disc"),
+        F.col("_disc_u").alias("disc_price_u"),
+        F.col("_base_c").alias("base_price_cents"),
+        F.col("_dc").alias("disc_cents"),
         F.col("_mn").cast("bigint").alias("count_order"),
     ]
     if with_ok:
-        cols.append((
-            (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
-            & (F.abs(F.col("_md") - e_disc) < 1e-2)
-            & (F.abs(F.col("_map") - e_ap) < 1e-4)
-            & (F.abs(F.col("_mad") - e_ad) < 1e-6)
-            & (F.col("_mn") == F.col("_n"))
-        ).alias("routed_ok"))
+        e_disc = F.col("_disc_u") / 10000.0
+        e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
+        e_ad = F.col("_dc") / (100.0 * F.col("_n"))
+        cols += [
+            e_disc.alias("sum_disc_price"),
+            e_ap.alias("avg_price"),
+            e_ad.alias("avg_disc"),
+            (
+                (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
+                & (F.abs(F.col("_md") - e_disc) < 1e-2)
+                & (F.abs(F.col("_map") - e_ap) < 1e-4)
+                & (F.abs(F.col("_mad") - e_ad) < 1e-6)
+                & (F.col("_mn") == F.col("_n"))
+            ).alias("routed_ok"),
+        ]
     return j.select(*cols)
+
+
+def _q_pricing_probe_int(spark, sf_dir):
+    # DIAGNOSTIC TWIN A (VERDICT r4 #2): the pricing partials with NO MV
+    # machinery and an ALL-INTEGER projection. Paired with
+    # pricing_probe_double (identical plan, quotient projection) in the
+    # r5 driver prefix: int green + double red => the driver-only hash
+    # divergence is FP-environment (tighten rule 1 to "no doubles in any
+    # hashed projection, ever"); both red => harness/fixture-side, not FP.
+    return _pricing_exact_parts(_engine(spark, sf_dir)).select(
+        "return_flag", "line_status", "_n", "_qty", "_base_c", "_disc_u",
+        "_chg_u", "_dc",
+    ).toDF(
+        "return_flag", "line_status", "n", "qty", "base_c", "disc_u",
+        "chg_u", "dc",
+    )
+
+
+def _q_pricing_probe_double(spark, sf_dir):
+    # DIAGNOSTIC TWIN B (VERDICT r4 #2): same plan and values as
+    # pricing_probe_int, but projected as the previously-red doubles —
+    # the runtime-denominator quotients of r04's lineitem_pricing
+    # (base_c/(100.0*n), qty/n, ...). Deliberately carries doubles in
+    # the hash; exempted from the no-doubles prefix guard
+    # (tests/test_contract_exactness.py) because its red IS the signal.
+    from pyspark.sql import functions as F
+
+    g = _pricing_exact_parts(_engine(spark, sf_dir))
+    return g.select(
+        "return_flag", "line_status",
+        (F.col("_base_c") / 100.0).alias("sum_base_price"),
+        (F.col("_disc_u") / 10000.0).alias("sum_disc_price"),
+        (F.col("_chg_u") / 1000000.0).alias("sum_charge"),
+        (F.col("_qty") / F.col("_n").cast("double")).alias("avg_qty"),
+        (F.col("_base_c") / (100.0 * F.col("_n"))).alias("avg_price"),
+        (F.col("_dc") / (100.0 * F.col("_n"))).alias("avg_disc"),
+    )
 
 
 def _star_joined(spark, sf_dir, eng):
@@ -3313,6 +3365,8 @@ measures:
     expr: max(n_events)
   - name: total_session_value
     expr: sum(total_value)
+  - name: total_value_cents
+    expr: sum(CAST(round(total_value * 100) AS BIGINT))
 """
 
 
@@ -3492,10 +3546,14 @@ def _q_session_metrics_view(spark, sf_dir):
     # folds the event stream into CLOSED sessions via an availableNow
     # batch; the session table then registers as a semantic-layer source
     # and a metric view aggregates it through MEASURE() expansion — the
-    # stream -> state -> metric-view integration path. Projection is
-    # ints + a cent-grid snap + an int-derived avg; the oracle replays
-    # the sessionization (gaps-and-islands, open session excluded) and
-    # the aggregate in SQL.
+    # stream -> state -> metric-view integration path. Round-5 (VERDICT
+    # r4 #1): the hashed projection is ALL-INTEGER — per-session values
+    # snap to the exact cent grid BEFORE the distributed sum
+    # (total_value_cents measure), so the int64 sum is summation-order
+    # free; the former round(sum(double),2) and the int-quotient avg
+    # (recoverable as total_events/n_sessions) are dropped from the
+    # hash. The oracle replays the sessionization (gaps-and-islands,
+    # open session excluded) and the same integer aggregate in SQL.
     import tempfile as _tf
     import uuid as _uuid
 
@@ -3532,15 +3590,14 @@ def _q_session_metrics_view(spark, sf_dir):
         )
     df = eng.metric_view("mv_stream_sessions").query(
         ["user_bucket"],
-        ["n_sessions", "total_events", "max_session_events", "total_session_value"],
+        ["n_sessions", "total_events", "max_session_events", "total_value_cents"],
     )
     return df.select(
         F.col("user_bucket").cast("long").alias("user_bucket"),
         "n_sessions",
         "total_events",
         "max_session_events",
-        F.round(F.col("total_session_value"), 2).alias("total_session_value"),
-        (F.col("total_events") / F.col("n_sessions")).alias("avg_events_per_session"),
+        F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
     )
 
 
@@ -4983,6 +5040,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "lineitem_pricing": _q_lineitem_pricing,
         "routed_pricing": _q_routed_pricing,
+        "pricing_probe_int": _q_pricing_probe_int,
+        "pricing_probe_double": _q_pricing_probe_double,
         "revenue_by_nation": _q_revenue_by_nation,
         "star_segment_year": _q_star_segment_year,
         "revenue_by_brand": _q_revenue_by_brand,
@@ -5563,13 +5622,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT return_flag, line_status,
                    qty AS sum_qty,
+                   base_c AS base_price_cents,
+                   disc_u AS disc_price_u,
+                   chg_u AS charge_u,
+                   dc AS disc_cents,
+                   n AS count_order
+            FROM g
+        """,
+        # diagnostic twins (VERDICT r4 #2): same partials, int vs double
+        # projection — the r5 red/green pattern bisects the driver-only
+        # hash divergence class (FP-environment vs harness-side)
+        "pricing_probe_int": f"""
+            SELECT return_flag, line_status,
+                   count(*) AS n,
+                   sum(CAST(round(quantity) AS BIGINT)) AS qty,
+                   sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
+                   sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
+                   sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS chg_u,
+                   sum(CAST(round(discount * 100) AS BIGINT)) AS dc
+            FROM ({_STG_LINEITEM})
+            WHERE ship_date <= DATE '2001-09-02'
+            GROUP BY 1, 2
+        """,
+        "pricing_probe_double": f"""
+            WITH g AS (
+                SELECT return_flag, line_status,
+                       count(*) AS n,
+                       sum(CAST(round(quantity) AS BIGINT)) AS qty,
+                       sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
+                       sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
+                       sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS chg_u,
+                       sum(CAST(round(discount * 100) AS BIGINT)) AS dc
+                FROM ({_STG_LINEITEM})
+                WHERE ship_date <= DATE '2001-09-02'
+                GROUP BY 1, 2
+            )
+            SELECT return_flag, line_status,
                    base_c / CAST(100 AS DOUBLE) AS sum_base_price,
                    disc_u / CAST(10000 AS DOUBLE) AS sum_disc_price,
                    chg_u / CAST(1000000 AS DOUBLE) AS sum_charge,
                    qty / CAST(n AS DOUBLE) AS avg_qty,
                    base_c / (CAST(100 AS DOUBLE) * n) AS avg_price,
-                   dc / (CAST(100 AS DOUBLE) * n) AS avg_disc,
-                   n AS count_order
+                   dc / (CAST(100 AS DOUBLE) * n) AS avg_disc
             FROM g
         """,
         "routed_pricing": f"""
@@ -5586,9 +5680,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT return_flag, line_status,
                    qty AS sum_qty,
-                   disc_u / CAST(10000 AS DOUBLE) AS sum_disc_price,
-                   base_c / (CAST(100 AS DOUBLE) * n) AS avg_price,
-                   dc / (CAST(100 AS DOUBLE) * n) AS avg_disc,
+                   disc_u AS disc_price_u,
+                   base_c AS base_price_cents,
+                   dc AS disc_cents,
                    n AS count_order
             FROM g
         """,
@@ -7446,7 +7540,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # streaming sessionizer replay (closed sessions only — the open
         # session per user stays in state) aggregated the way the metric
-        # view does; avg derives from int partials
+        # view does; per-session values snap to the exact cent grid
+        # before the sum, so every hashed column is int64 (rule 6)
         "session_metrics_view": _SESSION_CTE
         + """
             , agg AS (
@@ -7462,9 +7557,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_sessions,
                    sum(n_events) AS total_events,
                    max(n_events) AS max_session_events,
-                   round(sum(total_value), 2) AS total_session_value,
-                   sum(n_events) / CAST(count(*) AS DOUBLE)
-                       AS avg_events_per_session
+                   sum(CAST(round(total_value * 100) AS BIGINT))
+                       AS total_value_cents
             FROM closed GROUP BY 1
         """,
         "tumbling_window": """
