@@ -2933,12 +2933,17 @@ def _logreg_oracle_sql(
     dim: int = 8,
     docs_sql: str = "SELECT doc_id, lang, text FROM documents",
     label_expr: str = "lang = 'en'",
+    grad_scale: int | None = None,
 ) -> str:
     """Unrolled batch-GD rounds over the idf-less hashed doc vectors.
     MATERIALIZED on the shared CTEs — each round references the feature
     triples twice, and inlining would re-open the parquet per reference
     (the advisor-oracle EMFILE lesson). *docs_sql*/*label_expr* let the
-    classifier_metrics contract train on an injected-marker corpus."""
+    classifier_metrics contract train on an injected-marker corpus.
+    *grad_scale* mirrors logreg_train's integer gradient grid: the
+    per-(doc, dim) contribution quantizes to int64 before the sum, and
+    the weight update applies the SAME left-associative IEEE sequence
+    (w − lr·(g/scale)/n) the Spark trainer computes driver-side."""
     parts = [
         rf"""WITH src AS MATERIALIZED ({docs_sql}),
             tokd AS MATERIALIZED (
@@ -2978,29 +2983,51 @@ def _logreg_oracle_sql(
                    FROM generate_series(0, {dim} - 1) AS gs(i))"""
     ]
     for r in range(n_iter):
+        if grad_scale is not None:
+            grad_expr = (
+                f"sum(CAST(round(((1.0 / (1.0 + exp(-z{r}.z)) - z{r}.y)"
+                f" * v.xv) * CAST({grad_scale} AS DOUBLE)) AS BIGINT))"
+            )
+            upd_expr = (
+                f"w.w - {lr} * (coalesce(g.g, 0) / {grad_scale})"
+                f" / (SELECT n FROM cnt)"
+            )
+        else:
+            grad_expr = f"sum((1.0 / (1.0 + exp(-z{r}.z)) - z{r}.y) * v.xv)"
+            upd_expr = f"w.w - {lr} * coalesce(g.g, 0.0) / (SELECT n FROM cnt)"
         parts.append(f"""
             , z{r} AS MATERIALIZED (
               SELECT doc_id, y, sum(xv * w.w) AS z
               FROM v JOIN w{r} w USING (i) GROUP BY 1, 2
             ),
             g{r} AS (
-              SELECT v.i, sum((1.0 / (1.0 + exp(-z{r}.z)) - z{r}.y) * v.xv) AS g
+              SELECT v.i, {grad_expr} AS g
               FROM v JOIN z{r} USING (doc_id) GROUP BY 1
             ),
             w{r + 1} AS MATERIALIZED (
               SELECT w.i,
-                     w.w - {lr} * coalesce(g.g, 0.0) / (SELECT n FROM cnt) AS w
+                     {upd_expr} AS w
               FROM w{r} w LEFT JOIN g{r} g USING (i)
             )""")
     parts.append(f"\nSELECT i, round(w, 6) AS w FROM w{n_iter} ORDER BY i")
     return "".join(parts)
 
 
+_GRAD_SCALE = 10**9  # integer gradient grid shared by _scored_docs + oracle
+
+
 def _scored_docs(spark, sf_dir):
     """Spark-side counterpart of _scored_docs_ctes: the injected-marker
     corpus, hashed features, round-6 logreg weights, round-6 sigmoid
     scores — the train/score recipe every classifier-eval contract
-    (classifier_metrics, calibration, ece) shares, in exactly one place."""
+    (classifier_metrics, calibration, ece) shares, in exactly one place.
+
+    Round-5 (VERDICT r4 #1/#2): training uses grad_scale=1e9 integer
+    gradient accumulation — the float gradient sum was the ONE
+    partition-layout-dependent value feeding every hashed classifier
+    metric (weights -> scores -> bins -> counts); quantizing each
+    contribution to the 1e-9 grid before the distributed sum makes the
+    weights bit-stable under any execution layout on both engines."""
     from pyspark.sql import functions as F
 
     from dbt_databricks_metrics_spark.ext.classify import logreg_score, logreg_train
@@ -3020,7 +3047,9 @@ def _scored_docs(spark, sf_dir):
     feats = hashed_doc_vectors(
         docs, dim=8, idf=False, normalize=True, hash_fn="md5"
     ).join(docs.select("doc_id", "y"), "doc_id")
-    w = logreg_train(feats, "y", "vector", dim=8, n_iter=6, lr=2.0)
+    w = logreg_train(
+        feats, "y", "vector", dim=8, n_iter=6, lr=2.0, grad_scale=_GRAD_SCALE
+    )
     return logreg_score(feats, [round(float(x), 6) for x in w]).withColumn(
         "score", F.round("score", 6)
     )
@@ -3033,10 +3062,16 @@ def _q_classifier_metrics(spark, sf_dir):
     # token into every even-id document — the classifier must find its
     # hash bucket, making the metrics semantically non-trivial. Scores
     # round to 6 before round-edge binning so both engines bucket
-    # identical doubles; the AUC numerator is then integer+halves exact.
+    # identical doubles. Round-5 (VERDICT r4 #1): the projection is
+    # ALL-INTEGER — AUC emits as the exact rational pair
+    # (auc_num2, auc_den) per rule 6, and the upstream training uses
+    # the integer gradient grid (_GRAD_SCALE), so no
+    # layout-order-dependent float feeds any hashed count.
     from dbt_databricks_metrics_spark.ext.classify import binary_metrics
 
-    return binary_metrics(_scored_docs(spark, sf_dir), "y", n_bins=10000)
+    return binary_metrics(
+        _scored_docs(spark, sf_dir), "y", n_bins=10000, rational=True
+    )
 
 
 def _scored_docs_ctes(n_iter: int = 6, lr: float = 2.0) -> str:
@@ -3054,6 +3089,7 @@ def _scored_docs_ctes(n_iter: int = 6, lr: float = 2.0) -> str:
             "ELSE '' END AS text FROM documents"
         ),
         label_expr="doc_id % 2 = 0",
+        grad_scale=_GRAD_SCALE,
     )
     ctes = train[: train.index("\nSELECT i, round(w, 6)")]
     return (
@@ -3101,11 +3137,12 @@ def _classifier_metrics_oracle_sql(
                      AS cum
           FROM bins
         ),
-        num AS (SELECT sum(np * (cum + nn / 2.0)) AS num FROM cumb)
-        SELECT CASE WHEN n_pos > 0 AND n_neg > 0
-                    THEN num / (n_pos * n_neg) END AS auc,
+        num2 AS (SELECT CAST(coalesce(sum(np * (2 * cum + nn)), 0) AS BIGINT)
+                     AS auc_num2 FROM cumb)
+        SELECT auc_num2,
+               CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
                tp, fp, tn, fn, n_pos, n_neg
-        FROM conf CROSS JOIN num
+        FROM conf CROSS JOIN num2
     """
     )
 

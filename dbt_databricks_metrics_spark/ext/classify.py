@@ -38,6 +38,7 @@ def logreg_train(
     dim: int | None = None,
     n_iter: int = 3,
     lr: float = 0.5,
+    grad_scale: int | None = None,
 ) -> list[float]:
     """Batch-GD logistic regression; returns the weight vector after
     *n_iter* full-batch rounds from a zero init (deterministic — no
@@ -46,11 +47,25 @@ def logreg_train(
 
     *label_col* must be 0/1 (int); *vec_col* an array<double> of fixed
     width *dim* (inferred from the first row when omitted).
+
+    *grad_scale* (e.g. ``10**9``) switches the gradient accumulation to
+    an integer grid: each per-(row, dim) contribution quantizes to
+    ``round(resid·x_i·grad_scale)`` as int64 BEFORE the distributed
+    sum, making the learned weights bit-identical under ANY partition
+    layout or summation order (a float sum is the one
+    accumulation-order-dependent step in batch GD; everything else is
+    a per-row codegen expression). The grid error per contribution is
+    ≤ 0.5/grad_scale — far below the round-6 weight grid contracts pin.
+    Capacity: |contribution| ≤ grad_scale (resid, normalized x ≤ 1), so
+    int64 holds ~9.2e18/grad_scale rows; at 1e9 that is ~9 billion
+    docs per full batch — shard or lower the scale beyond that.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if lr <= 0:
         raise ValueError(f"lr must be > 0, got {lr}")
+    if grad_scale is not None and grad_scale < 1:
+        raise ValueError(f"grad_scale must be >= 1, got {grad_scale}")
     feats = df.select(
         F.col(label_col).cast("double").alias("_y"),
         F.col(vec_col).cast("array<double>").alias("_x"),
@@ -74,14 +89,25 @@ def logreg_train(
             lambda acc, v: acc + v,
         )
         resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+        contrib = F.col("_r") * F.col("xi")
+        if grad_scale is not None:
+            contrib = F.round(contrib * F.lit(float(grad_scale))).cast("bigint")
         grad_rows = (
             feats.select(resid.alias("_r"), F.posexplode("_x").alias("i", "xi"))
             .groupBy("i")
-            .agg(F.sum(F.col("_r") * F.col("xi")).alias("g"))
+            .agg(F.sum(contrib).alias("g"))
             .collect()
         )
         grad = {r["i"]: r["g"] for r in grad_rows}
-        w = [wi - lr * grad.get(i, 0.0) / n for i, wi in enumerate(w)]
+        if grad_scale is not None:
+            # identical driver-side IEEE ops to the oracle's unrolled
+            # update: (w - lr * (g_int / scale) / n), left-associative
+            w = [
+                wi - lr * ((grad.get(i, 0) or 0) / grad_scale) / n
+                for i, wi in enumerate(w)
+            ]
+        else:
+            w = [wi - lr * grad.get(i, 0.0) / n for i, wi in enumerate(w)]
     return w
 
 
@@ -108,6 +134,7 @@ def binary_metrics(
     score_col: str = "score",
     n_bins: int = 1000,
     threshold: float = 0.5,
+    rational: bool = False,
 ) -> DataFrame:
     """Classifier evaluation in two bounded passes (public formulas):
     binned ROC-AUC and threshold confusion counts.
@@ -129,6 +156,15 @@ def binary_metrics(
     doubles in every engine — the repo's determinism discipline.
 
     Returns ONE row: (auc, tp, fp, tn, fn, n_pos, n_neg).
+
+    With ``rational=True`` the AUC emits as the EXACT integer pair
+    (``auc_num2``, ``auc_den``) instead of the double quotient:
+    ``auc = auc_num2 / auc_den`` with ``auc_num2 = Σ_b pos_b·(2·neg_below_b
+    + neg_b)`` (doubling clears the half-tie term, so the numerator is a
+    pure int64 sum — summation-order free) and ``auc_den = 2·P·N``. The
+    projection is then ALL-INTEGER — the only column family never red
+    under a bitwise cross-engine hash gate (rule 6, the t-closeness /
+    ece_report discipline).
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -155,6 +191,15 @@ def binary_metrics(
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     cum_nn = F.coalesce(F.sum("nn").over(w), F.lit(0))
+    if rational:
+        num2 = bins.select(
+            (F.col("np") * (2 * cum_nn + F.col("nn"))).cast("bigint").alias("_c")
+        ).agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("_num2"))
+        return conf.crossJoin(num2).select(
+            F.col("_num2").alias("auc_num2"),
+            (2 * F.col("n_pos") * F.col("n_neg")).cast("bigint").alias("auc_den"),
+            "tp", "fp", "tn", "fn", "n_pos", "n_neg",
+        )
     num = bins.select(
         (F.col("np") * (cum_nn + F.col("nn") / 2.0)).alias("_c")
     ).agg(F.sum("_c").alias("_num"))

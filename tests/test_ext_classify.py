@@ -116,7 +116,9 @@ def test_contract_classifier_learns_marker(spark, sf_dir):
 
     r = entry.queries()["classifier_metrics"](spark, sf_dir).collect()[0]
     assert r["n_pos"] > 0 and r["n_neg"] > 0
-    assert r["auc"] > 0.55, r["auc"]
+    # the contract emits AUC as the exact rational pair (rule 6)
+    assert r["auc_den"] > 0
+    assert r["auc_num2"] / r["auc_den"] > 0.55, (r["auc_num2"], r["auc_den"])
     assert r["tp"] + r["fn"] == r["n_pos"]
     assert r["fp"] + r["tn"] == r["n_neg"]
 
