@@ -105,7 +105,10 @@ measures:
   - name: revenue_cents
     expr: sum(cast(round(total_price * 100) as bigint))
   - name: aov_cents
-    expr: revenue_cents / order_count
+    # integer div: the derived value stays int64 end-to-end (rule 6 —
+    # hashed projections carry no doubles, and AOV-in-whole-cents is
+    # the natural grain anyway)
+    expr: revenue_cents div order_count
     derived: true
 materialization:
   materialized_views:
@@ -1773,7 +1776,11 @@ def _q_drill_across(spark, sf_dir):
     )
     return out.select(
         "market_segment",
-        F.round("total_revenue", 2).alias("total_revenue"),
+        # true value sits on the cent grid, so scale-0 round recovers the
+        # exact integer on both engines (rule 6: int, not round(sum, 2))
+        F.round(F.col("total_revenue") * 100).cast("bigint").alias(
+            "revenue_cents"
+        ),
         "total_customers",
     )
 
@@ -1781,13 +1788,15 @@ def _q_drill_across(spark, sf_dir):
 def _q_profile_orders(spark, sf_dir):
     # per-column table profile (nulls, exact distincts, min/max, mean) in
     # one aggregate pass — the data-quality companion to data_checks.
+    # The hashed projection drops mean_value (a round(avg,4) double —
+    # the exact r1/r2 red class); the mean path stays pytest-covered.
     from dbt_databricks_metrics_spark.ext import profile
     from dbt_databricks_metrics_spark.sources import load_table
 
     orders = load_table(spark, sf_dir, "orders")
     return profile.profile_table(
         orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
-    )
+    ).drop("mean_value")
 
 
 def _q_bm25_search(spark, sf_dir):
@@ -2212,11 +2221,17 @@ def _q_temperature_mix(spark, sf_dir):
     for g in sorted(counts):
         f, n = fr[g], counts[g]
         bound = 4.0 * math.sqrt(f * (1.0 - f) * n) + 1.0
+        # hashed column is the micro-scaled INTEGER fraction (rule 6:
+        # no doubles in hashed projections); the 4-sigma check is an
+        # assertion-style boolean the oracle pins to TRUE
         rows.append(
-            (g, n, round(f, 6), abs(kept.get(g, 0) - f * n) <= bound)
+            (g, n, int(round(f * 1_000_000)),
+             abs(kept.get(g, 0) - f * n) <= bound)
         )
     return spark.createDataFrame(
-        rows, "lang string, n_docs bigint, fraction double, within_4sigma boolean"
+        rows,
+        "lang string, n_docs bigint, fraction_micro bigint, "
+        "within_4sigma boolean",
     )
 
 
@@ -3294,12 +3309,16 @@ def _q_funnel_steps(spark, sf_dir):
 
 def _q_cohort_retention(spark, sf_dir):
     # weekly retention triangle: cohort = first-activity week; one
-    # user-keyed shuffle + result-sized aggregations
+    # user-keyed shuffle + result-sized aggregations. Hashed projection
+    # is the exact integer pair (n_users, cohort_size); the retention
+    # quotient stays API-side only (rule 6 — no doubles in the hash).
     from dbt_databricks_metrics_spark.ext.funnel import cohort_retention
     from dbt_databricks_metrics_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev, period="week")
+    return cohort_retention(ev, period="week").select(
+        "cohort", "period_offset", "n_users", "cohort_size"
+    )
 
 
 def _q_kmeans_clusters(spark, sf_dir):
@@ -3711,7 +3730,9 @@ def _q_gram_novelty(spark, sf_dir):
     from dbt_databricks_metrics_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return gram_novelty(docs, n=5)
+    # hash the exact (n_dup_grams, n_grams) integer pair; the fraction
+    # is their quotient and stays API-side only (rule 6)
+    return gram_novelty(docs, n=5).drop("dup_frac")
 
 
 def _q_winnow_pairs(spark, sf_dir):
@@ -3856,7 +3877,9 @@ def _q_debounced_events(spark, sf_dir):
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "value",
+        # cent-grid int (rule 6): value is a parquet passthrough, but the
+        # prefix guard admits no double columns at all
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
 
 
@@ -4021,7 +4044,9 @@ def _q_incremental_refresh(spark, sf_dir):
     return spark.read.parquet(path).select(
         "order_year",
         "order_month",
-        F.round(F.expr(fin), 2).alias("total_revenue"),
+        # cent-grid int (rule 6): the folded sum's true value sits on the
+        # cent grid, so scale-0 round of 100x recovers the exact integer
+        F.round(F.expr(fin) * 100).cast("bigint").alias("revenue_cents"),
     )
 
 
@@ -4755,7 +4780,9 @@ def _q_oov_rate(spark, sf_dir):
     from dbt_databricks_metrics_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return oov_stats(docs, vocab_topk(docs, k=50))
+    # hash the exact (n_oov, n_tokens) integer pair; the rate quotient
+    # stays API-side only (rule 6)
+    return oov_stats(docs, vocab_topk(docs, k=50)).drop("oov_rate")
 
 
 def _q_derived_measure(spark, sf_dir):
@@ -5630,7 +5657,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(total_price * 100) AS BIGINT))
                         AS BIGINT) AS revenue_cents,
                    CAST(sum(CAST(round(total_price * 100) AS BIGINT))
-                        AS BIGINT) / count(*) AS aov_cents
+                        AS BIGINT) // count(*) AS aov_cents
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
         """,
         "routed_monthly": f"""
@@ -6843,10 +6870,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.lang,
                    c.n AS n_docs,
-                   round(least(cast(1.0 as double),
+                   CAST(round(least(cast(1.0 as double),
                        (SELECT total FROM tot) // 3
                            * pow(c.n, cast(0.5 as double))
-                           / (SELECT sp FROM tot) / c.n), 6) AS fraction,
+                           / (SELECT sp FROM tot) / c.n) * 1000000)
+                       AS BIGINT) AS fraction_micro,
                    TRUE AS within_4sigma
             FROM counts c
         """,
@@ -7182,7 +7210,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             sizes AS (SELECT cohort, count(*) AS sz FROM firsts GROUP BY 1)
             SELECT c.cohort, c.period_offset, c.n_users,
-                   round(c.n_users / s.sz, 6) AS retention
+                   s.sz AS cohort_size
             FROM cells c JOIN sizes s USING (cohort)
         """,
         "kmeans_clusters": """
@@ -7389,8 +7417,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    coalesce(n_grams, 0) AS n_grams,
-                   coalesce(n_dup_grams, 0) AS n_dup_grams,
-                   round(n_dup_grams / nullif(n_grams, 0), 6) AS dup_frac
+                   coalesce(n_dup_grams, 0) AS n_dup_grams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         """,
@@ -7536,7 +7563,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, user_id, event_type,
-                   epoch_us(ts) AS ts_us, value
+                   epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
             FROM lagged
             WHERE prev_ts IS NULL
                OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
@@ -7643,7 +7671,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_refresh": f"""
             SELECT order_year, order_month,
-                   round(sum(total_price), 2) AS total_revenue
+                   CAST(round(sum(total_price) * 100) AS BIGINT)
+                       AS revenue_cents
             FROM ({_FCT_ORDERS}) GROUP BY 1, 2
         """,
         "asof_join": """
@@ -7849,7 +7878,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drill_across": f"""
             WITH rev AS (
-              SELECT market_segment, round(sum(total_price), 2) AS total_revenue
+              SELECT market_segment,
+                     CAST(round(sum(total_price) * 100) AS BIGINT)
+                         AS revenue_cents
               FROM ({_FCT_ORDERS}) GROUP BY 1
             ),
             cust AS (
@@ -7857,7 +7888,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_FCT_CUSTOMER_SUMMARY}) GROUP BY 1
             )
             SELECT coalesce(rev.market_segment, cust.market_segment) AS market_segment,
-                   total_revenue, total_customers
+                   revenue_cents, total_customers
             FROM rev FULL JOIN cust USING (market_segment)
         """,
         "profile_orders": """
@@ -7865,27 +7896,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(o_orderkey) AS n_nulls,
                    count(DISTINCT o_orderkey) AS n_distinct,
                    min(o_orderkey)::VARCHAR AS min_value,
-                   max(o_orderkey)::VARCHAR AS max_value,
-                   round(avg(o_orderkey), 4) AS mean_value
+                   max(o_orderkey)::VARCHAR AS max_value
             FROM orders
             UNION ALL
             SELECT 'o_orderstatus', 'string', count(*),
                    count(*) - count(o_orderstatus),
                    count(DISTINCT o_orderstatus), min(o_orderstatus),
-                   max(o_orderstatus), NULL
+                   max(o_orderstatus)
             FROM orders
             UNION ALL
             SELECT 'o_totalprice', 'double', count(*),
                    count(*) - count(o_totalprice),
                    count(DISTINCT o_totalprice), min(o_totalprice)::VARCHAR,
-                   max(o_totalprice)::VARCHAR, round(avg(o_totalprice), 4)
+                   max(o_totalprice)::VARCHAR
             FROM orders
             UNION ALL
             SELECT 'o_orderdate', 'timestamp_ntz', count(*),
                    count(*) - count(o_orderdate),
                    count(DISTINCT o_orderdate),
                    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
-                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'), NULL
+                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
             FROM orders
         """,
         "bm25_search": r"""
@@ -8447,8 +8477,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    coalesce(nt, 0) AS n_tokens,
-                   coalesce(no, 0) AS n_oov,
-                   no / nullif(nt, 0) AS oov_rate
+                   coalesce(no, 0) AS n_oov
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         """,

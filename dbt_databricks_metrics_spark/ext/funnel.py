@@ -115,9 +115,12 @@ def cohort_retention(
     max_offset: Optional[int] = None,
 ) -> DataFrame:
     """Classic retention triangle: ``(cohort, period_offset, n_users,
-    retention)`` — users whose FIRST event fell in *cohort* that were
-    active again *period_offset* periods later (offset 0 = the cohort
-    size; retention = n_users / cohort size).
+    cohort_size, retention)`` — users whose FIRST event fell in *cohort*
+    that were active again *period_offset* periods later (offset 0 = the
+    cohort size; retention = n_users / cohort_size). ``cohort_size`` is
+    the exact integer denominator, so bitwise cross-engine contracts can
+    hash the (n_users, cohort_size) pair and skip the float quotient
+    (rule 6 in BASELINE.md's determinism postmortem).
     """
     if period not in _PERIODS:
         raise ValueError(f"period must be one of {sorted(_PERIODS)}, got {period!r}")
@@ -138,6 +141,7 @@ def cohort_retention(
         "cohort",
         "period_offset",
         "n_users",
+        F.col("_size").alias("cohort_size"),
         F.round(F.col("n_users") / F.col("_size"), 6).alias("retention"),
     )
     if max_offset is not None:

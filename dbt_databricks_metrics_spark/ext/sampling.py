@@ -163,7 +163,10 @@ def temperature_fractions(
         # empty input: no groups to mix — an empty fraction map (rather
         # than a ZeroDivisionError from total_p == 0, ADVICE r2)
         return {}
-    total_p = sum(n ** (1.0 / temperature) for n in counts.values())
+    # sorted-key order: the reduction is a float sum, so a stable
+    # accumulation order keeps fractions bit-identical across runs
+    # regardless of the collect()'s partition-dependent row order
+    total_p = sum(counts[g] ** (1.0 / temperature) for g in sorted(counts))
     return {
         g: min(1.0, budget_rows * (n ** (1.0 / temperature)) / total_p / n)
         for g, n in counts.items()
