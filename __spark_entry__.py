@@ -1665,7 +1665,13 @@ def _q_hist_window(spark, sf_dir):
         )
     )
     df = eng.metric_view("mv_histw").query(["order_status"], ["t7_p50"])
-    return df.select("order_status", F.round("t7_p50", 4).alias("t7_p50"))
+    # rule 6: both engines evaluate the IDENTICAL generated interpolation
+    # expression over identical integer bucket counts, so the double is
+    # bit-identical — but the hash carries only its scale-4 integer image
+    return df.select(
+        "order_status",
+        F.round(F.col("t7_p50") * 10000).cast("bigint").alias("t7_p50_e4"),
+    )
 
 
 _HIST_WINDOW_SPEC_YAML = """
@@ -1709,7 +1715,9 @@ def _hist_window_oracle_sql() -> str:
             FROM orders GROUP BY 1, 2
         ),
         win AS (SELECT s, d, {win_cols} FROM grain)
-        SELECT s AS order_status, round(arg_max({dec.finalize}, d), 4) AS t7_p50
+        SELECT s AS order_status,
+               CAST(round(arg_max({dec.finalize}, d) * 10000) AS BIGINT)
+                   AS t7_p50_e4
         FROM win GROUP BY 1
     """
 
@@ -2720,14 +2728,21 @@ def _q_metric_anomalies_robust(spark, sf_dir, with_ok=False):
     cols = [
         F.col("market_segment"),
         F.col("order_month"),
-        (F.col("_x") / 100.0).alias("total_revenue"),
-        (F.col("_med2") / 200.0).alias("median_revenue"),
-        (F.col("_mad4") / 400.0).alias("mad_revenue"),
-        rz.alias("total_revenue_rz"),
+        # rule 6: hash the raw int64 partials (cents / 2·median-cents /
+        # 4·MAD-cents); the presentation quotients (incl. rz) live in
+        # with_ok pytest mode. The outlier flag is boolean-from-int
+        # (pure integer cross-multiplication).
+        F.col("_x").alias("revenue_cents"),
+        F.col("_med2").alias("median_cents2"),
+        F.col("_mad4").alias("mad_cents4"),
         flag.alias("total_revenue_outlier"),
     ]
     if with_ok:
         cols += [
+            (F.col("_x") / 100.0).alias("total_revenue"),
+            (F.col("_med2") / 200.0).alias("median_revenue"),
+            (F.col("_mad4") / 400.0).alias("mad_revenue"),
+            rz.alias("total_revenue_rz"),
             F.when(F.col("_mad4") > 0, F.abs(F.col("_erz") - rz) < F.lit(1e-6))
             .otherwise(F.col("_erz").isNull())
             .alias("rz_ok"),
@@ -2739,39 +2754,66 @@ def _q_metric_anomalies_robust(spark, sf_dir, with_ok=False):
 
 
 def _q_drift_report(spark, sf_dir):
-    # distribution drift between event cohorts: per-bin PSI terms and the
-    # running CDF gap (binned KS). One aggregation per side, bin-sized
-    # result; the CDF window runs over 10 rows, never the data.
+    # distribution drift between event cohorts: per-bin counts and the
+    # running CDF gap (binned KS) as an exact cross-multiplied rational
+    # (drift_report_exact — rule 6: the hashed projection is pure
+    # int64). The float report (PSI needs a log) is cross-checked here
+    # against the exact rational within 5e-7 (assertion, not hashed).
     from pyspark.sql import functions as F
 
-    from dbt_databricks_metrics_spark.ext.drift import drift_report
+    from dbt_databricks_metrics_spark.ext.drift import (
+        drift_report,
+        drift_report_exact,
+    )
     from dbt_databricks_metrics_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    rep = drift_report(
-        ev.filter(F.col("event_type") == "click"),
-        ev.filter(F.col("event_type") == "purchase"),
-        "value",
-        0.0,
-        100.0,
-        bins=10,
-    )
-    # fractions/PSI terms are O(1) with O(1e-15) jitter — margin 5e-7
-    # at any SF (bounded-statistic class)
-    return _round_cols(rep, ["frac_a", "frac_b", "psi_term", "cdf_gap"], 6)
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    exact = drift_report_exact(a, b, "value", 0.0, 100.0, bins=10)
+    float_gaps = {
+        r["bin"]: r["cdf_gap"]
+        for r in drift_report(a, b, "value", 0.0, 100.0, bins=10).collect()
+    }
+    for r in exact.collect():
+        assert abs(float_gaps[r["bin"]] - r["gap_num"] / r["gap_den"]) < 5e-7
+    return exact
 
 
 def _q_ab_welch(spark, sf_dir):
-    # Welch's unequal-variance t between two event cohorts, from one
-    # two-group moment aggregate (the A/B metric default)
+    # Welch's unequal-variance t between two event cohorts. Rule 6: the
+    # hashed projection is the exact int64 moment table the t derives
+    # from — (n, Σcents, Σcents²) per group on the event values' cent
+    # grid (squares of ≤ 5e6-cent values over sf-scale rows stay far
+    # below 2^63). welch_t's float (mean, t, dof) output is
+    # cross-checked against these partials in-contract (assertion, not
+    # hashed): means must match Σcents/(100·n) within 5e-7.
+    from pyspark.sql import functions as F
+
     from dbt_databricks_metrics_spark.ext.drift import welch_t
     from dbt_databricks_metrics_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    t = welch_t(ev, "event_type", "value", "click", "purchase")
-    # means/t/dof are O(100)-bounded with O(1e-12) jitter — margin 5e-7
-    # at any SF (bounded-statistic class)
-    return _round_cols(t, ["mean_a", "mean_b", "t_stat", "dof"], 6)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    agg = (
+        ev.filter(
+            F.col("event_type").isin(["click", "purchase"])
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.sum(cents * cents).alias("sumsq_cents2"),
+        )
+    )
+    t = welch_t(ev, "event_type", "value", "click", "purchase").collect()[0]
+    moments = {r["event_type"]: r for r in agg.collect()}
+    for g, mean in (("click", t["mean_a"]), ("purchase", t["mean_b"])):
+        m = moments[g]
+        assert abs(mean - m["sum_cents"] / (100.0 * m["n"])) < 5e-7, (g, mean)
+    assert t["dof"] > 0 and t["t_stat"] == t["t_stat"]  # finite, not NaN
+    return agg
 
 
 def _q_bpe_merges(spark, sf_dir):
@@ -3168,11 +3210,15 @@ def _q_calibration(spark, sf_dir):
     # confidence. n_bins=100 — the fixture classifier's logits are small,
     # so decile bins collapse to one row; centile bins spread the mass
     # over 7 bins with a 0.0->1.0 pos_rate gradient at sf0.01. Shared
-    # train/score pipeline (_scored_docs); hashed values are exact int64
-    # partials and their identical-integer quotients.
+    # train/score pipeline (_scored_docs). Rule 6: the hashed projection
+    # is the int64 partials ONLY (bin, n, n_pos, sum_score_micro) — the
+    # pos_rate / mean-confidence quotients are recoverable and stay
+    # API-side.
     from dbt_databricks_metrics_spark.ext.classify import calibration_bins
 
-    return calibration_bins(_scored_docs(spark, sf_dir), "y", n_bins=100)
+    return calibration_bins(_scored_docs(spark, sf_dir), "y", n_bins=100).drop(
+        "pos_rate", "mean_conf_micro"
+    )
 
 
 def _calibration_oracle_sql(n_iter: int = 6, lr: float = 2.0, n_bins: int = 10) -> str:
@@ -3188,9 +3234,7 @@ def _calibration_oracle_sql(n_iter: int = 6, lr: float = 2.0, n_bins: int = 10) 
         )
         SELECT bin, count(*) AS n,
                CAST(sum(yy) AS BIGINT) AS n_pos,
-               CAST(sum(micro) AS BIGINT) AS sum_score_micro,
-               CAST(sum(yy) AS BIGINT) / count(*) AS pos_rate,
-               CAST(sum(micro) AS BIGINT) / count(*) AS mean_conf_micro
+               CAST(sum(micro) AS BIGINT) AS sum_score_micro
         FROM cb GROUP BY bin
     """
     )
@@ -4820,7 +4864,9 @@ def _q_event_transitions(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext.journeys import event_transitions
     from dbt_databricks_metrics_spark.sources import load_table
 
-    return event_transitions(load_table(spark, sf_dir, "events"))
+    # rule 6: hash the (n_transitions, n_from) integer pair; p is their
+    # quotient and stays API-side
+    return event_transitions(load_table(spark, sf_dir, "events")).drop("p")
 
 
 def _q_training_set(spark, sf_dir):
@@ -4846,11 +4892,16 @@ def _q_training_set(spark, sf_dir):
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "value"
     )
-    return point_in_time_features(
-        spine, {"click": clicks, "view": views}
-    ).select(
-        "event_id", "user_id", "ts", "value",
-        "ts_click", "value_click", "ts_view", "value_view",
+    out = point_in_time_features(spine, {"click": clicks, "view": views})
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_id", "user_id", "ts",
+        # rule 6: passthrough doubles emit as cent-grid integers
+        cents("value").alias("value_cents"),
+        "ts_click",
+        cents("value_click").alias("click_cents"),
+        "ts_view",
+        cents("value_view").alias("view_cents"),
     )
 
 
@@ -4886,9 +4937,21 @@ def _q_embedding_drift(spark, sf_dir):
     from dbt_databricks_metrics_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_drift(
+    rep = embedding_drift(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    # rule 6: the round-6 cosine is already layout/engine-exact (ordered
+    # folds over int64 sums), but the hash carries its 1e-6 integer
+    # image, not the double ((Σs_a·s_b)² vs Σs_a²·Σs_b² cross-products
+    # would overflow int64 beyond ~sf0.01, so a scaled image, not an
+    # exact rational, is the right integer form here)
+    return rep.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("centroid_cosine") * 1_000_000)
+        .cast("bigint")
+        .alias("cosine_e6"),
     )
 
 
@@ -4911,13 +4974,9 @@ def _q_token_fertility(spark, sf_dir):
         F.sum("ws_token_count").alias("n_words"),
         F.sum("bpe_piece_count").alias("n_pieces"),
     ).select(
+        # rule 6: fertility ratios are quotients of these exact int64
+        # sums and stay API/pytest-side; the hash carries integers only
         "lang", "n_docs", "n_chars", "n_words", "n_pieces",
-        (F.col("n_chars") / F.nullif(F.col("n_pieces"), F.lit(0))).alias(
-            "chars_per_piece"
-        ),
-        (F.col("n_pieces") / F.nullif(F.col("n_words"), F.lit(0))).alias(
-            "pieces_per_word"
-        ),
     )
 
 
@@ -4936,7 +4995,7 @@ def _q_top_next_events(spark, sf_dir):
     from dbt_databricks_metrics_spark.ext.journeys import top_next_events
     from dbt_databricks_metrics_spark.sources import load_table
 
-    return top_next_events(load_table(spark, sf_dir, "events"), k=3)
+    return top_next_events(load_table(spark, sf_dir, "events"), k=3).drop("p")
 
 
 def _q_privacy_release(spark, sf_dir):
@@ -5508,7 +5567,7 @@ def oracle_sql() -> dict[str, str]:
                                                    c.to_type) AS rank
                 FROM c JOIN t USING (from_type)
             )
-            SELECT from_type, rank, to_type, n_transitions, p
+            SELECT from_type, rank, to_type, n_transitions, n_from
             FROM r WHERE rank <= 3
         """,
         # fertility replay: the doc_stats token expressions, aggregated
@@ -5528,11 +5587,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(char_len) AS BIGINT) AS n_chars,
                    CAST(sum(w) AS BIGINT) AS n_words,
-                   CAST(sum(p) AS BIGINT) AS n_pieces,
-                   CAST(sum(char_len) AS BIGINT)
-                       / nullif(CAST(sum(p) AS BIGINT), 0) AS chars_per_piece,
-                   CAST(sum(p) AS BIGINT)
-                       / nullif(CAST(sum(w) AS BIGINT), 0) AS pieces_per_word
+                   CAST(sum(p) AS BIGINT) AS n_pieces
             FROM s GROUP BY lang
         """,
         # embedding-drift replay: same int64 component sums; list_reduce
@@ -5569,10 +5624,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             )
             SELECT n_a, n_b,
-                   round(list_reduce(dots, (x, y) -> x + y)
+                   CAST(round(round(list_reduce(dots, (x, y) -> x + y)
                          / (sqrt(list_reduce(aas, (x, y) -> x + y))
                             * sqrt(list_reduce(bbs, (x, y) -> x + y))), 6)
-                       AS centroid_cosine
+                         * 1000000) AS BIGINT)
+                       AS cosine_e6
             FROM l
         """,
         # JSON-props replay: json_extract + BIGINT cast, same aggregates
@@ -5604,9 +5660,12 @@ def oracle_sql() -> dict[str, str]:
                      FROM s ASOF LEFT JOIN c
                        ON s.user_id = c.user_id AND s.ts >= c.ts
                  )
-            SELECT j1.event_id, j1.user_id, j1.ts, j1.value,
-                   j1.ts_click, j1.value_click,
-                   v.ts AS ts_view, v.value AS value_view
+            SELECT j1.event_id, j1.user_id, j1.ts,
+                   CAST(round(j1.value * 100) AS BIGINT) AS value_cents,
+                   j1.ts_click,
+                   CAST(round(j1.value_click * 100) AS BIGINT) AS click_cents,
+                   v.ts AS ts_view,
+                   CAST(round(v.value * 100) AS BIGINT) AS view_cents
             FROM j1 ASOF LEFT JOIN v
               ON j1.user_id = v.user_id AND j1.ts >= v.ts
         """,
@@ -5629,8 +5688,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
                 FROM c GROUP BY 1
             )
-            SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
-                   CAST(c.n_transitions AS BIGINT) / t.n_from AS p
+            SELECT c.from_type, c.to_type, c.n_transitions, t.n_from
             FROM c JOIN t USING (from_type)
         """,
         # crosstab replay: nullif(count, 0) mirrors the pivot's NULL cell
@@ -7038,18 +7096,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM rk2
             )
             SELECT market_segment, order_month,
-                   x / CAST(100 AS DOUBLE) AS total_revenue,
-                   med2 / CAST(200 AS DOUBLE) AS median_revenue,
-                   mad4 / CAST(400 AS DOUBLE) AS mad_revenue,
-                   CASE WHEN mad4 > 0
-                        THEN CAST((4 * x - 2 * med2) * 10000 AS DOUBLE)
-                             / CAST(14826 * mad4 AS DOUBLE)
-                        ELSE CAST(0 AS DOUBLE) END AS total_revenue_rz,
+                   x AS revenue_cents,
+                   med2 AS median_cents2,
+                   mad4 AS mad_cents4,
                    CASE WHEN mad4 > 0
                         THEN abs(4 * x - 2 * med2) * 10000 >= 44478 * mad4
                         ELSE FALSE END AS total_revenue_outlier
             FROM m4
         """,
+        # integer-exact drift table: per-bin counts + the binned-KS gap
+        # as the cross-multiplied rational (drift_report_exact replay)
         "drift_report": """
             WITH binned AS (
               SELECT least(greatest(CAST(floor(value / 10.0) AS INT), 0), 9)
@@ -7059,46 +7115,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE value IS NOT NULL
                 AND event_type IN ('click', 'purchase')
             ),
-            fa AS (SELECT bin, count(*)::DOUBLE / sum(count(*)) OVER () AS f
-                   FROM binned WHERE event_type = 'click' GROUP BY 1),
-            fb AS (SELECT bin, count(*)::DOUBLE / sum(count(*)) OVER () AS f
-                   FROM binned WHERE event_type = 'purchase' GROUP BY 1),
+            ca AS (SELECT bin, count(*) AS n FROM binned
+                   WHERE event_type = 'click' GROUP BY 1),
+            cb AS (SELECT bin, count(*) AS n FROM binned
+                   WHERE event_type = 'purchase' GROUP BY 1),
             spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
             j AS (
               SELECT s.bin,
-                     coalesce(fa.f, 0.0) AS frac_a,
-                     coalesce(fb.f, 0.0) AS frac_b,
-                     greatest(coalesce(fa.f, 0), 1e-6) AS pa,
-                     greatest(coalesce(fb.f, 0), 1e-6) AS pb
-              FROM spine s LEFT JOIN fa USING (bin) LEFT JOIN fb USING (bin)
+                     CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b
+              FROM spine s LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
             )
-            SELECT bin, round(frac_a, 6) AS frac_a, round(frac_b, 6) AS frac_b,
-                   round((pa - pb) * ln(pa / pb), 6) AS psi_term,
-                   round(abs(sum(frac_a) OVER w - sum(frac_b) OVER w), 6)
-                       AS cdf_gap
+            SELECT bin, n_a, n_b,
+                   CAST(abs(sum(n_a) OVER w * sum(n_b) OVER t
+                            - sum(n_b) OVER w * sum(n_a) OVER t)
+                        AS BIGINT) AS gap_num,
+                   CAST(sum(n_a) OVER t * sum(n_b) OVER t AS BIGINT)
+                       AS gap_den
             FROM j
-            WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING),
+                   t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
+        # integer moment table (n, Σcents, Σcents²) per cohort — the
+        # exact partials Welch's t derives from (rule 6)
         "ab_welch": """
-            WITH m AS (
-              SELECT event_type AS g, count(*) AS n, avg(value) AS mean,
-                     var_samp(value) AS v
-              FROM events
-              WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
-              GROUP BY 1
-            ),
-            a AS (SELECT n AS n_a, mean AS mean_a, v AS v_a FROM m
-                  WHERE g = 'click'),
-            b AS (SELECT n AS n_b, mean AS mean_b, v AS v_b FROM m
-                  WHERE g = 'purchase')
-            SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
-                   round(mean_b, 6) AS mean_b,
-                   round((mean_a - mean_b)
-                         / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
-                   round(pow(v_a / n_a + v_b / n_b, 2)
-                         / (pow(v_a / n_a, 2) / (n_a - 1)
-                            + pow(v_b / n_b, 2) / (n_b - 1)), 6) AS dof
-            FROM a CROSS JOIN b
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS sumsq_cents2
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+            GROUP BY 1
         """,
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encoded": _bpe_encode_oracle_sql(8),

@@ -92,6 +92,71 @@ def drift_report(
     )
 
 
+def drift_report_exact(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Integer-exact drift table: (bin, n_a, n_b, gap_num, gap_den) —
+    the rule-6 companion of :func:`drift_report` for bitwise
+    cross-engine gates. Per-bin counts are exact int64, and the binned
+    KS gap |CDF_a − CDF_b| emits as the exact cross-multiplied rational
+    ``gap_num/gap_den = |cum_a·tot_b − cum_b·tot_a| / (tot_a·tot_b)``
+    — no division, log, or float ever materializes. The PSI (which
+    needs a transcendental log) stays on :func:`drift_report`.
+    Same plan shape: one count aggregate per side + a bins-sized window.
+    """
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    import pyspark.sql.window as W
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        w = (hi - lo) / bins
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    spine = df_a.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        spine.join(_counts(df_a, "a"), "bin", "left")
+        .join(_counts(df_b, "b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    cum = W.Window.orderBy("bin").rowsBetween(W.Window.unboundedPreceding, 0)
+    tot = W.Window.rowsBetween(
+        W.Window.unboundedPreceding, W.Window.unboundedFollowing
+    )
+    cum_a, cum_b = F.sum("n_a").over(cum), F.sum("n_b").over(cum)
+    tot_a, tot_b = F.sum("n_a").over(tot), F.sum("n_b").over(tot)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.abs(cum_a * tot_b - cum_b * tot_a).cast("bigint").alias("gap_num"),
+        (tot_a * tot_b).cast("bigint").alias("gap_den"),
+    )
+
+
 def psi(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -80,5 +80,5 @@ def top_next_events(
     return (
         m.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("from_type", "rank", "to_type", "n_transitions", "p")
+        .select("from_type", "rank", "to_type", "n_transitions", "n_from", "p")
     )
