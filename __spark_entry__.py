@@ -5088,91 +5088,79 @@ def _q_token_stream_pack(spark, sf_dir):
 
 # The driver's correctness gate samples exactly the FIRST 50 entries of
 # queries() in dict order (confirmed in VERDICT r3). This prefix rotates
-# never-yet-sampled contracts into the official record each round:
-# round 4 = the two r03 pricing reds (fixed), the r01-red quartet (fixed
-# since r01 but never re-sampled), 40 first-ever contracts, and 4 core
-# anchors that keep the reference surface attested. The remaining
-# contracts stay strict-mirror + paranoid-mode verified (scripts/
-# check_entry.py) and rotate in next round.
+# never-yet-sampled contracts into the official record each round.
 #
-# ROUND-5 ROTATION PLAN (maintained through round-4 session 3): every
-# contract named below has NEVER had a driver row after r4's run — the
-# authoritative pool is this list; r5's prefix should be its first 50
-# (add any overflow to r6's lead), then r6 resumes anchor
-# re-attestation. Names append as late-round contracts land:
-#   lpa_communities cohort_retention fuzzy_match_pairs temperature_mix
-#   seed_lookup metric_anomalies_robust drift_report ab_welch
-#   profile_orders drill_across gram_novelty hist_window
-#   semantic_dup_pairs ppl_buckets hard_negatives debounced_events
-#   incremental_refresh interval_join distinct_count_salted
-#   stratified_sample pack_bins curation_stats topk_docs_per_lang
-#   redact_documents quantize_roundtrip events_metric_view
-#   documents_metric_view keyword_search phrase_search cluster_keep_best
-#   corpus_diff shard_plan incremental_targets token_budget
-#   l_diversity truncation_eval hamming_topk split_leakage
-#   t_closeness oov_rate calibration derived_measure pivot_orders
-#   event_transitions training_set json_props embedding_drift
-#   token_fertility ece top_next_events privacy_release
-#   token_stream_pack
+# ROUND-5 PREFIX (VERDICT r4 #1-#4): (a) the four r04 hash-reds, re-built
+# with ALL-INTEGER hashed projections (rule 6); (b) the two diagnostic
+# twins that bisect the driver-only hash divergence (same partials, int
+# vs double projection — if the int twin is green and the double twin
+# red, the class is FP-environment and rule 1 hardens to "no doubles in
+# any hashed projection, ever"; both red => harness/fixture side);
+# (c) 44 of the 52 never-sampled pool contracts, every one re-audited
+# this round to carry ONLY integral/string/date/bool hashed columns
+# (enforced by tests/test_contract_exactness.py::test_prefix_hashes_no_floats).
+#
+# ROUND-6 ROTATION PLAN: the 8 pool contracts deferred for space, chosen
+# because their operator family already has driver-green rows or their
+# projection is assertion-style (low marginal evidence):
+#   fuzzy_match_pairs seed_lookup quantize_roundtrip curation_stats
+#   topk_docs_per_lang pack_bins stratified_sample redact_documents
+# Lead r6 with them, then resume anchor re-attestation (measure_by_dim,
+# ytd_revenue, fct_orders, revenue_by_nation ... have 2-3 green rows each).
 _DRIVER_PREFIX = [
-    # r03 reds, de-floated this round
+    # r04 hash-reds, integerized this round (VERDICT r4 #1)
     "lineitem_pricing",
     "routed_pricing",
-    # r01-red quartet: fixed in r2 but never re-entered the sample
-    "srp_similar_pairs",
-    "ivf_topk",
-    "user_activity",
-    "media_features",
-    # core anchors (reference surface). measure_by_dim / ytd_revenue were
-    # rotated out after 2-3 consecutive green rows to make room for the
-    # round's new operators (bloom_prune, source_reputation) to arrive
-    # driver-green per VERDICT r3 #8; they remain strict+paranoid-mirrored.
-    "stg_orders",
-    "routed_segment",
-    # new this round: driver-green on arrival
-    "bloom_prune",
-    "source_reputation",
-    # never-driver-sampled contracts, first official rows
-    "rollup_advisor",
-    "advisor_applied_route",
-    "rollup_advisor_budget",
-    "source_freshness",
-    "data_checks",
-    "incremental_model",
-    "snapshot_scd2",
-    "cdc_apply",
-    "multiformat_roundtrip",
-    "zorder_scan",
-    "asof_join",
-    "k_anonymity",
-    "salted_join_agg",
-    "funnel_steps",
-    "stream_stream_join",
-    "stream_static_enrich",
-    "streaming_dedup",
-    "hist_percentile",
-    "audience_overlap",
-    "metric_anomalies",
-    "ivfpq_topk",
-    "pq_topk",
-    "pagerank_dupgraph",
-    "triangle_counts",
-    "ssjoin_pairs",
-    "gopher_gate",
-    "curation_v2",
-    "streaming_rollup_serve",
-    "bm25_search",
-    "hybrid_search",
-    "doc_vectors",
-    "pca_covariance",
-    "logreg_weights",
     "classifier_metrics",
-    "bpe_merges",
-    "bpe_encoded",
-    "reranked_search",
     "session_metrics_view",
-    "substring_dedup",
-    "pq_codes",
+    # divergence-bisection twins (VERDICT r4 #2)
+    "pricing_probe_int",
+    "pricing_probe_double",
+    # pool rotation: first driver rows (VERDICT r4 #3)
+    "lpa_communities",
+    "cohort_retention",
+    "temperature_mix",
+    "metric_anomalies_robust",
+    "drift_report",
+    "ab_welch",
+    "profile_orders",
+    "drill_across",
+    "gram_novelty",
+    "hist_window",
+    "semantic_dup_pairs",
+    "ppl_buckets",
+    "hard_negatives",
+    "debounced_events",
+    "incremental_refresh",
+    "interval_join",
+    "distinct_count_salted",
+    "events_metric_view",
+    "documents_metric_view",
+    "keyword_search",
+    "phrase_search",
+    "cluster_keep_best",
+    "corpus_diff",
+    "shard_plan",
+    "incremental_targets",
+    "token_budget",
+    "l_diversity",
+    "truncation_eval",
+    "hamming_topk",
+    "split_leakage",
+    "t_closeness",
+    "oov_rate",
+    "calibration",
+    "derived_measure",
+    "pivot_orders",
+    "event_transitions",
+    "training_set",
+    "json_props",
+    "embedding_drift",
+    "token_fertility",
+    "ece",
+    "top_next_events",
+    "privacy_release",
+    "token_stream_pack",
 ]
 
 

@@ -143,6 +143,7 @@ class MetricView:
         # query_routed's for the same request
         from .plans.compiler import expand_derived
 
+        requested = tuple(q.measures)
         q, _derived_proj = expand_derived(q)
         state = self._rv.state
         spec = self.spec
@@ -209,9 +210,16 @@ class MetricView:
         else:
             reason = "no rollup covers the requested dims+measures"
         if _derived_proj is not None:
+            # name the DERIVED measures the caller asked for and the
+            # dependency measures expansion added — not the full expanded
+            # set (which mostly repeats plain requested measures, ADVICE r4)
+            derived = [
+                m for m in requested if self.spec.measure(m).derived
+            ]
+            added = [m for m in q.measures if m not in requested]
             reason += (
-                "; derived measures served from dependencies "
-                f"{[m for m in q.measures]}"
+                f"; derived measures {derived} served from "
+                f"dependency measures (expansion added {added})"
             )
         return {"route": route, "reason": reason, "candidates": candidates}
 

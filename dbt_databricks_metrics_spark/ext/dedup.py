@@ -700,8 +700,10 @@ def keep_best_in_cluster(
 
     so one groupBy shuffle on ``cluster_id`` resolves winner, size and
     removal count together — no window over the corpus, no second pass.
-    Ids must be non-negative and < 10^12 (asserted cheaply via the pack
-    itself: a violation would produce a negative key).
+    Ids must be non-negative and < 10^12; the packing raise_error-guards
+    the range per row (an out-of-range id would corrupt the packed
+    argmax silently otherwise — ADVICE r4), at codegen CASE cost, no
+    extra pass.
 
     *clusters* is ``duplicate_clusters`` output (id_col, cluster_id).
     Returns one row per cluster: (cluster_id, kept_<id>, kept_tokens,
@@ -711,14 +713,23 @@ def keep_best_in_cluster(
     n_tok = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    id_ok = (F.col(id_col).cast("bigint") >= 0) & (
+        F.col(id_col).cast("bigint") < p
+    )
+    checked_id = F.when(id_ok, F.col(id_col).cast("bigint")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"keep_best_in_cluster: {id_col} out of [0, 10^12): "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     keyed = (
         df.select(F.col(id_col), n_tok.cast("bigint").alias("_nt"))
         .join(clusters, id_col)
         .select(
             "cluster_id",
-            (
-                F.col("_nt") * p + (p - 1 - F.col(id_col).cast("bigint"))
-            ).alias("_key"),
+            (F.col("_nt") * p + (p - 1 - checked_id)).alias("_key"),
         )
     )
     agg = keyed.groupBy("cluster_id").agg(
@@ -785,10 +796,14 @@ def neardup_against_registry(
     Registry layout: ``<path>/sigs`` (id, sig) and ``<path>/bands``
     (id, band, key), each folded with the crash-safe rename-aside swap
     (``operators/cdc._promote_state_dir`` — LOCAL POSIX FS only). Sigs
-    promote BEFORE bands and both folds anti-join on id first, so a
-    crash between the two promotes leaves only an under-banded shard
-    (re-running the shard re-folds idempotently); a doc is never
-    band-discoverable without its verification signature.
+    promote BEFORE bands, and EACH fold derives its fresh ids by
+    anti-joining its OWN registry side (sigs vs reg_sigs, bands vs
+    reg_bands) — so a crash between the two promotes leaves an
+    under-banded shard whose band rows ARE re-folded on re-run (the
+    shard ids are absent from reg_bands even though reg_sigs already
+    has them; anti-joining reg_sigs there would yield an empty band
+    fold and leave the docs permanently band-undiscoverable). A doc is
+    never band-discoverable without its verification signature.
 
     Returns the kept rows of *new_docs*. Ids must be globally unique
     across shards.
@@ -864,9 +879,15 @@ def neardup_against_registry(
             reg_sigs.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)
         new_sigs = reg_sigs.unionByName(fresh_sigs)
-        fresh_ids = fresh_sigs.select(id_col)
-        new_bands = spark.read.parquet(bands_path).unionByName(
-            shard_bands.join(fresh_ids, id_col, "left_semi")
+        # band-side fresh ids anti-join reg_bands (NOT reg_sigs): after a
+        # crash between the sigs and bands promotes, the shard ids are
+        # already in reg_sigs but missing from reg_bands — this is the
+        # re-run that heals them (docstring crash-ordering contract)
+        fresh_band_ids = kept_ids.join(
+            reg_bands.select(id_col).distinct(), id_col, "left_anti"
+        )
+        new_bands = reg_bands.unionByName(
+            shard_bands.join(fresh_band_ids, id_col, "left_semi")
         ).localCheckpoint(eager=True)
     else:
         new_sigs = kept_sigs

@@ -188,3 +188,224 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
             (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Real decode kernels (round 5): uncompressed containers (BMP, WAV, PPM)
+# parse with nothing but the bytes — header fields AND the raw raster/PCM
+# payload — so the multimodal path has a genuine, codec-free decode stage.
+# Compressed formats (JPEG/MP3/H.264) still need the stubbed codec hook.
+# --------------------------------------------------------------------------
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),  # bmp | wav | ppm
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),  # pixels / frames
+        T.StructField("duration_ms", T.LongType(), True),  # audio only
+        T.StructField("payload_sum", T.LongType(), True),  # Σ raster bytes
+    ]
+)
+
+
+def _decode_bmp(b: bytes):
+    """24bpp uncompressed BITMAPINFOHEADER BMP: header fields + the sum of
+    the pixel bytes (rows are 4-byte aligned; padding is excluded)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    total = 0
+    for r in range(rows):
+        start = data_off + r * stride
+        chunk = b[start : start + row_bytes]
+        if len(chunk) < row_bytes:
+            return None
+        total += sum(chunk)
+    return ("bmp", w, rows, 3, None, w * rows, None, total)
+
+
+def _decode_wav(b: bytes):
+    """PCM WAV: fmt-chunk fields + data-chunk byte sum; duration from the
+    frame count at the declared rate (integer ms, floor)."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or ch == 0 or rate == 0 or bits % 8:
+        return None
+    frame_bytes = ch * bits // 8
+    n_frames = len(data) // frame_bytes
+    return (
+        "wav", None, None, ch, rate, n_frames,
+        n_frames * 1000 // rate, sum(data),
+    )
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6): ASCII header (comments allowed) + raster sum."""
+    if not b.startswith(b"P6"):
+        return None
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(b[start:pos])
+    if len(fields) < 3:
+        return None
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    raster = b[pos + 1 : pos + 1 + w * h * 3]
+    if len(raster) < w * h * 3:
+        return None
+    return ("ppm", w, h, 3, None, w * h, None, sum(raster))
+
+
+_DECODERS = (_decode_bmp, _decode_wav, _decode_ppm)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """binary content → parsed container facts, Arrow-batched
+    (mapInPandas). Unrecognized/corrupt payloads yield NULL fields, the
+    row never disappears — the quarantine decision is the caller's.
+    Integer outputs only (header fields + payload byte sum): the facts a
+    curation pipeline filters on (resolution floors, duration caps,
+    silent/black detection via payload_sum) without any codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = None
+                if content is not None:
+                    for dec in _DECODERS:
+                        parsed = dec(bytes(content))
+                        if parsed is not None:
+                            break
+                if parsed is None:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, None))
+                else:
+                    rows.append((mid, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "channels",
+                    "sample_rate_hz", "n_samples", "duration_ms",
+                    "payload_sum",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=DECODE_SCHEMA
+    )
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """REAL container bytes (BMP / WAV / PPM by ``doc_id % 3``) built
+    deterministically from ``doc_id`` alone — every dimension and every
+    payload byte is a closed-form function of the id (payload byte i =
+    ``(seed + i) mod 256``), so a SQL oracle can predict the decoded
+    facts without parsing binary. This is the fixture side of
+    :func:`decode_media`; at 100 TB the same mapInPandas shape reads
+    real files instead."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _payload(seed: int, n: int) -> bytes:
+        return bytes((seed + i) % 256 for i in range(n))
+
+    def _bmp(mid: int) -> bytes:
+        w, h = 4 + mid % 13, 3 + mid % 7
+        stride = (w * 3 + 3) & ~3
+        pix = _payload(mid * 31 % 256, w * h * 3)
+        raster = b"".join(
+            pix[r * w * 3 : (r + 1) * w * 3].ljust(stride, b"\x00")
+            for r in range(h)
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+        )
+        return header + raster
+
+    def _wav(mid: int) -> bytes:
+        ch = 1 + mid % 2
+        rate = 8000 + (mid % 3) * 4000
+        n_frames = 50 + mid % 20
+        data = _payload(mid * 17 % 256, n_frames * ch * 2)
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def _ppm(mid: int) -> bytes:
+        w, h = 2 + mid % 9, 2 + mid % 5
+        return (
+            f"P6\n{w} {h}\n255\n".encode()
+            + _payload(mid * 13 % 256, w * h * 3)
+        )
+
+    makers = {0: ("image", _bmp), 1: ("audio", _wav), 2: ("image", _ppm)}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                kind, mk = makers[int(mid) % 3]
+                rows.append((mid, kind, mk(int(mid))))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        batches, schema=out_schema
+    )

@@ -373,17 +373,21 @@ class MetricViewSpec:
     def measure_refs(self, name: str) -> tuple[str, ...]:
         """Sibling measure names a derived measure's expr references, in
         first-appearance order (empty for plain measures). Bare-identifier
-        matches only — a token followed by ``(`` is a function call, and a
-        measure name inside a string literal never matches the word
-        boundary scan's identifier grammar positions."""
+        matches only — a token followed by ``(`` is a function call, and
+        single-quoted string literals are blanked before the scan so a
+        sibling name inside a literal (e.g. ``case ... then 'revenue_cents'``)
+        never becomes a phantom dependency (ADVICE r4)."""
         m = self.measure(name)
         if not m.derived:
             return ()
         names = {mm.name for mm in self.measures}
+        # blank literals with spaces (not deletion) so match positions
+        # still index into an equivalent string for the '(' lookahead
+        expr = re.sub(r"'[^']*'", lambda mo: " " * len(mo.group(0)), m.expr)
         out: list[str] = []
-        for match in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", m.expr):
+        for match in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", expr):
             tok = match.group(0)
-            rest = m.expr[match.end():].lstrip()
+            rest = expr[match.end():].lstrip()
             if rest.startswith("("):
                 continue  # function call, not a measure reference
             if tok in names and tok != name and tok not in out:

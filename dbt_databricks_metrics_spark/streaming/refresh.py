@@ -173,8 +173,13 @@ def fold_retractions(
     tested). Retraction of FLOAT sums is exact only up to
     summation-order jitter; keep money partials on the int64 cent grid
     (the repo-wide discipline) for bit-exact maintenance. A missing
-    rollup path bootstraps from the batch itself (first-batch semantics,
-    like :func:`streaming_rollup`).
+    rollup path bootstraps from the batch itself (first-batch
+    semantics, like :func:`streaming_rollup`) — but ONLY from a batch
+    with no pre-images: a changelog that starts mid-history (its first
+    batch retracts rows the state never held) would silently persist
+    wrong state (negative-count groups surviving the ``count != 0``
+    prune, under-counted positives), so a non-empty *before* without an
+    existing rollup raises instead (ADVICE r4).
 
     Cost: |rollup| + |Δ| rows, like fold_increment — an upsert stream at
     100 TB never re-reads the source.
@@ -192,6 +197,14 @@ def fold_retractions(
             spark.read.parquet(built.path), pos.unionByName(neg), built
         )
     else:
+        if not before.isEmpty():
+            raise ValueError(
+                f"fold_retractions: no rollup state at {built.path!r} but the "
+                f"change batch carries pre-images — a changelog starting "
+                f"mid-history cannot bootstrap (it would retract rows the "
+                f"state never held); build the rollup from a source snapshot "
+                f"first, then fold changes"
+            )
         merged = merge_partials(pos, neg, built)
     _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
 

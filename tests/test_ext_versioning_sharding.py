@@ -362,3 +362,64 @@ def test_neardup_fold_stream_matches_shard_loop(spark, tmp_path):
     # after 1's fold — availableNow folds files in order); 1, 2, 4 stay
     assert 1 in kept and 2 in kept and 4 in kept
     assert 3 not in kept
+
+
+def test_neardup_registry_heals_crash_between_promotes(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a crash AFTER the sigs promote but BEFORE the bands
+    promote must be healed by re-running the shard — the band fold's
+    fresh ids anti-join reg_bands (which lacks the shard), not reg_sigs
+    (which already has it). Without that, the shard's docs stay
+    permanently band-undiscoverable and later near-dups pass dedup."""
+    from dbt_databricks_metrics_spark.operators import cdc as cdc_mod
+
+    reg = str(tmp_path / "neardup_reg_crash")
+    a = "the quick brown fox jumps over the lazy dog tonight " * 6
+    b = "pack my box with five dozen liquor jugs right away " * 6
+    shard1 = spark.createDataFrame([(1, a)], "doc_id BIGINT, text STRING")
+    dedup.neardup_against_registry(shard1, reg, threshold=0.8)
+
+    # shard 2: crash between the sigs promote and the bands promote
+    shard2 = spark.createDataFrame([(2, b)], "doc_id BIGINT, text STRING")
+    real_promote = cdc_mod._promote_state_dir
+    calls = {"n": 0}
+
+    def crashing_promote(df, path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second promote of this fold = bands
+            raise RuntimeError("simulated crash before bands promote")
+        return real_promote(df, path)
+
+    # the fold imports _promote_state_dir from operators.cdc at call
+    # time, so patch it at its source module
+    monkeypatch.setattr(cdc_mod, "_promote_state_dir", crashing_promote)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.neardup_against_registry(shard2, reg, threshold=0.8)
+    monkeypatch.setattr(cdc_mod, "_promote_state_dir", real_promote)
+
+    # re-run the shard: doc 2 is already in sigs but must now be BANDED
+    dedup.neardup_against_registry(shard2, reg, threshold=0.8)
+
+    # a near-copy of doc 2 must be discovered through the band index
+    shard3 = spark.createDataFrame(
+        [(3, b + " tail")], "doc_id BIGINT, text STRING"
+    )
+    kept3 = dedup.neardup_against_registry(shard3, reg, threshold=0.8)
+    assert kept3.count() == 0, "near-dup of the crash-healed doc survived"
+
+
+def test_keep_best_rejects_out_of_range_ids(spark):
+    """ADVICE r4: the packed-argmax id precondition (0 <= id < 10^12) is
+    enforced per row, not just documented — an out-of-range id must fail
+    loudly instead of silently corrupting the per-cluster argmax."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(10**12 + 5, "some text here")], "doc_id BIGINT, text STRING"
+    )
+    clusters = spark.createDataFrame(
+        [(10**12 + 5, 1)], "doc_id BIGINT, cluster_id BIGINT"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        dedup.keep_best_in_cluster(df, clusters).collect()
+    assert "out of [0, 10^12)" in str(ei.value)

@@ -299,3 +299,37 @@ def test_streaming_cdc_rejects_null_image_and_bootstraps(spark, tmp_path):
     with pytest.raises(Exception, match="NULL 'image'|StreamingQueryException"):
         q2.awaitTermination(120)
         raise RuntimeError(str(q2.exception()))
+
+
+def test_fold_retractions_refuses_midhistory_bootstrap(spark, tmp_path):
+    """ADVICE r4: a changelog starting mid-history (first batch carries
+    pre-images) must NOT bootstrap an empty rollup — the negated
+    pre-images would persist wrong state silently."""
+    import shutil
+
+    from dbt_databricks_metrics_spark.streaming.refresh import fold_retractions
+
+    _rows(spark, [(1, "A", 10.0)]).createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whb"))
+    eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_retb"))
+    eng.refresh("mv_retb")
+    built = eng.catalog.get("mv_retb").state.rollups["by_seg"]
+    shutil.rmtree(built.path)
+
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark,
+            built,
+            before=_rows(spark, [(1, "A", 10.0)]),
+            after=_rows(spark, [(1, "A", 12.0)]),
+        )
+    # refusal left no state behind
+    import os
+
+    assert not os.path.exists(built.path)
+
+    # a pre-image-free first batch still bootstraps
+    fold_retractions(
+        spark, built, before=_rows(spark, []), after=_rows(spark, [(2, "B", 4.0)])
+    )
+    assert spark.read.parquet(built.path).count() == 1

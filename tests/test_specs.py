@@ -196,3 +196,30 @@ def test_catalog_save_load(tmp_path):
     # CREATE OR REPLACE on reload of the UNCHANGED spec preserves state
     cat.load(str(tmp_path))
     assert cat.get("mv_order_metrics").state is rv.state
+
+
+def test_measure_refs_ignores_names_inside_string_literals():
+    """ADVICE r4: a sibling measure name inside a quoted literal is NOT a
+    dependency — the identifier scan runs over a literal-blanked expr."""
+    from dbt_databricks_metrics_spark.specs import Measure, MetricViewSpec
+
+    spec = MetricViewSpec(
+        name="mv_lit",
+        source="t",
+        dimensions=(),
+        measures=(
+            Measure(name="revenue_cents", expr="sum(c)"),
+            Measure(name="order_count", expr="count(*)"),
+            Measure(
+                name="labeled",
+                expr=(
+                    "case when order_count > 0 then 'revenue_cents' "
+                    "else 'none' end"
+                ),
+                derived=True,
+            ),
+        ),
+    )
+    # only the real identifier reference survives; the quoted
+    # 'revenue_cents' literal is not a phantom dependency
+    assert spec.measure_refs("labeled") == ("order_count",)
