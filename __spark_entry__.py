@@ -4530,6 +4530,24 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_decode(spark, sf_dir):
+    # REAL (non-stub) media decode: synthesize_media builds genuine
+    # BMP/WAV/PPM container bytes deterministically from doc_id, and
+    # decode_media parses them back — header fields AND the payload byte
+    # sum — in one Arrow-batched mapInPandas pass (no codec dependency;
+    # compressed formats keep the stubbed hook). Because every payload
+    # byte is (seed + i) mod 256 with closed-form seed/length, the
+    # DuckDB oracle predicts every decoded fact arithmetically, giving
+    # the binary-parsing kernel a full value-level oracle. All-integer
+    # projection (rule 6).
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5295,6 +5313,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
         "streaming_rollup_serve": _q_streaming_rollup_serve,
@@ -7627,6 +7646,53 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings b
             ORDER BY cosine DESC, b.vec_id
             LIMIT 10
+        """,
+        # real-decode replay: every synthesized container dimension and
+        # payload byte is a closed-form function of doc_id (byte i =
+        # (seed+i) mod 256), so the byte sum is T(seed+n)-T(seed) with
+        # T(m) = (m//256)*32640 + tri(m mod 256) — pure arithmetic, no
+        # binary parsing needed oracle-side
+        "media_decode": """
+            WITH p AS (
+              SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS m,
+                     CASE doc_id % 3
+                          WHEN 0 THEN CAST(4 + doc_id % 13 AS INT)
+                          WHEN 2 THEN CAST(2 + doc_id % 9 AS INT) END AS w,
+                     CASE doc_id % 3
+                          WHEN 0 THEN CAST(3 + doc_id % 7 AS INT)
+                          WHEN 2 THEN CAST(2 + doc_id % 5 AS INT) END AS h,
+                     CASE WHEN doc_id % 3 = 1
+                          THEN CAST(1 + doc_id % 2 AS INT) END AS ch,
+                     CASE WHEN doc_id % 3 = 1
+                          THEN CAST(8000 + (doc_id % 7) * 1000 AS INT) END AS rate,
+                     CASE WHEN doc_id % 3 = 1
+                          THEN 50 + doc_id % 20 END AS n_frames,
+                     CASE doc_id % 3 WHEN 0 THEN (doc_id * 31) % 256
+                          WHEN 1 THEN (doc_id * 17) % 256
+                          ELSE (doc_id * 13) % 256 END AS s
+              FROM documents
+            ),
+            q AS (
+              SELECT *,
+                     CASE WHEN m = 1 THEN n_frames * ch * 2
+                          ELSE w * h * 3 END AS nb
+              FROM p
+            )
+            SELECT media_id,
+                   CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                          ELSE 'ppm' END AS format,
+                   w AS width, h AS height,
+                   CASE WHEN m = 1 THEN ch ELSE CAST(3 AS INT) END AS channels,
+                   rate AS sample_rate_hz,
+                   CAST(CASE WHEN m = 1 THEN n_frames ELSE w * h END
+                        AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN m = 1 THEN n_frames * 1000 // rate END
+                        AS BIGINT) AS duration_ms,
+                   CAST(((s + nb) // 256) * 32640
+                        + ((s + nb) % 256) * ((s + nb) % 256 - 1) // 2
+                        - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2)
+                        AS BIGINT) AS payload_sum
+            FROM q
         """,
         "media_features": """
             SELECT doc_id AS media_id,

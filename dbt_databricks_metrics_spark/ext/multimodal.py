@@ -377,7 +377,9 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 
     def _wav(mid: int) -> bytes:
         ch = 1 + mid % 2
-        rate = 8000 + (mid % 3) * 4000
+        # mod-7 key: wav ids are ≡1 (mod 3), so a mod-3 key would be
+        # constant across the corpus
+        rate = 8000 + (mid % 7) * 1000
         n_frames = 50 + mid % 20
         data = _payload(mid * 17 % 256, n_frames * ch * 2)
         fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)

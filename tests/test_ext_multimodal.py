@@ -84,3 +84,107 @@ def test_unstubbed_decode_raises(media):
 
     with _pytest.raises(Exception, match="NotImplementedError|stubbed|codec"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+# ------------------------------------------------ real decode kernels (r5)
+
+
+def test_decode_media_roundtrips_synthesized_containers(spark):
+    """synthesize_media emits REAL BMP/WAV/PPM bytes; decode_media must
+    recover the exact generation parameters from the bytes alone."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_media(docs)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(media).collect()
+    }
+    assert len(got) == 30
+    for mid, r in got.items():
+        if mid % 3 == 0:
+            assert r["format"] == "bmp"
+            assert r["width"] == 4 + mid % 13
+            assert r["height"] == 3 + mid % 7
+            assert r["channels"] == 3
+            assert r["n_samples"] == r["width"] * r["height"]
+            assert r["duration_ms"] is None
+            n = r["width"] * r["height"] * 3
+            s = mid * 31 % 256
+            assert r["payload_sum"] == sum((s + i) % 256 for i in range(n))
+        elif mid % 3 == 1:
+            assert r["format"] == "wav"
+            assert r["channels"] == 1 + mid % 2
+            assert r["sample_rate_hz"] == 8000 + (mid % 7) * 1000
+            nf = 50 + mid % 20
+            assert r["n_samples"] == nf
+            assert r["duration_ms"] == nf * 1000 // r["sample_rate_hz"]
+        else:
+            assert r["format"] == "ppm"
+            assert r["width"] == 2 + mid % 9
+            assert r["height"] == 2 + mid % 5
+
+
+def test_decode_media_nulls_for_unparseable_bytes(spark):
+    """Garbage, truncated, and NULL payloads surface as NULL-field rows —
+    never dropped, never raising."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    rows = [
+        (1, "image", b"not a container at all"),
+        (2, "image", b"BM\x01"),          # truncated BMP
+        (3, "audio", b"RIFFxxxxWAVE"),     # no fmt/data chunks
+        (4, "image", b"P6\n4 4\n255\n\x00"),  # truncated PPM raster
+        (5, "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, kind STRING, content BINARY"
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert len(got) == 5
+    for mid in (1, 2, 3, 4, 5):
+        assert got[mid]["format"] is None
+        assert got[mid]["payload_sum"] is None
+
+
+def test_decode_bmp_row_padding_excluded():
+    """BMP rows are 4-byte aligned; padding bytes must not leak into
+    payload_sum (width 3 -> 9 pixel bytes + 3 pad bytes per row)."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_bmp
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    pix = bytes(range(w * h * 3))
+    raster = b"".join(
+        pix[r * w * 3 : (r + 1) * w * 3] + b"\xff" * (stride - w * 3)
+        for r in range(h)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+    )
+    fmt, width, height, ch, rate, n, dur, total = _decode_bmp(header + raster)
+    assert (fmt, width, height, ch, n) == ("bmp", 3, 2, 3, 6)
+    assert total == sum(pix)  # 0xff padding excluded
+
+
+def test_decode_wav_odd_chunk_padding():
+    """RIFF chunks are word-aligned: an odd-sized leading chunk must not
+    desync the fmt/data scan."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = bytes(range(20))
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc"  # 3-byte body + 1 pad
+    wav = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + odd + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = _decode_wav(wav)
+    assert out is not None
+    assert out[0] == "wav" and out[5] == 10 and out[7] == sum(data)
