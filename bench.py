@@ -32,17 +32,36 @@ def main() -> None:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+
+    # r01-subset members always run 3x so the subset can ALSO be summed
+    # over per-query MEDIANS (VERDICT r4 #7: r04's subset drifted +8%
+    # while every individual query improved — best-of hides session
+    # composition noise, medians attribute it). `pipeline` is stateful
+    # (one dbt-run) and stays single-shot.
+    _MEDIAN_SET = set(
+        "q_segment_routed q_segment_exact_cover q_segment_live "
+        "q_monthly_routed q_trailing_7d q_trailing_7d_source_grain "
+        "q_mixed_plain_window q_ytd q_customer_metrics "
+        "q_lineitem_pricing_live q_pricing_routed q_star_nation "
+        "ext_doc_stats ext_curation_funnel ext_session_stats "
+        "ext_contamination ext_pack_bins ext_stratified_sample "
+        "ext_topk_similar".split()
+    )
 
     def timed(name: str, fn, warm: bool = False, best_of: int = 1):
+        if name in _MEDIAN_SET:
+            best_of = max(best_of, 3)
         if warm:
             fn()  # steady-state: skip the cold first run
-        best, out = None, None
+        samples, out = [], None
         for _ in range(max(1, best_of)):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        if len(samples) >= 3:
+            medians[name] = round(sorted(samples)[len(samples) // 2], 4)
         return out
 
     # warm the JVM/parquet footprint outside the timings
@@ -190,6 +209,71 @@ def main() -> None:
         return df.collect()
 
     timed("q_pricing_routed", pricing_routed, warm=True, best_of=3)
+
+    # ---- sf1-scale routed speedup (VERDICT r4 #6): at sf0.1 the routed
+    # read sits under the ~0.2 s local job floor, so the wall-clock win
+    # is invisible; a 10x replicated lineitem (≈ sf1, ~6M rows) puts the
+    # live scan well above the floor and makes the >=10x BASELINE target
+    # an OBSERVED number. The replica is written once (untimed), a
+    # second engine builds the pricing rollup over it, and live/routed
+    # run through the same compile/route paths as the sf0.1 pair.
+    from pyspark.sql import functions as _F
+
+    from dbt_databricks_metrics_spark.models import ModelRegistry
+    from dbt_databricks_metrics_spark.project import MV_LINEITEM_PRICING_YAML
+
+    sf1_dir = os.path.join(tempfile.mkdtemp(prefix="bench_sf1_"), "li10")
+    (
+        eng.ref("stg_lineitem")
+        .crossJoin(spark.range(10).select(_F.col("id").alias("_rep")))
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(sf1_dir)
+    )
+    reg10 = ModelRegistry()
+
+    @reg10.model("stg_lineitem", materialized="view")
+    def _stg_lineitem10(spark_, ref):
+        return spark_.read.parquet(sf1_dir)
+
+    eng10 = MetricEngine(
+        spark, reg10, warehouse_dir=tempfile.mkdtemp(prefix="bench_wh10_")
+    )
+    eng10.run()
+    eng10.register(
+        MetricViewSpec.from_yaml(
+            MV_LINEITEM_PRICING_YAML,
+            name="mv_lineitem_pricing",
+            source="stg_lineitem",
+        )
+    )
+    timed(
+        "sf1_pricing_rollup_build",
+        lambda: eng10.refresh("mv_lineitem_pricing"),
+    )
+    mvp10 = eng10.metric_view("mv_lineitem_pricing")
+    timed(
+        "sf1_pricing_live",
+        lambda: eng10._compiler.compile(
+            MetricQuery(
+                mvp10.spec,
+                ("return_flag", "line_status"),
+                ("sum_qty", "sum_disc_price", "avg_price", "count_order"),
+            )
+        ).collect(),
+        warm=True,
+        best_of=3,
+    )
+
+    def pricing_routed_sf1():
+        df, route = mvp10.query_routed(
+            ["return_flag", "line_status"],
+            ["sum_qty", "sum_disc_price", "avg_price", "count_order"],
+        )
+        assert route == "rollup:pricing_by_flag_status", route
+        return df.collect()
+
+    timed("sf1_pricing_routed", pricing_routed_sf1, warm=True, best_of=3)
     timed(
         "q_star_nation",
         lambda: eng.metric_view("mv_sales_star")
@@ -880,6 +964,11 @@ def main() -> None:
         "ext_topk_similar"
     ).split()
     r01_subset = round(sum(timings[q] for q in R01_QUERY_SET if q in timings), 4)
+    # median form: per-query median-of-3 where measured, else the single
+    # sample (pipeline) — the drift-attribution number (VERDICT r4 #7)
+    r01_subset_median = round(
+        sum(medians.get(q, timings[q]) for q in R01_QUERY_SET if q in timings), 4
+    )
     # host-speed-normalized regression number: BENCH_r02 recorded
     # calib_range_sum=0.2288 alongside value_r01_query_subset=15.2732, so
     # dividing by (calib_now / 0.2288) makes cross-round comparison a
@@ -898,13 +987,20 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "value_r01_query_subset": r01_subset,
+        "value_r01_query_subset_median": r01_subset_median,
         "value_r01_query_subset_calibrated": r01_subset_calibrated,
+        "queries_median": medians,
         "calib_ratio_vs_r02": round(calib_ratio, 3),
         "calib_scan_ratio_vs_r02": round(calib_scan_ratio, 3),
         "queries": timings,
         "sf": sf,
         "routed_speedup": round(
             timings["q_segment_live"] / max(timings["q_segment_routed"], 1e-9), 2
+        ),
+        "routed_speedup_sf1": round(
+            timings["sf1_pricing_live"]
+            / max(timings["sf1_pricing_routed"], 1e-9),
+            2,
         ),
         "routed_rows_scanned": routed_rows,
         "live_rows_scanned": live_rows,
@@ -942,7 +1038,9 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
-    short = {k: v for k, v in payload.items() if k != "queries"}
+    short = {
+        k: v for k, v in payload.items() if k not in ("queries", "queries_median")
+    }
     print(json.dumps(short))
 
 
