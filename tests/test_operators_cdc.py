@@ -273,3 +273,44 @@ def test_restore_adopts_crash_orphaned_aside(spark, tmp_path):
     assert spark.read.parquet(state).count() == 3
     residue = [n for n in os.listdir(tmp_path) if "__old_" in n or "__tmp_" in n]
     assert residue == []
+
+
+def test_state_lock_serializes_promote_and_restore(spark, tmp_path):
+    """VERDICT r4 #8: the swap protocol's same-machine interleavings are
+    serialized by an flock beside the state dir — a second locker blocks
+    until the first releases, and the lock file never matches the
+    __old_/__tmp_ sweep patterns."""
+    import os
+    import threading
+    import time
+
+    from dbt_databricks_metrics_spark.operators.cdc import (
+        _promote_state_dir,
+        _restore_state_dir,
+        _state_lock,
+    )
+
+    state = str(tmp_path / "locked_state")
+    df = spark.createDataFrame([(1,)], "k LONG")
+    _promote_state_dir(df, state)
+    assert os.path.exists(state)
+    assert os.path.exists(state + "__lock")
+
+    order = []
+
+    def contender():
+        with _state_lock(state):
+            order.append("contender")
+
+    with _state_lock(state):
+        t = threading.Thread(target=contender)
+        t.start()
+        time.sleep(0.3)
+        order.append("holder")
+    t.join(10)
+    assert order == ["holder", "contender"]
+
+    # restore under the lock is a no-op when state exists and the lock
+    # file does not confuse the aside scan
+    _restore_state_dir(state)
+    assert spark.read.parquet(state).count() == 1
