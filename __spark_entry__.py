@@ -2245,10 +2245,13 @@ def _q_temperature_mix(spark, sf_dir):
         f, n = fr[g], counts[g]
         bound = 4.0 * math.sqrt(f * (1.0 - f) * n) + 1.0
         # hashed column is the micro-scaled INTEGER fraction (rule 6:
-        # no doubles in hashed projections); the 4-sigma check is an
-        # assertion-style boolean the oracle pins to TRUE
+        # no doubles in hashed projections); floor(x+0.5) = HALF-UP for
+        # the positive f, matching DuckDB's ties-away round() — Python's
+        # round() is banker's and would diverge on exact .5 ties
+        # (review round 5). The 4-sigma check is an assertion-style
+        # boolean the oracle pins to TRUE.
         rows.append(
-            (g, n, int(round(f * 1_000_000)),
+            (g, n, int(math.floor(f * 1_000_000 + 0.5)),
              abs(kept.get(g, 0) - f * n) <= bound)
         )
     return spark.createDataFrame(
@@ -2768,12 +2771,13 @@ def _q_metric_anomalies_robust(spark, sf_dir, with_ok=False):
     return m4.select(*cols)
 
 
-def _q_drift_report(spark, sf_dir):
+def _q_drift_report(spark, sf_dir, with_ok=False):
     # distribution drift between event cohorts: per-bin counts and the
     # running CDF gap (binned KS) as an exact cross-multiplied rational
     # (drift_report_exact — rule 6: the hashed projection is pure
-    # int64). The float report (PSI needs a log) is cross-checked here
-    # against the exact rational within 5e-7 (assertion, not hashed).
+    # int64). The default frame stays LAZY; float-vs-exact agreement
+    # (the PSI report shares _bin_counts with the exact one) is a
+    # with_ok pytest boolean, never hashed and never an eager collect.
     from pyspark.sql import functions as F
 
     from dbt_databricks_metrics_spark.ext.drift import (
@@ -2786,23 +2790,29 @@ def _q_drift_report(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "purchase")
     exact = drift_report_exact(a, b, "value", 0.0, 100.0, bins=10)
-    float_gaps = {
-        r["bin"]: r["cdf_gap"]
-        for r in drift_report(a, b, "value", 0.0, 100.0, bins=10).collect()
-    }
-    for r in exact.collect():
-        assert abs(float_gaps[r["bin"]] - r["gap_num"] / r["gap_den"]) < 5e-7
+    if with_ok:
+        flo = drift_report(a, b, "value", 0.0, 100.0, bins=10).select(
+            "bin", "cdf_gap"
+        )
+        exact = exact.join(flo, "bin").withColumn(
+            "gap_ok",
+            F.abs(
+                F.col("cdf_gap")
+                - F.col("gap_num") / F.col("gap_den").cast("double")
+            )
+            < 5e-7,
+        ).drop("cdf_gap")
     return exact
 
 
-def _q_ab_welch(spark, sf_dir):
+def _q_ab_welch(spark, sf_dir, with_ok=False):
     # Welch's unequal-variance t between two event cohorts. Rule 6: the
     # hashed projection is the exact int64 moment table the t derives
     # from — (n, Σcents, Σcents²) per group on the event values' cent
     # grid (squares of ≤ 5e6-cent values over sf-scale rows stay far
-    # below 2^63). welch_t's float (mean, t, dof) output is
-    # cross-checked against these partials in-contract (assertion, not
-    # hashed): means must match Σcents/(100·n) within 5e-7.
+    # below 2^63). The default frame stays LAZY; welch_t's float
+    # (mean, t, dof) output is cross-checked against the partials as
+    # with_ok pytest booleans (mean within 5e-7, dof > 0, t not NaN).
     from pyspark.sql import functions as F
 
     from dbt_databricks_metrics_spark.ext.drift import welch_t
@@ -2822,12 +2832,22 @@ def _q_ab_welch(spark, sf_dir):
             F.sum(cents * cents).alias("sumsq_cents2"),
         )
     )
-    t = welch_t(ev, "event_type", "value", "click", "purchase").collect()[0]
-    moments = {r["event_type"]: r for r in agg.collect()}
-    for g, mean in (("click", t["mean_a"]), ("purchase", t["mean_b"])):
-        m = moments[g]
-        assert abs(mean - m["sum_cents"] / (100.0 * m["n"])) < 5e-7, (g, mean)
-    assert t["dof"] > 0 and t["t_stat"] == t["t_stat"]  # finite, not NaN
+    if with_ok:
+        t = welch_t(ev, "event_type", "value", "click", "purchase").select(
+            "mean_a", "mean_b", "t_stat", "dof"
+        )
+        mean_f = F.when(
+            F.col("event_type") == "click", F.col("mean_a")
+        ).otherwise(F.col("mean_b"))
+        agg = agg.crossJoin(F.broadcast(t)).withColumn(
+            "welch_ok",
+            (
+                F.abs(mean_f - F.col("sum_cents") / (100.0 * F.col("n")))
+                < 5e-7
+            )
+            & (F.col("dof") > 0)
+            & ~F.isnan("t_stat"),
+        ).drop("mean_a", "mean_b", "t_stat", "dof")
     return agg
 
 

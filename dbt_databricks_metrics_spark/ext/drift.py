@@ -23,11 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bin_fracs(
+def _bin_counts(
     df: DataFrame, col: str, lo: float, hi: float, bins: int, side: str
 ) -> DataFrame:
-    """(bin, frac): share of rows per fixed-range bin; values at/under lo
-    land in bin 0, at/over hi in the last bin — nothing is dropped."""
+    """(bin, n_<side>): rows per fixed-range bin; values at/under lo land
+    in bin 0, at/over hi in the last bin — nothing is dropped. The ONE
+    binning expression both the float and the integer-exact drift
+    reports share (a drifted copy would silently break their agreement
+    cross-check)."""
     w = (hi - lo) / bins
     b = F.least(
         F.greatest(
@@ -35,14 +38,21 @@ def _bin_fracs(
         ),
         F.lit(bins - 1),
     )
-    counts = (
+    return (
         df.filter(F.col(col).isNotNull())
         .groupBy(b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
     )
-    total = counts.agg(F.sum("n").alias("_t"))
+
+
+def _bin_fracs(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int, side: str
+) -> DataFrame:
+    """(bin, frac): per-bin share of rows (``_bin_counts`` normalized)."""
+    counts = _bin_counts(df, col, lo, hi, bins, side)
+    total = counts.agg(F.sum(f"n_{side}").alias("_t"))
     return counts.crossJoin(F.broadcast(total)).select(
-        "bin", (F.col("n") / F.col("_t")).alias(f"frac_{side}")
+        "bin", (F.col(f"n_{side}") / F.col("_t")).alias(f"frac_{side}")
     )
 
 
@@ -108,6 +118,11 @@ def drift_report_exact(
     — no division, log, or float ever materializes. The PSI (which
     needs a transcendental log) stays on :func:`drift_report`.
     Same plan shape: one count aggregate per side + a bins-sized window.
+
+    An EMPTY cohort makes the CDF gap undefined — those rows emit NULL
+    ``gap_num``/``gap_den`` (never 0/0, which a cross-multiplied
+    threshold gate would silently read as "no drift"); per-bin counts
+    still report, so the caller sees WHICH side is missing.
     """
     if bins < 2:
         raise ValueError(f"need bins >= 2, got {bins}")
@@ -115,27 +130,12 @@ def drift_report_exact(
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     import pyspark.sql.window as W
 
-    def _counts(df: DataFrame, side: str) -> DataFrame:
-        w = (hi - lo) / bins
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
-                F.lit(0),
-            ),
-            F.lit(bins - 1),
-        )
-        return (
-            df.filter(F.col(col).isNotNull())
-            .groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
-        )
-
     spine = df_a.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
     j = (
-        spine.join(_counts(df_a, "a"), "bin", "left")
-        .join(_counts(df_b, "b"), "bin", "left")
+        spine.join(_bin_counts(df_a, col, lo, hi, bins, "a"), "bin", "left")
+        .join(_bin_counts(df_b, col, lo, hi, bins, "b"), "bin", "left")
         .select(
             "bin",
             F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
@@ -148,12 +148,15 @@ def drift_report_exact(
     )
     cum_a, cum_b = F.sum("n_a").over(cum), F.sum("n_b").over(cum)
     tot_a, tot_b = F.sum("n_a").over(tot), F.sum("n_b").over(tot)
+    defined = (tot_a > 0) & (tot_b > 0)
     return j.select(
         "bin",
         "n_a",
         "n_b",
-        F.abs(cum_a * tot_b - cum_b * tot_a).cast("bigint").alias("gap_num"),
-        (tot_a * tot_b).cast("bigint").alias("gap_den"),
+        F.when(defined, F.abs(cum_a * tot_b - cum_b * tot_a))
+        .cast("bigint")
+        .alias("gap_num"),
+        F.when(defined, tot_a * tot_b).cast("bigint").alias("gap_den"),
     )
 
 

@@ -38,14 +38,21 @@ DELETE = "delete"
 
 
 class _state_lock:
-    """Advisory exclusive lock serializing restore/promote on one state
+    """Advisory exclusive lock serializing the SWAP WINDOW on one state
     directory (round-5, VERDICT r4 #8): ``flock`` on a ``__lock`` file
-    beside the state dir, so two processes folding the same registry on
-    one machine cannot interleave inside the swap window (the failure
-    mode documented in :func:`_restore_state_dir`'s concurrency
-    contract). flock releases automatically when the holder dies — no
-    stale-lock sweeps. Same LOCAL-POSIX-FS scope as the protocol itself;
-    cross-machine writers still need a transactional table format."""
+    beside the state dir, so a same-machine restore cannot adopt an
+    aside while a promote is mid-rename (the ENOTEMPTY failure mode in
+    :func:`_restore_state_dir`'s contract). flock releases
+    automatically when the holder dies — no stale-lock sweeps.
+
+    WHAT THIS DOES NOT DO: make concurrent FOLDS safe. A fold is a
+    read-merge-write cycle; two processes folding the same registry
+    concurrently still race at the semantic level (the second promote
+    silently discards the first's merge — classic lost update), lock or
+    no lock. The single-writer contract stands: callers serialize fold
+    cycles; the lock only removes the restore/promote interleaving
+    hazard for READERS. Cross-machine coordination needs a
+    transactional table format."""
 
     def __init__(self, state_path: str):
         import os
@@ -151,7 +158,13 @@ def _promote_state_dir(df: DataFrame, state_path: str) -> None:
             shutil.rmtree(old)
         # sweep residue orphaned by earlier crashes — safe only now,
         # after a newer state was promoted (includes stale __tmp_ dirs,
-        # which the old sweep leaked forever)
+        # which the old sweep leaked forever). __tmp_ removal is
+        # AGE-GATED: the Spark write runs outside the lock, so a young
+        # tmp may be another process's in-flight write (which the
+        # single-writer contract forbids, but a misconfigured caller
+        # should lose ITS update, not have its files deleted under it).
+        import time
+
         parent = os.path.dirname(state_path) or "."
         base = os.path.basename(state_path)
         for name in os.listdir(parent):
@@ -159,7 +172,12 @@ def _promote_state_dir(df: DataFrame, state_path: str) -> None:
             if name.startswith(f"{base}__old_") and name != os.path.basename(old):
                 shutil.rmtree(full, ignore_errors=True)
             elif name.startswith(f"{base}__tmp_") and name != os.path.basename(tmp):
-                shutil.rmtree(full, ignore_errors=True)
+                try:
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age > 3600:
+                    shutil.rmtree(full, ignore_errors=True)
 
 
 def latest_changes(

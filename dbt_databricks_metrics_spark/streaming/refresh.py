@@ -174,12 +174,16 @@ def fold_retractions(
     summation-order jitter; keep money partials on the int64 cent grid
     (the repo-wide discipline) for bit-exact maintenance. A missing
     rollup path bootstraps from the batch itself (first-batch
-    semantics, like :func:`streaming_rollup`) — but ONLY from a batch
-    with no pre-images: a changelog that starts mid-history (its first
-    batch retracts rows the state never held) would silently persist
-    wrong state (negative-count groups surviving the ``count != 0``
-    prune, under-counted positives), so a non-empty *before* without an
-    existing rollup raises instead (ADVICE r4).
+    semantics, like :func:`streaming_rollup`) — including a
+    SELF-CONTAINED batch whose pre-images retract rows inserted earlier
+    in the same batch (insert + update in one micro-batch nets
+    correctly). What it refuses is a changelog that starts MID-HISTORY
+    (retracting rows the state never held), detected by the exact
+    witnesses such a batch leaves in the merged state: a negative
+    count partial, or a zero count with surviving non-zero mass (no
+    rows ⇒ ALL partials zero; a mid-history update nets count to 0 but
+    leaves Σ(new−old) behind). Both would otherwise persist silently
+    wrong state (ADVICE r4 + review round 5).
 
     Cost: |rollup| + |Δ| rows, like fold_increment — an upsert stream at
     100 TB never re-reads the source.
@@ -197,15 +201,34 @@ def fold_retractions(
             spark.read.parquet(built.path), pos.unionByName(neg), built
         )
     else:
-        if not before.isEmpty():
+        merged = merge_partials(pos, neg, built)
+        # mid-history witness scan (batch-sized). Fractional partials use
+        # a 1e-9 band: true self-cancellation subtracts IDENTICAL doubles
+        # (exactly 0.0 per row), while residue from a retracted unseen
+        # row is a real value; multi-row order jitter can in principle
+        # trip this, loudly, never silently.
+        count_zero = F.col(count_col) == 0
+        leftovers = [
+            (
+                F.abs(F.coalesce(F.col(c), F.lit(0))) > 1e-9
+                if dt in ("double", "float")
+                else F.coalesce(F.col(c), F.lit(0)) != 0
+            )
+            for c, dt in merged.dtypes
+            if c not in dims and c != count_col
+        ]
+        bad = F.col(count_col) < 0
+        for lv in leftovers:
+            bad = bad | (count_zero & lv)
+        if merged.filter(bad).limit(1).count() > 0:
             raise ValueError(
-                f"fold_retractions: no rollup state at {built.path!r} but the "
-                f"change batch carries pre-images — a changelog starting "
-                f"mid-history cannot bootstrap (it would retract rows the "
-                f"state never held); build the rollup from a source snapshot "
+                f"fold_retractions: no rollup state at {built.path!r} and "
+                f"the change batch retracts rows it never inserted "
+                f"(negative count partial, or zero count with surviving "
+                f"mass) — a changelog starting mid-history cannot "
+                f"bootstrap; build the rollup from a source snapshot "
                 f"first, then fold changes"
             )
-        merged = merge_partials(pos, neg, built)
     _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
 
 

@@ -49,6 +49,8 @@ WITH_OK_FNS = {
     "revenue_by_brand": "_q_revenue_by_brand",
     "metric_anomalies": "_q_metric_anomalies",
     "metric_anomalies_robust": "_q_metric_anomalies_robust",
+    "drift_report": "_q_drift_report",
+    "ab_welch": "_q_ab_welch",
 }
 
 
@@ -142,7 +144,8 @@ def test_integer_partials_order_invariant(spark, sf_dir):
 _FLOATLESS_EXEMPT = {"pricing_probe_double"}
 
 _ALLOWED_LEAVES = {
-    "byte", "short", "int", "integer", "long", "bigint",
+    # Spark simpleString() names for the integral family
+    "tinyint", "smallint", "int", "bigint",
     "string", "date", "boolean",
     "timestamp", "timestamp_ntz",
 }

@@ -143,3 +143,36 @@ def test_embedding_drift_ragged_lengths_single_row(spark):
     rows = embedding_drift(a, b).collect()
     assert len(rows) == 1
     assert rows[0]["centroid_cosine"] == 1.0  # common dims agree exactly
+
+
+def test_drift_report_exact_empty_cohort_is_null_not_zero(spark):
+    """Review round 5: an empty cohort makes the CDF gap UNDEFINED —
+    gap_num/gap_den must be NULL (a 0/0 rational would read as 'no
+    drift' through a cross-multiplied threshold gate). Counts still
+    report so the caller sees which side is missing."""
+    from dbt_databricks_metrics_spark.ext.drift import drift_report_exact
+
+    a = spark.createDataFrame([(5.0,), (15.0,)], "value DOUBLE")
+    b = spark.createDataFrame([], "value DOUBLE")
+    rows = drift_report_exact(a, b, "value", 0.0, 20.0, bins=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["gap_num"] is None and r["gap_den"] is None
+    assert sum(r["n_a"] for r in rows) == 2
+    assert all(r["n_b"] == 0 for r in rows)
+
+
+def test_drift_report_exact_matches_float_gap(spark):
+    """The exact rational and the float cdf_gap agree bin-for-bin (they
+    share one _bin_counts expression)."""
+    from dbt_databricks_metrics_spark.ext.drift import (
+        drift_report,
+        drift_report_exact,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(40)], "v DOUBLE")
+    b = spark.createDataFrame([(float(i % 7),) for i in range(30)], "v DOUBLE")
+    fl = {r["bin"]: r["cdf_gap"]
+          for r in drift_report(a, b, "v", 0.0, 10.0, bins=5).collect()}
+    for r in drift_report_exact(a, b, "v", 0.0, 10.0, bins=5).collect():
+        assert abs(fl[r["bin"]] - r["gap_num"] / r["gap_den"]) < 1e-12

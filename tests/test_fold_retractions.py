@@ -316,6 +316,8 @@ def test_fold_retractions_refuses_midhistory_bootstrap(spark, tmp_path):
     built = eng.catalog.get("mv_retb").state.rollups["by_seg"]
     shutil.rmtree(built.path)
 
+    # mid-history update (pre-image of a row the state never held):
+    # count nets to 0 but mass survives -> witness trips
     with pytest.raises(ValueError, match="mid-history"):
         fold_retractions(
             spark,
@@ -323,13 +325,35 @@ def test_fold_retractions_refuses_midhistory_bootstrap(spark, tmp_path):
             before=_rows(spark, [(1, "A", 10.0)]),
             after=_rows(spark, [(1, "A", 12.0)]),
         )
-    # refusal left no state behind
     import os
 
     assert not os.path.exists(built.path)
 
-    # a pre-image-free first batch still bootstraps
+    # mid-history delete-only: negative count witness
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark, built, before=_rows(spark, [(1, "A", 10.0)]),
+            after=_rows(spark, []),
+        )
+    assert not os.path.exists(built.path)
+
+    # a SELF-CONTAINED first batch (insert + update of the same row in
+    # one batch) nets correctly and must bootstrap (review round 5)
     fold_retractions(
-        spark, built, before=_rows(spark, []), after=_rows(spark, [(2, "B", 4.0)])
+        spark,
+        built,
+        before=_rows(spark, [(1, "A", 10.0)]),
+        after=_rows(spark, [(1, "A", 10.0), (1, "A", 12.0)]),
     )
-    assert spark.read.parquet(built.path).count() == 1
+    dec = built.decompositions
+    got = {
+        (r["seg"]): (r["n"], r["c"])
+        for r in spark.read.parquet(built.path)
+        .selectExpr(
+            "seg",
+            f"{dec['n'].finalize} AS n",
+            f"{dec['cents'].finalize} AS c",
+        )
+        .collect()
+    }
+    assert got == {"A": (1, 1200)}

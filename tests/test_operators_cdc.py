@@ -247,6 +247,7 @@ def test_restore_adopts_crash_orphaned_aside(spark, tmp_path):
     missing, only the __old aside survives. The next fold must ADOPT the
     aside (not rebuild from the batch alone and sweep it away)."""
     import os
+    import time
 
     from dbt_databricks_metrics_spark.operators.cdc import (
         _promote_state_dir,
@@ -258,21 +259,26 @@ def test_restore_adopts_crash_orphaned_aside(spark, tmp_path):
     _promote_state_dir(df1, state)
     # crash window: current state renamed aside, promote never happened
     os.rename(state, f"{state}__old_cafe0001")
-    # plus a stale tmp from the same crash
+    # plus a stale tmp from the same crash (aged past the sweep gate)
+    # and a YOUNG tmp that could be another process's in-flight write
     os.makedirs(f"{state}__tmp_cafe0001/x", exist_ok=True)
+    old_time = time.time() - 7200
+    os.utime(f"{state}__tmp_cafe0001", (old_time, old_time))
+    os.makedirs(f"{state}__tmp_beef0002/x", exist_ok=True)
 
     _restore_state_dir(state)
     assert {r["k"] for r in spark.read.parquet(state).collect()} == {1, 2}
 
-    # a subsequent promote folds new data on the restored state and
-    # sweeps the stale tmp
+    # a subsequent promote folds new data on the restored state, sweeps
+    # the AGED stale tmp, and leaves the young tmp alone (the sweep is
+    # age-gated: a young tmp may be an in-flight write — review round 5)
     df2 = spark.read.parquet(state).unionByName(
         spark.createDataFrame([(3, "c")], "k INT, v STRING")
     )
     _promote_state_dir(df2, state)
     assert spark.read.parquet(state).count() == 3
     residue = [n for n in os.listdir(tmp_path) if "__old_" in n or "__tmp_" in n]
-    assert residue == []
+    assert residue == [os.path.basename(f"{state}__tmp_beef0002")]
 
 
 def test_state_lock_serializes_promote_and_restore(spark, tmp_path):

@@ -100,6 +100,9 @@ LAZY_EXT_QUERIES = [
     "token_fertility",
     "json_props",
     "embedding_drift",
+    # round-5 ops (drift_report/ab_welch excluded: their contracts run
+    # in-contract float-vs-exact cross-check collects)
+    "media_decode",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
