@@ -4550,6 +4550,54 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    # asymmetric shingle containment (Broder 1997): |A∩B|/|A| catches a
+    # snippet embedded in a long document, which symmetric Jaccard
+    # dilutes to |A|/|B|. Injected evidence: for doc_id < 8, a 120-char
+    # mid-document substring registers as doc_id+40000 — it MUST surface
+    # as contained in its source. Threshold is the exact integer
+    # rational (3, 5); all-integer projection (rule 6).
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext import dedup
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.filter(F.col("text").isNotNull())
+    snippets = docs.filter(
+        (F.col("doc_id") < 8) & (F.length("text") >= 200)
+    ).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.substring("text", 21, 120).alias("text"),
+    )
+    return dedup.containment_pairs(
+        docs.unionByName(snippets), k=5, threshold=(3, 5), max_df=50
+    )
+
+
+def _q_cohen_kappa(spark, sf_dir):
+    # inter-annotator agreement (Cohen 1960) as an exact integer
+    # rational — the label-QA gate for an annotated training set. Two
+    # synthetic raters from the corpus: rater_a = lang, rater_b = lang
+    # with every 7th doc flipped to a disagreement label, so kappa is
+    # strictly between chance and 1 (non-vacuous). One row, all ints.
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.classify import cohen_kappa
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    rated = docs.select(
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("rater_b"),
+    )
+    return cohen_kappa(rated, "rater_a", "rater_b")
+
+
 def _q_media_decode(spark, sf_dir):
     # REAL (non-stub) media decode: synthesize_media builds genuine
     # BMP/WAV/PPM container bytes deterministically from doc_id, and
@@ -5138,13 +5186,17 @@ def _q_token_stream_pack(spark, sf_dir):
 # this round to carry ONLY integral/string/date/bool hashed columns
 # (enforced by tests/test_contract_exactness.py::test_prefix_hashes_no_floats).
 #
-# ROUND-6 ROTATION PLAN: the 8 pool contracts deferred for space, chosen
-# because their operator family already has driver-green rows or their
-# projection is assertion-style (low marginal evidence):
+# ROUND-6 ROTATION PLAN: lead with (a) the 8 pool contracts deferred for
+# space, chosen because their operator family already has driver-green
+# rows or their projection is assertion-style (low marginal evidence):
 #   fuzzy_match_pairs seed_lookup quantize_roundtrip curation_stats
 #   topk_docs_per_lang pack_bins stratified_sample redact_documents
-# Lead r6 with them, then resume anchor re-attestation (measure_by_dim,
-# ytd_revenue, fct_orders, revenue_by_nation ... have 2-3 green rows each).
+# plus (b) the late-round-5 never-sampled contracts:
+#   media_decode containment_pairs cohen_kappa
+# then resume anchor re-attestation (measure_by_dim, ytd_revenue,
+# fct_orders, revenue_by_nation ... have 2-3 green rows each) —
+# integerizing each anchor BEFORE it re-enters the prefix if the r5
+# probe confirmed FP-environment (BASELINE.md round-6 contingency).
 _DRIVER_PREFIX = [
     # r04 hash-reds, integerized this round (VERDICT r4 #1)
     "lineitem_pricing",
@@ -5334,6 +5386,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "containment_pairs": _q_containment_pairs,
+        "cohen_kappa": _q_cohen_kappa,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
         "streaming_rollup_serve": _q_streaming_rollup_serve,
@@ -7666,6 +7720,70 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings b
             ORDER BY cosine DESC, b.vec_id
             LIMIT 10
+        """,
+        # containment replay: same normalization/shingles/df-cap; the
+        # gate is the exact cross-multiplication shared*5 >= 3*size_a
+        "containment_pairs": r"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + 40000, substring(text, 21, 120)
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) >= 200
+                  AND doc_id < 8
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                FROM src
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(t) - 4, 1)),
+                           i -> substring(t, i, 5))) AS s
+                FROM norm
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS sh FROM sh0),
+            dfq AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50),
+            kept AS (SELECT ex.doc_id, ex.sh FROM ex JOIN dfq USING (sh)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared
+                FROM kept a JOIN kept b
+                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b, s.shared,
+                   sa.sz AS size_a, sb.sz AS size_b
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.id_a
+            JOIN sizes sb ON sb.doc_id = s.id_b
+            WHERE s.shared * 5 >= 3 * sa.sz
+        """,
+        # kappa replay: counts-only rational (n*agree - pe) / (n^2 - pe)
+        "cohen_kappa": """
+            WITH r AS (
+                SELECT lang AS a,
+                       CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+                FROM documents WHERE lang IS NOT NULL
+            ),
+            agree AS (
+                SELECT count(*) AS n,
+                       count(*) FILTER (a = b) AS n_agree
+                FROM r
+            ),
+            ma AS (SELECT a AS k, count(*) AS ca FROM r GROUP BY 1),
+            mb AS (SELECT b AS k, count(*) AS cb FROM r GROUP BY 1),
+            pe AS (
+                SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_num
+                FROM ma JOIN mb USING (k)
+            )
+            SELECT n, n_agree, pe_num,
+                   CAST(n * n_agree - pe_num AS BIGINT) AS kappa_num,
+                   CAST(n * n - pe_num AS BIGINT) AS kappa_den
+            FROM agree CROSS JOIN pe
         """,
         # real-decode replay: every synthesized container dimension and
         # payload byte is a closed-form function of doc_id (byte i =

@@ -272,3 +272,59 @@ def ece_report(
         ).alias("ece_num"),
         (F.sum("n") * F.lit(1_000_000)).alias("ece_den"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Inter-annotator agreement as an EXACT integer rational (Cohen
+    1960, public) — the label-QA gate a human- or model-annotated
+    training set runs before the labels are trusted:
+
+        κ = (p_o − p_e) / (1 − p_e)
+          = (n·Σ_agree − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k)
+
+    so ``kappa_num = n·n_agree − pe_num`` and ``kappa_den = n² −
+    pe_num`` with ``pe_num = Σ_k count_a(k)·count_b(k)`` — counts only,
+    no float exists to diverge (rule 6). NULL labels are excluded
+    (both-null rows are not "agreement"); a degenerate table where one
+    label fills everything makes kappa_den 0 (κ undefined — the caller
+    sees the zero denominator instead of a fabricated score).
+
+    Scale shape: one agreement aggregate over the pair column plus one
+    |labels|-sized marginal aggregate per rater joined on the label —
+    shuffles carry label keys, never rows. Returns ONE row:
+    (n, n_agree, pe_num, kappa_num, kappa_den).
+    """
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    agree = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("_a") == F.col("_b")).alias("n_agree"),
+    )
+    ma = base.groupBy(F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    mb = base.groupBy(F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    pe = (
+        ma.join(mb, "_k")
+        .select((F.col("_ca") * F.col("_cb")).alias("_p"))
+        .agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("pe_num"))
+    )
+    return agree.crossJoin(pe).select(
+        "n",
+        "n_agree",
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        (F.col("n") * F.col("n_agree") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_den"),
+    )

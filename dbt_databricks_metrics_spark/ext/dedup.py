@@ -397,6 +397,67 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot, norm_a * norm_b)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: tuple[int, int] = (4, 5),
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |A∩B| / |A| — the dedup
+    signal Jaccard dilutes: a short document embedded verbatim inside a
+    long one (quoted article, syndicated snippet, header-wrapped copy)
+    has containment ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below
+    any resemblance threshold. Broder's containment coefficient
+    (public, "On the resemblance and containment of documents", 1997).
+
+    Scale shape — a bucketed equi-join, never a doc×doc compare:
+    distinct char k-shingles explode to (shingle, id) rows; shingles
+    with document frequency > *max_df* are dropped FIRST (boilerplate
+    stop-shingles would otherwise fan out quadratically — the winnowing
+    ``max_df`` discipline), the self-join runs on the shingle key, and
+    per-ordered-pair shared counts compare against the contained side's
+    size. ``size_*`` are measured over the SAME df-filtered shingle
+    space, so the emitted ratio is exact for the operator's own event
+    space (the contract every threshold gate needs).
+
+    *threshold* is an exact integer rational ``(num, den)`` — the gate
+    is the cross-multiplication ``shared·den ≥ num·size_a`` (rule 6; no
+    float exists to diverge). Returns ordered pairs
+    ``(id_a, id_b, shared, size_a, size_b)`` with id_a the CONTAINED
+    side, both directions of every qualifying pair, all-integer.
+    """
+    t_num, t_den = threshold
+    if t_den <= 0 or t_num < 0:
+        raise ValueError(f"threshold must be (num>=0, den>0), got {threshold}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(text_col, k)).alias("_sh"),
+    )
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    kept = sh.join(
+        dfreq.filter(F.col("_df") <= max_df).select("_sh"), "_sh"
+    )
+    sizes = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") != F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("id_a"),
+                                 F.col("_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("_size").alias("size_b")), "id_b")
+        .filter(F.col("shared") * t_den >= t_num * F.col("size_a"))
+        .select("id_a", "id_b", "shared", "size_a", "size_b")
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -164,3 +164,32 @@ def test_calibration_bad_args(spark):
     df = spark.createDataFrame([(1, 1, 0.5)], "id long, y int, score double")
     with _pt.raises(ValueError, match="n_bins"):
         calibration_bins(df, "y", n_bins=1)
+
+
+def test_cohen_kappa_hand_computed(spark):
+    from dbt_databricks_metrics_spark.ext.classify import cohen_kappa
+
+    # classic 2x2: raters agree on 6/10; marginals a:(7 pos,3 neg),
+    # b:(5 pos,5 neg) -> pe = (7*5 + 3*5)/100 = 0.5, po = 0.6
+    # kappa = (0.6-0.5)/(1-0.5) = 0.2 = kappa_num/kappa_den = 10/50
+    rows = (
+        [("p", "p")] * 4 + [("n", "n")] * 2
+        + [("p", "n")] * 3 + [("n", "p")] * 1
+    )
+    df = spark.createDataFrame(rows, "rater_a STRING, rater_b STRING")
+    (r,) = cohen_kappa(df, "rater_a", "rater_b").collect()
+    assert (r["n"], r["n_agree"], r["pe_num"]) == (10, 6, 50)
+    assert (r["kappa_num"], r["kappa_den"]) == (10, 50)
+
+
+def test_cohen_kappa_excludes_nulls_and_degenerate_den(spark):
+    from dbt_databricks_metrics_spark.ext.classify import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", None), (None, "a")],
+        "rater_a STRING, rater_b STRING",
+    )
+    (r,) = cohen_kappa(df, "rater_a", "rater_b").collect()
+    # only the both-non-null row counts; single-label table ->
+    # kappa_den = n^2 - pe = 1 - 1 = 0 (undefined, visibly)
+    assert (r["n"], r["n_agree"], r["kappa_den"]) == (1, 1, 0)

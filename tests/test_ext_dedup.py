@@ -338,3 +338,43 @@ class TestParagraphDedup:
         assert kept == {11}  # alpha known from shard1 — NOT re-admitted
         assert spark.read.parquet(reg).count() == 3
         assert not [p for p in os.listdir(tmp_path) if "__old_" in p]
+
+
+def test_containment_pairs_snippet_in_document(spark):
+    """A short doc embedded verbatim in a long one must surface with
+    containment ~1 even though Jaccard is tiny (the asymmetric signal)."""
+    from dbt_databricks_metrics_spark.ext.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"tokenword{i}" for i in range(120))
+    snippet = " ".join(f"tokenword{i}" for i in range(40, 60))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, snippet), (3, "completely unrelated words here")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(
+            df, k=5, threshold=(4, 5), max_df=50
+        ).collect()
+    }
+    assert (2, 1) in pairs  # snippet contained in the long doc
+    r = pairs[(2, 1)]
+    assert r["shared"] * 5 >= 4 * r["size_a"]
+    # the symmetric Jaccard misses it at the same bar
+    assert ngram_jaccard_pairs(df, k=5, threshold=0.8).count() == 0
+    # containment is directional: the long doc is NOT contained in the
+    # snippet at tau=0.8
+    assert (1, 2) not in pairs
+
+
+def test_containment_pairs_validates_inputs(spark):
+    from dbt_databricks_metrics_spark.ext.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=(1, 0))
+    with pytest.raises(ValueError, match="max_df"):
+        containment_pairs(df, max_df=1)

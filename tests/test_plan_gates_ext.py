@@ -100,9 +100,12 @@ LAZY_EXT_QUERIES = [
     "token_fertility",
     "json_props",
     "embedding_drift",
-    # round-5 ops (drift_report/ab_welch excluded: their contracts run
-    # in-contract float-vs-exact cross-check collects)
+    # round-5 ops
     "media_decode",
+    "containment_pairs",
+    "cohen_kappa",
+    "drift_report",
+    "ab_welch",
 ]
 
 # ops whose FINAL reduction is a legitimately tiny single partition
@@ -138,6 +141,9 @@ _SINGLE_PARTITION_OK = {
     "token_fertility",  # |langs|-row aggregate, same
     "top_next_events",  # |types|^2-row matrix ranking windows
     "token_budget",  # tier running-total window over |score-domain| rows
+    "cohen_kappa",  # two 1-row aggregates cross-joined (agreement x pe)
+    "ab_welch",  # 2-row cohort moment table
+    "drift_report",  # bins-sized spine + global-CDF windows over 10 rows
 }
 
 
