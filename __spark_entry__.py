@@ -4598,6 +4598,19 @@ def _q_cohen_kappa(spark, sf_dir):
     return cohen_kappa(rated, "rater_a", "rater_b")
 
 
+def _q_collocations(spark, sf_dir):
+    # PMI-ready collocation pairs (Church & Hanks 1990) over the
+    # vocabulary head: the top-20 document-co-occurring token pairs with
+    # the exact integer counts PMI derives from (n_ab, n_a, n_b, N) —
+    # the log is presentation, never hashed (rule 6). Pair fan-out is
+    # capped at C(50, 2) per document by the broadcast vocab semi-join.
+    from dbt_databricks_metrics_spark.ext.textstats import collocation_pairs
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocation_pairs(docs, vocab_k=50, top_pairs=20)
+
+
 def _q_media_decode(spark, sf_dir):
     # REAL (non-stub) media decode: synthesize_media builds genuine
     # BMP/WAV/PPM container bytes deterministically from doc_id, and
@@ -5192,7 +5205,7 @@ def _q_token_stream_pack(spark, sf_dir):
 #   fuzzy_match_pairs seed_lookup quantize_roundtrip curation_stats
 #   topk_docs_per_lang pack_bins stratified_sample redact_documents
 # plus (b) the late-round-5 never-sampled contracts:
-#   media_decode containment_pairs cohen_kappa
+#   media_decode containment_pairs cohen_kappa collocations
 # then resume anchor re-attestation (measure_by_dim, ytd_revenue,
 # fct_orders, revenue_by_nation ... have 2-3 green rows each) —
 # integerizing each anchor BEFORE it re-enters the prefix if the r5
@@ -5387,6 +5400,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "containment_pairs": _q_containment_pairs,
+        "collocations": _q_collocations,
         "cohen_kappa": _q_cohen_kappa,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
@@ -7761,6 +7775,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = s.id_a
             JOIN sizes sb ON sb.doc_id = s.id_b
             WHERE s.shared * 5 >= 3 * sa.sz
+        """,
+        # collocation replay: same vocab head, presence event space,
+        # ordered-pair counts; deterministic tie-breaks at both limits
+        "collocations": r"""
+            WITH tokd AS (
+                SELECT doc_id,
+                       list_filter(string_split(regexp_replace(lower(trim(text)),
+                           '\s+', ' ', 'g'), ' '), x -> length(x) > 0) AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tk AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+            pd AS (SELECT token, doc_id, count(*) AS n FROM tk GROUP BY 1, 2),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, sum(n) AS occ FROM pd GROUP BY 1
+                ) ORDER BY occ DESC, token LIMIT 50
+            ),
+            pres AS (
+                SELECT DISTINCT doc_id, token FROM tk JOIN vocab USING (token)
+            ),
+            marg AS (SELECT token, count(*) AS dfp FROM pres GROUP BY 1),
+            p AS (
+                SELECT a.token AS token_a, b.token AS token_b,
+                       count(*) AS n_ab
+                FROM pres a JOIN pres b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+            SELECT token_a, token_b, n_ab,
+                   ma.dfp AS n_a, mb.dfp AS n_b,
+                   CAST(nd.n AS BIGINT) AS n_docs
+            FROM p
+            JOIN marg ma ON ma.token = p.token_a
+            JOIN marg mb ON mb.token = p.token_b
+            CROSS JOIN nd
+            ORDER BY n_ab DESC, token_a, token_b
+            LIMIT 20
         """,
         # kappa replay: counts-only rational (n*agree - pe) / (n^2 - pe)
         "cohen_kappa": """

@@ -349,3 +349,76 @@ def oov_stats(
         no.alias("n_oov"),
         (no / F.nullif(nt, F.lit(0))).alias("oov_rate"),
     )
+
+
+def collocation_pairs(
+    df: DataFrame,
+    vocab_k: int = 50,
+    top_pairs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level co-occurrence collocations over the vocabulary
+    head, in PMI-ready integer-rational form (Church & Hanks 1990,
+    public): for the *top_pairs* most frequent unordered token pairs
+    co-occurring in a document, emit the exact counts PMI derives from —
+    ``PMI = log((n_ab·N) / (n_a·n_b))`` with every operand an emitted
+    int64 (the log itself is presentation, not hashed — rule 6; libm
+    logs are not cross-engine bit-stable).
+
+    Scale shape: the corpus explodes ONCE and is immediately
+    semi-joined against the broadcast k-row vocabulary head, so the
+    pair self-join fans out at most C(vocab_k, 2) per document (k=50 →
+    ≤1,225 pair rows/doc, independent of document length or corpus
+    size); the pair shuffle key is the (token_a, token_b) pair. Counts
+    are document frequencies (distinct presence per doc — the standard
+    collocation event space), so every count is an exact integer.
+    Ties rank deterministically (n_ab desc, token_a, token_b).
+    """
+    if vocab_k < 2:
+        raise ValueError(f"vocab_k must be >= 2, got {vocab_k}")
+    if top_pairs < 1:
+        raise ValueError(f"top_pairs must be >= 1, got {top_pairs}")
+    from .dedup import _norm_col
+
+    vocab = vocab_topk(df, k=vocab_k, id_col=id_col, text_col=text_col)
+    toks = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(_norm_col(text_col), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .join(F.broadcast(vocab.select("token")), "token", "left_semi")
+        .select("_doc", "token")
+        .distinct()  # presence per doc — the collocation event space
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    marg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._doc") == F.col("b._doc"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("token").alias("token_a"),
+                                    F.col("_df").alias("n_a"))), "token_a"
+        )
+        .join(
+            F.broadcast(marg.select(F.col("token").alias("token_b"),
+                                    F.col("_df").alias("n_b"))), "token_b"
+        )
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .select("token_a", "token_b", "n_ab", "n_a", "n_b", "n_docs")
+    )
+    return out.orderBy(
+        F.col("n_ab").desc(), "token_a", "token_b"
+    ).limit(top_pairs)

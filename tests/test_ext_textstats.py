@@ -263,3 +263,40 @@ def test_oov_stats_composes_with_vocab_topk(spark, sf_dir):
     assert out.count() == docs.count()
     row = out.filter(F.col("n_tokens") > 0).first()
     assert 0.0 <= row["oov_rate"] <= 1.0
+
+
+def test_collocation_pairs_hand_computed(spark):
+    from dbt_databricks_metrics_spark.ext.textstats import collocation_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark filter window"),
+            (2, "spark filter"),
+            (3, "spark window"),
+            (4, "filter"),
+            (5, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {
+        (r["token_a"], r["token_b"]): r
+        for r in collocation_pairs(df, vocab_k=3, top_pairs=10).collect()
+    }
+    # presence: spark{1,2,3} filter{1,2,4} window{1,3}
+    r = rows[("filter", "spark")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    # n_docs counts ALL documents (the PMI event space), incl. null-text
+    assert r["n_docs"] == 5
+    r2 = rows[("spark", "window")]
+    assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (2, 3, 2)
+    assert rows[("filter", "window")]["n_ab"] == 1
+
+
+def test_collocation_pairs_validates(spark):
+    from dbt_databricks_metrics_spark.ext.textstats import collocation_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="vocab_k"):
+        collocation_pairs(df, vocab_k=1)
+    with pytest.raises(ValueError, match="top_pairs"):
+        collocation_pairs(df, top_pairs=0)

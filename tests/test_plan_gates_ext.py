@@ -104,6 +104,7 @@ LAZY_EXT_QUERIES = [
     "media_decode",
     "containment_pairs",
     "cohen_kappa",
+    "collocations",
     "drift_report",
     "ab_welch",
 ]
@@ -142,6 +143,7 @@ _SINGLE_PARTITION_OK = {
     "top_next_events",  # |types|^2-row matrix ranking windows
     "token_budget",  # tier running-total window over |score-domain| rows
     "cohen_kappa",  # two 1-row aggregates cross-joined (agreement x pe)
+    "collocations",  # TakeOrderedAndProject top-20 merge over pair counts
     "ab_welch",  # 2-row cohort moment table
     "drift_report",  # bins-sized spine + global-CDF windows over 10 rows
 }
