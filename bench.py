@@ -774,6 +774,16 @@ def main() -> None:
                 "dbt_databricks_metrics_spark.ext.pipeline", fromlist=["x"]
             ).source_reputation(d).collect(),
         ),
+        # round-5: asymmetric containment — shingle equi-join whose
+        # fan-out the max_df cap bounds; runs on the gram-disjoint
+        # corpus like every dup-finding op
+        (
+            "containment_pairs",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.dedup", fromlist=["x"]
+            ).containment_pairs(d, k=5, threshold=(3, 5), max_df=50)
+            .count(),
+        ),
     ):
         def best_of3(d, f=fn):
             f(d)  # warm
@@ -784,7 +794,11 @@ def main() -> None:
 
         # dup-finding ops scale on the gram-disjoint 4x corpus (see
         # docs4u above) so the ratio measures the plan, not dup inflation
-        big = docs4u if name == "substring_dedup" else docs4
+        big = (
+            docs4u
+            if name in ("substring_dedup", "containment_pairs")
+            else docs4
+        )
         t1x, t4x = best_of3(docs1), best_of3(big)
         timings[f"scale1x_{name}"] = round(t1x, 4)
         timings[f"scale4x_{name}"] = round(t4x, 4)
