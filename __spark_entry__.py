@@ -4598,6 +4598,19 @@ def _q_cohen_kappa(spark, sf_dir):
     return cohen_kappa(rated, "rater_a", "rater_b")
 
 
+def _q_time_in_state(spark, sf_dir):
+    # time-in-state / TWAP accounting: each event opens an interval in
+    # its state closing at the user's next event (last events excluded —
+    # open intervals are observation-time-dependent). Per state: exact
+    # integer dwell totals plus the time-weighted value partials, so
+    # TWAP = value_dwell_cs / (100·dwell_s) is an exact rational.
+    from dbt_databricks_metrics_spark.ext.sessionize import time_in_state
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_in_state(ev, value_col="value")
+
+
 def _q_collocations(spark, sf_dir):
     # PMI-ready collocation pairs (Church & Hanks 1990) over the
     # vocabulary head: the top-20 document-co-occurring token pairs with
@@ -5205,7 +5218,7 @@ def _q_token_stream_pack(spark, sf_dir):
 #   fuzzy_match_pairs seed_lookup quantize_roundtrip curation_stats
 #   topk_docs_per_lang pack_bins stratified_sample redact_documents
 # plus (b) the late-round-5 never-sampled contracts:
-#   media_decode containment_pairs cohen_kappa collocations
+#   media_decode containment_pairs cohen_kappa collocations time_in_state
 # then resume anchor re-attestation (measure_by_dim, ytd_revenue,
 # fct_orders, revenue_by_nation ... have 2-3 green rows each) —
 # integerizing each anchor BEFORE it re-enters the prefix if the r5
@@ -5401,6 +5414,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
+        "time_in_state": _q_time_in_state,
         "cohen_kappa": _q_cohen_kappa,
         "trailing_month_revenue": _q_trailing_month,
         "incremental_refresh": _q_incremental_refresh,
@@ -7775,6 +7789,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = s.id_a
             JOIN sizes sb ON sb.doc_id = s.id_b
             WHERE s.shared * 5 >= 3 * sa.sz
+        """,
+        # time-in-state replay: lead() per user (ts, event_id tie-break),
+        # dwell in exact integer micros, seconds via integer division
+        "time_in_state": """
+            WITH iv AS (
+                SELECT event_type AS state,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dw,
+                       value
+                FROM events
+            ),
+            closed AS (SELECT * FROM iv WHERE dw IS NOT NULL)
+            SELECT state,
+                   count(*) AS n_intervals,
+                   CAST(sum(dw) AS BIGINT) AS total_dwell_us,
+                   CAST(max(dw) AS BIGINT) AS max_dwell_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * (dw // 1000000)) AS BIGINT) AS value_dwell_cs,
+                   CAST(sum(dw // 1000000) AS BIGINT) AS dwell_s
+            FROM closed GROUP BY state
         """,
         # collocation replay: same vocab head, presence event space,
         # ordered-pair counts; deterministic tie-breaks at both limits

@@ -166,3 +166,64 @@ def user_activity(events: DataFrame, user_col: str = "user_id") -> DataFrame:
         F.sum("value").alias("total_value"),
         F.avg("value").alias("avg_value"),
     )
+
+
+def time_in_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Time-in-state accounting over an event timeline (the classic
+    state-duration / TWAP primitive): each event opens an interval in
+    its state that closes at the key's NEXT event; per state, the exact
+    integer dwell totals. Each key's LAST event is an open interval and
+    is excluded — dwell for it is unknowable without a horizon, and
+    silently extending to "now" would make the result
+    observation-time-dependent.
+
+    Output per state: ``n_intervals``, ``total_dwell_us``,
+    ``max_dwell_us`` — and, with *value_col* set, the time-weighted
+    value partials ``value_dwell_cs`` = Σ value_cents·dwell_seconds and
+    ``dwell_s`` = Σ dwell_seconds, so TWAP = value_dwell_cs / (100·
+    dwell_s) is an exact integer rational (rule 6). Capacity:
+    cents ≤ 5e6 × dwell ≤ 1e7 s ⇒ per-interval ≤ 5e13; int64 holds
+    ~180k such worst-case intervals per state partial — far beyond any
+    per-key timeline, and the groupBy partials combine map-side.
+
+    Plan shape: ONE window over (key: order ts, id — the lag/lead
+    tie-break discipline) for the next-event timestamp, then one
+    state-keyed aggregate. Shuffles carry the key and the state, never
+    more.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    dwell_us = _micros(nxt) - _micros(F.col(ts_col))
+    base = events.select(
+        F.col(state_col).alias("state"),
+        dwell_us.alias("_dw"),
+        *([F.col(value_col).alias("_v")] if value_col else []),
+    ).filter(F.col("_dw").isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_dw").alias("total_dwell_us"),
+        F.max("_dw").alias("max_dwell_us"),
+    ]
+    if value_col:
+        cents = F.round(F.col("_v") * 100).cast("bigint")
+        # integer div, not float-divide-then-cast: a double quotient at
+        # an integer boundary could round up across it before truncation
+        dw_s = F.expr("_dw div 1000000")
+        aggs += [
+            F.sum(cents * dw_s).alias("value_dwell_cs"),
+            F.sum(dw_s).alias("dwell_s"),
+        ]
+    return base.groupBy("state").agg(*aggs)

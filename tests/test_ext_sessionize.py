@@ -191,3 +191,51 @@ def test_debounce_gap_boundary_inclusive(spark):
         for r in sessionize.debounce(df, gap_seconds=600).collect()
     }
     assert kept == {1, 3}
+
+
+def test_time_in_state_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.sessionize import time_in_state
+
+    rows = [
+        # user 1: view(0s) -> click(10s) -> purchase(70s, open)
+        (1, 1, "2024-01-01 00:00:00", "view", 1.00),
+        (2, 1, "2024-01-01 00:00:10", "click", 2.50),
+        (3, 1, "2024-01-01 00:01:10", "purchase", 9.99),
+        # user 2: view(0s) -> view(5s) -> click(8s, open)
+        (4, 2, "2024-01-01 00:00:00", "view", 0.40),
+        (5, 2, "2024-01-01 00:00:05", "view", 0.60),
+        (6, 2, "2024-01-01 00:00:08", "click", 1.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts STRING, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["state"]: r for r in time_in_state(ev, value_col="value").collect()
+    }
+    # views: u1 10s + u2 5s + u2 3s ; clicks: u1 60s ; purchases: open only
+    assert "purchase" not in got
+    v = got["view"]
+    assert (v["n_intervals"], v["total_dwell_us"], v["max_dwell_us"]) == (
+        3, 18_000_000, 10_000_000,
+    )
+    # value_dwell_cs: 100c*10s + 40c*5s + 60c*3s = 1380 ; dwell_s = 18
+    assert (v["value_dwell_cs"], v["dwell_s"]) == (1380, 18)
+    c = got["click"]
+    assert (c["n_intervals"], c["total_dwell_us"]) == (1, 60_000_000)
+    assert (c["value_dwell_cs"], c["dwell_s"]) == (250 * 60, 60)
+
+
+def test_time_in_state_without_value(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.sessionize import time_in_state
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "a"), (2, 1, "2024-01-01 00:00:01", "b")],
+        "event_id LONG, user_id LONG, ts STRING, event_type STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    (r,) = time_in_state(ev).collect()
+    assert r["state"] == "a" and r["total_dwell_us"] == 1_000_000
+    assert "dwell_s" not in r.asDict()

@@ -105,6 +105,7 @@ LAZY_EXT_QUERIES = [
     "containment_pairs",
     "cohen_kappa",
     "collocations",
+    "time_in_state",
     "drift_report",
     "ab_welch",
 ]
