@@ -299,3 +299,105 @@ def test_fingerprints_invariant_to_registration_order(order):
     for name in ["m1", "m2", "m3"]:
         base.model(name)(fns()[name])
     assert reg.fingerprints() == base.fingerprints()
+
+
+# ------------------------------------------------ media decode (round 5)
+# Pure-Python properties: the BMP/WAV/PPM kernels must recover exactly
+# the parameters any well-formed container was built from, for ALL
+# dimension/payload combinations — not just the synthesize_media grid.
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_decode_roundtrips_any_geometry(w, h, seed):
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_bmp
+
+    stride = (w * 3 + 3) & ~3
+    pix = bytes((seed + i) % 256 for i in range(w * h * 3))
+    raster = b"".join(
+        pix[r * w * 3 : (r + 1) * w * 3].ljust(stride, b"\xee")
+        for r in range(h)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+    )
+    fmt, gw, gh, ch, rate, n, dur, total = _decode_bmp(header + raster)
+    assert (fmt, gw, gh, ch, rate, n, dur) == ("bmp", w, h, 3, None, w * h, None)
+    assert total == sum(pix)  # 0xee padding never leaks into the sum
+
+
+@given(
+    ch=st.integers(1, 4),
+    rate=st.integers(1, 192_000),
+    n_frames=st.integers(0, 300),
+    seed=st.integers(0, 255),
+    junk=st.binary(min_size=0, max_size=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_roundtrips_any_pcm(ch, rate, n_frames, seed, junk):
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_wav
+
+    data = bytes((seed + i) % 256 for i in range(n_frames * ch * 2))
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    # a junk chunk before fmt exercises the word-aligned scan
+    junk_chunk = b"LIST" + struct.pack("<I", len(junk)) + junk
+    if len(junk) % 2:
+        junk_chunk += b"\x00"
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + junk_chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = _decode_wav(wav)
+    assert out is not None
+    gfmt, gw, gh, gch, grate, gn, gdur, gsum = out
+    assert (gfmt, gch, grate, gn) == ("wav", ch, rate, n_frames)
+    assert gdur == n_frames * 1000 // rate
+    assert gsum == sum(data)
+
+
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 255),
+    comment=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_decode_roundtrips_any_raster(w, h, seed, comment):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_ppm
+
+    pix = bytes((seed + i) % 256 for i in range(w * h * 3))
+    head = b"P6\n" + (b"# a comment line\n" if comment else b"")
+    ppm = head + f"{w} {h}\n255\n".encode() + pix
+    fmt, gw, gh, ch, rate, n, dur, total = _decode_ppm(ppm)
+    assert (fmt, gw, gh, ch, n) == ("ppm", w, h, 3, w * h)
+    assert total == sum(pix)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_decoders_never_raise_on_arbitrary_bytes(data):
+    """Fuzz: every decoder either parses or returns None — malformed
+    bytes must never raise (decode_media's no-row-disappears contract)."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        _decode_wav,
+    )
+
+    for dec in (_decode_bmp, _decode_wav, _decode_ppm):
+        dec(data)
+        # sticky prefixes too: magic bytes + garbage tails
+    for prefix in (b"BM", b"RIFF1234WAVE", b"P6\n"):
+        for dec in (_decode_bmp, _decode_wav, _decode_ppm):
+            dec(prefix + data)
