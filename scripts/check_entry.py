@@ -83,17 +83,22 @@ def values_exact(a, b) -> bool:
 # perturbation below re-runs the contract under an adversarial layout and
 # requires every hashed value to be BIT-IDENTICAL to the baseline run:
 #   layout3: repartition(7) on every source read + shuffle.partitions=3
+#            + 1 MiB input splits (maxPartitionBytes — perturbs the scan
+#            partitioning of every parquet a contract WRITES mid-flight;
+#            fixture files hold one row group, so their reads are
+#            unaffected by design)
 #   layout200: repartition(3) on every source + shuffle.partitions=200
-#              + a non-UTC session timezone
+#              + a non-UTC session timezone + 256 MiB input splits
 # Timestamp-typed output columns are compared only within the same session
 # timezone (collected datetimes are rendered in session tz — a harness
 # representation, not a computed value), and event-time contracts (whose
 # instants are NTZ-derived via the documented UTC-pinned loader,
 # fixtures.py::_load_events) skip the tz-perturbed variant entirely.
 PERTURBATIONS = [
-    {"name": "layout3", "shuffle": "3", "repartition": "7", "tz": None},
+    {"name": "layout3", "shuffle": "3", "repartition": "7", "tz": None,
+     "mpb": str(1024 * 1024)},
     {"name": "layout200", "shuffle": "200", "repartition": "3",
-     "tz": "America/New_York"},
+     "tz": "America/New_York", "mpb": str(256 * 1024 * 1024)},
 ]
 
 
@@ -137,6 +142,7 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
     names = [n for n in qs if not only or n in only]
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     base_tz = spark.conf.get("spark.sql.session.timeZone")
+    base_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     failures = []
     baseline: dict[str, tuple] = {}
     print(f"paranoid baseline ({len(names)} queries)")
@@ -151,6 +157,7 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
         print(f"paranoid variant {pert['name']}")
         os.environ["SPARK_GRAFT_PERTURB_REPARTITION"] = pert["repartition"]
         spark.conf.set("spark.sql.shuffle.partitions", pert["shuffle"])
+        spark.conf.set("spark.sql.files.maxPartitionBytes", pert["mpb"])
         if pert["tz"]:
             spark.conf.set("spark.sql.session.timeZone", pert["tz"])
         _reset_entry_caches()
@@ -215,6 +222,7 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
             os.environ.pop("SPARK_GRAFT_PERTURB_REPARTITION", None)
             spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
             spark.conf.set("spark.sql.session.timeZone", base_tz)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", base_mpb)
     _reset_entry_caches()
     if failures:
         print(f"\n{len(failures)} PARANOID FAILURES")
