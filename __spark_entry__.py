@@ -3233,7 +3233,10 @@ def _classifier_metrics_oracle_sql(
                      AS auc_num2 FROM cumb)
         SELECT auc_num2,
                CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
-               tp, fp, tn, fn, n_pos, n_neg
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg
         FROM conf CROSS JOIN num2
     """
     )
@@ -4642,6 +4645,25 @@ def _q_media_decode(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_media_decode_png(spark, sf_dir):
+    # REAL compressed-format decode (VERDICT r5 #6, stdlib only):
+    # synthesize_png builds genuine PNGs — zlib-deflated IDAT whose
+    # scanlines cycle through ALL five PNG filter types — and
+    # decode_media's _decode_png kernel walks the chunks, inflates, and
+    # reverses Sub/Up/Average/Paeth reconstruction. The RECONSTRUCTED
+    # raster byte i is (29·id + i) mod 256 by construction, so the
+    # DuckDB oracle predicts every decoded fact (dims, channels, and the
+    # raster byte sum) arithmetically: a wrong inflate, a wrong filter
+    # inverse, or an off-by-one in the scanline walk shifts payload_sum
+    # and fails the value hash. All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5212,71 +5234,78 @@ def _q_token_stream_pack(spark, sf_dir):
 # this round to carry ONLY integral/string/date/bool hashed columns
 # (enforced by tests/test_contract_exactness.py::test_prefix_hashes_no_floats).
 #
-# ROUND-6 ROTATION PLAN: lead with (a) the 8 pool contracts deferred for
-# space, chosen because their operator family already has driver-green
-# rows or their projection is assertion-style (low marginal evidence):
-#   fuzzy_match_pairs seed_lookup quantize_roundtrip curation_stats
-#   topk_docs_per_lang pack_bins stratified_sample redact_documents
-# plus (b) the late-round-5 never-sampled contracts:
-#   media_decode containment_pairs cohen_kappa collocations time_in_state
-# then resume anchor re-attestation (measure_by_dim, ytd_revenue,
-# fct_orders, revenue_by_nation ... have 2-3 green rows each) —
-# integerizing each anchor BEFORE it re-enters the prefix if the r5
-# probe confirmed FP-environment (BASELINE.md round-6 contingency).
+# ROUND-6 PREFIX (VERDICT r5 #1/#3/#4): the r1-r5 driver-red mystery is
+# SOLVED — every red was an oracle whose DuckDB result schema contained a
+# HUGEINT column (un-cast integer aggregate); the engine was bit-exact all
+# along. This round: (a) the 8 r05 reds, re-sampled with their oracles'
+# integer aggregates wrapped in CAST(... AS BIGINT) (the pattern the green
+# derived_measure oracle always used; the no-HUGEINT class is now pinned by
+# tests/test_contract_exactness.py::test_no_oracle_result_type_is_fetch_unstable);
+# (b) BOTH probe twins kept one more round as the regression sentinel —
+# with the cast, pricing_probe_int AND pricing_probe_double must both be
+# green; (c) the 13 contracts that have never received a driver row, so
+# every one of the 165 contracts has at least one official row by end of
+# r6; (d) backfill with the longest-unsampled anchors (all 9 last seen in
+# r1, the 1 from r2, and 17 core-operator anchors last seen in r3 —
+# stg_customers, 3 green rows already, yields its slot to the new
+# media_decode_png so the round-6 PNG kernel gets an official row too).
 _DRIVER_PREFIX = [
-    # r04 hash-reds, integerized this round (VERDICT r4 #1)
+    # (a) r05 reds, oracle HUGEINT -> BIGINT casts applied (VERDICT r5 #1)
     "lineitem_pricing",
     "routed_pricing",
     "classifier_metrics",
     "session_metrics_view",
-    # divergence-bisection twins (VERDICT r4 #2)
+    "metric_anomalies_robust",
+    "ab_welch",
+    "documents_metric_view",
+    # (b) divergence twins: both must now be green (VERDICT r5 #3)
     "pricing_probe_int",
     "pricing_probe_double",
-    # pool rotation: first driver rows (VERDICT r4 #3)
-    "lpa_communities",
-    "cohort_retention",
-    "temperature_mix",
-    "metric_anomalies_robust",
-    "drift_report",
-    "ab_welch",
-    "profile_orders",
-    "drill_across",
-    "gram_novelty",
-    "hist_window",
-    "semantic_dup_pairs",
-    "ppl_buckets",
-    "hard_negatives",
-    "debounced_events",
-    "incremental_refresh",
-    "interval_join",
-    "distinct_count_salted",
-    "events_metric_view",
-    "documents_metric_view",
-    "keyword_search",
-    "phrase_search",
-    "cluster_keep_best",
-    "corpus_diff",
-    "shard_plan",
-    "incremental_targets",
-    "token_budget",
-    "l_diversity",
-    "truncation_eval",
-    "hamming_topk",
-    "split_leakage",
-    "t_closeness",
-    "oov_rate",
-    "calibration",
-    "derived_measure",
-    "pivot_orders",
-    "event_transitions",
-    "training_set",
-    "json_props",
-    "embedding_drift",
-    "token_fertility",
-    "ece",
-    "top_next_events",
-    "privacy_release",
-    "token_stream_pack",
+    # (c) never-sampled pool: first driver rows (VERDICT r5 #4)
+    "fuzzy_match_pairs",
+    "seed_lookup",
+    "media_decode",
+    "containment_pairs",
+    "collocations",
+    "time_in_state",
+    "cohen_kappa",
+    "stratified_sample",
+    "pack_bins",
+    "curation_stats",
+    "topk_docs_per_lang",
+    "redact_documents",
+    "quantize_roundtrip",
+    # (d) anchors last sampled in r1
+    "embedding_dup_pairs",
+    "session_stats",
+    "sessionize",
+    "sliding_window",
+    "stateful_sessions",
+    "topk_join",
+    "topk_similar",
+    "trailing_month_revenue",
+    "tumbling_window",
+    # (d) anchor last sampled in r2
+    "decontaminated_docs",
+    # (d) core-operator anchors last sampled in r3
+    "measure_by_dim",
+    "ytd_revenue",
+    "fct_orders",
+    "revenue_by_nation",
+    "media_decode_png",
+    "cumulative_revenue",
+    "trailing_7d_revenue",
+    "semiadditive_first",
+    "customer_metrics",
+    "filtered_mv",
+    "measure_multi_dim",
+    "star_segment_year",
+    "revenue_by_brand",
+    "routed_monthly",
+    "fct_customer_summary",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "kmeans_clusters",
 ]
 
 
@@ -5412,6 +5441,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _q_user_activity,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "media_decode_png": _q_media_decode_png,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -5895,11 +5925,11 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT return_flag, line_status,
-                   qty AS sum_qty,
-                   base_c AS base_price_cents,
-                   disc_u AS disc_price_u,
-                   chg_u AS charge_u,
-                   dc AS disc_cents,
+                   CAST(qty AS BIGINT) AS sum_qty,
+                   CAST(base_c AS BIGINT) AS base_price_cents,
+                   CAST(disc_u AS BIGINT) AS disc_price_u,
+                   CAST(chg_u AS BIGINT) AS charge_u,
+                   CAST(dc AS BIGINT) AS disc_cents,
                    n AS count_order
             FROM g
         """,
@@ -5909,11 +5939,11 @@ def oracle_sql() -> dict[str, str]:
         "pricing_probe_int": f"""
             SELECT return_flag, line_status,
                    count(*) AS n,
-                   sum(CAST(round(quantity) AS BIGINT)) AS qty,
-                   sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
-                   sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
-                   sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS chg_u,
-                   sum(CAST(round(discount * 100) AS BIGINT)) AS dc
+                   CAST(sum(CAST(round(quantity) AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(sum(CAST(round(extended_price * 100) AS BIGINT)) AS BIGINT) AS base_c,
+                   CAST(sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS BIGINT) AS disc_u,
+                   CAST(sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS BIGINT) AS chg_u,
+                   CAST(sum(CAST(round(discount * 100) AS BIGINT)) AS BIGINT) AS dc
             FROM ({_STG_LINEITEM})
             WHERE ship_date <= DATE '2001-09-02'
             GROUP BY 1, 2
@@ -5953,10 +5983,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT return_flag, line_status,
-                   qty AS sum_qty,
-                   disc_u AS disc_price_u,
-                   base_c AS base_price_cents,
-                   dc AS disc_cents,
+                   CAST(qty AS BIGINT) AS sum_qty,
+                   CAST(disc_u AS BIGINT) AS disc_price_u,
+                   CAST(base_c AS BIGINT) AS base_price_cents,
+                   CAST(dc AS BIGINT) AS disc_cents,
                    n AS count_order
             FROM g
         """,
@@ -7248,9 +7278,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM rk2
             )
             SELECT market_segment, order_month,
-                   x AS revenue_cents,
-                   med2 AS median_cents2,
-                   mad4 AS mad_cents4,
+                   CAST(x AS BIGINT) AS revenue_cents,
+                   CAST(med2 AS BIGINT) AS median_cents2,
+                   CAST(mad4 AS BIGINT) AS mad_cents4,
                    CASE WHEN mad4 > 0
                         THEN abs(4 * x - 2 * med2) * 10000 >= 44478 * mad4
                         ELSE FALSE END AS total_revenue_outlier
@@ -7293,9 +7323,11 @@ def oracle_sql() -> dict[str, str]:
         # exact partials Welch's t derives from (rule 6)
         "ab_welch": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
-                   sum(CAST(round(value * 100) AS BIGINT)
-                       * CAST(round(value * 100) AS BIGINT)) AS sumsq_cents2
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sumsq_cents2
             FROM events
             WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
             GROUP BY 1
@@ -7877,6 +7909,29 @@ def oracle_sql() -> dict[str, str]:
         # (seed+i) mod 256), so the byte sum is T(seed+n)-T(seed) with
         # T(m) = (m//256)*32640 + tri(m mod 256) — pure arithmetic, no
         # binary parsing needed oracle-side
+        "media_decode_png": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     CAST(4 + doc_id % 11 AS INT) AS w,
+                     CAST(3 + doc_id % 6 AS INT) AS h,
+                     CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+                         AS ch,
+                     (29 * doc_id) % 256 AS s
+              FROM documents
+            ),
+            q AS (SELECT *, w * h * ch AS nb FROM p)
+            SELECT media_id,
+                   'png' AS format,
+                   w AS width, h AS height, ch AS channels,
+                   CAST(NULL AS INT) AS sample_rate_hz,
+                   CAST(w * h AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(((s + nb) // 256) * 32640
+                        + ((s + nb) % 256) * ((s + nb) % 256 - 1) // 2
+                        - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2)
+                        AS BIGINT) AS payload_sum
+            FROM q
+        """,
         "media_decode": """
             WITH p AS (
               SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS m,
@@ -7993,10 +8048,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id % 10 AS user_bucket,
                    count(*) AS n_sessions,
-                   sum(n_events) AS total_events,
+                   CAST(sum(n_events) AS BIGINT) AS total_events,
                    max(n_events) AS max_session_events,
-                   sum(CAST(round(total_value * 100) AS BIGINT))
-                       AS total_value_cents
+                   CAST(sum(CAST(round(total_value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM closed GROUP BY 1
         """,
         "tumbling_window": """
@@ -8245,7 +8300,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_chars < 1000 THEN 'medium'
                         ELSE 'large' END AS size_bucket,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    max(n_chars) AS max_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents

@@ -34,6 +34,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
 
+    # All scratch dirs (replica parquet, warehouses, layout trees) are
+    # removed when the process exits — a bench run writes hundreds of MB
+    # of replica data and must not leak it across runs (ADVICE r5).
+    import atexit
+    import shutil
+
+    def _scratch_dir(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
+
     # r01-subset members always run 3x so the subset can ALSO be summed
     # over per-query MEDIANS (VERDICT r4 #7: r04's subset drifted +8%
     # while every individual query improved — best-of hides session
@@ -91,7 +102,7 @@ def main() -> None:
     timed("calib_parquet_scan", _calib_io, best_of=3)
 
     eng = MetricEngine(
-        spark, build_registry(sf_dir), warehouse_dir=tempfile.mkdtemp(prefix="bench_wh_")
+        spark, build_registry(sf_dir), warehouse_dir=_scratch_dir("bench_wh_")
     )
     timed("pipeline", lambda: eng.run(materialize_rollups=True))
 
@@ -222,7 +233,7 @@ def main() -> None:
     from dbt_databricks_metrics_spark.models import ModelRegistry
     from dbt_databricks_metrics_spark.project import MV_LINEITEM_PRICING_YAML
 
-    sf1_dir = os.path.join(tempfile.mkdtemp(prefix="bench_sf1_"), "li10")
+    sf1_dir = os.path.join(_scratch_dir("bench_sf1_"), "li10")
     (
         eng.ref("stg_lineitem")
         .crossJoin(spark.range(10).select(_F.col("id").alias("_rep")))
@@ -237,7 +248,7 @@ def main() -> None:
         return spark_.read.parquet(sf1_dir)
 
     eng10 = MetricEngine(
-        spark, reg10, warehouse_dir=tempfile.mkdtemp(prefix="bench_wh10_")
+        spark, reg10, warehouse_dir=_scratch_dir("bench_wh10_")
     )
     eng10.run()
     eng10.register(
@@ -932,7 +943,7 @@ def main() -> None:
     )
 
     li_lay = li.select("l_orderkey", "l_partkey", "l_extendedprice")
-    lay_dir = _tf.mkdtemp(prefix="bench_layout_")
+    lay_dir = _scratch_dir("bench_layout_")
     n_files = 16
     timed(
         "layout_linear_write",

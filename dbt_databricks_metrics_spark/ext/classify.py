@@ -297,6 +297,13 @@ def cohen_kappa(
     |labels|-sized marginal aggregate per rater joined on the label —
     shuffles carry label keys, never rows. Returns ONE row:
     (n, n_agree, pe_num, kappa_num, kappa_den).
+
+    Capacity (ADVICE r5): ``kappa_den = n² − pe_num`` is computed in
+    int64, which overflows for n ≥ ~3.04e9 labeled rows (√(2^63) ≈
+    3.04e9); pe_num ≤ n² shares the bound. The single aggregated n is
+    raise_error-guarded at that limit, so an over-capacity corpus fails
+    loudly instead of wrapping — for larger annotation sets, sample or
+    shard the agreement check per stratum.
     """
     a, b = F.col(rater_a), F.col(rater_b)
     base = df.filter(a.isNotNull() & b.isNotNull()).select(
@@ -317,14 +324,22 @@ def cohen_kappa(
         .select((F.col("_ca") * F.col("_cb")).alias("_p"))
         .agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("pe_num"))
     )
+    n_ok = F.when(F.col("n") < F.lit(3_037_000_499), F.col("n")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cohen_kappa: n*n overflows int64 at n >= 3.04e9; n = "),
+                F.col("n").cast("string"),
+            )
+        )
+    )
     return agree.crossJoin(pe).select(
         "n",
         "n_agree",
         F.col("pe_num").cast("bigint").alias("pe_num"),
-        (F.col("n") * F.col("n_agree") - F.col("pe_num"))
+        (n_ok * F.col("n_agree") - F.col("pe_num"))
         .cast("bigint")
         .alias("kappa_num"),
-        (F.col("n") * F.col("n") - F.col("pe_num"))
+        (n_ok * n_ok - F.col("pe_num"))
         .cast("bigint")
         .alias("kappa_den"),
     )

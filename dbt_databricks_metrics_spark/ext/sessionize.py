@@ -188,10 +188,15 @@ def time_in_state(
     ``max_dwell_us`` — and, with *value_col* set, the time-weighted
     value partials ``value_dwell_cs`` = Σ value_cents·dwell_seconds and
     ``dwell_s`` = Σ dwell_seconds, so TWAP = value_dwell_cs / (100·
-    dwell_s) is an exact integer rational (rule 6). Capacity:
-    cents ≤ 5e6 × dwell ≤ 1e7 s ⇒ per-interval ≤ 5e13; int64 holds
-    ~180k such worst-case intervals per state partial — far beyond any
-    per-key timeline, and the groupBy partials combine map-side.
+    dwell_s) is an exact integer rational (rule 6). Capacity
+    (ADVICE r5): ``value_dwell_cs`` is a per-STATE sum across ALL keys'
+    intervals — corpus-wide, not per-key — so the int64 budget is
+    ~9.2e18 / max-per-interval-term; each interval's term is
+    raise_error-guarded to < 1e13 (e.g. cents ≤ 1e6 × dwell ≤ 1e7 s),
+    which leaves headroom for ~9e5 simultaneous worst-case intervals
+    per state and ~9e9 at a typical 1e9 term — an overflowing corpus
+    fails LOUDLY instead of wrapping. The groupBy partials combine
+    map-side.
 
     Plan shape: ONE window over (key: order ts, id — the lag/lead
     tie-break discipline) for the next-event timestamp, then one
@@ -222,8 +227,23 @@ def time_in_state(
         # integer div, not float-divide-then-cast: a double quotient at
         # an integer boundary could round up across it before truncation
         dw_s = F.expr("_dw div 1000000")
+        term = cents * dw_s
+        # per-interval magnitude guard: value_dwell_cs sums these terms
+        # per STATE across the whole corpus, so a single huge term eats
+        # the shared int64 budget — refuse loudly, never wrap
+        checked = F.when(F.abs(term) < F.lit(10_000_000_000_000), term).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "time_in_state: per-interval value*dwell term "
+                        "exceeds 1e13 (int64 corpus-budget guard): "
+                    ),
+                    term.cast("string"),
+                )
+            )
+        )
         aggs += [
-            F.sum(cents * dw_s).alias("value_dwell_cs"),
+            F.sum(checked).alias("value_dwell_cs"),
             F.sum(dw_s).alias("dwell_s"),
         ]
     return base.groupBy("state").agg(*aggs)

@@ -196,39 +196,52 @@ def fold_retractions(
         *[F.col(d) for d in dims],
         *[(-F.col(c)).alias(c) for c in pcols],
     )
-    if os.path.exists(built.path):
+    bootstrap = not os.path.exists(built.path)
+    if bootstrap:
+        merged = merge_partials(pos, neg, built)
+    else:
         merged = merge_partials(
             spark.read.parquet(built.path), pos.unionByName(neg), built
         )
-    else:
-        merged = merge_partials(pos, neg, built)
-        # mid-history witness scan (batch-sized). Fractional partials use
-        # a 1e-9 band: true self-cancellation subtracts IDENTICAL doubles
-        # (exactly 0.0 per row), while residue from a retracted unseen
-        # row is a real value; multi-row order jitter can in principle
-        # trip this, loudly, never silently.
-        count_zero = F.col(count_col) == 0
-        leftovers = [
-            (
-                F.abs(F.coalesce(F.col(c), F.lit(0))) > 1e-9
-                if dt in ("double", "float")
-                else F.coalesce(F.col(c), F.lit(0)) != 0
-            )
-            for c, dt in merged.dtypes
-            if c not in dims and c != count_col
-        ]
-        bad = F.col(count_col) < 0
-        for lv in leftovers:
-            bad = bad | (count_zero & lv)
-        if merged.filter(bad).limit(1).count() > 0:
-            raise ValueError(
-                f"fold_retractions: no rollup state at {built.path!r} and "
-                f"the change batch retracts rows it never inserted "
-                f"(negative count partial, or zero count with surviving "
-                f"mass) — a changelog starting mid-history cannot "
-                f"bootstrap; build the rollup from a source snapshot "
-                f"first, then fold changes"
-            )
+    # Mid-history witness scan (batch-sized), BOTH paths (ADVICE r5): a
+    # change batch retracting rows the state never held leaves exact
+    # witnesses in the merged state — a negative count partial, or a
+    # zero count with surviving non-zero mass (no rows ⇒ ALL partials
+    # zero; a mid-history update nets count to 0 but leaves Σ(new−old)
+    # behind). Integer partials witness exactly in both paths. Float
+    # partials witness only in the bootstrap path (1e-9 band: true
+    # self-cancellation there subtracts IDENTICAL doubles, exactly 0.0
+    # per row); with pre-existing state, a stored float partial carries
+    # summation-order residue vs the retracted values, so a float-mass
+    # check would false-positive — the count witnesses still hold.
+    count_zero = F.col(count_col) == 0
+    leftovers = [
+        (
+            F.abs(F.coalesce(F.col(c), F.lit(0))) > 1e-9
+            if dt in ("double", "float")
+            else F.coalesce(F.col(c), F.lit(0)) != 0
+        )
+        for c, dt in merged.dtypes
+        if c not in dims
+        and c != count_col
+        and (bootstrap or dt not in ("double", "float"))
+    ]
+    bad = F.col(count_col) < 0
+    for lv in leftovers:
+        bad = bad | (count_zero & lv)
+    if merged.filter(bad).limit(1).count() > 0:
+        where = (
+            f"no rollup state at {built.path!r} and the change batch"
+            if bootstrap
+            else f"the rollup state at {built.path!r} plus this change batch"
+        )
+        raise ValueError(
+            f"fold_retractions: {where} retracts rows that were never "
+            f"inserted (negative count partial, or zero count with "
+            f"surviving mass) — a changelog starting mid-history cannot "
+            f"be folded; build the rollup from a source snapshot first, "
+            f"then fold changes"
+        )
     _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
 
 

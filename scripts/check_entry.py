@@ -273,6 +273,27 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(rows)} rows)")
             continue
         try:
+            if strict:
+                # VERDICT r5 #7: the driver fetches the oracle through a
+                # pandas/arrow path, where DuckDB HUGEINT/DECIMAL columns
+                # serialize differently from Spark int64/double and flip
+                # the value hash on IDENTICAL values (the entire r1-r5 red
+                # class). fetchall() hides this — Python ints compare fine
+                # — so the strict mirror must flag the TYPE, not the value.
+                rel = con.sql(oracles[name])
+                unstable = [
+                    (c, str(t))
+                    for c, t in zip(rel.columns, rel.types)
+                    if any(u in str(t).upper() for u in ("HUGEINT", "DECIMAL"))
+                ]
+                if unstable:
+                    failures.append((name, f"fetch-unstable oracle types: {unstable}"))
+                    print(
+                        f"FAIL {name}: oracle result types {unstable} are "
+                        f"fetch-unstable (driver would hash-mismatch); wrap "
+                        f"the aggregate in CAST(... AS BIGINT)"
+                    )
+                    continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = [tuple(r) for r in res.fetchall()]

@@ -125,6 +125,32 @@ def test_decode_media_roundtrips_synthesized_containers(spark):
             assert r["height"] == 2 + mid % 5
 
 
+def test_decode_media_roundtrips_synthesized_png(spark):
+    """synthesize_png emits REAL zlib-deflated PNGs whose scanlines cycle
+    all five filter types; decode_media must inflate + unfilter back to
+    the closed-form raster (round 6)."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_png(docs)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(media).collect()
+    }
+    assert len(got) == 30
+    for mid, r in got.items():
+        assert r["format"] == "png"
+        assert r["width"] == 4 + mid % 11
+        assert r["height"] == 3 + mid % 6
+        assert r["channels"] == (3 if mid % 2 == 0 else 1)
+        assert r["sample_rate_hz"] is None
+        assert r["n_samples"] == r["width"] * r["height"]
+        assert r["duration_ms"] is None
+        nb = r["width"] * r["height"] * r["channels"]
+        s = (29 * mid) % 256
+        assert r["payload_sum"] == sum((s + i) % 256 for i in range(nb))
+
+
 def test_decode_media_nulls_for_unparseable_bytes(spark):
     """Garbage, truncated, and NULL payloads surface as NULL-field rows —
     never dropped, never raising."""

@@ -357,3 +357,59 @@ def test_fold_retractions_refuses_midhistory_bootstrap(spark, tmp_path):
         .collect()
     }
     assert got == {"A": (1, 1200)}
+
+
+def test_fold_retractions_refuses_midhistory_with_state(spark, tmp_path):
+    """ADVICE r5: a change batch retracting rows the EXISTING state never
+    held must be refused too — previously only the bootstrap (no-state)
+    branch ran the witness scan, so the corrupt merge persisted silently
+    (negative count passes the count != 0 prune; zero-count-with-mass is
+    silently discarded by it)."""
+    _rows(spark, [(1, "A", 10.0)]).createOrReplaceTempView("ret_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whs"))
+    eng.register(MetricViewSpec.from_yaml(SPEC, name="mv_rets"))
+    eng.refresh("mv_rets")
+    built = eng.catalog.get("mv_rets").state.rollups["by_seg"]
+    snapshot = sorted(
+        tuple(r) for r in spark.read.parquet(built.path).collect()
+    )
+
+    # delete-only of a row the state never held: count for segment B
+    # merges to -1 -> negative-count witness
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark, built,
+            before=_rows(spark, [(9, "B", 5.0)]),
+            after=_rows(spark, []),
+        )
+    # update of an unseen row: count nets to 0 but the integer cents
+    # partial survives (700-500=200) -> zero-count-with-mass witness
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark, built,
+            before=_rows(spark, [(9, "B", 5.0)]),
+            after=_rows(spark, [(9, "B", 7.0)]),
+        )
+    # both refusals left the stored state untouched
+    assert snapshot == sorted(
+        tuple(r) for r in spark.read.parquet(built.path).collect()
+    )
+
+    # a legitimate update of a row the state DOES hold still folds
+    fold_retractions(
+        spark, built,
+        before=_rows(spark, [(1, "A", 10.0)]),
+        after=_rows(spark, [(1, "A", 12.0)]),
+    )
+    dec = built.decompositions
+    got = {
+        r["seg"]: (r["n"], r["c"])
+        for r in spark.read.parquet(built.path)
+        .selectExpr(
+            "seg",
+            f"{dec['n'].finalize} AS n",
+            f"{dec['cents'].finalize} AS c",
+        )
+        .collect()
+    }
+    assert got == {"A": (1, 1200)}

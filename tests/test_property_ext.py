@@ -401,3 +401,139 @@ def test_decoders_never_raise_on_arbitrary_bytes(data):
     for prefix in (b"BM", b"RIFF1234WAVE", b"P6\n"):
         for dec in (_decode_bmp, _decode_wav, _decode_ppm):
             dec(prefix + data)
+
+
+# ------------------------------------------------ PNG decode (round 6)
+# The compressed-format kernel: zlib inflate + per-scanline unfiltering.
+# Property: for ANY geometry / seed / per-line filter assignment / color
+# type, decoding recovers the exact raster the encoder filtered away —
+# so Sub/Up/Average/Paeth reconstruction is pinned byte-for-byte, not
+# just on synthesize_png's (mid + r) % 5 schedule.
+
+
+def _png_encode(w, h, ch, raster, filters):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    def filter_line(ft, line, prev, bpp):
+        out = bytearray(len(line))
+        for i in range(len(line)):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = x - pred
+            out[i] = v & 0xFF
+        return bytes(out)
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    prev = bytes(stride)
+    scan = bytearray()
+    for r in range(h):
+        line = raster[r * stride : (r + 1) * stride]
+        scan.append(filters[r])
+        scan += filter_line(filters[r], line, prev, ch)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    ch=st.integers(1, 4),
+    seed=st.integers(0, 255),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_roundtrips_any_filter_schedule(w, h, ch, seed, data):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_png
+
+    raster = bytes((seed + 7 * i) % 256 for i in range(w * h * ch))
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    out = _decode_png(_png_encode(w, h, ch, raster, filters))
+    assert out is not None
+    fmt, gw, gh, gch, rate, n, dur, total = out
+    assert (fmt, gw, gh, gch, rate, n, dur) == (
+        "png", w, h, ch, None, w * h, None,
+    )
+    assert total == sum(raster)
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 8),
+    split=st.integers(1, 6),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_decode_concatenates_split_idat(w, h, split):
+    """IDAT may be split across chunks at ANY byte boundary — the decoder
+    must concatenate before inflating (PNG spec §5.6)."""
+    import struct
+    import zlib
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_png
+
+    raster = bytes(i % 256 for i in range(w * h * 3))
+    whole = _png_encode(w, h, 3, raster, [0] * h)
+    # re-split the single IDAT body into `split`-byte chunks
+    sig, rest = whole[:8], whole[8:]
+    pos, chunks = 0, []
+    while pos + 8 <= len(rest):
+        ln = struct.unpack_from(">I", rest, pos)[0]
+        tag = rest[pos + 4 : pos + 8]
+        body = rest[pos + 8 : pos + 8 + ln]
+        chunks.append((tag, body))
+        pos += 12 + ln
+    rebuilt = sig
+    for tag, body in chunks:
+        if tag != b"IDAT":
+            rebuilt += (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+        else:
+            for i in range(0, len(body), split):
+                piece = body[i : i + split]
+                rebuilt += (
+                    struct.pack(">I", len(piece)) + b"IDAT" + piece
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + piece))
+                )
+    out = _decode_png(rebuilt)
+    assert out is not None
+    assert out[7] == sum(raster)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_png_decoder_never_raises_on_arbitrary_bytes(data):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_png
+
+    _decode_png(data)
+    _decode_png(b"\x89PNG\r\n\x1a\n" + data)
