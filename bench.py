@@ -557,6 +557,24 @@ def main() -> None:
 
     timed("ext_paragraph_dedup", _paragraph_dedup_bench)
 
+    def _media_decode_bench():
+        # Arrow-batched mapInPandas codec throughput: synthesize real
+        # PNG bytes (zlib deflate, cycling scanline filters) for every
+        # document id and decode them back (inflate + unfilter). The
+        # pure-Python kernels are the honest cost of codec work without
+        # native libraries; the measured shape (bytes/sec through
+        # mapInPandas) is what transfers to real decoders at scale.
+        from dbt_databricks_metrics_spark.ext import multimodal
+
+        media = multimodal.synthesize_png(docs.select("doc_id"))
+        return (
+            multimodal.decode_media(media)
+            .agg(F.sum("payload_sum"), F.count(F.lit(1)))
+            .collect()
+        )
+
+    timed("ext_media_decode_png", _media_decode_bench)
+
     def _hybrid_bench():
         from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
 
