@@ -95,10 +95,15 @@ def values_exact(a, b) -> bool:
 # instants are NTZ-derived via the documented UTC-pinned loader,
 # fixtures.py::_load_events) skip the tz-perturbed variant entirely.
 PERTURBATIONS = [
+    # arrow_batch: maxRecordsPerBatch shrinks every mapInPandas /
+    # pandas_udf Arrow batch to 7 rows — any kernel whose result depends
+    # on batch SHAPE (cross-row state inside a batch, per-batch
+    # accumulators, dtype inference from batch contents) diverges here
     {"name": "layout3", "shuffle": "3", "repartition": "7", "tz": None,
-     "mpb": str(1024 * 1024)},
+     "mpb": str(1024 * 1024), "arrow_batch": "7"},
     {"name": "layout200", "shuffle": "200", "repartition": "3",
-     "tz": "America/New_York", "mpb": str(256 * 1024 * 1024)},
+     "tz": "America/New_York", "mpb": str(256 * 1024 * 1024),
+     "arrow_batch": "100000"},
 ]
 
 
@@ -143,6 +148,9 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     base_tz = spark.conf.get("spark.sql.session.timeZone")
     base_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    base_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
     failures = []
     baseline: dict[str, tuple] = {}
     print(f"paranoid baseline ({len(names)} queries)")
@@ -158,6 +166,10 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
         os.environ["SPARK_GRAFT_PERTURB_REPARTITION"] = pert["repartition"]
         spark.conf.set("spark.sql.shuffle.partitions", pert["shuffle"])
         spark.conf.set("spark.sql.files.maxPartitionBytes", pert["mpb"])
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            pert["arrow_batch"],
+        )
         if pert["tz"]:
             spark.conf.set("spark.sql.session.timeZone", pert["tz"])
         _reset_entry_caches()
@@ -223,6 +235,9 @@ def run_paranoid(spark, sf_dir: str, only: set[str]) -> int:
             spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
             spark.conf.set("spark.sql.session.timeZone", base_tz)
             spark.conf.set("spark.sql.files.maxPartitionBytes", base_mpb)
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", base_arrow
+            )
     _reset_entry_caches()
     if failures:
         print(f"\n{len(failures)} PARANOID FAILURES")
@@ -297,6 +312,24 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = [tuple(r) for r in res.fetchall()]
+            if strict:
+                # ...and the VALUES through the arrow path must equal the
+                # fetchall() values (a representation divergence between
+                # the two fetch channels is exactly what a driver-side
+                # hash red looks like locally)
+                tbl = con.sql(oracles[name]).arrow()
+                arows = [
+                    tuple(row[c] for c in dcols)
+                    for row in tbl.to_pylist()
+                ]
+                if sorted(map(repr, arows)) != sorted(map(repr, drows)):
+                    failures.append((name, "arrow/fetchall representation divergence"))
+                    print(
+                        f"FAIL {name}: oracle values differ between the "
+                        f"arrow fetch and fetchall() — the driver's fetch "
+                        f"path would hash-mismatch"
+                    )
+                    continue
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
