@@ -376,8 +376,18 @@ def _decode_png(b: bytes):
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if ch is None or depth != 8 or comp or filt or inter or w == 0 or h == 0:
         return None
+    expected = h * (1 + w * ch)
+    # bomb guard: the raster size is known from IHDR BEFORE inflating, so
+    # (a) reject absurd declared dimensions (128 MB raster cap) and
+    # (b) inflate at most expected+1 bytes via decompressobj — a crafted
+    # 1000:1 IDAT stream can neither OOM the executor nor slip past the
+    # exact-length check below (no-row-disappears contract: return None,
+    # never raise)
+    if expected > 128 * 1024 * 1024:
+        return None
     try:
-        raw = zlib.decompress(idat)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
     except zlib.error:
         return None
     raster = _png_unfilter(raw, w, h, ch)
@@ -500,6 +510,70 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _png_filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward PNG scanline filter (spec §9) — the exact inverse of
+    :func:`_png_unfilter`'s reconstruction for the same filter type."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        x = line[i]
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            v = x
+        elif ft == 1:
+            v = x - a
+        elif ft == 2:
+            v = x - b
+        elif ft == 3:
+            v = x - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            v = x - pred
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def _png_encode(w: int, h: int, ch: int, raster: bytes, filters) -> bytes:
+    """Minimal PNG writer (8-bit, color type from channel count,
+    non-interlaced): per-scanline filter types from *filters*, one
+    deflated IDAT. Shared by :func:`synthesize_png` and the property
+    tests so encoder and tests cannot drift apart."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    prev = bytes(stride)
+    scan = bytearray()
+    for r in range(h):
+        line = raster[r * stride : (r + 1) * stride]
+        scan.append(filters[r])
+        scan += _png_filter_line(filters[r], line, prev, ch)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synthesize_png(documents: DataFrame) -> DataFrame:
     """REAL PNG bytes — zlib-deflated IDAT with per-scanline filters
     cycling through ALL five types ((media_id + row) mod 5), so the
@@ -511,9 +585,6 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
     are exactly what :func:`_decode_png` must undo to recover them.
     Alternates RGB (color type 2) and grayscale (color type 0) by id
     parity."""
-    import struct
-    import zlib
-
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -522,59 +593,15 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
         ]
     )
 
-    def _chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body))
-        )
-
-    def _filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
-        out = bytearray(len(line))
-        for i in range(len(line)):
-            x = line[i]
-            a = line[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                v = x
-            elif ft == 1:
-                v = x - a
-            elif ft == 2:
-                v = x - b
-            elif ft == 3:
-                v = x - ((a + b) >> 1)
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                v = x - pred
-            out[i] = v & 0xFF
-        return bytes(out)
-
     def _png(mid: int) -> bytes:
         w, h = 4 + mid % 11, 3 + mid % 6
         ch = 3 if mid % 2 == 0 else 1
-        ctype = 2 if ch == 3 else 0
         seed = (29 * mid) % 256
-        stride = w * ch
-        raster = bytes((seed + i) % 256 for i in range(h * stride))
-        prev = bytes(stride)
-        scan = bytearray()
-        for r in range(h):
-            line = raster[r * stride : (r + 1) * stride]
-            ft = (mid + r) % 5
-            scan.append(ft)
-            scan += _filter_line(ft, line, prev, ch)
-            prev = line
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(scan)))
-            + _chunk(b"IEND", b"")
+        raster = bytes((seed + i) % 256 for i in range(h * w * ch))
+        return _png_encode(
+            w, h, ch, raster, [(mid + r) % 5 for r in range(h)]
         )
+
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -191,9 +191,10 @@ def time_in_state(
     dwell_s) is an exact integer rational (rule 6). Capacity
     (ADVICE r5): ``value_dwell_cs`` is a per-STATE sum across ALL keys'
     intervals — corpus-wide, not per-key — so the int64 budget is
-    ~9.2e18 / max-per-interval-term; each interval's term is
-    raise_error-guarded to < 1e13 (e.g. cents ≤ 1e6 × dwell ≤ 1e7 s),
-    which leaves headroom for ~9e5 simultaneous worst-case intervals
+    ~9.2e18 / max-per-interval-term; each interval's FACTORS are
+    raise_error-guarded to < 2^31 BEFORE multiplying (so the product
+    cannot wrap int64 and sneak back inside the band) and the term
+    itself to < 1e13, which leaves headroom for ~9e5 worst-case intervals
     per state and ~9e9 at a typical 1e9 term — an overflowing corpus
     fails LOUDLY instead of wrapping. The groupBy partials combine
     map-side.
@@ -227,10 +228,32 @@ def time_in_state(
         # integer div, not float-divide-then-cast: a double quotient at
         # an integer boundary could round up across it before truncation
         dw_s = F.expr("_dw div 1000000")
-        term = cents * dw_s
-        # per-interval magnitude guard: value_dwell_cs sums these terms
-        # per STATE across the whole corpus, so a single huge term eats
-        # the shared int64 budget — refuse loudly, never wrap
+        # per-interval magnitude guard: value_dwell_cs sums the
+        # cents·dwell terms per STATE across the whole corpus, so a
+        # single huge term eats the shared int64 budget — refuse loudly,
+        # never wrap. The FACTORS are bounded BEFORE multiplying (each
+        # < 2^31 ⇒ product < 2^62, no int64 wrap), because a guard on
+        # the product would test the already-wrapped value and a true
+        # overflow can wrap back inside the acceptance band (review
+        # round 6). 2^31 cents ≈ $21M per event, 2^31 s ≈ 68 years —
+        # generous for any real timeline; then the product itself is
+        # capped at 1e13 to preserve ~9e5 worst-case-interval headroom.
+        lim = F.lit(2_147_483_648)
+
+        def _bounded(col, what):
+            return F.when(F.abs(col) < lim, col).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"time_in_state: per-interval {what} exceeds "
+                            f"2^31 (int64 overflow guard): "
+                        ),
+                        col.cast("string"),
+                    )
+                )
+            )
+
+        term = _bounded(cents, "value_cents") * _bounded(dw_s, "dwell_s")
         checked = F.when(F.abs(term) < F.lit(10_000_000_000_000), term).otherwise(
             F.raise_error(
                 F.concat(

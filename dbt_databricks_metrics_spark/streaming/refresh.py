@@ -203,7 +203,13 @@ def fold_retractions(
         merged = merge_partials(
             spark.read.parquet(built.path), pos.unionByName(neg), built
         )
-    # Mid-history witness scan (batch-sized), BOTH paths (ADVICE r5): a
+    # the witness scan below and the swap write both consume `merged`;
+    # without a persist the state read + shuffle aggregation would run
+    # twice per fold (review round 6)
+    merged = merged.persist()
+    # Mid-history witness scan over the merged rows (|batch| when
+    # bootstrapping, |state|+|batch| with state — one pass over the
+    # persisted merge either way), BOTH paths (ADVICE r5): a
     # change batch retracting rows the state never held leaves exact
     # witnesses in the merged state — a negative count partial, or a
     # zero count with surviving non-zero mass (no rows ⇒ ALL partials
@@ -229,20 +235,23 @@ def fold_retractions(
     bad = F.col(count_col) < 0
     for lv in leftovers:
         bad = bad | (count_zero & lv)
-    if merged.filter(bad).limit(1).count() > 0:
-        where = (
-            f"no rollup state at {built.path!r} and the change batch"
-            if bootstrap
-            else f"the rollup state at {built.path!r} plus this change batch"
-        )
-        raise ValueError(
-            f"fold_retractions: {where} retracts rows that were never "
-            f"inserted (negative count partial, or zero count with "
-            f"surviving mass) — a changelog starting mid-history cannot "
-            f"be folded; build the rollup from a source snapshot first, "
-            f"then fold changes"
-        )
-    _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
+    try:
+        if merged.filter(bad).limit(1).count() > 0:
+            where = (
+                f"no rollup state at {built.path!r} and the change batch"
+                if bootstrap
+                else f"the rollup state at {built.path!r} plus this change batch"
+            )
+            raise ValueError(
+                f"fold_retractions: {where} retracts rows that were never "
+                f"inserted (negative count partial, or zero count with "
+                f"surviving mass) — a changelog starting mid-history cannot "
+                f"be folded; build the rollup from a source snapshot first, "
+                f"then fold changes"
+            )
+        _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
+    finally:
+        merged.unpersist()
 
 
 def streaming_rollup_cdc(

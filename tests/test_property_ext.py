@@ -412,54 +412,15 @@ def test_decoders_never_raise_on_arbitrary_bytes(data):
 
 
 def _png_encode(w, h, ch, raster, filters):
-    import struct
-    import zlib
-
-    def chunk(tag, body):
-        return (
-            struct.pack(">I", len(body)) + tag + body
-            + struct.pack(">I", zlib.crc32(tag + body))
-        )
-
-    def filter_line(ft, line, prev, bpp):
-        out = bytearray(len(line))
-        for i in range(len(line)):
-            x = line[i]
-            a = line[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                v = x
-            elif ft == 1:
-                v = x - a
-            elif ft == 2:
-                v = x - b
-            elif ft == 3:
-                v = x - ((a + b) >> 1)
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                v = x - pred
-            out[i] = v & 0xFF
-        return bytes(out)
-
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    stride = w * ch
-    prev = bytes(stride)
-    scan = bytearray()
-    for r in range(h):
-        line = raster[r * stride : (r + 1) * stride]
-        scan.append(filters[r])
-        scan += filter_line(filters[r], line, prev, ch)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan)))
-        + chunk(b"IEND", b"")
+    # the module-level encoder shared with synthesize_png — the
+    # INDEPENDENT checks in these properties are the decoder and the
+    # raw-raster byte sum, so sharing the encoder removes drift risk
+    # without weakening the test (review round 6)
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _png_encode as enc,
     )
+
+    return enc(w, h, ch, raster, filters)
 
 
 @given(
