@@ -227,6 +227,27 @@ def test_time_in_state_hand_computed(spark):
     assert (c["value_dwell_cs"], c["dwell_s"]) == (250 * 60, 60)
 
 
+def test_time_in_state_overflow_guard_trips_on_factor(spark):
+    """ADVICE r5 / review r6: the int64 guard must bound the FACTORS
+    before multiplying — a cents value past 2^31 raises instead of
+    wrapping into the acceptance band."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.ext.sessionize import time_in_state
+
+    ev = spark.createDataFrame(
+        [
+            # $30M event value -> 3e9 cents > 2^31: factor guard trips
+            (1, 1, "2024-01-01 00:00:00", "a", 30_000_000.0),
+            (2, 1, "2024-01-01 00:00:10", "b", 1.0),
+        ],
+        "event_id LONG, user_id LONG, ts STRING, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="exceeds 2\\^31"):
+        time_in_state(ev, value_col="value").collect()
+
+
 def test_time_in_state_without_value(spark):
     from pyspark.sql import functions as F
 
