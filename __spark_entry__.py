@@ -4664,6 +4664,45 @@ def _q_media_decode_png(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_media_decode_gif(spark, sf_dir):
+    # REAL compressed-format decode #2 (round 6, stdlib only): GIF with
+    # genuinely LZW-compressed index rasters. synthesize_gif cycles the
+    # palette size 16/64/256 (so the decoder exercises 5-/7-/9-bit
+    # starting code widths and the mid-stream width growth that is the
+    # classic GIF-LZW trap), odd ids add a local color table plus
+    # graphic-control/comment extensions the chunk walk must skip. The
+    # DECODED index at pixel i is (37*id + i) mod M by construction, so
+    # the DuckDB oracle predicts the raster index sum arithmetically: a
+    # wrong code-width transition, dictionary entry, KwKwK case, or
+    # sub-block reassembly shifts payload_sum and fails the value hash.
+    # All-integer projection (BASELINE.md rule 6).
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_gif(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
+def _q_media_decode_g711(spark, sf_dir):
+    # REAL compressed-AUDIO decode (round 6): G.711 mu-law/A-law WAV —
+    # the telephony log-PCM codec — where every data byte is a codeword
+    # and the kernel expands it to a linear 16-bit sample. The codeword
+    # stream (23*id + i) mod 256 sweeps ALL 256 codewords per ~5 media,
+    # so both expansion tables are exercised over every
+    # segment/mantissa/sign combination; payload_sum is the sum of the
+    # EXPANDED samples, which the DuckDB oracle reproduces from the
+    # G.711 bit-field arithmetic alone (complement/XOR-0x55, segment
+    # shift, bias) — no binary parsing oracle-side. All-integer
+    # projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_g711(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5442,6 +5481,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_gif": _q_media_decode_gif,
+        "media_decode_g711": _q_media_decode_g711,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -7931,6 +7972,84 @@ def oracle_sql() -> dict[str, str]:
                         - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2)
                         AS BIGINT) AS payload_sum
             FROM q
+        """,
+        # GIF replay: the decoded index at pixel i is (37*id + i) mod M
+        # with M the palette size, so the index sum over nb pixels is
+        # T_M(s+nb) - T_M(s) with T_M(x) = (x//M)*M(M-1)/2 + tri(x mod M)
+        # — the same cyclic-triangular identity the PNG oracle uses,
+        # generalized from 256 to M
+        "media_decode_gif": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     CAST(6 + doc_id % 10 AS INT) AS w,
+                     CAST(4 + doc_id % 7 AS INT) AS h,
+                     CASE CAST(doc_id % 3 AS INT)
+                          WHEN 0 THEN 16 WHEN 1 THEN 64 ELSE 256 END AS mm,
+                     (37 * doc_id) % (CASE CAST(doc_id % 3 AS INT)
+                          WHEN 0 THEN 16 WHEN 1 THEN 64 ELSE 256 END) AS s
+              FROM documents
+            ),
+            q AS (SELECT *, w * h AS nb FROM p)
+            SELECT media_id,
+                   'gif' AS format,
+                   w AS width, h AS height, CAST(1 AS INT) AS channels,
+                   CAST(NULL AS INT) AS sample_rate_hz,
+                   CAST(w * h AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(((s + nb) // mm) * (mm * (mm - 1) // 2)
+                        + ((s + nb) % mm) * ((s + nb) % mm - 1) // 2
+                        - ((s // mm) * (mm * (mm - 1) // 2)
+                           + (s % mm) * ((s % mm) - 1) // 2)
+                        AS BIGINT) AS payload_sum
+            FROM q
+        """,
+        # G.711 replay: codeword byte i is (23*id + i) mod 256; the
+        # oracle expands each codeword with the same public bit-field
+        # arithmetic as the kernel (mu-law: complement, 3-bit segment,
+        # 4-bit mantissa, 0x84 bias; A-law: XOR 0x55, segment 0 linear,
+        # 0x108 bias shifted) over a generated 0..nb-1 index range —
+        # pure arithmetic, no binary parsing oracle-side
+        "media_decode_g711": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     doc_id % 2 = 0 AS is_u,
+                     CAST(1 + doc_id % 2 AS INT) AS ch,
+                     (40 + doc_id % 30) AS n_frames,
+                     (23 * doc_id) % 256 AS s
+              FROM documents
+            ),
+            q AS (SELECT *, n_frames * ch AS nb FROM p),
+            expanded AS (
+              SELECT q.*, (q.s + t.i) % 256 AS v
+              FROM q CROSS JOIN range(140) t(i)
+              WHERE t.i < q.nb
+            ),
+            dec AS (
+              SELECT media_id, is_u, ch, n_frames, nb,
+                     CASE WHEN is_u THEN
+                       CASE WHEN (255 - v) >= 128 THEN -1 ELSE 1 END
+                       * ((((255 - v) % 16) * 8 + 132)
+                          * (1 << (((255 - v) // 16) % 8)) - 132)
+                     ELSE
+                       CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END
+                       * (CASE WHEN (xor(v, 85) // 16) % 8 = 0
+                               THEN (xor(v, 85) % 16) * 16 + 8
+                               ELSE ((xor(v, 85) % 16) * 16 + 264)
+                                    * (1 << ((xor(v, 85) // 16) % 8 - 1))
+                          END)
+                     END AS sample
+              FROM expanded
+            )
+            SELECT media_id,
+                   CASE WHEN is_u THEN 'ulaw' ELSE 'alaw' END AS format,
+                   CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                   ch AS channels,
+                   CAST(8000 AS INT) AS sample_rate_hz,
+                   CAST(n_frames AS BIGINT) AS n_samples,
+                   CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(sum(sample) AS BIGINT) AS payload_sum
+            FROM dec
+            GROUP BY media_id, is_u, ch, n_frames
         """,
         "media_decode": """
             WITH p AS (

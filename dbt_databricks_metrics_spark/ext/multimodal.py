@@ -7,15 +7,19 @@ Arrow-batched Pandas functions over `mapInPandas` — the right shape for
 through Arrow, and partitioning is by file/row-group.
 
 External codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container. Four container formats are decoded for REAL with stdlib
-only — BMP / WAV / PPM (header walk + raster sum, round 5) and PNG
-(zlib inflate + per-scanline unfilter incl. Paeth, round 6) — via
-:func:`decode_media`. Formats that require an external codec
-(JPEG/MP3/video) remain honestly stubbed: `decode_stub=True` (default)
-derives deterministic fake features from the bytes so the Spark-side
-plumbing — schema, batch iteration, partition behavior — is fully real
-and tested; `decode_stub=False` raises NotImplementedError where the
-codec call belongs.
+container. Seven formats are decoded for REAL with stdlib only via
+:func:`decode_media` — uncompressed containers BMP / WAV-PCM / PPM
+(header walk + raster sum, round 5) and three genuinely compressed
+codecs: PNG (zlib inflate + per-scanline unfilter incl. Paeth), GIF
+(variable-code-width LZW with late-change timing, validated against
+real-world encoder output), and G.711 mu-law/A-law WAV (logarithmic
+codeword expansion) — all round 6. Formats whose entropy coding is
+beyond a reasonable stdlib reimplementation (JPEG/MP3/H.264) remain
+honestly stubbed: `decode_stub=True` (default) derives deterministic
+fake features from the bytes so the Spark-side plumbing — schema,
+batch iteration, partition behavior — is fully real and tested;
+`decode_stub=False` raises NotImplementedError where the codec call
+belongs.
 """
 
 from __future__ import annotations
@@ -195,16 +199,19 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Real decode kernels (round 5): uncompressed containers (BMP, WAV, PPM)
-# parse with nothing but the bytes — header fields AND the raw raster/PCM
-# payload — so the multimodal path has a genuine, codec-free decode stage.
-# Compressed formats (JPEG/MP3/H.264) still need the stubbed codec hook.
+# Real decode kernels: uncompressed containers (BMP, WAV-PCM, PPM —
+# round 5) and compressed codecs (PNG deflate, GIF LZW, G.711 log-PCM —
+# round 6) parse with nothing but the bytes — header fields AND the
+# decoded raster/PCM payload — so the multimodal path has a genuine,
+# dependency-free decode stage. JPEG/MP3/H.264 still need the stubbed
+# codec hook.
 # --------------------------------------------------------------------------
 
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("format", T.StringType(), True),  # png | bmp | wav | ppm
+        # png | gif | bmp | wav | ulaw | alaw | ppm
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -242,9 +249,41 @@ def _decode_bmp(b: bytes):
     return ("bmp", w, rows, 3, None, w * rows, None, total)
 
 
+def _ulaw_expand(v: int) -> int:
+    """G.711 mu-law codeword -> linear 16-bit sample (public spec; the
+    classic g711.c ulaw2linear arithmetic: complement, split into
+    sign/segment/mantissa, rebuild the biased magnitude)."""
+    u = ~v & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _alaw_expand(v: int) -> int:
+    """G.711 A-law codeword -> linear 16-bit sample (g711.c
+    alaw2linear: XOR 0x55 toggle, segment 0 is linear, segments 1+
+    share the 0x108 bias then shift; sign bit SET means positive)."""
+    a = v ^ 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    if seg == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+_ULAW_TABLE = [_ulaw_expand(v) for v in range(256)]
+_ALAW_TABLE = [_alaw_expand(v) for v in range(256)]
+
+
 def _decode_wav(b: bytes):
-    """PCM WAV: fmt-chunk fields + data-chunk byte sum; duration from the
-    frame count at the declared rate (integer ms, floor)."""
+    """WAV: fmt-chunk fields + payload sum; duration from the frame
+    count at the declared rate (integer ms, floor). Three format tags:
+    1 (PCM — payload_sum is the raw data byte sum) and the G.711
+    compressed pair 7 (mu-law) / 6 (A-law), where every data byte is a
+    logarithmic codeword and payload_sum is the sum of the EXPANDED
+    linear 16-bit samples — so a wrong expansion table cannot go
+    unnoticed."""
     import struct
 
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -263,13 +302,22 @@ def _decode_wav(b: bytes):
         return None
     audio_fmt, ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt != 1 or ch == 0 or rate == 0 or bits % 8:
+    if ch == 0 or rate == 0 or bits % 8:
+        return None
+    if audio_fmt == 1:
+        name, table = "wav", None
+    elif audio_fmt == 7 and bits == 8:
+        name, table = "ulaw", _ULAW_TABLE
+    elif audio_fmt == 6 and bits == 8:
+        name, table = "alaw", _ALAW_TABLE
+    else:
         return None
     frame_bytes = ch * bits // 8
     n_frames = len(data) // frame_bytes
+    payload = sum(data) if table is None else sum(table[v] for v in data)
     return (
-        "wav", None, None, ch, rate, n_frames,
-        n_frames * 1000 // rate, sum(data),
+        name, None, None, ch, rate, n_frames,
+        n_frames * 1000 // rate, payload,
     )
 
 
@@ -301,6 +349,187 @@ def _decode_ppm(b: bytes):
     if len(raster) < w * h * 3:
         return None
     return ("ppm", w, h, 3, None, w * h, None, sum(raster))
+
+
+def _gif_lzw_decode(data: bytes, m: int, max_out: int):
+    """GIF-flavor LZW decode (spec appendix F, public): variable code
+    width starting at m+1 bits, LSB-first packing, CLEAR/EOI control
+    codes, dictionary capped at 4096. Code width grows when the table
+    fills the current width (len == 1 << width, checked after the add) —
+    GIF's "late change" timing, validated against real-world GIFs from
+    mainstream encoders in the tests (TIFF-LZW's early change, one slot
+    sooner, desyncs on those same files). Returns the index raster, or
+    None on any malformed stream; output is hard-capped at max_out so a
+    crafted stream cannot balloon."""
+    if not 2 <= m <= 8:
+        return None
+    clear = 1 << m
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    cs = m + 1
+    prev = None
+    out = bytearray()
+    buf = nbits = pos = 0
+    while True:
+        while nbits < cs:
+            if pos >= len(data):
+                # clean exhaustion without EOI: historic encoders differ
+                # by one on the EOI code's width, so the terminator can
+                # fall off the last byte — the caller's exact-length
+                # check is the real gate
+                return bytes(out)
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << cs) - 1)
+        buf >>= cs
+        nbits -= cs
+        if code == clear:
+            table = list(base)
+            cs = m + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+
+
+def _gif_lzw_encode(data: bytes, m: int) -> bytes:
+    """Real greedy LZW encoder (longest dictionary match), the exact
+    inverse discipline of :func:`_gif_lzw_decode`: emits CLEAR first,
+    widens one add LATER than the decoder (the decoder's dictionary
+    lags the encoder's by exactly one entry, so "encoder next ==
+    (1 << cs) + 1" lands on the same code position as the decoder's
+    "table len == 1 << cs"), and emits CLEAR + resets when the
+    dictionary hits 4096."""
+    clear = 1 << m
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, clear + 2, m + 1
+
+    table, next_code, cs = fresh()
+    emit(clear, cs)
+    w = b""
+    for c in data:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], cs)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:
+            emit(clear, cs)
+            table, next_code, cs = fresh()
+        w = bytes([c])
+    if w:
+        emit(table[w], cs)
+        # phantom add: the decoder registers a dictionary entry on EVERY
+        # code it reads (flush emit included), so the encoder must mirror
+        # that accounting or the EOI width desyncs by one at the tail
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+    emit(clear + 1, cs)  # EOI
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(b: bytes):
+    """REAL compressed-format decode, stdlib only: GIF87a/89a header +
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped by sub-block walk, then the first image's LZW index
+    raster fully decompressed. payload_sum is the sum of the DECODED
+    palette indices (channels=1: the raster is indexed), so a wrong
+    code-width transition, dictionary entry, or sub-block reassembly
+    shifts the sum and fails the value hash. Interlaced images and
+    anything malformed return None (no-row-disappears contract)."""
+    import struct
+
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w0, h0 = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct_n = 0
+    if packed & 0x80:
+        gct_n = 2 << (packed & 7)
+        pos += 3 * gct_n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer before any image
+            return None
+        if blk == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:  # image descriptor is the only other block
+            return None
+        if pos + 9 > len(b):
+            return None
+        _lf, _tp, iw, ih, ip = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        pal_n = gct_n
+        if ip & 0x80:  # local color table overrides
+            pal_n = 2 << (ip & 7)
+            pos += 3 * pal_n
+        if ip & 0x40 or pal_n == 0:  # interlace unsupported; no palette
+            return None
+        if pos >= len(b):
+            return None
+        m = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        # bomb guard: raster size is known BEFORE decompressing, and the
+        # LZW decode is itself capped at that many output bytes
+        if iw == 0 or ih == 0 or iw * ih > 128 * 1024 * 1024:
+            return None
+        idx = _gif_lzw_decode(bytes(data), m, iw * ih)
+        if idx is None or len(idx) != iw * ih or max(idx) >= pal_n:
+            return None
+        return ("gif", w0, h0, 1, None, iw * ih, None, sum(idx))
+    return None
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
@@ -396,7 +625,7 @@ def _decode_png(b: bytes):
     return ("png", w, h, ch, None, w * h, None, sum(raster))
 
 
-_DECODERS = (_decode_png, _decode_bmp, _decode_wav, _decode_ppm)
+_DECODERS = (_decode_png, _decode_gif, _decode_bmp, _decode_wav, _decode_ppm)
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -607,6 +836,146 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
         for pdf in it:
             rows = [
                 (mid, "image", _png(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def _gif_encode(
+    w: int,
+    h: int,
+    palette: bytes,
+    indices: bytes,
+    min_code_size: int,
+    local_palette: bool = False,
+    extensions: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer: logical screen descriptor, global OR local
+    color table (3 bytes/entry, power-of-two length), optional graphic
+    control + comment extensions (to exercise the decoder's sub-block
+    skip), one image descriptor, LZW-compressed index raster split into
+    <=255-byte sub-blocks. Shared by :func:`synthesize_gif` and the
+    property tests so encoder and tests cannot drift apart."""
+    import struct
+
+    n = len(palette) // 3
+    pbits = n.bit_length() - 1  # palette length is a power of two
+    out = bytearray(b"GIF89a")
+    if local_palette:
+        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
+    else:
+        out += struct.pack("<HHBBB", w, h, 0xF0 | (pbits - 1), 0, 0)
+        out += palette
+    if extensions:
+        # graphic control (4-byte body) + a 2-sub-block comment
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05synth\x03gif\x00"
+    out += struct.pack("<BHHHH", 0x2C, 0, 0, w, h)
+    if local_palette:
+        out.append(0x80 | (pbits - 1))
+        out += palette
+    else:
+        out.append(0)
+    out.append(min_code_size)
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif(documents: DataFrame) -> DataFrame:
+    """REAL GIF bytes — genuinely LZW-compressed index rasters whose
+    palette size cycles 16/64/256 colors by ``id % 3`` (so the decoder
+    exercises 5-, 7- and 9-bit starting code widths AND the mid-stream
+    width growth), with odd ids carrying a local color table plus
+    graphic-control/comment extensions the decoder must skip. The
+    DECODED index at pixel i is ``(37*id + i) mod M`` by construction —
+    a closed-form function of the id — so a SQL oracle predicts the
+    raster index sum without touching binary; the variable-width LZW
+    stream is exactly what :func:`_decode_gif` must undo to recover
+    it."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _gif(mid: int) -> bytes:
+        w, h = 6 + mid % 10, 4 + mid % 7
+        m_colors = (16, 64, 256)[mid % 3]
+        seed = (37 * mid) % m_colors
+        indices = bytes((seed + i) % m_colors for i in range(w * h))
+        palette = bytes(
+            (j * k + o) % 256
+            for j in range(m_colors)
+            for k, o in ((3, 1), (5, 2), (7, 3))
+        )
+        return _gif_encode(
+            w,
+            h,
+            palette,
+            indices,
+            m_colors.bit_length() - 1,
+            local_palette=bool(mid % 2),
+            extensions=bool(mid % 2),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, "image", _gif(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def synthesize_g711(documents: DataFrame) -> DataFrame:
+    """REAL G.711 WAV bytes — format tag 7 (mu-law) for even ids, 6
+    (A-law) for odd — whose data byte i is ``((23*id) + i) mod 256``:
+    the codeword stream sweeps ALL 256 codewords, so the decode side
+    exercises every segment/mantissa/sign combination of both expansion
+    tables. payload_sum is the sum of the EXPANDED linear samples, which
+    a SQL oracle reproduces from the G.711 bit-field arithmetic alone."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _g711(mid: int) -> bytes:
+        tag = 7 if mid % 2 == 0 else 6
+        ch = 1 + mid % 2
+        rate = 8000
+        n_frames = 40 + mid % 30
+        data = bytes(((23 * mid) + i) % 256 for i in range(n_frames * ch))
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, "audio", _g711(int(mid))) for mid in pdf["media_id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 

@@ -498,3 +498,144 @@ def test_png_decoder_never_raises_on_arbitrary_bytes(data):
 
     _decode_png(data)
     _decode_png(b"\x89PNG\r\n\x1a\n" + data)
+
+
+# ------------------------------------------------ GIF decode (round 6)
+# The second compressed-format kernel: variable-code-width LZW. The
+# properties pin the classic traps — code-width growth timing (encoder
+# runs one dictionary entry ahead of the decoder), the KwKwK case, the
+# 4096-entry dictionary reset, and sub-block reassembly — for ANY
+# palette size / geometry / payload, not just synthesize_gif's grid.
+
+
+@given(
+    m=st.integers(2, 8),
+    data=st.binary(min_size=0, max_size=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrips_any_stream(m, data):
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = bytes(v % (1 << m) for v in data)  # clamp to alphabet
+    assert _gif_lzw_decode(_gif_lzw_encode(data, m), m, len(data)) == data
+
+
+def test_gif_lzw_dictionary_reset_roundtrips():
+    """A stream long and repetitive enough to fill all 4096 dictionary
+    slots forces the mid-stream CLEAR + reset path on both sides."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8, len(data)) == data
+    # low-entropy variant: long matches grow the dictionary DEEP (KwKwK
+    # chains) rather than wide
+    data = bytes([0, 1] * 9000 + [2] * 5000)
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+
+
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 15),
+    mbits=st.sampled_from([2, 4, 6, 8]),
+    seed=st.integers(0, 255),
+    local=st.booleans(),
+    exts=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_decode_roundtrips_any_geometry(w, h, mbits, seed, local, exts):
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_gif,
+        _gif_encode,
+    )
+
+    n_colors = 1 << mbits
+    idx = bytes((seed + i) % n_colors for i in range(w * h))
+    palette = bytes((j * 3 + 1) % 256 for j in range(n_colors) for _ in range(3))
+    g = _gif_encode(w, h, palette, idx, mbits, local_palette=local,
+                    extensions=exts)
+    assert _decode_gif(g) == ("gif", w, h, 1, None, w * h, None, sum(idx))
+
+
+def test_gif_decode_rejects_interlace_and_missing_palette():
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_gif,
+        _gif_encode,
+    )
+
+    idx = bytes(range(16)) * 4
+    palette = bytes(48)
+    g = bytearray(_gif_encode(8, 8, palette, idx, 4))
+    ip = g.index(0x2C, 13 + 48)  # image descriptor after header+GCT
+    g[ip + 9] |= 0x40  # interlace flag
+    assert _decode_gif(bytes(g)) is None
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_gif_decoder_never_raises_on_arbitrary_bytes(data):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_gif
+
+    _decode_gif(data)
+    _decode_gif(b"GIF89a" + data)
+
+
+# ------------------------------------------------ G.711 decode (round 6)
+
+
+def test_g711_tables_match_spec_anchors():
+    """Known codeword anchors from the public G.711 tables: both zeros,
+    both extremes, full-cycle antisymmetry (every magnitude appears once
+    per sign), and mu-law's characteristic 0x84 bias arithmetic."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    assert sum(_ULAW_TABLE) == 0 and sum(_ALAW_TABLE) == 0
+    # sign halves mirror exactly
+    for t, flip in ((_ULAW_TABLE, 0x80), (_ALAW_TABLE, 0x80)):
+        assert all(t[v] == -t[v ^ flip] for v in range(256))
+
+
+@given(
+    tag=st.sampled_from([6, 7]),
+    ch=st.integers(1, 2),
+    n_frames=st.integers(1, 100),
+    seed=st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_g711_wav_decode_roundtrips(tag, ch, n_frames, seed):
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _decode_wav,
+    )
+
+    data = bytes((seed + i) % 256 for i in range(n_frames * ch))
+    fmt = struct.pack("<HHIIHH", tag, ch, 8000, 8000 * ch, ch, 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+    assert _decode_wav(wav) == (
+        "ulaw" if tag == 7 else "alaw", None, None, ch, 8000, n_frames,
+        n_frames * 1000 // 8000, sum(table[v] for v in data),
+    )
