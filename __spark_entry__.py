@@ -4703,6 +4703,26 @@ def _q_media_decode_g711(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_media_decode_jpeg(spark, sf_dir):
+    # REAL compressed-format decode #3 (round 6): baseline JPEG (ITU
+    # T.81) — marker walk, canonical huffman decode of the entropy
+    # stream (0xFF00 unstuffing), DC prediction + EXTEND, dequantize,
+    # de-zigzag, exact separable float64 IDCT. synthesize_jpeg emits
+    # DC-only blocks over a flat q-table of 16s, so each decoded block
+    # is the exact integer constant 2*dc_q + 128 (IDCT of a DC-only
+    # block is F(0,0)/8 in every cell — no float rounding anywhere) and
+    # the DuckDB oracle predicts payload_sum arithmetically; AC paths
+    # are pinned by property tests against an independent naive IDCT
+    # and by a real-world-encoder JPEG embedded in the suite.
+    # All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_jpeg(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5483,6 +5503,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": _q_media_decode_png,
         "media_decode_gif": _q_media_decode_gif,
         "media_decode_g711": _q_media_decode_g711,
+        "media_decode_jpeg": _q_media_decode_jpeg,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -8050,6 +8071,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sample) AS BIGINT) AS payload_sum
             FROM dec
             GROUP BY media_id, is_u, ch, n_frames
+        """,
+        # baseline-JPEG replay: block b decodes to the constant
+        # 2*dc_q(b) + 128 with dc_q(b) = ((41*id + 7*b) mod 128) - 64,
+        # so payload_sum = sum_b 64*(2*dc_q + 128) = 128 * sum_b
+        # ((41*id + 7*b) mod 128) — generated per-block rows, pure
+        # arithmetic, no binary parsing oracle-side
+        "media_decode_jpeg": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % 4 AS INT) AS bw,
+                     CAST(1 + doc_id % 3 AS INT) AS bh,
+                     (41 * doc_id) % 128 AS s
+              FROM documents
+            ),
+            blocks AS (
+              SELECT p.*, (p.s + 7 * t.i) % 128 AS dcmod
+              FROM p CROSS JOIN range(12) t(i)
+              WHERE t.i < p.bw * p.bh
+            )
+            SELECT media_id,
+                   'jpeg' AS format,
+                   CAST(bw * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(NULL AS INT) AS sample_rate_hz,
+                   CAST(bw * bh * 64 AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(128 * sum(dcmod) AS BIGINT) AS payload_sum
+            FROM blocks
+            GROUP BY media_id, bw, bh
         """,
         "media_decode": """
             WITH p AS (

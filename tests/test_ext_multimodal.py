@@ -310,3 +310,65 @@ def test_decode_gif_real_world_encoders():
 
     for raw, want in _REAL_GIFS:
         assert _decode_gif(raw) == want
+
+
+# ------------------------------------------------- JPEG kernel (round 6)
+
+
+def test_decode_media_roundtrips_synthesized_jpeg(spark):
+    """synthesize_jpeg emits REAL huffman-coded baseline JPEGs with
+    DC-only blocks; decode_media must recover the exact constant-block
+    rasters (q0=16 makes the IDCT output an exact integer)."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_jpeg(docs)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(media).collect()
+    }
+    assert len(got) == 30
+    for mid, r in got.items():
+        bw, bh = 1 + mid % 4, 1 + mid % 3
+        assert r["format"] == "jpeg"
+        assert r["width"] == bw * 8
+        assert r["height"] == bh * 8
+        assert r["channels"] == 1
+        assert r["n_samples"] == bw * bh * 64
+        assert r["payload_sum"] == 128 * sum(
+            (41 * mid + 7 * b) % 128 for b in range(bw * bh)
+        )
+
+
+# A REAL grayscale JPEG written by libjpeg (IPython's 2x2 test fixture,
+# BSD license): carries the actual Annex K luminance huffman tables and
+# the standard quality-50 quantization table in its DQT/DHT segments —
+# decoding it exactly validates the marker walk, canonical huffman
+# construction, and entropy decode against a mainstream encoder.
+_REAL_JPEG_2X2 = (
+    b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    b"\xff\xdb\x00C\x00\x08\x06\x06\x07\x06\x05\x08\x07\x07\x07\t\t\x08\n"
+    b"\x0c\x14\r\x0c\x0b\x0b\x0c\x19\x12\x13\x0f\x14\x1d\x1a\x1f\x1e\x1d"
+    b"\x1a\x1c\x1c $.' \",#\x1c\x1c(7),01444\x1f'9=82<.342\xff\xc0\x00\x0b"
+    b"\x08\x00\x02\x00\x02\x01\x01\x11\x00\xff\xc4\x00\x1f\x00\x00\x01\x05"
+    b"\x01\x01\x01\x01\x01\x01\x00\x00\x00\x00\x00\x00\x00\x00\x01\x02\x03"
+    b"\x04\x05\x06\x07\x08\t\n\x0b\xff\xc4\x00\xb5\x10\x00\x02\x01\x03\x03"
+    b"\x02\x04\x03\x05\x05\x04\x04\x00\x00\x01}\x01\x02\x03\x00\x04\x11"
+    b"\x05\x12!1A\x06\x13Qa\x07\"q\x142\x81\x91\xa1\x08#B\xb1\xc1\x15R"
+    b"\xd1\xf0$3br\x82\t\n\x16\x17\x18\x19\x1a%&'()*456789:CDEFGHIJSTUVWX"
+    b"YZcdefghijstuvwxyz\x83\x84\x85\x86\x87\x88\x89\x8a\x92\x93\x94\x95"
+    b"\x96\x97\x98\x99\x9a\xa2\xa3\xa4\xa5\xa6\xa7\xa8\xa9\xaa\xb2\xb3"
+    b"\xb4\xb5\xb6\xb7\xb8\xb9\xba\xc2\xc3\xc4\xc5\xc6\xc7\xc8\xc9\xca"
+    b"\xd2\xd3\xd4\xd5\xd6\xd7\xd8\xd9\xda\xe1\xe2\xe3\xe4\xe5\xe6\xe7"
+    b"\xe8\xe9\xea\xf1\xf2\xf3\xf4\xf5\xf6\xf7\xf8\xf9\xfa\xff\xda\x00"
+    b"\x08\x01\x01\x00\x00?\x00+\xff\xd9"
+)
+
+
+def test_decode_jpeg_real_world_encoder():
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_jpeg
+
+    # libjpeg-encoded all-gray 2x2: four pixels of 128
+    assert _decode_jpeg(_REAL_JPEG_2X2) == (
+        "jpeg", 2, 2, 1, None, 4, None, 512,
+    )

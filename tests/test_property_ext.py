@@ -639,3 +639,113 @@ def test_g711_wav_decode_roundtrips(tag, ch, n_frames, seed):
         "ulaw" if tag == 7 else "alaw", None, None, ch, 8000, n_frames,
         n_frames * 1000 // 8000, sum(table[v] for v in data),
     )
+
+
+# ------------------------------------------------ JPEG decode (round 6)
+# The third compressed-format kernel. The reference below is an
+# INDEPENDENT naive IDCT (quadruple-loop spec formula) — the library
+# uses the separable matrix form, so agreement is a genuine
+# cross-implementation check, not self-comparison.
+
+
+def _naive_idct(fmat):
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4 * fmat[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = s
+    return out
+
+
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decode_matches_naive_idct(bw, bh, seed):
+    """Arbitrary quantized coefficients (DC + sparse AC, random
+    q-table): the decoded pixel sum must agree with the naive-IDCT
+    reference within 1 per pixel (float summation-order headroom; in
+    practice it is exact)."""
+    import random
+
+    import numpy as np
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg,
+        _jpeg_encode,
+    )
+
+    rng = random.Random(seed)
+    qt = [16] + [rng.randrange(1, 32) for _ in range(63)]
+    blocks = []
+    for _ in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = rng.randrange(-128, 128)
+        for _ in range(rng.randrange(0, 16)):
+            blk[rng.randrange(1, 64)] = rng.randrange(-300, 300)
+        blocks.append(blk)
+    got = _decode_jpeg(_jpeg_encode(bw * 8, bh * 8, blocks, qt))
+    assert got is not None
+    assert got[:7] == ("jpeg", bw * 8, bh * 8, 1, None, bw * bh * 64, None)
+    ref = 0
+    for blk in blocks:
+        fmat = np.zeros((8, 8))
+        for k in range(64):
+            fmat.flat[_ZIGZAG[k]] = blk[k] * qt[k]
+        pix = np.clip(np.round(_naive_idct(fmat)) + 128, 0, 255)
+        ref += int(pix.sum())
+    assert abs(got[7] - ref) <= bw * bh * 64
+
+
+def test_jpeg_dense_ac_and_zrl_paths():
+    """A fully dense block (no EOB) and a block with long zero runs
+    (ZRL emission) both round-trip."""
+    import numpy as np
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg,
+        _jpeg_encode,
+    )
+
+    dense = [((7 * k + 3) % 19) - 9 or 1 for k in range(64)]
+    sparse = [0] * 64
+    sparse[0], sparse[40], sparse[63] = 5, -7, 3  # runs > 15 -> ZRL
+    qt = [16] * 64
+    for blocks in ([dense], [sparse], [dense, sparse]):
+        got = _decode_jpeg(_jpeg_encode(8 * len(blocks), 8, blocks, qt))
+        assert got is not None
+        ref = 0
+        for blk in blocks:
+            fmat = np.zeros((8, 8))
+            for k in range(64):
+                fmat.flat[_ZIGZAG[k]] = blk[k] * qt[k]
+            pix = np.clip(np.round(_naive_idct(fmat)) + 128, 0, 255)
+            ref += int(pix.sum())
+        assert abs(got[7] - ref) <= len(blocks) * 64
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_decoder_never_raises_on_arbitrary_bytes(data):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_jpeg
+
+    _decode_jpeg(data)
+    _decode_jpeg(b"\xff\xd8" + data)
+    _decode_jpeg(b"\xff\xd8\xff\xdb\x00C\x00" + data)
