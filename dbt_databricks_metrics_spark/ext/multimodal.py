@@ -9,16 +9,18 @@ through Arrow, and partitioning is by file/row-group.
 External codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
 container. Eight formats are decoded for REAL with stdlib+numpy only
 via :func:`decode_media` — uncompressed containers BMP / WAV-PCM / PPM
-(header walk + raster sum, round 5) and four genuinely compressed
-codecs (round 6): PNG (zlib inflate + per-scanline unfilter incl.
-Paeth), GIF (variable-code-width LZW with late-change timing,
-validated against real-world encoder output), G.711 mu-law/A-law WAV
-(logarithmic codeword expansion), and baseline JPEG (canonical huffman
-entropy decode, DC prediction, dequantize, de-zigzag, exact separable
-IDCT — validated against a real libjpeg-encoded file and an
-independent naive IDCT). Formats whose codecs are beyond a reasonable
-dependency-free reimplementation (MP3/H.264, progressive or
-chroma-subsampled JPEG) remain honestly stubbed: `decode_stub=True`
+(header walk + raster sum, round 5) and, from round 6, genuinely
+compressed codecs across all three modalities: PNG (zlib inflate +
+per-scanline unfilter incl. Paeth) and GIF (variable-code-width LZW
+with late-change timing, validated against real-world encoder output)
+for images, G.711 mu-law/A-law WAV (logarithmic codeword expansion)
+for audio, baseline JPEG (canonical huffman entropy decode, DC
+prediction, dequantize, de-zigzag, exact separable IDCT — validated
+against a real libjpeg-encoded file and an independent naive IDCT),
+and MJPEG-in-AVI video (RIFF tree walk + per-frame JPEG decode).
+Codecs beyond a reasonable dependency-free reimplementation
+(MP3/H.264, progressive or chroma-subsampled JPEG) remain honestly
+stubbed: `decode_stub=True`
 (default) derives deterministic fake features from the bytes so the
 Spark-side plumbing — schema, batch iteration, partition behavior — is
 fully real and tested; `decode_stub=False` raises NotImplementedError
@@ -204,16 +206,16 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # Real decode kernels: uncompressed containers (BMP, WAV-PCM, PPM —
 # round 5) and compressed codecs (PNG deflate, GIF LZW, G.711 log-PCM,
-# baseline JPEG — round 6) parse with nothing but the bytes — header
-# fields AND the decoded raster/PCM payload — so the multimodal path
-# has a genuine, dependency-free decode stage. MP3/H.264 still need
-# the stubbed codec hook.
+# baseline JPEG, MJPEG/AVI video — round 6) parse with nothing but the
+# bytes — header fields AND the decoded raster/PCM payload — so the
+# multimodal path has a genuine, dependency-free decode stage across
+# all three modalities. MP3/H.264 still need the stubbed codec hook.
 # --------------------------------------------------------------------------
 
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        # png | gif | bmp | wav | ulaw | alaw | ppm
+        # png | gif | jpeg | mjpeg | bmp | wav | ulaw | alaw | ppm
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -811,6 +813,65 @@ def _decode_jpeg(b: bytes):
     return ("jpeg", w, h, nf, None, w * h, None, payload)
 
 
+def _decode_avi_mjpeg(b: bytes):
+    """REAL video decode: motion-JPEG in an AVI (RIFF) container. Walks
+    the RIFF tree — 'avih' main header for dimensions and frame timing,
+    'movi' LIST for the per-frame '..dc' chunks — and decodes EVERY
+    frame through :func:`_decode_jpeg`. n_samples is the frame count,
+    duration_ms comes from the header's microseconds-per-frame, and
+    payload_sum is the sum of ALL frames' decoded pixel bytes, so one
+    wrong frame fails the value hash. Any frame that fails to decode,
+    or whose dimensions disagree with the header, returns None."""
+    import struct
+
+    if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    avih = None
+    frames = []
+
+    def walk(lo: int, hi: int) -> bool:
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                return False
+            if cid == b"LIST":
+                # subtype + nested chunks
+                if size < 4:
+                    return False
+                if not walk(body_lo + 4, body_hi):
+                    return False
+            elif cid == b"avih":
+                if size < 56:
+                    return False
+                avih = struct.unpack_from("<14I", b, body_lo)
+            elif cid[2:4] == b"dc":
+                frames.append(b[body_lo:body_hi])
+            pos = body_hi + (size & 1)  # RIFF chunks are word-aligned
+        return True
+
+    if not walk(12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])):
+        return None
+    if avih is None or not frames:
+        return None
+    usec_per_frame, w, h = avih[0], avih[8], avih[9]
+    if w == 0 or h == 0 or usec_per_frame == 0:
+        return None
+    total = 0
+    ch = None
+    for fr in frames:
+        dec = _decode_jpeg(fr)
+        if dec is None or dec[1] != w or dec[2] != h:
+            return None
+        ch = dec[3]
+        total += dec[7]
+    n = len(frames)
+    return ("mjpeg", w, h, ch, None, n, n * usec_per_frame // 1000, total)
+
+
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     """Reverse PNG per-scanline filtering (spec §9, public): each line
     starts with a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
@@ -908,6 +969,7 @@ _DECODERS = (
     _decode_png,
     _decode_gif,
     _decode_jpeg,
+    _decode_avi_mjpeg,
     _decode_bmp,
     _decode_wav,
     _decode_ppm,
@@ -1344,6 +1406,82 @@ def _jpeg_encode(w: int, h: int, qblocks, qt) -> bytes:
         if buf == 0xFF:
             ent.append(0x00)
     return bytes(out + ent + b"\xff\xd9")
+
+
+def _avi_encode(w: int, h: int, usec_per_frame: int, frames) -> bytes:
+    """Minimal AVI (RIFF) writer for an MJPEG video stream: hdrl LIST
+    with the 56-byte 'avih' main header and a vids/MJPG strl, then a
+    movi LIST with one word-aligned '00dc' chunk per JPEG frame. Shared
+    by :func:`synthesize_mjpeg` and the property tests."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1000000, usec_per_frame, 0, n,
+        0, 0, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def synthesize_mjpeg(documents: DataFrame) -> DataFrame:
+    """REAL AVI/MJPEG video bytes — 2-5 huffman-coded DC-only JPEG
+    frames per id (frame f, block b carries dc_q = ((41*id + 13*f +
+    7*b) mod 128) - 64), so every decoded pixel of every frame is a
+    closed-form function of (id, f, b) and a SQL oracle predicts the
+    whole-video payload_sum arithmetically. This gives the video
+    modality a genuine decode path (container walk + per-frame codec);
+    H.264 remains honestly stubbed."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _avi(mid: int) -> bytes:
+        bw, bh = 1 + mid % 3, 1 + mid % 2
+        n_frames = 2 + mid % 4
+        frames = []
+        for f in range(n_frames):
+            blocks = []
+            for bi in range(bw * bh):
+                blk = [0] * 64
+                blk[0] = ((41 * mid + 13 * f + 7 * bi) % 128) - 64
+                blocks.append(blk)
+            frames.append(_jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64))
+        return _avi_encode(bw * 8, bh * 8, 20000 * (1 + mid % 3), frames)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, "video", _avi(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def synthesize_jpeg(documents: DataFrame) -> DataFrame:

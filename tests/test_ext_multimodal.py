@@ -372,3 +372,53 @@ def test_decode_jpeg_real_world_encoder():
     assert _decode_jpeg(_REAL_JPEG_2X2) == (
         "jpeg", 2, 2, 1, None, 4, None, 512,
     )
+
+
+def test_decode_media_roundtrips_synthesized_mjpeg(spark):
+    """synthesize_mjpeg emits REAL AVI containers of huffman-coded JPEG
+    frames; decode_media must walk the RIFF tree and decode every
+    frame."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_mjpeg(docs)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(media).collect()
+    }
+    assert len(got) == 30
+    for mid, r in got.items():
+        bw, bh = 1 + mid % 3, 1 + mid % 2
+        nf = 2 + mid % 4
+        upf = 20000 * (1 + mid % 3)
+        assert r["format"] == "mjpeg"
+        assert r["width"] == bw * 8 and r["height"] == bh * 8
+        assert r["channels"] == 1
+        assert r["n_samples"] == nf
+        assert r["duration_ms"] == nf * upf // 1000
+        assert r["payload_sum"] == 128 * sum(
+            (41 * mid + 13 * f + 7 * b) % 128
+            for f in range(nf)
+            for b in range(bw * bh)
+        )
+
+
+def test_decode_avi_rejects_dimension_mismatch_and_bad_frames():
+    """A frame whose SOF dims disagree with the avih header, or a
+    corrupt frame, must fail the WHOLE video (no partial sums)."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _avi_encode,
+        _decode_avi_mjpeg,
+        _jpeg_encode,
+    )
+
+    blk = [0] * 64
+    blk[0] = 10
+    f8 = _jpeg_encode(8, 8, [blk], [16] * 64)
+    f16 = _jpeg_encode(16, 8, [blk, blk], [16] * 64)
+    assert _decode_avi_mjpeg(_avi_encode(8, 8, 40000, [f8, f8])) is not None
+    assert _decode_avi_mjpeg(_avi_encode(8, 8, 40000, [f8, f16])) is None
+    assert _decode_avi_mjpeg(
+        _avi_encode(8, 8, 40000, [f8, f8[:20]])
+    ) is None
+    assert _decode_avi_mjpeg(_avi_encode(8, 8, 40000, [])) is None

@@ -749,3 +749,46 @@ def test_jpeg_decoder_never_raises_on_arbitrary_bytes(data):
     _decode_jpeg(data)
     _decode_jpeg(b"\xff\xd8" + data)
     _decode_jpeg(b"\xff\xd8\xff\xdb\x00C\x00" + data)
+
+
+@given(
+    n_frames=st.integers(1, 6),
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 2),
+    seed=st.integers(0, 255),
+    upf=st.integers(1000, 100000),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_mjpeg_decode_roundtrips(n_frames, bw, bh, seed, upf):
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _avi_encode,
+        _decode_avi_mjpeg,
+        _jpeg_encode,
+    )
+
+    frames, exp = [], 0
+    for f in range(n_frames):
+        blocks = []
+        for bi in range(bw * bh):
+            blk = [0] * 64
+            dc = ((seed + 5 * f + 3 * bi) % 128) - 64
+            blk[0] = dc
+            blocks.append(blk)
+            exp += 64 * (2 * dc + 128)
+        frames.append(_jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64))
+    avi = _avi_encode(bw * 8, bh * 8, upf, frames)
+    assert _decode_avi_mjpeg(avi) == (
+        "mjpeg", bw * 8, bh * 8, 1, None, n_frames,
+        n_frames * upf // 1000, exp,
+    )
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_avi_decoder_never_raises_on_arbitrary_bytes(data):
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_avi_mjpeg,
+    )
+
+    _decode_avi_mjpeg(data)
+    _decode_avi_mjpeg(b"RIFF\xff\xff\x00\x00AVI " + data)
