@@ -4741,6 +4741,25 @@ def _q_media_decode_mjpeg(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_mjpeg_frame_sample(spark, sf_dir):
+    # REAL video FRAME SAMPLING (round 6): decode the MJPEG/AVI
+    # container and keep the first frame of each 60 ms bucket — the
+    # "one thumbnail per tick" shape of a multimodal training-data
+    # pipeline — emitting one row per kept frame with its timestamp
+    # and decoded pixel sum. The fixture's frame periods are 20/40/60
+    # ms by id, so the three bucket geometries (several frames per
+    # bucket, exact alignment, 1:1) are all exercised. Every output is
+    # a closed-form function of (id, frame, block), so the DuckDB
+    # oracle reproduces the sampling with a window function over a
+    # generated grid. All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_mjpeg(docs.select("doc_id"))
+    return multimodal.sample_mjpeg_frames(media, every_ms=60)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5523,6 +5542,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_g711": _q_media_decode_g711,
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_mjpeg": _q_media_decode_mjpeg,
+        "mjpeg_frame_sample": _q_mjpeg_frame_sample,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -8154,6 +8174,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(128 * sum(dcmod) AS BIGINT) AS payload_sum
             FROM grid
             GROUP BY media_id, bw, bh, n_frames, upf
+        """,
+        # frame sampling replay: per-frame pixel sums from the same
+        # (frame, block) grid as media_decode_mjpeg, then keep the
+        # first frame of each 60 ms bucket via a window function —
+        # exactly the kernel's bucket-dedup semantics
+        "mjpeg_frame_sample": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     (1 + doc_id % 3) AS bw,
+                     (1 + doc_id % 2) AS bh,
+                     (2 + doc_id % 4) AS nf,
+                     (20000 * (1 + doc_id % 3)) AS upf,
+                     (41 * doc_id) % 128 AS s
+              FROM documents
+            ),
+            fr AS (
+              SELECT p.*, f.i AS fi
+              FROM p CROSS JOIN range(5) f(i)
+              WHERE f.i < p.nf
+            ),
+            fsum AS (
+              SELECT media_id, bw, bh, upf, fi,
+                     CAST(128 * sum((s + 13 * fi + 7 * b.i) % 128)
+                          AS BIGINT) AS fps
+              FROM fr CROSS JOIN range(6) b(i)
+              WHERE b.i < bw * bh
+              GROUP BY media_id, bw, bh, upf, fi, s
+            ),
+            kept AS (
+              SELECT *,
+                     (fi * upf) // 1000 AS ts,
+                     ((fi * upf) // 1000) // 60 AS bucket
+              FROM fsum
+            )
+            SELECT media_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   CAST(ts AS BIGINT) AS ts_ms,
+                   CAST(bw * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   fps AS frame_pixel_sum
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY media_id, bucket ORDER BY fi) AS rn
+              FROM kept
+            )
+            WHERE rn = 1
         """,
         "media_decode": """
             WITH p AS (

@@ -575,6 +575,32 @@ def main() -> None:
 
     timed("ext_media_decode_png", _media_decode_bench)
 
+    def _media_decode_codecs_bench():
+        # the round-6 codec additions in one pass: LZW GIFs, huffman
+        # JPEGs, G.711 WAVs, and MJPEG/AVI videos synthesized for a
+        # quarter of the corpus each and pushed through the same
+        # decode_media dispatch — codec cost at corpus scale, not
+        # per-format microbenchmarks
+        from dbt_databricks_metrics_spark.ext import multimodal
+
+        quarter = docs.select("doc_id").filter(F.col("doc_id") % 4 == 0)
+        parts = [
+            multimodal.synthesize_gif(quarter),
+            multimodal.synthesize_jpeg(quarter),
+            multimodal.synthesize_g711(quarter),
+            multimodal.synthesize_mjpeg(quarter),
+        ]
+        media = parts[0]
+        for p in parts[1:]:
+            media = media.unionByName(p)
+        return (
+            multimodal.decode_media(media)
+            .agg(F.sum("payload_sum"), F.count(F.lit(1)))
+            .collect()
+        )
+
+    timed("ext_media_decode_codecs", _media_decode_codecs_bench)
+
     def _hybrid_bench():
         from dbt_databricks_metrics_spark.ext.search import hybrid_search_rrf
 

@@ -813,15 +813,13 @@ def _decode_jpeg(b: bytes):
     return ("jpeg", w, h, nf, None, w * h, None, payload)
 
 
-def _decode_avi_mjpeg(b: bytes):
-    """REAL video decode: motion-JPEG in an AVI (RIFF) container. Walks
-    the RIFF tree — 'avih' main header for dimensions and frame timing,
-    'movi' LIST for the per-frame '..dc' chunks — and decodes EVERY
-    frame through :func:`_decode_jpeg`. n_samples is the frame count,
-    duration_ms comes from the header's microseconds-per-frame, and
-    payload_sum is the sum of ALL frames' decoded pixel bytes, so one
-    wrong frame fails the value hash. Any frame that fails to decode,
-    or whose dimensions disagree with the header, returns None."""
+def _parse_avi_mjpeg(b: bytes):
+    """RIFF tree walk shared by :func:`_decode_avi_mjpeg` (aggregate
+    facts) and :func:`sample_mjpeg_frames` (per-frame rows): returns
+    (usec_per_frame, width, height, [decoded frame tuples]) or None.
+    Every '..dc' frame is decoded through :func:`_decode_jpeg`; a frame
+    that fails to decode or disagrees with the header's dimensions
+    fails the whole video (no partial results)."""
     import struct
 
     if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
@@ -860,16 +858,29 @@ def _decode_avi_mjpeg(b: bytes):
     usec_per_frame, w, h = avih[0], avih[8], avih[9]
     if w == 0 or h == 0 or usec_per_frame == 0:
         return None
-    total = 0
-    ch = None
+    decoded = []
     for fr in frames:
         dec = _decode_jpeg(fr)
         if dec is None or dec[1] != w or dec[2] != h:
             return None
-        ch = dec[3]
-        total += dec[7]
-    n = len(frames)
-    return ("mjpeg", w, h, ch, None, n, n * usec_per_frame // 1000, total)
+        decoded.append(dec)
+    return (usec_per_frame, w, h, decoded)
+
+
+def _decode_avi_mjpeg(b: bytes):
+    """REAL video decode: motion-JPEG in an AVI (RIFF) container —
+    aggregate facts over :func:`_parse_avi_mjpeg`. n_samples is the
+    frame count, duration_ms comes from the header's
+    microseconds-per-frame, and payload_sum is the sum of ALL frames'
+    decoded pixel bytes, so one wrong frame fails the value hash."""
+    parsed = _parse_avi_mjpeg(b)
+    if parsed is None:
+        return None
+    upf, w, h, decoded = parsed
+    n = len(decoded)
+    total = sum(dec[7] for dec in decoded)
+    ch = decoded[0][3]
+    return ("mjpeg", w, h, ch, None, n, n * upf // 1000, total)
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
@@ -1481,6 +1492,61 @@ def synthesize_mjpeg(documents: DataFrame) -> DataFrame:
 
     return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
         batches, schema=out_schema
+    )
+
+
+SAMPLED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def sample_mjpeg_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling (the de-stubbed counterpart of
+    :func:`sample_video_frames` for MJPEG/AVI): decode the container,
+    timestamp frame i at ``i * usec_per_frame // 1000`` ms, and keep
+    the FIRST frame of each ``every_ms`` bucket — the standard
+    "one thumbnail per second" shape of a training-data pipeline.
+    Emits one row per KEPT frame with its decoded pixel sum;
+    non-MJPEG or corrupt payloads contribute no rows (frame-level
+    quarantine is the per-video decode_media row's job). Arrow-batched
+    mapInPandas; at 100 TB the same shape reads real files, and the
+    sampling keeps the output a fraction of the frame count."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "ts_ms", "width", "height",
+            "frame_pixel_sum",
+        ]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                parsed = _parse_avi_mjpeg(bytes(content))
+                if parsed is None:
+                    continue
+                upf, w, h, decoded = parsed
+                prev_bucket = None
+                for i, dec in enumerate(decoded):
+                    ts = i * upf // 1000
+                    bucket = ts // every_ms
+                    if bucket == prev_bucket:
+                        continue
+                    prev_bucket = bucket
+                    rows.append((mid, i, ts, w, h, dec[7]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=SAMPLED_FRAME_SCHEMA
     )
 
 

@@ -422,3 +422,42 @@ def test_decode_avi_rejects_dimension_mismatch_and_bad_frames():
         _avi_encode(8, 8, 40000, [f8, f8[:20]])
     ) is None
     assert _decode_avi_mjpeg(_avi_encode(8, 8, 40000, [])) is None
+
+
+def test_sample_mjpeg_frames_bucket_semantics(spark):
+    """Frame sampling keeps the FIRST frame of each every_ms bucket,
+    with timestamps from the avih header — verified against a pure-
+    Python replay of the same rule."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_mjpeg(docs)
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["ts_ms"], r["frame_pixel_sum"])
+        for r in multimodal.sample_mjpeg_frames(media, every_ms=60).collect()
+    )
+    exp = []
+    for mid in range(24):
+        bw, bh = 1 + mid % 3, 1 + mid % 2
+        nf = 2 + mid % 4
+        upf = 20000 * (1 + mid % 3)
+        prev = None
+        for f in range(nf):
+            ts = f * upf // 1000
+            bucket = ts // 60
+            if bucket == prev:
+                continue
+            prev = bucket
+            fps = 128 * sum(
+                (41 * mid + 13 * f + 7 * b) % 128 for b in range(bw * bh)
+            )
+            exp.append((mid, f, ts, fps))
+    assert got == sorted(exp)
+    # every_ms=1 keeps every frame; non-MJPEG bytes contribute nothing
+    all_frames = multimodal.sample_mjpeg_frames(media, every_ms=1).count()
+    assert all_frames == sum(2 + mid % 4 for mid in range(24))
+    junk = spark.createDataFrame(
+        [(1, "video", b"not avi"), (2, "video", None)],
+        "media_id LONG, kind STRING, content BINARY",
+    )
+    assert multimodal.sample_mjpeg_frames(junk).count() == 0
