@@ -307,7 +307,7 @@ def _decode_wav(b: bytes):
         return None
     audio_fmt, ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if ch == 0 or rate == 0 or bits % 8:
+    if ch == 0 or rate == 0 or bits == 0 or bits % 8:
         return None
     if audio_fmt == 1:
         name, table = "wav", None
@@ -533,7 +533,11 @@ def _decode_gif(b: bytes):
         idx = _gif_lzw_decode(bytes(data), m, iw * ih)
         if idx is None or len(idx) != iw * ih or max(idx) >= pal_n:
             return None
-        return ("gif", w0, h0, 1, None, iw * ih, None, sum(idx))
+        # report the DECODED image's dimensions (optimized/animated GIFs
+        # may store a first frame that is a sub-rectangle of the logical
+        # screen), preserving the width*height == n_samples invariant
+        # every image decoder in this module upholds
+        return ("gif", iw, ih, 1, None, iw * ih, None, sum(idx))
     return None
 
 
@@ -675,6 +679,8 @@ def _decode_jpeg(b: bytes):
                 (dc_tabs if tc == 0 else ac_tabs)[th] = dec
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline sequential
+            if sof is not None:  # duplicate frame header: malformed
+                return None
             if len(seg) < 6:
                 return None
             prec = seg[0]
@@ -758,9 +764,6 @@ def _decode_jpeg(b: bytes):
 
     basis = _idct_basis()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(nf)
-    ]
     preds = [0] * nf
     try:
         tabs = [
@@ -769,8 +772,15 @@ def _decode_jpeg(b: bytes):
         ]
     except KeyError:
         return None
+    # payload is accumulated block by block (cropped to the w x h image
+    # at the right/bottom edges) — O(64) working memory regardless of
+    # declared dimensions, so the 128M-pixel guard above bounds CPU, not
+    # a full-frame allocation
+    payload = 0
     for by in range(bh):
+        rows_valid = min(8, h - by * 8)
         for bx in range(bw):
+            cols_valid = min(8, w - bx * 8)
             for ci in range(nf):
                 dc_tab, ac_tab, qt = tabs[ci]
                 s = huffdec(dc_tab)
@@ -795,7 +805,9 @@ def _decode_jpeg(b: bytes):
                         continue
                     k += rs >> 4
                     ssz = rs & 15
-                    if k > 63:
+                    # a size-0 symbol other than EOB/ZRL is DHT-legal
+                    # but stream-malformed (EXTEND is undefined for it)
+                    if k > 63 or ssz == 0:
                         return None
                     v = read_bits(ssz)
                     if v is None:
@@ -806,80 +818,76 @@ def _decode_jpeg(b: bytes):
                 fmat.flat[_ZIGZAG] = coef
                 block = basis.T @ fmat @ basis
                 pix = np.clip(np.round(block) + 128, 0, 255)
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pix.astype(np.int64)
-    payload = sum(int(p[:h, :w].sum()) for p in planes)
+                payload += int(pix[:rows_valid, :cols_valid].sum())
     return ("jpeg", w, h, nf, None, w * h, None, payload)
 
 
 def _parse_avi_mjpeg(b: bytes):
     """RIFF tree walk shared by :func:`_decode_avi_mjpeg` (aggregate
     facts) and :func:`sample_mjpeg_frames` (per-frame rows): returns
-    (usec_per_frame, width, height, [decoded frame tuples]) or None.
-    Every '..dc' frame is decoded through :func:`_decode_jpeg`; a frame
-    that fails to decode or disagrees with the header's dimensions
-    fails the whole video (no partial results)."""
+    (usec_per_frame, width, height, [raw frame bytes]) or None — frames
+    are NOT decoded here, so callers that keep only a subset (frame
+    sampling) pay the codec cost only for the frames they keep. The
+    walk uses an explicit work stack (a crafted file can nest LIST
+    chunks arbitrarily deep; recursion would be a crash vector)."""
     import struct
 
     if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     avih = None
     frames = []
-
-    def walk(lo: int, hi: int) -> bool:
-        nonlocal avih
-        pos = lo
+    riff_end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    stack = [(12, riff_end)]
+    while stack:
+        pos, hi = stack.pop()
         while pos + 8 <= hi:
             cid = b[pos : pos + 4]
             size = struct.unpack_from("<I", b, pos + 4)[0]
             body_lo, body_hi = pos + 8, pos + 8 + size
             if body_hi > hi:
-                return False
+                return None
+            pos = body_hi + (size & 1)  # RIFF chunks are word-aligned
             if cid == b"LIST":
-                # subtype + nested chunks
                 if size < 4:
-                    return False
-                if not walk(body_lo + 4, body_hi):
-                    return False
+                    return None
+                # resume the remainder of this level after the nested
+                # LIST body (LIFO order preserves document order)
+                stack.append((pos, hi))
+                pos, hi = body_lo + 4, body_hi
             elif cid == b"avih":
                 if size < 56:
-                    return False
+                    return None
                 avih = struct.unpack_from("<14I", b, body_lo)
             elif cid[2:4] == b"dc":
                 frames.append(b[body_lo:body_hi])
-            pos = body_hi + (size & 1)  # RIFF chunks are word-aligned
-        return True
-
-    if not walk(12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])):
-        return None
     if avih is None or not frames:
         return None
     usec_per_frame, w, h = avih[0], avih[8], avih[9]
     if w == 0 or h == 0 or usec_per_frame == 0:
         return None
-    decoded = []
-    for fr in frames:
-        dec = _decode_jpeg(fr)
-        if dec is None or dec[1] != w or dec[2] != h:
-            return None
-        decoded.append(dec)
-    return (usec_per_frame, w, h, decoded)
+    return (usec_per_frame, w, h, frames)
 
 
 def _decode_avi_mjpeg(b: bytes):
     """REAL video decode: motion-JPEG in an AVI (RIFF) container —
-    aggregate facts over :func:`_parse_avi_mjpeg`. n_samples is the
-    frame count, duration_ms comes from the header's
-    microseconds-per-frame, and payload_sum is the sum of ALL frames'
-    decoded pixel bytes, so one wrong frame fails the value hash."""
+    aggregate facts over :func:`_parse_avi_mjpeg`, decoding EVERY
+    frame. n_samples is the frame count, duration_ms comes from the
+    header's microseconds-per-frame, and payload_sum is the sum of ALL
+    frames' decoded pixel bytes, so one wrong frame — or a frame whose
+    dimensions disagree with the header — fails the whole video."""
     parsed = _parse_avi_mjpeg(b)
     if parsed is None:
         return None
-    upf, w, h, decoded = parsed
-    n = len(decoded)
-    total = sum(dec[7] for dec in decoded)
-    ch = decoded[0][3]
+    upf, w, h, frames = parsed
+    total = 0
+    ch = None
+    for fr in frames:
+        dec = _decode_jpeg(fr)
+        if dec is None or dec[1] != w or dec[2] != h:
+            return None
+        ch = dec[3]
+        total += dec[7]
+    n = len(frames)
     return ("mjpeg", w, h, ch, None, n, n * upf // 1000, total)
 
 
@@ -1495,6 +1503,29 @@ def synthesize_mjpeg(documents: DataFrame) -> DataFrame:
     )
 
 
+def _sample_mjpeg_rows(mid, content: bytes, every_ms: int):
+    """Per-video row builder behind :func:`sample_mjpeg_frames` (pure
+    Python, directly unit-testable): bucket membership is header
+    arithmetic, so only KEPT frames reach the JPEG codec."""
+    parsed = _parse_avi_mjpeg(content)
+    if parsed is None:
+        return []
+    upf, w, h, frames = parsed
+    rows = []
+    prev_bucket = None
+    for i, fr in enumerate(frames):
+        ts = i * upf // 1000
+        bucket = ts // every_ms
+        if bucket == prev_bucket:
+            continue
+        prev_bucket = bucket
+        dec = _decode_jpeg(fr)  # kept frames only
+        if dec is None or dec[1] != w or dec[2] != h:
+            continue
+        rows.append((mid, i, ts, w, h, dec[7]))
+    return rows
+
+
 SAMPLED_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1513,11 +1544,12 @@ def sample_mjpeg_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamp frame i at ``i * usec_per_frame // 1000`` ms, and keep
     the FIRST frame of each ``every_ms`` bucket — the standard
     "one thumbnail per second" shape of a training-data pipeline.
-    Emits one row per KEPT frame with its decoded pixel sum;
-    non-MJPEG or corrupt payloads contribute no rows (frame-level
-    quarantine is the per-video decode_media row's job). Arrow-batched
-    mapInPandas; at 100 TB the same shape reads real files, and the
-    sampling keeps the output a fraction of the frame count."""
+    Bucket membership is pure header arithmetic, so ONLY the kept
+    frames are JPEG-decoded — at 30 fps / 1 s ticks the codec runs on
+    ~3% of frames, which is the whole point of sampling at 100 TB.
+    Emits one row per kept frame with its decoded pixel sum; non-MJPEG
+    or corrupt payloads contribute no rows (whole-video quarantine is
+    the per-video decode_media row's job). Arrow-batched mapInPandas."""
     if every_ms <= 0:
         raise ValueError("every_ms must be positive")
 
@@ -1529,20 +1561,10 @@ def sample_mjpeg_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                parsed = _parse_avi_mjpeg(bytes(content))
-                if parsed is None:
-                    continue
-                upf, w, h, decoded = parsed
-                prev_bucket = None
-                for i, dec in enumerate(decoded):
-                    ts = i * upf // 1000
-                    bucket = ts // every_ms
-                    if bucket == prev_bucket:
-                        continue
-                    prev_bucket = bucket
-                    rows.append((mid, i, ts, w, h, dec[7]))
+                if content is not None:
+                    rows.extend(
+                        _sample_mjpeg_rows(mid, bytes(content), every_ms)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "content").mapInPandas(

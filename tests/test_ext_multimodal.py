@@ -461,3 +461,125 @@ def test_sample_mjpeg_frames_bucket_semantics(spark):
         "media_id LONG, kind STRING, content BINARY",
     )
     assert multimodal.sample_mjpeg_frames(junk).count() == 0
+
+
+# ------------------------------ round-6 review findings (regressions)
+
+
+def test_jpeg_size_zero_ac_symbol_returns_none():
+    """A DHT-legal AC symbol with size nibble 0 (other than EOB/ZRL),
+    e.g. 0x10, is stream-malformed: must return None, never raise
+    (review finding: ValueError via a negative shift in EXTEND)."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_jpeg
+
+    # hand-built JPEG whose AC table contains ONLY symbol 0x10 at 1 bit
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    out += (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    dc_counts = [1] + [0] * 15  # category 0 at 1 bit
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" + bytes(dc_counts) + b"\x00"
+    ac_counts = [1] + [0] * 15  # symbol 0x10 at 1 bit
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" + bytes(ac_counts) + b"\x10"
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\x00\xff\xd9"  # entropy: DC cat 0, then AC symbol 0x10
+    assert _decode_jpeg(bytes(out)) is None
+
+
+def test_jpeg_duplicate_sof0_returns_none():
+    """Two SOF0 segments must quarantine the file, not decode with a
+    mix of both headers' component/quant selections."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_jpeg,
+        _jpeg_encode,
+    )
+
+    blk = [0] * 64
+    blk[0] = 5
+    good = _jpeg_encode(8, 8, [blk], [16] * 64)
+    sof = good.index(b"\xff\xc0")
+    sof_seg = good[sof : sof + 13]  # marker + len(11)
+    doubled = good[: sof + 13] + sof_seg + good[sof + 13 :]
+    assert _decode_jpeg(good) is not None
+    assert _decode_jpeg(doubled) is None
+
+
+def test_wav_zero_bits_per_sample_returns_none():
+    """bits_per_sample=0 passes `bits % 8` but must not divide by a
+    zero frame size (review finding: ZeroDivisionError)."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 0, 0, 0)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    assert _decode_wav(wav) is None
+
+
+def test_avi_deeply_nested_lists_return_none_not_recursion_error():
+    """A crafted RIFF with thousands of nested LIST chunks must not
+    blow the recursion limit (review finding: RecursionError)."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_avi_mjpeg,
+    )
+
+    depth = 5000
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"xxxx" + body
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    assert _decode_avi_mjpeg(avi) is None
+
+
+def test_gif_subrectangle_first_frame_reports_image_dims():
+    """An image descriptor smaller than the logical screen (optimized
+    GIFs) must report the DECODED image's dims so width*height ==
+    n_samples holds."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_gif,
+        _gif_encode,
+    )
+
+    idx = bytes(i % 16 for i in range(4 * 3))
+    palette = bytes(48)
+    g = bytearray(_gif_encode(4, 3, palette, idx, 4))
+    # enlarge the logical screen only; image descriptor stays 4x3
+    struct.pack_into("<HH", g, 6, 100, 80)
+    got = _decode_gif(bytes(g))
+    assert got == ("gif", 4, 3, 1, None, 12, None, sum(idx))
+
+
+def test_sample_mjpeg_frames_decodes_only_kept_frames(monkeypatch):
+    """Bucket membership is header arithmetic; the JPEG codec must run
+    only on kept frames (review finding: 97% wasted decode at 30 fps)."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    calls = {"n": 0}
+    real = multimodal._decode_jpeg
+
+    def counting(b):
+        calls["n"] += 1
+        return real(b)
+
+    monkeypatch.setattr(multimodal, "_decode_jpeg", counting)
+    blk = [0] * 64
+    blk[0] = 5
+    f = multimodal._jpeg_encode(8, 8, [blk], [16] * 64)
+    # 40 frames at 10 ms; 100 ms buckets keep every 10th frame (4 rows)
+    avi = multimodal._avi_encode(8, 8, 10000, [f] * 40)
+    rows = multimodal._sample_mjpeg_rows(1, avi, every_ms=100)
+    assert [(r[1], r[2]) for r in rows] == [(0, 0), (10, 100), (20, 200),
+                                            (30, 300)]
+    assert calls["n"] == 4  # codec ran ONLY on the 4 kept frames of 40
