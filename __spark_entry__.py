@@ -4760,6 +4760,24 @@ def _q_mjpeg_frame_sample(spark, sf_dir):
     return multimodal.sample_mjpeg_frames(media, every_ms=60)
 
 
+def _q_audio_window_stats(spark, sf_dir):
+    # Windowed audio accounting (round 6): the silence/clipping gate of
+    # an audio-curation pipeline, over REAL decoded samples — G.711
+    # codewords expanded through the public tables, bucketed into 2 ms
+    # windows (16 frames at 8 kHz), emitting per-window sum|x|, peak|x|
+    # and the count at/above the 32000 clip threshold (mu-law tops at
+    # 32124, A-law at 32256, so real clips exist in the fixture's full
+    # codeword sweep). The DuckDB oracle reproduces the expansion
+    # arithmetic and the frame->window bucketing over a generated index
+    # grid. All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_g711(docs.select("doc_id"))
+    return multimodal.audio_window_stats(media, window_ms=2, clip_abs=32000)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5543,6 +5561,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_mjpeg": _q_media_decode_mjpeg,
         "mjpeg_frame_sample": _q_mjpeg_frame_sample,
+        "audio_window_stats": _q_audio_window_stats,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -8220,6 +8239,52 @@ def oracle_sql() -> dict[str, str]:
               FROM kept
             )
             WHERE rn = 1
+        """,
+        # windowed audio stats replay: same G.711 expansion arithmetic
+        # as media_decode_g711, then frame = i // ch, window = frame //
+        # 16 (2 ms at 8 kHz) and per-window |sample| aggregates
+        "audio_window_stats": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     doc_id % 2 = 0 AS is_u,
+                     (1 + doc_id % 2) AS ch,
+                     (40 + doc_id % 30) AS n_frames,
+                     (23 * doc_id) % 256 AS s
+              FROM documents
+            ),
+            q AS (SELECT *, n_frames * ch AS nb FROM p),
+            expanded AS (
+              SELECT q.*, t.i AS i, (q.s + t.i) % 256 AS v
+              FROM q CROSS JOIN range(140) t(i)
+              WHERE t.i < q.nb
+            ),
+            dec AS (
+              SELECT media_id, ch,
+                     (i // ch) // 16 AS w,
+                     abs(CASE WHEN is_u THEN
+                       CASE WHEN (255 - v) >= 128 THEN -1 ELSE 1 END
+                       * ((((255 - v) % 16) * 8 + 132)
+                          * (1 << (((255 - v) // 16) % 8)) - 132)
+                     ELSE
+                       CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END
+                       * (CASE WHEN (xor(v, 85) // 16) % 8 = 0
+                               THEN (xor(v, 85) % 16) * 16 + 8
+                               ELSE ((xor(v, 85) % 16) * 16 + 264)
+                                    * (1 << ((xor(v, 85) // 16) % 8 - 1))
+                          END)
+                     END) AS a
+              FROM expanded
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS window_idx,
+                   CAST(w * 2 AS BIGINT) AS start_ms,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(a) AS BIGINT) AS sum_abs,
+                   CAST(max(a) AS INT) AS peak_abs,
+                   CAST(sum(CASE WHEN a >= 32000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped
+            FROM dec
+            GROUP BY media_id, w
         """,
         "media_decode": """
             WITH p AS (

@@ -281,14 +281,10 @@ _ULAW_TABLE = [_ulaw_expand(v) for v in range(256)]
 _ALAW_TABLE = [_alaw_expand(v) for v in range(256)]
 
 
-def _decode_wav(b: bytes):
-    """WAV: fmt-chunk fields + payload sum; duration from the frame
-    count at the declared rate (integer ms, floor). Three format tags:
-    1 (PCM — payload_sum is the raw data byte sum) and the G.711
-    compressed pair 7 (mu-law) / 6 (A-law), where every data byte is a
-    logarithmic codeword and payload_sum is the sum of the EXPANDED
-    linear 16-bit samples — so a wrong expansion table cannot go
-    unnoticed."""
+def _wav_chunks(b: bytes):
+    """RIFF/WAVE chunk walk shared by :func:`_decode_wav` and
+    :func:`_wav_samples`: returns (audio_fmt, channels, rate, bits,
+    data bytes) or None."""
     import struct
 
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -309,6 +305,21 @@ def _decode_wav(b: bytes):
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if ch == 0 or rate == 0 or bits == 0 or bits % 8:
         return None
+    return audio_fmt, ch, rate, bits, data
+
+
+def _decode_wav(b: bytes):
+    """WAV: fmt-chunk fields + payload sum; duration from the frame
+    count at the declared rate (integer ms, floor). Three format tags:
+    1 (PCM — payload_sum is the raw data byte sum) and the G.711
+    compressed pair 7 (mu-law) / 6 (A-law), where every data byte is a
+    logarithmic codeword and payload_sum is the sum of the EXPANDED
+    linear 16-bit samples — so a wrong expansion table cannot go
+    unnoticed."""
+    parsed = _wav_chunks(b)
+    if parsed is None:
+        return None
+    audio_fmt, ch, rate, bits, data = parsed
     if audio_fmt == 1:
         name, table = "wav", None
     elif audio_fmt == 7 and bits == 8:
@@ -323,6 +334,111 @@ def _decode_wav(b: bytes):
     return (
         name, None, None, ch, rate, n_frames,
         n_frames * 1000 // rate, payload,
+    )
+
+
+def _wav_samples(b: bytes):
+    """WAV bytes -> (channels, rate, int16 sample array, interleaved):
+    16-bit PCM directly, or G.711 mu-law/A-law through the expansion
+    tables. Returns None for anything else (the stats kernel's
+    quarantine is 'contribute no rows')."""
+    import numpy as np
+
+    parsed = _wav_chunks(b)
+    if parsed is None:
+        return None
+    audio_fmt, ch, rate, bits, data = parsed
+    if audio_fmt == 1 and bits == 16:
+        n = len(data) // 2
+        samples = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
+    elif audio_fmt in (6, 7) and bits == 8:
+        table = np.asarray(
+            _ULAW_TABLE if audio_fmt == 7 else _ALAW_TABLE, dtype=np.int64
+        )
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        return None
+    # truncate to whole frames so windows never split a frame
+    n_frames = len(samples) // ch
+    return ch, rate, samples[: n_frames * ch]
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak_abs", T.IntegerType(), False),
+        T.StructField("n_clipped", T.LongType(), False),
+    ]
+)
+
+
+def _audio_window_rows(mid, content: bytes, window_ms: int, clip_abs: int):
+    """Per-file row builder behind :func:`audio_window_stats` (pure
+    Python + numpy, directly unit-testable)."""
+    import numpy as np
+
+    parsed = _wav_samples(content)
+    if parsed is None:
+        return []
+    ch, rate, samples = parsed
+    frames_per_window = rate * window_ms // 1000
+    if frames_per_window == 0 or len(samples) == 0:
+        return []
+    span = frames_per_window * ch
+    a = np.abs(samples)
+    rows = []
+    for w in range(0, (len(samples) + span - 1) // span):
+        seg = a[w * span : (w + 1) * span]
+        rows.append(
+            (
+                mid,
+                w,
+                w * window_ms,
+                len(seg),
+                int(seg.sum()),
+                int(seg.max()),
+                int((seg >= clip_abs).sum()),
+            )
+        )
+    return rows
+
+
+def audio_window_stats(
+    media: DataFrame, window_ms: int = 1000, clip_abs: int = 32000
+) -> DataFrame:
+    """Windowed audio accounting over DECODED samples — the
+    silence/clipping gate of an audio-curation pipeline: per
+    ``window_ms`` window, the sum and peak of |sample| (silence =
+    near-zero sum_abs, hot signal = peak near full scale) and the
+    count of samples at/above ``clip_abs``. Works on 16-bit PCM and
+    G.711 mu-law/A-law WAVs (expanded through the real tables);
+    anything else contributes no rows. Integer outputs only;
+    Arrow-batched mapInPandas, one pass over the bytes."""
+    if window_ms <= 0:
+        raise ValueError("window_ms must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "window_idx", "start_ms", "n_samples",
+            "sum_abs", "peak_abs", "n_clipped",
+        ]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is not None:
+                    rows.extend(
+                        _audio_window_rows(
+                            mid, bytes(content), window_ms, clip_abs
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=AUDIO_WINDOW_SCHEMA
     )
 
 

@@ -583,3 +583,60 @@ def test_sample_mjpeg_frames_decodes_only_kept_frames(monkeypatch):
     assert [(r[1], r[2]) for r in rows] == [(0, 0), (10, 100), (20, 200),
                                             (30, 300)]
     assert calls["n"] == 4  # codec ran ONLY on the 4 kept frames of 40
+
+
+def test_audio_window_stats_g711_and_pcm(spark):
+    """Windowed |sample| accounting over decoded audio: G.711 through
+    the expansion tables and 16-bit PCM directly, verified against a
+    pure-Python replay; junk bytes contribute no rows."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_g711(docs)
+    got = sorted(
+        tuple(r) for r in multimodal.audio_window_stats(
+            media, window_ms=2, clip_abs=32000
+        ).collect()
+    )
+    exp = []
+    for mid in range(12):
+        table = _ULAW_TABLE if mid % 2 == 0 else _ALAW_TABLE
+        ch = 1 + mid % 2
+        nf = 40 + mid % 30
+        samples = [
+            table[((23 * mid) + i) % 256] for i in range(nf * ch)
+        ]
+        span = 16 * ch  # 2 ms at 8 kHz
+        for w in range((len(samples) + span - 1) // span):
+            seg = [abs(s) for s in samples[w * span : (w + 1) * span]]
+            exp.append(
+                (mid, w, w * 2, len(seg), sum(seg), max(seg),
+                 sum(1 for s in seg if s >= 32000))
+            )
+    assert got == sorted(exp)
+    # clips genuinely occur (full codeword sweep tops both tables)
+    assert any(r[6] > 0 for r in got)
+
+    # 16-bit PCM path: one second of a known ramp at 1000 Hz rate
+    pcm = list(range(-500, 500))
+    data = b"".join(struct.pack("<h", s) for s in pcm)
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rows = multimodal._audio_window_rows(7, wav, 250, 400)
+    assert [r[1] for r in rows] == [0, 1, 2, 3]
+    assert all(r[3] == 250 for r in rows)
+    assert rows[0][4] == sum(abs(s) for s in pcm[:250])
+    assert rows[0][5] == 500 and rows[3][5] == 499
+    # clip count at threshold 400: |s| >= 400
+    assert rows[0][6] == sum(1 for s in pcm[:250] if abs(s) >= 400)
+    assert multimodal._audio_window_rows(1, b"junk", 10, 100) == []
