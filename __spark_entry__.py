@@ -1048,6 +1048,36 @@ def _q_routed_pricing(spark, sf_dir, with_ok=False):
     return j.select(*cols)
 
 
+def _q_pricing_natural(spark, sf_dir):
+    # Q1 NATURAL PRESENTATION (BASELINE.md round-7 queue (a), staged in
+    # r6 as a NEW contract so the re-cast lineitem_pricing keeps its
+    # prefix slot untouched): the TPC-H Q1 shape a user actually reads —
+    # sum_base_price / sum_disc_price / sum_charge / avg_* as DOUBLES —
+    # derived from the exact int64 partials (both engines divide
+    # identical integers; rule 9: such doubles hash freely, proven by
+    # pricing_probe_double's green r5 row), joined against the MV so the
+    # MEASURE() path is exercised and its integer count is hashed.
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_lineitem_pricing").query(
+        dimensions=["return_flag", "line_status"],
+        measures=["count_order"],
+    ).select("return_flag", "line_status", F.col("count_order").alias("_mn"))
+    g = _pricing_exact_parts(eng)
+    return mv.join(g, ["return_flag", "line_status"]).select(
+        "return_flag", "line_status",
+        F.col("_qty").alias("sum_qty"),
+        (F.col("_base_c") / 100.0).alias("sum_base_price"),
+        (F.col("_disc_u") / 10000.0).alias("sum_disc_price"),
+        (F.col("_chg_u") / 1000000.0).alias("sum_charge"),
+        (F.col("_qty") / F.col("_n").cast("double")).alias("avg_qty"),
+        (F.col("_base_c") / (100.0 * F.col("_n"))).alias("avg_price"),
+        (F.col("_dc") / (100.0 * F.col("_n"))).alias("avg_disc"),
+        F.col("_mn").cast("bigint").alias("count_order"),
+    )
+
+
 def _q_pricing_probe_int(spark, sf_dir):
     # DIAGNOSTIC TWIN A (VERDICT r4 #2): the pricing partials with NO MV
     # machinery and an ALL-INTEGER projection. Paired with
@@ -5562,6 +5592,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_mjpeg": _q_media_decode_mjpeg,
         "mjpeg_frame_sample": _q_mjpeg_frame_sample,
         "audio_window_stats": _q_audio_window_stats,
+        "pricing_natural": _q_pricing_natural,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -6088,6 +6119,33 @@ def oracle_sql() -> dict[str, str]:
                    qty / CAST(n AS DOUBLE) AS avg_qty,
                    base_c / (CAST(100 AS DOUBLE) * n) AS avg_price,
                    dc / (CAST(100 AS DOUBLE) * n) AS avg_disc
+            FROM g
+        """,
+        # Q1 natural presentation: the same exact-partials CTE, divided
+        # into the doubles a user reads (identical integers divided in
+        # both engines => identical IEEE doubles), plus the count
+        "pricing_natural": f"""
+            WITH g AS (
+                SELECT return_flag, line_status,
+                       count(*) AS n,
+                       sum(CAST(round(quantity) AS BIGINT)) AS qty,
+                       sum(CAST(round(extended_price * 100) AS BIGINT)) AS base_c,
+                       sum(CAST(round(extended_price * (1 - discount) * 10000) AS BIGINT)) AS disc_u,
+                       sum(CAST(round(extended_price * (1 - discount) * (1 + tax) * 1000000) AS BIGINT)) AS chg_u,
+                       sum(CAST(round(discount * 100) AS BIGINT)) AS dc
+                FROM ({_STG_LINEITEM})
+                WHERE ship_date <= DATE '2001-09-02'
+                GROUP BY 1, 2
+            )
+            SELECT return_flag, line_status,
+                   CAST(qty AS BIGINT) AS sum_qty,
+                   base_c / CAST(100 AS DOUBLE) AS sum_base_price,
+                   disc_u / CAST(10000 AS DOUBLE) AS sum_disc_price,
+                   chg_u / CAST(1000000 AS DOUBLE) AS sum_charge,
+                   qty / CAST(n AS DOUBLE) AS avg_qty,
+                   base_c / (CAST(100 AS DOUBLE) * n) AS avg_price,
+                   dc / (CAST(100 AS DOUBLE) * n) AS avg_disc,
+                   n AS count_order
             FROM g
         """,
         "routed_pricing": f"""
