@@ -4808,6 +4808,25 @@ def _q_audio_window_stats(spark, sf_dir):
     return multimodal.audio_window_stats(media, window_ms=2, clip_abs=32000)
 
 
+def _q_resized_thumbs(spark, sf_dir):
+    # REAL image resize (round 6, de-stubbing the last multimodal verb):
+    # synthesize PNGs, decode to RGB rasters, nearest-neighbor resample
+    # to 8x5, re-encode as top-down BMPs, then decode THOSE through
+    # decode_media — the full thumbnail chain (decode -> resample ->
+    # encode -> decode) in one plan. NN reads input pixel (x*w//8,
+    # y*h//5) and the PNG raster byte is (29*id + i) mod 256, so the
+    # thumbnail's byte sum is a closed-form double sum the DuckDB
+    # oracle evaluates over a generated (x, y, channel) grid (grayscale
+    # sources replicate across RGB). All-integer projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png(docs.select("doc_id"))
+    thumbs = multimodal.resize_images_real(media, 8, 5)
+    return multimodal.decode_media(thumbs)
+
+
 def _q_bloom_prune(spark, sf_dir):
     # Bloom-filter join pruning (Bloom 1970; operators/bloom.py): build a
     # 4096-bit / 3-hash bitset over the small-parts dim keys, probe every
@@ -5593,6 +5612,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frame_sample": _q_mjpeg_frame_sample,
         "audio_window_stats": _q_audio_window_stats,
         "pricing_natural": _q_pricing_natural,
+        "resized_thumbs": _q_resized_thumbs,
         "containment_pairs": _q_containment_pairs,
         "collocations": _q_collocations,
         "time_in_state": _q_time_in_state,
@@ -8343,6 +8363,47 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_clipped
             FROM dec
             GROUP BY media_id, w
+        """,
+        # thumbnail replay: out pixel (x, y) channel c reads PNG raster
+        # byte (29*id + src_index) mod 256 where src_index follows the
+        # NN mapping sx = x*w//8, sy = y*h//5 (grayscale sources
+        # replicate one byte across RGB)
+        "resized_thumbs": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     (4 + doc_id % 11) AS win,
+                     (3 + doc_id % 6) AS hin,
+                     CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+                     (29 * doc_id) % 256 AS s
+              FROM documents
+            ),
+            grid AS (
+              SELECT p.*,
+                     ((y.i * p.hin) // 5) * p.win + ((x.i * p.win) // 8)
+                         AS src_px,
+                     c.i AS c
+              FROM p
+              CROSS JOIN range(8) x(i)
+              CROSS JOIN range(5) y(i)
+              CROSS JOIN range(3) c(i)
+            ),
+            bytes AS (
+              SELECT media_id,
+                     (s + CASE WHEN ch = 3 THEN src_px * 3 + c
+                               ELSE src_px END) % 256 AS v
+              FROM grid
+            )
+            SELECT media_id,
+                   'bmp' AS format,
+                   CAST(8 AS INT) AS width,
+                   CAST(5 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(NULL AS INT) AS sample_rate_hz,
+                   CAST(40 AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(sum(v) AS BIGINT) AS payload_sum
+            FROM bytes
+            GROUP BY media_id
         """,
         "media_decode": """
             WITH p AS (

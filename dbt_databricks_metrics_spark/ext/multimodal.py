@@ -281,6 +281,195 @@ _ULAW_TABLE = [_ulaw_expand(v) for v in range(256)]
 _ALAW_TABLE = [_alaw_expand(v) for v in range(256)]
 
 
+def _decode_image_raster(b: bytes):
+    """Decode a supported still image to its top-down interleaved RGB
+    raster: (width, height, raster bytes). Grayscale and RGBA collapse
+    to RGB (gray replicated; alpha dropped), GIF indices map through
+    the palette, BMP's bottom-up row order is flipped. Returns None for
+    anything :func:`resize_images_real` can't resample (JPEG decode is
+    sum-only by design — see _decode_jpeg's O(64) memory note)."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        dec = _decode_png(b)
+        if dec is None:
+            return None
+        # re-run the cheap parts to get the raster (decode returned the
+        # sum); inflate+unfilter is the dominant cost either way
+        pos, ihdr, idat = 8, None, b""
+        import zlib
+
+        while pos + 8 <= len(b):
+            ln = struct.unpack_from(">I", b, pos)[0]
+            tag = b[pos + 4 : pos + 8]
+            if tag == b"IHDR":
+                ihdr = b[pos + 8 : pos + 8 + ln]
+            elif tag == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + ln]
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        w, h, _d, ctype = struct.unpack_from(">IIBB", ihdr)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        raw = zlib.decompressobj().decompress(idat, h * (1 + w * ch) + 1)
+        raster = _png_unfilter(raw, w, h, ch)
+        if raster is None:
+            return None
+        if ch == 3:
+            return w, h, raster
+        rgb = bytearray(w * h * 3)
+        for i in range(w * h):
+            v = raster[i * ch]  # gray (1/2ch) or R of RGBA
+            if ch == 4:
+                rgb[3 * i : 3 * i + 3] = raster[4 * i : 4 * i + 3]
+            else:
+                rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = v
+        return w, h, bytes(rgb)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        dec = _decode_gif(b)
+        if dec is None:
+            return None
+        # walk again for palette + indices (decode returned the sum)
+        packed = b[10]
+        pos, pal = 13, b""
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            pal = b[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(b):
+            blk = b[pos]
+            pos += 1
+            if blk == 0x21:
+                pos += 1
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if blk != 0x2C:
+                return None
+            _lf, _tp, iw, ih, ip = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                pal = b[pos : pos + 3 * n]
+                pos += 3 * n
+            m = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), m, iw * ih)
+            rgb = bytearray(iw * ih * 3)
+            for i, v in enumerate(idx):
+                rgb[3 * i : 3 * i + 3] = pal[3 * v : 3 * v + 3]
+            return iw, ih, bytes(rgb)
+        return None
+    if b[:2] == b"BM":
+        dec = _decode_bmp(b)
+        if dec is None:
+            return None
+        _f, w, h, _c, _r, _n, _d, _s = dec
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        raw_h = struct.unpack_from("<i", b, 22)[0]
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for r in range(h):
+            start = data_off + r * stride
+            rows.append(b[start : start + w * 3])
+        if raw_h > 0:  # bottom-up storage -> flip to top-down
+            rows.reverse()
+        return w, h, b"".join(rows)
+    if b.startswith(b"P6"):
+        dec = _decode_ppm(b)
+        if dec is None:
+            return None
+        _f, w, h, _c, _r, _n, _d, _s = dec
+        raster = b[-w * h * 3 :]
+        return w, h, raster
+    return None
+
+
+def _nearest_resize_rgb(w: int, h: int, raster: bytes, ow: int, oh: int):
+    """Nearest-neighbor resample of a top-down RGB raster: output pixel
+    (x, y) reads input pixel (x*w//ow, y*h//oh) — integer floor, the
+    standard NN convention, exactly reproducible in SQL."""
+    out = bytearray(ow * oh * 3)
+    for y in range(oh):
+        sy = y * h // oh
+        row = sy * w * 3
+        orow = y * ow * 3
+        for x in range(ow):
+            sx = x * w // ow
+            out[orow + 3 * x : orow + 3 * x + 3] = raster[
+                row + 3 * sx : row + 3 * sx + 3
+            ]
+    return bytes(out)
+
+
+def _bmp_encode_topdown(w: int, h: int, rgb: bytes) -> bytes:
+    """24bpp BITMAPINFOHEADER BMP with NEGATIVE height (top-down row
+    order, unambiguous) and 4-byte row padding."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(
+        rgb[r * w * 3 : (r + 1) * w * 3].ljust(stride, b"\x00")
+        for r in range(h)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + raster
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (the de-stubbed counterpart of
+    :func:`resize_images` for decodable formats): decode PNG / GIF /
+    BMP / PPM to the RGB raster, nearest-neighbor resample to
+    width x height, and re-encode as a top-down 24bpp BMP — so the
+    output is itself a decodable image (thumbnail pipelines chain).
+    Undecodable payloads contribute no rows. Arrow-batched
+    mapInPandas, one pass."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                dec = _decode_image_raster(bytes(content))
+                if dec is None:
+                    continue
+                w, h, raster = dec
+                out = _nearest_resize_rgb(w, h, raster, width, height)
+                rows.append(
+                    (mid, width, height, _bmp_encode_topdown(width, height, out))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def _wav_chunks(b: bytes):
     """RIFF/WAVE chunk walk shared by :func:`_decode_wav` and
     :func:`_wav_samples`: returns (audio_fmt, channels, rate, bits,

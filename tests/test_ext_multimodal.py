@@ -640,3 +640,63 @@ def test_audio_window_stats_g711_and_pcm(spark):
     # clip count at threshold 400: |s| >= 400
     assert rows[0][6] == sum(1 for s in pcm[:250] if abs(s) >= 400)
     assert multimodal._audio_window_rows(1, b"junk", 10, 100) == []
+
+
+def test_resize_images_real_chain(spark):
+    """decode -> NN resample -> BMP re-encode -> decode: the thumbnail
+    is itself decodable and its byte sum follows the NN mapping."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(16).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_png(docs)
+    thumbs = multimodal.resize_images_real(media, 8, 5)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(thumbs).collect()
+    }
+    assert len(got) == 16
+    for mid, r in got.items():
+        win, hin = 4 + mid % 11, 3 + mid % 6
+        ch = 3 if mid % 2 == 0 else 1
+        s = (29 * mid) % 256
+        exp = 0
+        for y in range(5):
+            sy = y * hin // 5
+            for x in range(8):
+                sx = x * win // 8
+                px = sy * win + sx
+                for c in range(3):
+                    exp += (s + (px * 3 + c if ch == 3 else px)) % 256
+        assert r["format"] == "bmp"
+        assert (r["width"], r["height"], r["channels"]) == (8, 5, 3)
+        assert r["payload_sum"] == exp
+    # undecodable payloads contribute no rows
+    junk = spark.createDataFrame(
+        [(1, b"not an image"), (2, None)], "media_id LONG, content BINARY"
+    )
+    assert multimodal.resize_images_real(junk, 8, 5).count() == 0
+
+
+def test_decode_image_raster_bmp_bottom_up_flip():
+    """BMP stores rows bottom-up (positive height); the raster decoder
+    must flip to top-down so NN resampling reads the right pixels."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_image_raster,
+    )
+
+    w, h = 3, 2
+    pix = bytes(range(w * h * 3))
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(
+        pix[r * w * 3 : (r + 1) * w * 3].ljust(stride, b"\x00")
+        for r in range(h)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+    )
+    gw, gh, rgb = _decode_image_raster(header + raster)
+    assert (gw, gh) == (w, h)
+    assert rgb[: w * 3] == pix[w * 3 :]  # stored bottom row comes first
