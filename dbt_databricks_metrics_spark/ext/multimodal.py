@@ -386,8 +386,20 @@ def _decode_image_raster(b: bytes):
         if dec is None:
             return None
         _f, w, h, _c, _r, _n, _d, _s = dec
-        raster = b[-w * h * 3 :]
-        return w, h, raster
+        # re-scan the ASCII header for the raster offset (slicing from
+        # the file END would mis-read files with trailing bytes)
+        fields, pos = 0, 2
+        while fields < 3 and pos < len(b):
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields += 1
+        return w, h, b[pos + 1 : pos + 1 + w * h * 3]
     return None
 
 

@@ -700,3 +700,15 @@ def test_decode_image_raster_bmp_bottom_up_flip():
     gw, gh, rgb = _decode_image_raster(header + raster)
     assert (gw, gh) == (w, h)
     assert rgb[: w * 3] == pix[w * 3 :]  # stored bottom row comes first
+
+
+def test_decode_image_raster_ppm_with_trailing_bytes():
+    """PPM raster extraction must locate the raster from the header,
+    not the file end (trailing junk after the raster is tolerated)."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_image_raster,
+    )
+
+    pix = bytes(range(3 * 2 * 3))
+    ppm = b"P6\n# comment\n3 2\n255\n" + pix + b"trailing-junk"
+    assert _decode_image_raster(ppm) == (3, 2, pix)
