@@ -934,15 +934,17 @@ def _pricing_exact_parts(eng):
 def _q_lineitem_pricing(spark, sf_dir, with_ok=False):
     # TPC-H Q1-style pricing summary via MEASURE() over the big fact
     # (spec filter + sum-over-expr + avg measures; project.py
-    # MV_LINEITEM_PRICING_YAML). Round-5 escalation (VERDICT r4 #1):
-    # the hashed projection is ALL-INTEGER — the int64 partials
-    # themselves (_pricing_exact_parts) plus the MV's integer count.
-    # r03 hashed raw-float tolerance booleans (red), r04 hashed doubles
-    # derived from int64 partials (still red on the driver despite local
-    # bit-exactness) — integers are the only projection type never red
-    # in four rounds of driver history (BASELINE.md postmortem rule 6).
-    # The quotient presentation and the MV float-agreement checks live
-    # in pytest ``with_ok=True`` mode (tests/test_contract_exactness.py).
+    # MV_LINEITEM_PRICING_YAML). Round-7 swap (BASELINE.md round-7
+    # queue (a), VERDICT r6 #3): NATURAL Q1 presentation restored —
+    # the doubles a user reads (sum_base_price/sum_disc_price/
+    # sum_charge/avg_*) hashed ALONGSIDE the exact int64 partials.
+    # Safe per postmortem rule 9: each double is identical-int64 /
+    # identical-int64 division, the exact shape pricing_probe_double
+    # proved green on the driver in r5 AND r6 (the r1-r5 reds were
+    # un-cast HUGEINT oracle aggregates, never FP — see
+    # test_no_oracle_result_type_is_fetch_unstable). The MV
+    # float-agreement checks live in pytest ``with_ok=True`` mode
+    # (tests/test_contract_exactness.py).
     from pyspark.sql import functions as F
 
     eng = _engine(spark, sf_dir)
@@ -960,31 +962,33 @@ def _q_lineitem_pricing(spark, sf_dir, with_ok=False):
         F.col("avg_disc").alias("_mad"), F.col("count_order").alias("_mn"),
     )
     j = mv.join(_pricing_exact_parts(eng), ["return_flag", "line_status"])
+    e_base = F.col("_base_c") / 100.0
+    e_disc = F.col("_disc_u") / 10000.0
+    e_chg = F.col("_chg_u") / 1000000.0
+    e_aq = F.col("_qty") / F.col("_n").cast("double")
+    e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
+    e_ad = F.col("_dc") / (100.0 * F.col("_n"))
     cols = [
         F.col("return_flag"), F.col("line_status"),
         F.col("_qty").alias("sum_qty"),
+        # exact int64 partials (audit trail; order-free)
         F.col("_base_c").alias("base_price_cents"),
         F.col("_disc_u").alias("disc_price_u"),
         F.col("_chg_u").alias("charge_u"),
         F.col("_dc").alias("disc_cents"),
+        # natural Q1 doubles derived from the partials (rule 9)
+        e_base.alias("sum_base_price"),
+        e_disc.alias("sum_disc_price"),
+        e_chg.alias("sum_charge"),
+        e_aq.alias("avg_qty"),
+        e_ap.alias("avg_price"),
+        e_ad.alias("avg_disc"),
         # the MV's own count (integer aggregate — deterministic); a broken
         # MEASURE() grouping would change it and fail the driver hash
         F.col("_mn").cast("bigint").alias("count_order"),
     ]
     if with_ok:
-        e_base = F.col("_base_c") / 100.0
-        e_disc = F.col("_disc_u") / 10000.0
-        e_chg = F.col("_chg_u") / 1000000.0
-        e_aq = F.col("_qty") / F.col("_n").cast("double")
-        e_ap = F.col("_base_c") / (100.0 * F.col("_n"))
-        e_ad = F.col("_dc") / (100.0 * F.col("_n"))
         cols += [
-            e_base.alias("sum_base_price"),
-            e_disc.alias("sum_disc_price"),
-            e_chg.alias("sum_charge"),
-            e_aq.alias("avg_qty"),
-            e_ap.alias("avg_price"),
-            e_ad.alias("avg_disc"),
             (
                 (F.abs(F.col("_mq") - F.col("_qty")) < 1e-6)
                 & (F.abs(F.col("_mb") - e_base) < 1e-2)
@@ -5412,63 +5416,78 @@ def _q_token_stream_pack(spark, sf_dir):
 # r1, the 1 from r2, and 17 core-operator anchors last seen in r3 —
 # stg_customers, 3 green rows already, yields its slot to the new
 # media_decode_png so the round-6 PNG kernel gets an official row too).
+#
+# ROUND-7 PREFIX (VERDICT r6 #1/#3, BASELINE.md round-7 queue): the r6 gate
+# was 50/50 green, so this round is pure rotation + the staged pricing swap.
+# (a) the 8 contracts added after the r6 prefix (codec family +
+# pricing_natural) get their first driver rows; (b) lineitem_pricing is
+# re-sampled because its SHAPE changed this round (queue item (a): natural
+# Q1 doubles restored alongside the exact partials — rule 9, proven by
+# pricing_probe_double's green r5+r6 rows); (c) the probe twins are RETIRED
+# from the prefix (kept as contracts — their diagnostic job is done);
+# (d) all 29 contracts last sampled in r3 (the oldest cohort; the r6
+# VERDICT counted only the 46 r4 ones — the r3 cohort is older still);
+# (e) 12 of the 46 r4-stale anchors (core dbt-workflow + search/dedup ops
+# first). The remaining 34 r4-stale contracts are the r8 queue — with 174
+# contracts and a 50-row driver sample, full coverage takes ceil(174/50)=4
+# rounds, so the enforceable staleness bound is 4 rounds, not the 2 the r6
+# VERDICT asked for; tests/test_contract_exactness.py::
+# test_prefix_rotates_oldest_contracts pins the oldest-first discipline.
 _DRIVER_PREFIX = [
-    # (a) r05 reds, oracle HUGEINT -> BIGINT casts applied (VERDICT r5 #1)
+    # (a) first driver rows: the late-r6 codec family + pricing_natural
+    "media_decode_gif",
+    "media_decode_g711",
+    "media_decode_jpeg",
+    "media_decode_mjpeg",
+    "mjpeg_frame_sample",
+    "audio_window_stats",
+    "resized_thumbs",
+    "pricing_natural",
+    # (b) shape changed this round (natural Q1 presentation) -> fresh row
     "lineitem_pricing",
-    "routed_pricing",
-    "classifier_metrics",
-    "session_metrics_view",
-    "metric_anomalies_robust",
-    "ab_welch",
-    "documents_metric_view",
-    # (b) divergence twins: both must now be green (VERDICT r5 #3)
-    "pricing_probe_int",
-    "pricing_probe_double",
-    # (c) never-sampled pool: first driver rows (VERDICT r5 #4)
-    "fuzzy_match_pairs",
-    "seed_lookup",
-    "media_decode",
-    "containment_pairs",
-    "collocations",
-    "time_in_state",
-    "cohen_kappa",
-    "stratified_sample",
-    "pack_bins",
-    "curation_stats",
-    "topk_docs_per_lang",
-    "redact_documents",
-    "quantize_roundtrip",
-    # (d) anchors last sampled in r1
-    "embedding_dup_pairs",
-    "session_stats",
-    "sessionize",
-    "sliding_window",
-    "stateful_sessions",
-    "topk_join",
-    "topk_similar",
-    "trailing_month_revenue",
-    "tumbling_window",
-    # (d) anchor last sampled in r2
-    "decontaminated_docs",
-    # (d) core-operator anchors last sampled in r3
-    "measure_by_dim",
-    "ytd_revenue",
-    "fct_orders",
-    "revenue_by_nation",
-    "media_decode_png",
-    "cumulative_revenue",
-    "trailing_7d_revenue",
-    "semiadditive_first",
-    "customer_metrics",
-    "filtered_mv",
-    "measure_multi_dim",
-    "star_segment_year",
-    "revenue_by_brand",
-    "routed_monthly",
-    "fct_customer_summary",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "kmeans_clusters",
+    # (d) the 29 contracts last sampled in r3 (oldest cohort)
+    "bucketed_revenue",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "contamination_pairs",
+    "dedup_exact_summary",
+    "distinct_median_measures",
+    "doc_repetition",
+    "doc_stats",
+    "dsir_weights",
+    "dup_clusters",
+    "having_segments",
+    "interpolated_revenue",
+    "lm_doc_scores",
+    "measure_expr_sql",
+    "measure_global",
+    "measure_sql",
+    "multi_window_shared",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup",
+    "pop_revenue",
+    "share_of_total",
+    "sketch_distinct",
+    "sliced_measure",
+    "spine_daily_revenue",
+    "stg_customers",
+    "streaming_doc_stats",
+    "topk_months",
+    "vocab_topk",
+    "winnow_overlap_pairs",
+    # (e) 12 of the 46 r4-stale anchors (rest queued for r8)
+    "stg_orders",
+    "routed_segment",
+    "asof_join",
+    "incremental_model",
+    "cdc_apply",
+    "snapshot_scd2",
+    "curation_v2",
+    "hybrid_search",
+    "ivf_topk",
+    "bm25_search",
+    "substring_dedup",
+    "streaming_dedup",
 ]
 
 
@@ -6101,6 +6120,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(disc_u AS BIGINT) AS disc_price_u,
                    CAST(chg_u AS BIGINT) AS charge_u,
                    CAST(dc AS BIGINT) AS disc_cents,
+                   base_c / CAST(100 AS DOUBLE) AS sum_base_price,
+                   disc_u / CAST(10000 AS DOUBLE) AS sum_disc_price,
+                   chg_u / CAST(1000000 AS DOUBLE) AS sum_charge,
+                   qty / CAST(n AS DOUBLE) AS avg_qty,
+                   base_c / (CAST(100 AS DOUBLE) * n) AS avg_price,
+                   dc / (CAST(100 AS DOUBLE) * n) AS avg_disc,
                    n AS count_order
             FROM g
         """,

@@ -156,6 +156,55 @@ def test_prefix_is_50_known_queries(spark):
     assert all(n in qs for n in prefix)
 
 
+def test_prefix_rotates_oldest_contracts():
+    """Rotation-discipline guard (VERDICT r6 #5, bound adjusted): the
+    driver samples exactly 50 contracts per round, so with 174 contracts
+    the tightest enforceable staleness bound is ceil(174/50) = 4 rounds
+    — the 2-round bound the r6 VERDICT suggested is arithmetically
+    infeasible. This guard pins the greedy oldest-first discipline that
+    achieves the 4-round bound:
+
+    1. every contract that has NEVER received a driver row must be in
+       the prefix (first-timers can't wait);
+    2. every contract whose latest driver row is >= 3 rounds old at
+       prefix-build time (i.e. would exceed the 4-round bound if
+       skipped this round) must be in the prefix;
+    3. if (1)+(2) don't fill all 50 slots, that's fine — the remainder
+       is free for re-sampling reshaped or watch-listed contracts.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver correctness history present")
+    last: dict[str, int] = {}
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for k in json.load(open(f)):
+            last[k] = max(last.get(k, 0), rnd)
+    max_round = max(last.values())
+    prefix = set(entrymod._DRIVER_PREFIX)
+    contracts = set(entrymod.queries())
+
+    never = sorted(contracts - set(last))
+    stale = sorted(
+        k for k in contracts if k in last and last[k] <= max_round - 3
+    )
+    required = never + [k for k in stale if k not in never]
+    assert len(required) <= 50, (
+        f"{len(required)} contracts need rows this round but the driver "
+        f"samples only 50 — rotation fell behind; shrink the backlog"
+    )
+    missing = [k for k in required if k not in prefix]
+    assert not missing, (
+        f"prefix violates oldest-first rotation — never-sampled or "
+        f">=3-round-stale contracts left out: {missing}"
+    )
+
+
 def _walk_duck_type(t):
     """Flatten a DuckDB logical type to its textual leaves (covers
     LIST/STRUCT via the str form, e.g. 'BIGINT[]', 'STRUCT(a HUGEINT)')."""
