@@ -61,7 +61,12 @@ def main() -> None:
     )
 
     def timed(name: str, fn, warm: bool = False, best_of: int = 1):
-        if name in _MEDIAN_SET:
+        # Every ext_* entry runs 3x too (VERDICT r6 #2: the r6 1.5-1.7x
+        # drift hit exactly the single-shot entries, so it could not be
+        # attributed from medians — full per-entry medians disambiguate
+        # host noise from code regressions). The headline stays a sum of
+        # MINIMA, so extra repeats can only tighten it.
+        if name in _MEDIAN_SET or name.startswith("ext_"):
             best_of = max(best_of, 3)
         if warm:
             fn()  # steady-state: skip the cold first run
@@ -577,18 +582,22 @@ def main() -> None:
 
     def _media_decode_codecs_bench():
         # the round-6 codec additions in one pass: LZW GIFs, huffman
-        # JPEGs, G.711 WAVs, and MJPEG/AVI videos synthesized for a
-        # quarter of the corpus each and pushed through the same
-        # decode_media dispatch — codec cost at corpus scale, not
-        # per-format microbenchmarks
+        # JPEGs, G.711 WAVs, and MJPEG/AVI videos synthesized over
+        # DISJOINT quarters of the corpus (doc_id % 4 == k, ADVICE r6:
+        # a shared residue-0 subset exercised only even-id paths — no
+        # A-law, no local-palette GIFs, half the JPEG geometries) and
+        # pushed through the same decode_media dispatch — codec cost at
+        # corpus scale, not per-format microbenchmarks
         from dbt_databricks_metrics_spark.ext import multimodal
 
-        quarter = docs.select("doc_id").filter(F.col("doc_id") % 4 == 0)
+        def quarter(k):
+            return docs.select("doc_id").filter(F.col("doc_id") % 4 == k)
+
         parts = [
-            multimodal.synthesize_gif(quarter),
-            multimodal.synthesize_jpeg(quarter),
-            multimodal.synthesize_g711(quarter),
-            multimodal.synthesize_mjpeg(quarter),
+            multimodal.synthesize_gif(quarter(0)),
+            multimodal.synthesize_jpeg(quarter(1)),
+            multimodal.synthesize_g711(quarter(2)),
+            multimodal.synthesize_mjpeg(quarter(3)),
         ]
         media = parts[0]
         for p in parts[1:]:
@@ -838,6 +847,26 @@ def main() -> None:
                 "dbt_databricks_metrics_spark.ext.dedup", fromlist=["x"]
             ).containment_pairs(d, k=5, threshold=(3, 5), max_df=50)
             .count(),
+        ),
+        # round-7 (VERDICT r6 #4): codec scaling tracked like the text
+        # ops — PNG synth+decode over an eighth of the corpus (the
+        # mapInPandas path is map-only, so the ratio should sit at ~4x
+        # worker-parallel or below; a superlinear ratio would flag
+        # batch-shape or memory trouble in the Python workers)
+        (
+            "media_decode",
+            lambda d: __import__(
+                "dbt_databricks_metrics_spark.ext.multimodal", fromlist=["x"]
+            ).decode_media(
+                __import__(
+                    "dbt_databricks_metrics_spark.ext.multimodal",
+                    fromlist=["x"],
+                ).synthesize_png(
+                    d.select("doc_id").filter(F.col("doc_id") % 8 == 0)
+                )
+            )
+            .agg(F.sum("payload_sum"))
+            .collect(),
         ),
     ):
         def best_of3(d, f=fn):
