@@ -413,3 +413,91 @@ def test_fold_retractions_refuses_midhistory_with_state(spark, tmp_path):
         .collect()
     }
     assert got == {"A": (1, 1200)}
+
+
+FLOAT_SPEC = """
+version: 0.1
+source: retf_src
+dimensions:
+  - name: seg
+    expr: seg
+measures:
+  - name: n
+    expr: count(*)
+  - name: fsum
+    expr: sum(price)
+materialization:
+  materialized_views:
+    - name: by_seg
+      type: aggregated
+      dimensions: [seg]
+      measures: [n, fsum]
+"""
+
+
+def test_float_partial_midhistory_witness_paths(spark, tmp_path):
+    """VERDICT r6 #6: pin the DOCUMENTED float-partial limitation of the
+    mid-history witness (refresh.py fold_retractions docstring): with
+    pre-existing state, float-mass leftovers are excluded from the scan
+    (a stored float partial carries summation-order residue vs the
+    retracted values, so a float-mass check would false-positive), while
+    the count witnesses still hold, and the bootstrap path witnesses
+    floats exactly. Three facts, one batch shape:
+
+    1. merge path, update of an unseen row whose ONLY leftover is float
+       mass (count nets to 0): accepted — the documented false-negative
+       (the zero-count group is then pruned, so no wrong mass persists);
+    2. bootstrap path, same batch: REFUSED (true self-cancellation there
+       subtracts identical doubles, so surviving float mass > 1e-9 is an
+       exact witness);
+    3. merge path, delete-only of an unseen row: REFUSED via the
+       negative-count witness even though the mass partial is float.
+    """
+    import os
+    import shutil
+
+    from dbt_databricks_metrics_spark.streaming.refresh import fold_retractions
+
+    _rows(spark, [(1, "A", 10.0)]).createOrReplaceTempView("retf_src")
+    eng = MetricEngine(spark, warehouse_dir=str(tmp_path / "whf"))
+    eng.register(MetricViewSpec.from_yaml(FLOAT_SPEC, name="mv_retf"))
+    eng.refresh("mv_retf")
+    built = eng.catalog.get("mv_retf").state.rollups["by_seg"]
+    snapshot = sorted(
+        tuple(r) for r in spark.read.parquet(built.path).collect()
+    )
+
+    # (1) merge path: count nets to 0, only FLOAT mass survives
+    # (7.0 - 5.0 = 2.0) -> no witness fires (documented limitation),
+    # and the zero-count B group is pruned so state is unchanged
+    fold_retractions(
+        spark, built,
+        before=_rows(spark, [(9, "B", 5.0)]),
+        after=_rows(spark, [(9, "B", 7.0)]),
+    )
+    assert snapshot == sorted(
+        tuple(r) for r in spark.read.parquet(built.path).collect()
+    )
+
+    # (3) merge path: delete-only of an unseen row -> the count witness
+    # still refuses, float partials or not
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark, built,
+            before=_rows(spark, [(9, "B", 5.0)]),
+            after=_rows(spark, []),
+        )
+    assert snapshot == sorted(
+        tuple(r) for r in spark.read.parquet(built.path).collect()
+    )
+
+    # (2) bootstrap path: the SAME float-leftover batch from (1) is
+    # refused — floats witness exactly when there is no stored state
+    shutil.rmtree(built.path)
+    with pytest.raises(ValueError, match="mid-history"):
+        fold_retractions(
+            spark, built,
+            before=_rows(spark, [(9, "B", 5.0)]),
+            after=_rows(spark, [(9, "B", 7.0)]),
+        )
+    assert not os.path.exists(built.path)
