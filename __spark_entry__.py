@@ -2195,6 +2195,101 @@ def _q_stream_stream_join(spark, sf_dir):
     )
 
 
+def _q_measure_stream_join(spark, sf_dir):
+    # MEASURE() over a stream-stream join (round 7, VERDICT r6 #7): the
+    # SAME MetricViewSpec grammar compiled to a watermarked Structured
+    # Streaming windowed aggregation over the click->purchase interval
+    # join (streaming/metric_stream.py). Chained stateful operators
+    # finalize one watermark advance late, so the harness runs TWO
+    # availableNow passes on one checkpoint with a far-future sentinel
+    # (disjoint users — joins nothing) appended between them; after the
+    # flush the emitted set equals the COMPLETE batch answer, which is
+    # what the oracle computes. Hashed: timestamps, int32 gap, count,
+    # int64 cents, and the derived avg (identical int64 division in
+    # both engines — rule 9).
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from dbt_databricks_metrics_spark.streaming.metric_stream import (
+        streaming_metric_view,
+    )
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: attributed
+dimensions:
+  - name: gap_hours
+    expr: cast((unix_micros(p_ts) - unix_micros(c_ts)) div 3600000000 as int)
+measures:
+  - name: conversions
+    expr: count(*)
+  - name: attributed_cents
+    expr: sum(cast(round(p_value * 100) as bigint))
+  - name: avg_cents
+    expr: attributed_cents / conversions
+    derived: true
+""",
+        name="mv_attr_stream",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = _tf.mkdtemp(prefix="measure_stream_join_")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    ev.write.parquet(src)
+
+    def run_once():
+        s = spark.readStream.schema(ev.schema).parquet(src)
+        clicks = s.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = s.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        joined = stream_stream_interval_join(
+            clicks, purchases, key="user_id", ts_col="ts",
+            max_gap="4 hours", watermark="1 hour",
+            left_prefix="c", right_prefix="p",
+        )
+        live = streaming_metric_view(
+            joined, spec, ts_col="p_ts", window_duration="1 hour",
+            watermark=None,  # the join already watermarked both inputs
+        )
+        q = (
+            live.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("measure_stream_join: availableNow exceeded 300s")
+
+    run_once()
+    # sentinel users are negative ids (fixture ids are non-negative), so
+    # the two rows advance both sides' watermarks but join NOTHING
+    sentinel_ts = "2031-01-01 00:00:00"
+    spark.createDataFrame(
+        [(-1, sentinel_ts, -99998, "click", 0.0),
+         (-2, sentinel_ts, -99999, "purchase", 0.0)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    ).write.mode("append").parquet(src)
+    run_once()
+    return spark.read.parquet(sink).select(
+        "window_start", "window_end", "gap_hours",
+        "conversions", "attributed_cents", "avg_cents",
+    )
+
+
 def _q_stream_static_enrich(spark, sf_dir):
     # stream-static enrichment: the events STREAM left-joins the static
     # customer-segment dim per micro-batch (stateless, no watermark; the
@@ -5487,7 +5582,9 @@ _DRIVER_PREFIX = [
     "ivf_topk",
     "bm25_search",
     "substring_dedup",
-    "streaming_dedup",
+    # (f) new this round (never sampled): MEASURE() over a
+    # stream-stream join (streaming/metric_stream.py)
+    "measure_stream_join",
 ]
 
 
@@ -5575,6 +5672,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "streaming_dedup": _q_streaming_dedup,
         "stream_stream_join": _q_stream_stream_join,
+        "measure_stream_join": _q_measure_stream_join,
         "stream_static_enrich": _q_stream_static_enrich,
         "rollup_advisor": _q_rollup_advisor,
         "advisor_applied_route": _q_advisor_applied_route,
@@ -7432,6 +7530,30 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '4 hours'
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        # MEASURE() over the stream-stream join: the batch expression of
+        # the same windowed spec (the two-pass sentinel flush makes the
+        # streamed emitted set COMPLETE, so no closed-window filter)
+        "measure_stream_join": """
+            WITH j AS (
+                SELECT p.ts AS p_ts, p.value AS p_value,
+                       (epoch_us(p.ts) - epoch_us(c.ts)) // 3600000000 AS gap_h
+                FROM events c
+                JOIN events p
+                  ON c.user_id = p.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL '4 hours'
+                WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            )
+            SELECT date_trunc('hour', p_ts) AS window_start,
+                   date_trunc('hour', p_ts) + INTERVAL 1 HOUR AS window_end,
+                   CAST(gap_h AS INT) AS gap_hours,
+                   CAST(count(*) AS BIGINT) AS conversions,
+                   CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT)
+                       AS attributed_cents,
+                   CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT)
+                       / CAST(count(*) AS BIGINT) AS avg_cents
+            FROM j GROUP BY 1, 2, 3
         """,
         "metric_anomalies": f"""
             WITH g AS (

@@ -1,0 +1,119 @@
+"""MEASURE() over live streams ([EXT], VERDICT r6 #7): the metric layer
+applied to a streaming source — including a stream-stream join — with
+event-time tumbling/sliding windows.
+
+The reference's metric views are batch-only (the dbt models materialize
+against a warehouse; ``README.md:1-40``, ``models/schema.yml``). This
+module closes the one surface the repo's streaming story still lacked:
+taking the SAME declarative :class:`~..specs.MetricViewSpec` —
+dimension exprs, aggregate measure exprs, derived measures — and
+compiling it to a watermarked Structured Streaming aggregation, so the
+spec a user wrote for the batch engine answers live too. Composing it
+over :func:`..streaming.joins.stream_stream_interval_join` gives
+windowed MEASURE() over a stream-stream join (attribution revenue per
+purchase-hour, live).
+
+Scale shape (100 TB posture): the plan is the canonical streaming agg —
+``withWatermark`` then ``groupBy(window(ts), dims)`` — whose state is
+bounded by (#open windows x #dim groups), independent of stream
+history; Spark's state store evicts a window once the watermark passes
+its end. Plain aggregate measures stream as partial aggregates
+(map-side combine before the keyed shuffle, same as batch). Derived
+measures are a stateless projection AFTER the agg. Measures with
+``window:`` clauses (trailing / cumulative / semiadditive) are
+REFUSED: they read across window frames, which append-mode streaming
+cannot re-emit — that is an honest semantic boundary, not a TODO
+(serve those from the rollup + ``streaming_rollup`` fold instead).
+
+Batch/stream parity: on a batch DataFrame the same function produces
+the identical plan minus the watermark, which is what the oracle-backed
+contract compares (identical results on complete inputs is Spark's
+documented unification of the two modes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.compiler import QueryError
+from ..specs import MetricViewSpec
+
+
+def streaming_metric_view(
+    source: DataFrame,
+    spec: MetricViewSpec,
+    ts_col: str,
+    window_duration: str,
+    slide: Optional[str] = None,
+    watermark: Optional[str] = "1 hour",
+    dimensions: Optional[Sequence[str]] = None,
+    measures: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Compile *spec* against a (streaming or batch) *source* as an
+    event-time windowed MEASURE() aggregation.
+
+    Returns ``window_start, window_end, <dims...>, <measures...>``.
+    ``dimensions``/``measures`` select a subset by name (default: all
+    declared non-frame-crossing). Derived measures may be requested only
+    alongside the measures they reference. Pass ``watermark=None`` when
+    the source ALREADY carries one — e.g. the output of
+    ``stream_stream_interval_join`` — because Spark disallows redefining
+    a watermark downstream of a stateful operator; the upstream
+    watermark then drives window finalization.
+    """
+    dim_by_name = {d.name: d for d in spec.dimensions}
+    mea_by_name = {m.name: m for m in spec.measures}
+    dim_names = list(dimensions) if dimensions is not None else list(dim_by_name)
+    if measures is not None:
+        mea_names = list(measures)
+    else:  # default: every streamable measure (frame-crossing excluded)
+        mea_names = [n for n, m in mea_by_name.items() if not m.is_windowed]
+
+    unknown = [n for n in dim_names if n not in dim_by_name]
+    if unknown:
+        raise QueryError(f"undeclared dimension(s): {unknown}")
+    unknown = [n for n in mea_names if n not in mea_by_name]
+    if unknown:
+        raise QueryError(f"undeclared measure(s): {unknown}")
+    if not mea_names:
+        raise QueryError("streaming metric view needs at least one measure")
+
+    plain = [mea_by_name[n] for n in mea_names if not mea_by_name[n].derived]
+    derived = [mea_by_name[n] for n in mea_names if mea_by_name[n].derived]
+    windowed = [m.name for m in plain + derived if m.is_windowed]
+    if windowed:
+        raise QueryError(
+            f"measure(s) {windowed} declare window clauses — frame-crossing "
+            f"measures cannot stream in append mode; materialize them from "
+            f"the rollup fold (streaming_rollup) instead"
+        )
+    if not plain:
+        raise QueryError(
+            "derived measures need at least one plain aggregate alongside"
+        )
+
+    src = source
+    if src.isStreaming and watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    grouped = src.groupBy(
+        win.alias("_w"),
+        *[F.expr(dim_by_name[n].expr).alias(n) for n in dim_names],
+    ).agg(*[F.expr(m.expr).alias(m.name) for m in plain])
+    out = grouped.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *dim_names,
+        *[F.col(m.name) for m in plain],
+    )
+    for m in derived:  # stateless post-agg projection over sibling names
+        out = out.withColumn(m.name, F.expr(m.expr))
+    # present in request order (derived may interleave with plain)
+    return out.select("window_start", "window_end", *dim_names, *mea_names)
