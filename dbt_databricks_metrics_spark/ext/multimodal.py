@@ -944,9 +944,11 @@ def _decode_jpeg(b: bytes):
     ZRL/EOB, dequantization, de-zigzag, and the exact separable float64
     IDCT with round + level shift + clamp. payload_sum is the sum of
     ALL decoded pixel bytes (cropped to w x h), so a wrong huffman
-    table, coefficient, or IDCT shifts the sum. Progressive,
-    subsampled, 12-bit, arithmetic, and restart-interval streams
-    return None (no-row-disappears contract)."""
+    table, coefficient, or IDCT shifts the sum. Restart intervals
+    (DRI + RSTm sequence validation, byte re-alignment, DC predictor
+    reset per T.81 E.1.4) are supported as of round 7; progressive,
+    subsampled, 12-bit, and arithmetic streams return None
+    (no-row-disappears contract)."""
     import struct
 
     import numpy as np
@@ -955,6 +957,7 @@ def _decode_jpeg(b: bytes):
         return None
     pos = 2
     qts, dc_tabs, ac_tabs = {}, {}, {}
+    ri = 0  # restart interval in MCUs (0 = none), set by DRI
     sof = None
     comps = []
     sel = None
@@ -1024,9 +1027,10 @@ def _decode_jpeg(b: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
-        elif marker == 0xDD:  # DRI: restart intervals unsupported
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
+        elif marker == 0xDD:  # DRI (T.81 B.2.4.4): restart interval in MCUs
+            if len(seg) < 2:
                 return None
+            ri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None or len(seg) < 1 or seg[0] != sof[2]:
                 return None
@@ -1044,28 +1048,46 @@ def _decode_jpeg(b: bytes):
     if w == 0 or h == 0 or w * h * nf > 128 * 1024 * 1024:
         return None
 
-    # entropy scan: unstuff 0xFF00, stop at any real marker
-    data = bytearray()
+    # entropy scan: unstuff 0xFF00, split into restart segments at RSTm
+    # (validating the 0-7 modulo sequence), stop at any other marker
+    segs = [bytearray()]
     while pos < len(b):
         c = b[pos]
         if c != 0xFF:
-            data.append(c)
+            segs[-1].append(c)
             pos += 1
             continue
         if pos + 1 >= len(b):
             return None
         nxt = b[pos + 1]
         if nxt == 0x00:
-            data.append(0xFF)
+            segs[-1].append(0xFF)
             pos += 2
             continue
-        if 0xD0 <= nxt <= 0xD7:  # restart marker (DRI=0 was enforced)
-            return None
+        if 0xD0 <= nxt <= 0xD7:  # restart marker
+            if ri == 0 or nxt != 0xD0 + ((len(segs) - 1) % 8):
+                return None  # RST without DRI, or out-of-sequence
+            segs.append(bytearray())
+            pos += 2
+            continue
         break
 
-    data = bytes(data) + b"\x00\x00"  # zero tail pad for bulk peeks
+    # per-segment bit-reader state; zero tail pad enables bulk peeks
+    segs = [bytes(s) + b"\x00\x00" for s in segs]
+    seg_i = 0
+    data = segs[0]
     bitpos = 0
     nbits_total = 8 * (len(data) - 2)
+
+    def next_segment():
+        nonlocal seg_i, data, bitpos, nbits_total
+        seg_i += 1
+        if seg_i >= len(segs):
+            return False
+        data = segs[seg_i]
+        bitpos = 0
+        nbits_total = 8 * (len(data) - 2)
+        return True
 
     def read_bits(n: int):
         # bulk fetch: one int.from_bytes over the covering bytes instead
@@ -1114,11 +1136,21 @@ def _decode_jpeg(b: bytes):
     # at the right/bottom edges) — O(64) working memory regardless of
     # declared dimensions, so the 128M-pixel guard above bounds CPU, not
     # a full-frame allocation
+    if ri and len(segs) != (bw * bh + ri - 1) // ri:
+        return None  # wrong number of restart segments for the MCU count
+    if not ri and len(segs) != 1:
+        return None
     payload = 0
     for by in range(bh):
         rows_valid = min(8, h - by * 8)
         for bx in range(bw):
             cols_valid = min(8, w - bx * 8)
+            m = by * bw + bx
+            if ri and m and m % ri == 0:
+                # T.81 E.1.4: new entropy segment, DC predictors reset
+                if not next_segment():
+                    return None
+                preds = [0] * nf
             for ci in range(nf):
                 dc_tab, ac_tab, qt = tabs[ci]
                 s = huffdec(dc_tab)
@@ -1784,14 +1816,18 @@ def synthesize_g711(documents: DataFrame) -> DataFrame:
     )
 
 
-def _jpeg_encode(w: int, h: int, qblocks, qt) -> bytes:
+def _jpeg_encode(w: int, h: int, qblocks, qt, restart_interval: int = 0) -> bytes:
     """Minimal baseline-JPEG writer (grayscale SOF0, 1x1 sampling):
     DQT + SOF0 + two DHTs (the flat custom tables) + SOS, then the
     huffman-coded entropy stream — DC differences with EXTEND's
     ones-complement negatives, AC run/size with ZRL and EOB, 0xFF byte
     stuffing, 1-padded final byte. qblocks is one 64-int list per 8x8
     block (QUANTIZED coefficients in zigzag order, raster block order).
-    Shared by :func:`synthesize_jpeg` and the property tests."""
+    ``restart_interval`` > 0 emits a DRI segment and T.81 E.1.4 restart
+    markers: every Ri MCUs the bit stream is 1-padded to a byte
+    boundary, RSTm (m cycling 0-7) is written unstuffed, and the DC
+    predictor resets. Shared by :func:`synthesize_jpeg` and the
+    property tests."""
     import struct
 
     _, dc_enc = _canonical_huffman(*_JPEG_DC_SPEC)
@@ -1807,6 +1843,8 @@ def _jpeg_encode(w: int, h: int, qblocks, qt) -> bytes:
             b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
             + bytes([tc << 4]) + bytes(counts) + bytes(syms)
         )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
 
     ent = bytearray()
@@ -1823,8 +1861,24 @@ def _jpeg_encode(w: int, h: int, qblocks, qt) -> bytes:
                     ent.append(0x00)  # byte stuffing
                 buf = nbits = 0
 
+    def byte_align():
+        nonlocal buf, nbits
+        if nbits:
+            pad = 8 - nbits
+            buf = (buf << pad) | ((1 << pad) - 1)
+            ent.append(buf)
+            if buf == 0xFF:
+                ent.append(0x00)
+            buf = nbits = 0
+
     pred = 0
-    for blk in qblocks:
+    rst = 0
+    for m, blk in enumerate(qblocks):
+        if restart_interval and m and m % restart_interval == 0:
+            byte_align()
+            ent += bytes([0xFF, 0xD0 + (rst % 8)])  # markers: unstuffed
+            rst += 1
+            pred = 0
         diff = blk[0] - pred
         pred = blk[0]
         s = abs(diff).bit_length()
@@ -1851,12 +1905,7 @@ def _jpeg_encode(w: int, h: int, qblocks, qt) -> bytes:
         if last < 63:
             code, ln = ac_enc[0x00]  # EOB
             put(code, ln)
-    if nbits:
-        pad = 8 - nbits
-        buf = (buf << pad) | ((1 << pad) - 1)
-        ent.append(buf)
-        if buf == 0xFF:
-            ent.append(0x00)
+    byte_align()
     return bytes(out + ent + b"\xff\xd9")
 
 
@@ -2032,7 +2081,12 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
             blk = [0] * 64
             blk[0] = ((41 * mid + 7 * b) % 128) - 64
             blocks.append(blk)
-        return _jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64)
+        # ids ≡ 2 (mod 5) carry DRI + restart markers (r7): the decoded
+        # pixels — and so the SQL oracle — are unchanged (RST only
+        # re-aligns bytes and resets the DC predictor), but the decoder's
+        # restart path gets driver-contract coverage
+        ri = 1 + mid % 3 if mid % 5 == 2 else 0
+        return _jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64, restart_interval=ri)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

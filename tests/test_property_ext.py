@@ -703,6 +703,13 @@ def test_jpeg_decode_matches_naive_idct(bw, bh, seed):
     got = _decode_jpeg(_jpeg_encode(bw * 8, bh * 8, blocks, qt))
     assert got is not None
     assert got[:7] == ("jpeg", bw * 8, bh * 8, 1, None, bw * bh * 64, None)
+    # restart markers are a pure re-framing of the same entropy data:
+    # every DRI choice must decode to the identical facts (r7)
+    for ri in (1, 2, 7):
+        with_rst = _decode_jpeg(
+            _jpeg_encode(bw * 8, bh * 8, blocks, qt, restart_interval=ri)
+        )
+        assert with_rst == got
     ref = 0
     for blk in blocks:
         fmat = np.zeros((8, 8))
@@ -739,6 +746,32 @@ def test_jpeg_dense_ac_and_zrl_paths():
             pix = np.clip(np.round(_naive_idct(fmat)) + 128, 0, 255)
             ref += int(pix.sum())
         assert abs(got[7] - ref) <= len(blocks) * 64
+
+
+def test_jpeg_restart_markers_validated():
+    """Malformed restart framing is rejected, never mis-decoded: an RST
+    without a DRI segment, an out-of-sequence RSTm, and a stream whose
+    segment count disagrees with the MCU count all return None."""
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_jpeg,
+        _jpeg_encode,
+    )
+
+    blocks = []
+    for b in range(4):
+        blk = [0] * 64
+        blk[0] = 11 * b - 17
+        blocks.append(blk)
+    rst = _jpeg_encode(32, 8, blocks, [16] * 64, restart_interval=1)
+    assert _decode_jpeg(rst) is not None
+    # strip the DRI segment: RST markers now appear with ri == 0
+    no_dri = rst.replace(b"\xff\xdd\x00\x04\x00\x01", b"")
+    assert len(no_dri) < len(rst) and _decode_jpeg(no_dri) is None
+    # break the 0-7 modulo sequence (first RST must be D0)
+    assert _decode_jpeg(rst.replace(b"\xff\xd0", b"\xff\xd5", 1)) is None
+    # declare ri=2 but keep ri=1 framing: segment count mismatch
+    wrong_ri = rst.replace(b"\xff\xdd\x00\x04\x00\x01", b"\xff\xdd\x00\x04\x00\x02")
+    assert _decode_jpeg(wrong_ri) is None
 
 
 @given(data=st.binary(min_size=0, max_size=300))
