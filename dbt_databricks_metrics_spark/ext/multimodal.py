@@ -18,8 +18,10 @@ for audio, baseline JPEG (canonical huffman entropy decode, DC
 prediction, dequantize, de-zigzag, exact separable IDCT — validated
 against a real libjpeg-encoded file and an independent naive IDCT),
 and MJPEG-in-AVI video (RIFF tree walk + per-frame JPEG decode).
-Codecs beyond a reasonable dependency-free reimplementation
-(MP3/H.264, progressive or chroma-subsampled JPEG) remain honestly
+The JPEG path covers restart intervals (DRI/RSTm) and 4:2:0 / 4:2:2
+chroma subsampling (interleaved-MCU block order, per-plane cropping)
+as of round 7. Codecs beyond a reasonable dependency-free
+reimplementation (MP3/H.264, progressive JPEG) remain honestly
 stubbed: `decode_stub=True`
 (default) derives deterministic fake features from the bytes so the
 Spark-side plumbing — schema, batch iteration, partition behavior — is
@@ -937,18 +939,21 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg(b: bytes):
-    """REAL baseline JPEG decode (SOF0, 8-bit, 1x1 sampling, up to 3
-    components), stdlib + numpy only: marker walk (DQT/DHT/SOF0/SOS,
+    """REAL baseline JPEG decode (SOF0, 8-bit, up to 3 components,
+    arbitrary 1-4 sampling factors incl. 4:2:0/4:2:2 chroma
+    subsampling), stdlib + numpy only: marker walk (DQT/DHT/SOF0/SOS,
     APPn/COM skipped), canonical huffman decode of the entropy stream
-    (0xFF00 unstuffing), DC prediction + EXTEND, AC run/size with
-    ZRL/EOB, dequantization, de-zigzag, and the exact separable float64
-    IDCT with round + level shift + clamp. payload_sum is the sum of
-    ALL decoded pixel bytes (cropped to w x h), so a wrong huffman
-    table, coefficient, or IDCT shifts the sum. Restart intervals
-    (DRI + RSTm sequence validation, byte re-alignment, DC predictor
-    reset per T.81 E.1.4) are supported as of round 7; progressive,
-    subsampled, 12-bit, and arithmetic streams return None
-    (no-row-disappears contract)."""
+    (0xFF00 unstuffing), interleaved-MCU block order, DC prediction +
+    EXTEND, AC run/size with ZRL/EOB, dequantization, de-zigzag, and
+    the exact separable float64 IDCT with round + level shift + clamp.
+    payload_sum is the sum of each component plane's decoded sample
+    bytes, every plane cropped to its OWN subsampled dimensions (for
+    1x1 sampling that is the classic all-pixels-cropped-to-w*h sum), so
+    a wrong huffman table, coefficient, block order, or IDCT shifts the
+    sum. Restart intervals (DRI + RSTm sequence validation, byte
+    re-alignment, DC predictor reset per T.81 E.1.4) are supported as
+    of round 7, as is chroma subsampling; progressive, 12-bit, and
+    arithmetic streams return None (no-row-disappears contract)."""
     import struct
 
     import numpy as np
@@ -1020,9 +1025,16 @@ def _decode_jpeg(b: bytes):
                 return None
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:  # only 1x1 sampling (no chroma subsample)
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     return None
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            if nf == 1:
+                # single-component scans are non-interleaved: the MCU is
+                # ONE data unit and the declared factors don't shape the
+                # stream (T.81 A.2.2) — normalize to 1x1
+                cid, _hi, _vi, tq = comps[0]
+                comps[0] = (cid, 1, 1, tq)
             sof = (w, h, nf)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1123,87 +1135,105 @@ def _decode_jpeg(b: bytes):
         return None
 
     basis = _idct_basis()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # sampling geometry (T.81 A.1.1/A.2.3): the MCU covers an
+    # (8*hmax x 8*vmax) pixel tile; component ci stores an
+    # (ceil(w*hi/hmax) x ceil(h*vi/vmax)) plane and contributes hi*vi
+    # blocks per MCU in raster order
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cw = [(w * c[1] + hmax - 1) // hmax for c in comps]
+    chh = [(h * c[2] + vmax - 1) // vmax for c in comps]
     preds = [0] * nf
     try:
         tabs = [
             (dc_tabs[sel[cid][0]], ac_tabs[sel[cid][1]], qts[tq])
-            for cid, tq in comps
+            for cid, _hi, _vi, tq in comps
         ]
     except KeyError:
         return None
-    # payload is accumulated block by block (cropped to the w x h image
-    # at the right/bottom edges) — O(64) working memory regardless of
-    # declared dimensions, so the 128M-pixel guard above bounds CPU, not
-    # a full-frame allocation
-    if ri and len(segs) != (bw * bh + ri - 1) // ri:
+    # payload is accumulated block by block (each component's plane
+    # cropped to its own sample dimensions at the right/bottom edges) —
+    # O(64) working memory regardless of declared dimensions, so the
+    # 128M-pixel guard above bounds CPU, not a full-frame allocation
+    if ri and len(segs) != (mcux * mcuy + ri - 1) // ri:
         return None  # wrong number of restart segments for the MCU count
     if not ri and len(segs) != 1:
         return None
     payload = 0
-    for by in range(bh):
-        rows_valid = min(8, h - by * 8)
-        for bx in range(bw):
-            cols_valid = min(8, w - bx * 8)
-            m = by * bw + bx
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
             if ri and m and m % ri == 0:
                 # T.81 E.1.4: new entropy segment, DC predictors reset
                 if not next_segment():
                     return None
                 preds = [0] * nf
             for ci in range(nf):
+                _cid, hi, vi, _tq = comps[ci]
                 dc_tab, ac_tab, qt = tabs[ci]
-                s = huffdec(dc_tab)
-                if s is None or s > 11:
-                    return None
-                if s:
-                    v = read_bits(s)
-                    if v is None:
-                        return None
-                    preds[ci] += _jpeg_extend(v, s)
-                ac = []
-                k = 1
-                while k < 64:
-                    rs = huffdec(ac_tab)
-                    if rs is None:
-                        return None
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    ssz = rs & 15
-                    # a size-0 symbol other than EOB/ZRL is DHT-legal
-                    # but stream-malformed (EXTEND is undefined for it)
-                    if k > 63 or ssz == 0:
-                        return None
-                    v = read_bits(ssz)
-                    if v is None:
-                        return None
-                    ac.append((k, _jpeg_extend(v, ssz) * qt[k]))
-                    k += 1
-                dc_val = preds[ci] * qt[0]
-                if not ac:
-                    # DC-only block: the IDCT is the constant
-                    # (a00*F00)*a00 in every cell — the exact float
-                    # sequence the sparse matmul performs (zero addends
-                    # are exact), so this path is bit-identical to the
-                    # general one while skipping two 8x8 matmuls
-                    a00 = basis[0, 0]
-                    pv = round(a00 * dc_val * a00) + 128
-                    pv = 0 if pv < 0 else (255 if pv > 255 else pv)
-                    payload += pv * rows_valid * cols_valid
-                    continue
-                coef = np.zeros(64)
-                coef[0] = dc_val
-                for kk, vv in ac:
-                    coef[kk] = vv
-                fmat = np.zeros((8, 8))
-                fmat.flat[_ZIGZAG] = coef
-                block = basis.T @ fmat @ basis
-                pix = np.clip(np.round(block) + 128, 0, 255)
-                payload += int(pix[:rows_valid, :cols_valid].sum())
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        s = huffdec(dc_tab)
+                        if s is None or s > 11:
+                            return None
+                        if s:
+                            v = read_bits(s)
+                            if v is None:
+                                return None
+                            preds[ci] += _jpeg_extend(v, s)
+                        ac = []
+                        k = 1
+                        while k < 64:
+                            rs = huffdec(ac_tab)
+                            if rs is None:
+                                return None
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            ssz = rs & 15
+                            # a size-0 symbol other than EOB/ZRL is
+                            # DHT-legal but stream-malformed (EXTEND is
+                            # undefined for it)
+                            if k > 63 or ssz == 0:
+                                return None
+                            v = read_bits(ssz)
+                            if v is None:
+                                return None
+                            ac.append((k, _jpeg_extend(v, ssz) * qt[k]))
+                            k += 1
+                        # valid sample region of this block within the
+                        # component plane (padding blocks contribute 0)
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        rows_valid = max(0, min(8, chh[ci] - y0))
+                        cols_valid = max(0, min(8, cw[ci] - x0))
+                        dc_val = preds[ci] * qt[0]
+                        if not ac:
+                            # DC-only block: the IDCT is the constant
+                            # (a00*F00)*a00 in every cell — the exact
+                            # float sequence the sparse matmul performs
+                            # (zero addends are exact), so this path is
+                            # bit-identical to the general one while
+                            # skipping two 8x8 matmuls
+                            a00 = basis[0, 0]
+                            pv = round(a00 * dc_val * a00) + 128
+                            pv = 0 if pv < 0 else (255 if pv > 255 else pv)
+                            payload += pv * rows_valid * cols_valid
+                            continue
+                        coef = np.zeros(64)
+                        coef[0] = dc_val
+                        for kk, vv in ac:
+                            coef[kk] = vv
+                        fmat = np.zeros((8, 8))
+                        fmat.flat[_ZIGZAG] = coef
+                        block = basis.T @ fmat @ basis
+                        pix = np.clip(np.round(block) + 128, 0, 255)
+                        payload += int(pix[:rows_valid, :cols_valid].sum())
     return ("jpeg", w, h, nf, None, w * h, None, payload)
 
 
@@ -1879,32 +1909,130 @@ def _jpeg_encode(w: int, h: int, qblocks, qt, restart_interval: int = 0) -> byte
             ent += bytes([0xFF, 0xD0 + (rst % 8)])  # markers: unstuffed
             rst += 1
             pred = 0
-        diff = blk[0] - pred
-        pred = blk[0]
-        s = abs(diff).bit_length()
-        code, ln = dc_enc[s]
+        pred = _put_jpeg_block(blk, pred, dc_enc, ac_enc, put)
+    byte_align()
+    return bytes(out + ent + b"\xff\xd9")
+
+
+def _put_jpeg_block(blk, pred, dc_enc, ac_enc, put):
+    """Huffman-code one quantized 8x8 block (zigzag order) against the
+    given encode maps: DC difference with EXTEND's ones-complement
+    negatives, AC run/size with ZRL and EOB. Returns the new DC
+    predictor. Shared by the single-component and interleaved
+    encoders."""
+    diff = blk[0] - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_enc[s]
+    put(code, ln)
+    if s:
+        put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last = max((i for i in range(1, 64) if blk[i]), default=0)
+    run = 0
+    for k in range(1, last + 1):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | s]
         put(code, ln)
-        if s:
-            put(diff if diff > 0 else diff + (1 << s) - 1, s)
-        last = max((i for i in range(1, 64) if blk[i]), default=0)
+        put(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
-        for k in range(1, last + 1):
-            v = blk[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[0xF0]
-                put(code, ln)
-                run -= 16
-            s = abs(v).bit_length()
-            code, ln = ac_enc[(run << 4) | s]
-            put(code, ln)
-            put(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            code, ln = ac_enc[0x00]  # EOB
-            put(code, ln)
+    if last < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        put(code, ln)
+    return blk[0]
+
+
+def _jpeg_encode_interleaved(
+    w: int, h: int, comp_planes, qt, restart_interval: int = 0
+) -> bytes:
+    """Multi-component baseline-JPEG writer with sampling factors —
+    the test-side inverse of the decoder's subsampled path.
+    ``comp_planes`` is one ``(hi, vi, blocks)`` per component, where
+    ``blocks`` holds one 64-int zigzag list per 8x8 block of the PADDED
+    component plane (``mcux*hi`` wide, ``mcuy*vi`` tall, raster order);
+    the writer walks T.81 interleaved-MCU order pulling blocks from
+    each plane, with the same DRI/RSTm framing as :func:`_jpeg_encode`.
+    One shared quant table and the flat huffman specs, like the
+    grayscale writer."""
+    import struct
+
+    nf = len(comp_planes)
+    hmax = max(hi for hi, _vi, _bl in comp_planes)
+    vmax = max(vi for _hi, vi, _bl in comp_planes)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for hi, vi, blocks in comp_planes:
+        assert len(blocks) == (mcux * hi) * (mcuy * vi), "padded plane"
+
+    _, dc_enc = _canonical_huffman(*_JPEG_DC_SPEC)
+    _, ac_enc = _canonical_huffman(*_JPEG_AC_SPEC)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt)
+    out += (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * nf) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([nf])
+    )
+    for ci, (hi, vi, _bl) in enumerate(comp_planes):
+        out += bytes([ci + 1, (hi << 4) | vi, 0])
+    for tc, (counts, syms) in ((0, _JPEG_DC_SPEC), (1, _JPEG_AC_SPEC)):
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+            + bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nf) + bytes([nf])
+    for ci in range(nf):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
+
+    ent = bytearray()
+    buf = nbits = 0
+
+    def put(code: int, ln: int):
+        nonlocal buf, nbits
+        for i in range(ln - 1, -1, -1):
+            buf = (buf << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                ent.append(buf)
+                if buf == 0xFF:
+                    ent.append(0x00)
+                buf = nbits = 0
+
+    def byte_align():
+        nonlocal buf, nbits
+        if nbits:
+            pad = 8 - nbits
+            buf = (buf << pad) | ((1 << pad) - 1)
+            ent.append(buf)
+            if buf == 0xFF:
+                ent.append(0x00)
+            buf = nbits = 0
+
+    preds = [0] * nf
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and m % restart_interval == 0:
+                byte_align()
+                ent += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * nf
+            for ci, (hi, vi, blocks) in enumerate(comp_planes):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        idx = (my * vi + byi) * (mcux * hi) + (mx * hi + bxi)
+                        preds[ci] = _put_jpeg_block(
+                            blocks[idx], preds[ci], dc_enc, ac_enc, put
+                        )
     byte_align()
     return bytes(out + ent + b"\xff\xd9")
 

@@ -748,6 +748,72 @@ def test_jpeg_dense_ac_and_zrl_paths():
         assert abs(got[7] - ref) <= len(blocks) * 64
 
 
+@given(
+    factors=st.sampled_from(
+        [[(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+         [(1, 2), (1, 1), (1, 1)], [(1, 1), (1, 1), (1, 1)],
+         [(2, 2), (2, 1), (1, 1)]]
+    ),
+    w=st.integers(9, 40),
+    h=st.integers(9, 40),
+    ri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_subsampled_decode_matches_naive_idct(factors, w, h, ri, seed):
+    """4:2:0 / 4:2:2 / mixed sampling factors (round 7): the decoder's
+    interleaved-MCU walk + per-plane cropping must agree with a naive
+    per-plane IDCT reference, with or without restart framing."""
+    import random
+
+    import numpy as np
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg,
+        _idct_basis,
+        _jpeg_encode_interleaved,
+    )
+
+    rng = random.Random(seed)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qt = [16] + [rng.randrange(1, 32) for _ in range(63)]
+    planes = []
+    for hi, vi in factors:
+        blocks = []
+        for _ in range(mcux * hi * mcuy * vi):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-128, 128)
+            for _ in range(rng.randrange(0, 8)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-200, 200)
+            blocks.append(blk)
+        planes.append((hi, vi, blocks))
+    got = _decode_jpeg(_jpeg_encode_interleaved(w, h, planes, qt, ri))
+    assert got is not None
+    assert got[:7] == ("jpeg", w, h, len(factors), None, w * h, None)
+
+    a = _idct_basis()
+    ref = 0
+    for hi, vi, blocks in planes:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        bwp, bhp = mcux * hi, mcuy * vi
+        plane = np.zeros((bhp * 8, bwp * 8))
+        for r in range(bhp):
+            for c in range(bwp):
+                fmat = np.zeros((8, 8))
+                for k in range(64):
+                    fmat.flat[_ZIGZAG[k]] = blocks[r * bwp + c][k] * qt[k]
+                plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = np.clip(
+                    np.round(a.T @ fmat @ a) + 128, 0, 255
+                )
+        ref += int(plane[:ch, :cw].sum())
+    assert abs(got[7] - ref) <= mcux * mcuy * hmax * vmax * 64 * len(factors)
+
+
 def test_jpeg_restart_markers_validated():
     """Malformed restart framing is rejected, never mis-decoded: an RST
     without a DRI segment, an out-of-sequence RSTm, and a stream whose
