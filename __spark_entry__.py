@@ -8363,27 +8363,38 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg": """
             WITH p AS (
               SELECT doc_id AS media_id,
+                     doc_id % 7 = 4 AS color,
                      CAST(1 + doc_id % 4 AS INT) AS bw,
                      CAST(1 + doc_id % 3 AS INT) AS bh,
+                     CAST(1 + doc_id % 2 AS INT) AS mcux,
                      (41 * doc_id) % 128 AS s
               FROM documents
             ),
             blocks AS (
+              -- ids = 4 mod 7 are 4:2:0 color (r7): 4*mcux luma +
+              -- 2*mcux chroma DC-only blocks, each the constant
+              -- 2*dc_q+128, so payload stays 128*sum(dcmod) over the
+              -- global block index; others are the grayscale bw x bh
               SELECT p.*, (p.s + 7 * t.i) % 128 AS dcmod
               FROM p CROSS JOIN range(12) t(i)
-              WHERE t.i < p.bw * p.bh
+              WHERE t.i < CASE WHEN p.color THEN 6 * p.mcux
+                               ELSE p.bw * p.bh END
             )
             SELECT media_id,
                    'jpeg' AS format,
-                   CAST(bw * 8 AS INT) AS width,
-                   CAST(bh * 8 AS INT) AS height,
-                   CAST(1 AS INT) AS channels,
+                   CAST(CASE WHEN color THEN 16 * mcux ELSE bw * 8 END
+                        AS INT) AS width,
+                   CAST(CASE WHEN color THEN 16 ELSE bh * 8 END
+                        AS INT) AS height,
+                   CAST(CASE WHEN color THEN 3 ELSE 1 END AS INT)
+                        AS channels,
                    CAST(NULL AS INT) AS sample_rate_hz,
-                   CAST(bw * bh * 64 AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN color THEN 256 * mcux
+                             ELSE bw * bh * 64 END AS BIGINT) AS n_samples,
                    CAST(NULL AS BIGINT) AS duration_ms,
                    CAST(128 * sum(dcmod) AS BIGINT) AS payload_sum
             FROM blocks
-            GROUP BY media_id, bw, bh
+            GROUP BY media_id, color, bw, bh, mcux
         """,
         # AVI/MJPEG replay: frame f, block b decodes to the constant
         # pixel 2*dc_q + 128 with dc_q = dcmod - 64, so each block

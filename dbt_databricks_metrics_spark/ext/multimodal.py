@@ -2203,17 +2203,43 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
     )
 
     def _jpg(mid: int) -> bytes:
+        # ids ≡ 2 (mod 5) carry DRI + restart markers (r7): the decoded
+        # pixels — and so the SQL oracle — are unchanged (RST only
+        # re-aligns bytes and resets the DC predictor), but the decoder's
+        # restart path gets driver-contract coverage
+        ri = 1 + mid % 3 if mid % 5 == 2 else 0
+        if mid % 7 == 4:
+            # 4:2:0 COLOR variant (r7): Y at (2,2), Cb/Cr at (1,1) over
+            # mcux x 1 MCUs with 16-multiple dimensions, so no plane is
+            # cropped and every DC-only block contributes a full
+            # 64*(2*dc_q+128) — the oracle's 128*sum(dcmod) formula
+            # holds with nb = 6*mcux blocks (4*mcux luma + 2*mcux
+            # chroma), summed over the same global block index
+            mcux = 1 + mid % 2
+
+            def blks(n, off):
+                out = []
+                for j in range(n):
+                    blk = [0] * 64
+                    blk[0] = ((41 * mid + 7 * (off + j)) % 128) - 64
+                    out.append(blk)
+                return out
+
+            ny = 4 * mcux
+            planes = [
+                (2, 2, blks(ny, 0)),
+                (1, 1, blks(mcux, ny)),
+                (1, 1, blks(mcux, ny + mcux)),
+            ]
+            return _jpeg_encode_interleaved(
+                16 * mcux, 16, planes, [16] * 64, restart_interval=ri
+            )
         bw, bh = 1 + mid % 4, 1 + mid % 3
         blocks = []
         for b in range(bw * bh):
             blk = [0] * 64
             blk[0] = ((41 * mid + 7 * b) % 128) - 64
             blocks.append(blk)
-        # ids ≡ 2 (mod 5) carry DRI + restart markers (r7): the decoded
-        # pixels — and so the SQL oracle — are unchanged (RST only
-        # re-aligns bytes and resets the DC predictor), but the decoder's
-        # restart path gets driver-contract coverage
-        ri = 1 + mid % 3 if mid % 5 == 2 else 0
         return _jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64, restart_interval=ri)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
