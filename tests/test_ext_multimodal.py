@@ -329,14 +329,23 @@ def test_decode_media_roundtrips_synthesized_jpeg(spark):
     }
     assert len(got) == 30
     for mid, r in got.items():
-        bw, bh = 1 + mid % 4, 1 + mid % 3
         assert r["format"] == "jpeg"
-        assert r["width"] == bw * 8
-        assert r["height"] == bh * 8
-        assert r["channels"] == 1
-        assert r["n_samples"] == bw * bh * 64
+        if mid % 7 == 4:  # 4:2:0 color variant (r7)
+            mcux = 1 + mid % 2
+            nb = 6 * mcux  # 4*mcux luma + 2*mcux chroma blocks
+            assert r["width"] == 16 * mcux
+            assert r["height"] == 16
+            assert r["channels"] == 3
+            assert r["n_samples"] == 256 * mcux
+        else:
+            bw, bh = 1 + mid % 4, 1 + mid % 3
+            nb = bw * bh
+            assert r["width"] == bw * 8
+            assert r["height"] == bh * 8
+            assert r["channels"] == 1
+            assert r["n_samples"] == bw * bh * 64
         assert r["payload_sum"] == 128 * sum(
-            (41 * mid + 7 * b) % 128 for b in range(bw * bh)
+            (41 * mid + 7 * b) % 128 for b in range(nb)
         )
 
 
