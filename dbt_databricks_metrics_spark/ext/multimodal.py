@@ -1877,30 +1877,7 @@ def _jpeg_encode(w: int, h: int, qblocks, qt, restart_interval: int = 0) -> byte
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
 
-    ent = bytearray()
-    buf = nbits = 0
-
-    def put(code: int, ln: int):
-        nonlocal buf, nbits
-        for i in range(ln - 1, -1, -1):
-            buf = (buf << 1) | ((code >> i) & 1)
-            nbits += 1
-            if nbits == 8:
-                ent.append(buf)
-                if buf == 0xFF:
-                    ent.append(0x00)  # byte stuffing
-                buf = nbits = 0
-
-    def byte_align():
-        nonlocal buf, nbits
-        if nbits:
-            pad = 8 - nbits
-            buf = (buf << pad) | ((1 << pad) - 1)
-            ent.append(buf)
-            if buf == 0xFF:
-                ent.append(0x00)
-            buf = nbits = 0
-
+    ent, put, byte_align = _jpeg_bit_writer()
     pred = 0
     rst = 0
     for m, blk in enumerate(qblocks):
@@ -1912,6 +1889,39 @@ def _jpeg_encode(w: int, h: int, qblocks, qt, restart_interval: int = 0) -> byte
         pred = _put_jpeg_block(blk, pred, dc_enc, ac_enc, put)
     byte_align()
     return bytes(out + ent + b"\xff\xd9")
+
+
+def _jpeg_bit_writer():
+    """The ONE entropy bit writer shared by both JPEG encoders (review
+    r7): MSB-first packing, 0xFF00 byte stuffing, 1-padded alignment.
+    Returns ``(ent, put, byte_align)`` — the output buffer and the two
+    writer functions."""
+    ent = bytearray()
+    state = [0, 0]  # buf, nbits
+
+    def put(code: int, ln: int):
+        buf, nbits = state
+        for i in range(ln - 1, -1, -1):
+            buf = (buf << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                ent.append(buf)
+                if buf == 0xFF:
+                    ent.append(0x00)  # byte stuffing
+                buf = nbits = 0
+        state[0], state[1] = buf, nbits
+
+    def byte_align():
+        buf, nbits = state
+        if nbits:
+            pad = 8 - nbits
+            buf = (buf << pad) | ((1 << pad) - 1)
+            ent.append(buf)
+            if buf == 0xFF:
+                ent.append(0x00)
+        state[0] = state[1] = 0
+
+    return ent, put, byte_align
 
 
 def _put_jpeg_block(blk, pred, dc_enc, ac_enc, put):
@@ -1992,30 +2002,7 @@ def _jpeg_encode_interleaved(
         out += bytes([ci + 1, 0x00])
     out += bytes([0, 63, 0])
 
-    ent = bytearray()
-    buf = nbits = 0
-
-    def put(code: int, ln: int):
-        nonlocal buf, nbits
-        for i in range(ln - 1, -1, -1):
-            buf = (buf << 1) | ((code >> i) & 1)
-            nbits += 1
-            if nbits == 8:
-                ent.append(buf)
-                if buf == 0xFF:
-                    ent.append(0x00)
-                buf = nbits = 0
-
-    def byte_align():
-        nonlocal buf, nbits
-        if nbits:
-            pad = 8 - nbits
-            buf = (buf << pad) | ((1 << pad) - 1)
-            ent.append(buf)
-            if buf == 0xFF:
-                ent.append(0x00)
-            buf = nbits = 0
-
+    ent, put, byte_align = _jpeg_bit_writer()
     preds = [0] * nf
     rst = 0
     for my in range(mcuy):

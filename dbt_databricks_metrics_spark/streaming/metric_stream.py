@@ -94,6 +94,14 @@ def streaming_metric_view(
         raise QueryError(
             "derived measures need at least one plain aggregate alongside"
         )
+    requested = set(mea_names)
+    for m in derived:  # enforce the docstring's alongside-rule up front
+        missing = [r for r in spec.measure_refs(m.name) if r not in requested]
+        if missing:
+            raise QueryError(
+                f"derived measure {m.name!r} references measure(s) "
+                f"{missing} that are not in the requested set"
+            )
 
     src = source
     if src.isStreaming and watermark is not None:

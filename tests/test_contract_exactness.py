@@ -158,11 +158,11 @@ def test_prefix_is_50_known_queries(spark):
 
 def test_prefix_rotates_oldest_contracts():
     """Rotation-discipline guard (VERDICT r6 #5, bound adjusted): the
-    driver samples exactly 50 contracts per round, so with 174 contracts
-    the tightest enforceable staleness bound is ceil(174/50) = 4 rounds
-    — the 2-round bound the r6 VERDICT suggested is arithmetically
-    infeasible. This guard pins the greedy oldest-first discipline that
-    achieves the 4-round bound:
+    driver samples exactly 50 contracts per round, so with ~175
+    contracts (ceil(n/50) = 4 up to n = 200) the tightest enforceable
+    staleness bound is 4 rounds — the 2-round bound the r6 VERDICT
+    suggested is arithmetically infeasible. This guard pins the greedy
+    oldest-first discipline that achieves the 4-round bound:
 
     1. every contract that has NEVER received a driver row must be in
        the prefix (first-timers can't wait);

@@ -149,6 +149,13 @@ def test_refusals(spark, spec):
         streaming_metric_view(
             ev, spec, ts_col="ts", window_duration="1 hour", measures=[],
         )
+    # derived requested without the measure it references (review r7:
+    # the alongside-rule is enforced, not just documented)
+    with pytest.raises(QueryError, match="not in the requested set"):
+        streaming_metric_view(
+            ev, spec, ts_col="ts", window_duration="1 hour",
+            measures=["avg_cents", "n_events"],
+        )
 
 
 def test_measure_over_stream_stream_join(spark, spec, tmp_path):
