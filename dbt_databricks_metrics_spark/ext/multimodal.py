@@ -18,11 +18,12 @@ for audio, baseline JPEG (canonical huffman entropy decode, DC
 prediction, dequantize, de-zigzag, exact separable IDCT — validated
 against a real libjpeg-encoded file and an independent naive IDCT),
 and MJPEG-in-AVI video (RIFF tree walk + per-frame JPEG decode).
-The JPEG path covers restart intervals (DRI/RSTm) and 4:2:0 / 4:2:2
-chroma subsampling (interleaved-MCU block order, per-plane cropping)
-as of round 7. Codecs beyond a reasonable dependency-free
-reimplementation (MP3/H.264, progressive JPEG) remain honestly
-stubbed: `decode_stub=True`
+The JPEG path covers restart intervals (DRI/RSTm), 4:2:0 / 4:2:2
+chroma subsampling (interleaved-MCU block order, per-plane cropping),
+AND progressive streams (SOF2 spectral selection + successive
+approximation per T.81 Annex G) as of round 7. Codecs beyond a
+reasonable dependency-free reimplementation (MP3/H.264) remain
+honestly stubbed: `decode_stub=True`
 (default) derives deterministic fake features from the bytes so the
 Spark-side plumbing — schema, batch iteration, partition behavior — is
 fully real and tested; `decode_stub=False` raises NotImplementedError
@@ -1036,9 +1037,11 @@ def _decode_jpeg(b: bytes):
                 cid, _hi, _vi, tq = comps[0]
                 comps[0] = (cid, 1, 1, tq)
             sof = (w, h, nf)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2: progressive — dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xDD:  # DRI (T.81 B.2.4.4): restart interval in MCUs
             if len(seg) < 2:
                 return None
@@ -1235,6 +1238,459 @@ def _decode_jpeg(b: bytes):
                         pix = np.clip(np.round(block) + 128, 0, 255)
                         payload += int(pix[:rows_valid, :cols_valid].sum())
     return ("jpeg", w, h, nf, None, w * h, None, payload)
+
+
+def _jpeg_entropy_segments(b: bytes, pos: int, ri: int):
+    """Unstuff one scan's entropy data starting at *pos*: 0xFF00 →
+    0xFF, RSTm splits a new segment (modulo-8 sequence validated, only
+    legal when *ri* > 0), any other marker ends the scan. Returns
+    ``(segments, pos_of_terminating_0xFF)`` or None on malformed
+    framing; each segment carries a 2-byte zero tail pad for the bulk
+    bit peeks."""
+    segs = [bytearray()]
+    while pos < len(b):
+        c = b[pos]
+        if c != 0xFF:
+            segs[-1].append(c)
+            pos += 1
+            continue
+        if pos + 1 >= len(b):
+            return None
+        nxt = b[pos + 1]
+        if nxt == 0x00:
+            segs[-1].append(0xFF)
+            pos += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            if ri == 0 or nxt != 0xD0 + ((len(segs) - 1) % 8):
+                return None
+            segs.append(bytearray())
+            pos += 2
+            continue
+        break
+    return [bytes(s) + b"\x00\x00" for s in segs], pos
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """REAL progressive JPEG decode (SOF2, spectral selection +
+    successive approximation, T.81 Annex G), stdlib + numpy only —
+    closing the last JPEG-family stub. Multi-scan marker walk (tables
+    may be redefined between scans), interleaved DC scans with
+    point-transformed diff coding, per-component non-interleaved AC
+    band scans with EOB runs, refinement scans implementing G.1.2.3's
+    correction-bit walk (newly-significant ±1<<Al inserts interleaved
+    with history-coefficient corrections), restart markers per scan,
+    then one dequantize + IDCT pass over the accumulated coefficients
+    with the same per-plane cropping and payload_sum semantics as the
+    baseline decoder. Returns None for anything malformed
+    (no-row-disappears contract).
+
+    Memory: unlike the baseline path's O(64) streaming, progressive
+    must buffer every coefficient until all scans land — bounded by a
+    16M-sample guard (64 MB of int32) rather than the baseline 128M."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qts, dc_tabs, ac_tabs = {}, {}, {}
+    ri = 0
+    sof = None
+    comps = []
+    coefs = None  # per-component (bhp, bwp, 64) int32, zigzag index space
+    geom = None  # (hmax, vmax, mcux, mcuy, cw[], chh[], nbx[], nby[])
+
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            return None
+        marker = b[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI — scans done
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            return None  # standalone markers only legal inside scans
+        if pos + 2 > len(b):
+            return None
+        ln = struct.unpack_from(">H", b, pos)[0]
+        seg = b[pos + 2 : pos + ln]
+        if ln < 2 or len(seg) != ln - 2:
+            return None
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                tab = list(seg[i + 1 : i + 65])
+                if pq != 0 or len(tab) != 64:
+                    return None
+                qts[tq] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                syms = list(seg[i + 17 : i + 17 + n])
+                if len(syms) != n or tc > 1:
+                    return None
+                tab = _huff_decode_arrays(counts, syms)
+                if tab is None:
+                    return None
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2
+            if sof is not None:
+                return None
+            if len(seg) < 6:
+                return None
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nf = seg[5]
+            if prec != 8 or nf == 0 or nf > 3 or len(seg) < 6 + 3 * nf:
+                return None
+            for ci in range(nf):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, hi, vi, tq))
+            if nf == 1:
+                cid, _hi, _vi, tq = comps[0]
+                comps[0] = (cid, 1, 1, tq)
+            if w == 0 or h == 0 or w * h * nf > 16 * 1024 * 1024:
+                return None
+            sof = (w, h, nf)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            cw = [(w * c[1] + hmax - 1) // hmax for c in comps]
+            chh = [(h * c[2] + vmax - 1) // vmax for c in comps]
+            nbx = [(x + 7) // 8 for x in cw]
+            nby = [(y + 7) // 8 for y in chh]
+            geom = (hmax, vmax, mcux, mcuy, cw, chh, nbx, nby)
+            # int64: a crafted stream can push DC predictor chains past
+            # int32, and a numpy overflow would RAISE instead of the
+            # contract's return-None (bounds: nunits*2047<<13 << 2^63)
+            coefs = [
+                np.zeros((mcuy * c[2], mcux * c[1], 64), np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # mixed/other frame types
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            ri = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # one scan
+            if sof is None:
+                return None
+            ns = seg[0]
+            if ns < 1 or ns > len(comps) or len(seg) != 1 + 2 * ns + 3:
+                return None
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if al > 13 or ah > 14:
+                return None
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            scomps = []  # (ci, dc_tab_id, ac_tab_id)
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cs not in cid_to_ci:
+                    return None
+                scomps.append((cid_to_ci[cs], tt >> 4, tt & 15))
+            if ss == 0:
+                if se != 0:
+                    return None  # DC scan is exactly the 0 band
+            elif ns != 1 or not (ss <= se <= 63):
+                return None  # AC scans are single-component
+            parsed = _jpeg_entropy_segments(b, pos, ri)
+            if parsed is None:
+                return None
+            segs, pos = parsed
+            if not _jpeg_progressive_scan(
+                coefs, comps, geom, scomps, ss, se, ah, al,
+                dc_tabs, ac_tabs, segs, ri,
+            ):
+                return None
+        # APPn / COM: skipped
+    if sof is None or coefs is None:
+        return None
+    w, h, nf = sof
+    _hmax, _vmax, _mcux, _mcuy, cw, chh, nbx, nby = geom
+
+    basis = _idct_basis()
+    a00 = basis[0, 0]
+    payload = 0
+    try:
+        quants = [qts[c[3]] for c in comps]
+    except KeyError:
+        return None
+    for ci in range(nf):
+        qt = np.asarray(quants[ci], np.float64)
+        arr = coefs[ci]
+        for by in range(nby[ci]):
+            rows_valid = max(0, min(8, chh[ci] - by * 8))
+            for bx in range(nbx[ci]):
+                cols_valid = max(0, min(8, cw[ci] - bx * 8))
+                blk = arr[by, bx]
+                nz = np.nonzero(blk)[0]
+                dc_val = int(blk[0]) * int(qt[0])
+                if len(nz) == 0 or (len(nz) == 1 and nz[0] == 0):
+                    pv = round(a00 * dc_val * a00) + 128
+                    pv = 0 if pv < 0 else (255 if pv > 255 else pv)
+                    payload += pv * rows_valid * cols_valid
+                    continue
+                fmat = np.zeros((8, 8))
+                fmat.flat[_ZIGZAG] = blk.astype(np.float64) * qt
+                block = basis.T @ fmat @ basis
+                pix = np.clip(np.round(block) + 128, 0, 255)
+                payload += int(pix[:rows_valid, :cols_valid].sum())
+    return ("jpeg", w, h, nf, None, w * h, None, payload)
+
+
+def _jpeg_progressive_scan(
+    coefs, comps, geom, scomps, ss, se, ah, al, dc_tabs, ac_tabs, segs, ri
+):
+    """Decode ONE progressive scan's entropy segments into the
+    coefficient store. Returns True on success, False on malformed
+    data. Implements the four T.81 Annex G scan kinds: DC first
+    (interleaved or single, point-transformed diffs), DC refinement
+    (one raw bit per block), AC first (EOB runs, ZRL, values << Al),
+    and AC refinement (G.1.2.3: ±1<<Al inserts with correction bits
+    read as the walk crosses history-nonzero coefficients)."""
+    hmax, vmax, mcux, mcuy, _cw, _chh, nbx, nby = geom
+
+    seg_i = 0
+    data = segs[0]
+    bitpos = 0
+    nbits_total = 8 * (len(data) - 2)
+
+    def read_bits(n):
+        nonlocal bitpos
+        if n == 0:
+            return 0
+        end = bitpos + n
+        if end > nbits_total:
+            return None
+        b0, b1 = bitpos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(data[b0:b1], "big")
+        bitpos = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
+
+    def huffdec(tab):
+        nonlocal bitpos
+        mincode, maxcode, valptr, vals = tab
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3], "big")
+        peek = (chunk >> (8 - (bitpos & 7))) & 0xFFFF
+        for lnn in range(1, 17):
+            c = peek >> (16 - lnn)
+            if c <= maxcode[lnn]:
+                if bitpos + lnn > nbits_total:
+                    return None
+                bitpos += lnn
+                return vals[valptr[lnn] + c - mincode[lnn]]
+        return None
+
+    def next_segment():
+        nonlocal seg_i, data, bitpos, nbits_total
+        seg_i += 1
+        if seg_i >= len(segs):
+            return False
+        data = segs[seg_i]
+        bitpos = 0
+        nbits_total = 8 * (len(data) - 2)
+        return True
+
+    dc_scan = ss == 0
+    if dc_scan and ah == 0:
+        try:
+            sdc = [dc_tabs[t[1]] for t in scomps]
+        except KeyError:
+            return False
+    if not dc_scan:
+        try:
+            ac_tab = ac_tabs[scomps[0][2]]
+        except KeyError:
+            return False
+
+    interleaved = len(scomps) > 1
+    if interleaved:
+        if not dc_scan:
+            return False
+        nunits = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        nunits = nbx[ci0] * nby[ci0]
+    if ri and len(segs) != (nunits + ri - 1) // ri:
+        return False
+    if not ri and len(segs) != 1:
+        return False
+
+    preds = [0] * len(scomps)
+    eobrun = 0
+
+    def decode_dc_first(blk, si):
+        s = huffdec(sdc[si])
+        if s is None or s > 11:
+            return False
+        if s:
+            v = read_bits(s)
+            if v is None:
+                return False
+            preds[si] += _jpeg_extend(v, s)
+        blk[0] = preds[si] << al
+        return True
+
+    def decode_dc_refine(blk):
+        bit = read_bits(1)
+        if bit is None:
+            return False
+        if bit:
+            blk[0] = int(blk[0]) | (1 << al)
+        return True
+
+    def decode_ac_first(blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = huffdec(ac_tab)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    ext = read_bits(r)
+                    if ext is None:
+                        return False
+                    eobrun += ext
+                return True
+            k += r
+            if k > se:
+                return False
+            v = read_bits(s)
+            if v is None:
+                return False
+            blk[k] = _jpeg_extend(v, s) << al
+            k += 1
+        return True
+
+    def correct(blk, k):
+        bit = read_bits(1)
+        if bit is None:
+            return False
+        if bit:
+            cur = int(blk[k])
+            blk[k] = cur + (1 << al) if cur > 0 else cur - (1 << al)
+        return True
+
+    def decode_ac_refine(blk):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = huffdec(ac_tab)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            ext = read_bits(r)
+                            if ext is None:
+                                return False
+                            eobrun += ext
+                        break
+                    # ZRL: r stays 15, no new coefficient
+                elif s == 1:
+                    sign = read_bits(1)
+                    if sign is None:
+                        return False
+                    newval = (1 << al) if sign else -(1 << al)
+                else:
+                    return False  # only s in {0, 1} is legal here
+                # advance: cross history-nonzero coefs (reading their
+                # correction bits), consume r zero-history slots, stop
+                # at the (r+1)-th zero slot where newval (if any) lands
+                while k <= se:
+                    if blk[k] != 0:
+                        if not correct(blk, k):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # end-of-band: remaining history coefficients still get
+            # their correction bits
+            while k <= se:
+                if blk[k] != 0:
+                    if not correct(blk, k):
+                        return False
+                k += 1
+            eobrun -= 1
+        return True
+
+    for u in range(nunits):
+        if ri and u and u % ri == 0:
+            if not next_segment():
+                return False
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(u, mcux)
+            for si, (ci, _td, _ta) in enumerate(scomps):
+                _cid, hi, vi, _tq = comps[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = coefs[ci][my * vi + byi, mx * hi + bxi]
+                        if ah == 0:
+                            if not decode_dc_first(blk, si):
+                                return False
+                        else:
+                            if not decode_dc_refine(blk):
+                                return False
+        else:
+            ci = scomps[0][0]
+            by, bx = divmod(u, nbx[ci])
+            blk = coefs[ci][by, bx]
+            if dc_scan:
+                if ah == 0:
+                    if not decode_dc_first(blk, 0):
+                        return False
+                else:
+                    if not decode_dc_refine(blk):
+                        return False
+            else:
+                if ah == 0:
+                    if not decode_ac_first(blk):
+                        return False
+                else:
+                    if not decode_ac_refine(blk):
+                        return False
+    return True
 
 
 def _parse_avi_mjpeg(b: bytes):
@@ -2024,6 +2480,204 @@ def _jpeg_encode_interleaved(
     return bytes(out + ent + b"\xff\xd9")
 
 
+def _jpeg_encode_progressive(
+    w: int, h: int, comp_planes, qt, scans=None, restart_interval: int = 0
+) -> bytes:
+    """Progressive (SOF2) baseline-table JPEG writer — the test-side
+    inverse of :func:`_decode_jpeg_progressive`. ``comp_planes`` is the
+    same padded-plane shape :func:`_jpeg_encode_interleaved` takes;
+    ``scans`` is a list of ``(comp_indices, Ss, Se, Ah, Al)`` (default:
+    DC first at Al=1 over all components, DC refinement, then per
+    component two AC bands first at Al=1 and their refinements to
+    Al=0). Emission mirrors the decoder's G.1.2.3 walk exactly —
+    correction bits are written at the positions the decoder reads them
+    (interleaved with ZRL/insert symbols), and end-of-band runs are
+    flushed per block (run=1, spec-legal). Restart markers per scan."""
+    import struct
+
+    nf = len(comp_planes)
+    hmax = max(hi for hi, _vi, _bl in comp_planes)
+    vmax = max(vi for _hi, vi, _bl in comp_planes)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for hi, vi, blocks in comp_planes:
+        assert len(blocks) == (mcux * hi) * (mcuy * vi), "padded plane"
+    if scans is None:
+        scans = [(list(range(nf)), 0, 0, 0, 1), (list(range(nf)), 0, 0, 1, 0)]
+        for ci in range(nf):
+            scans += [([ci], 1, 5, 0, 1), ([ci], 6, 63, 0, 1)]
+        for ci in range(nf):
+            scans += [([ci], 1, 5, 1, 0), ([ci], 6, 63, 1, 0)]
+
+    _, dc_enc = _canonical_huffman(*_JPEG_DC_SPEC)
+    _, ac_enc = _canonical_huffman(*_JPEG_AC_SPEC)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt)
+    out += (
+        b"\xff\xc2" + struct.pack(">H", 8 + 3 * nf) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([nf])
+    )
+    for ci, (hi, vi, _bl) in enumerate(comp_planes):
+        out += bytes([ci + 1, (hi << 4) | vi, 0])
+    for tc, (counts, syms) in ((0, _JPEG_DC_SPEC), (1, _JPEG_AC_SPEC)):
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+            + bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # non-interleaved grids per component (AC scans walk these)
+    nbx = [(((w * hi + hmax - 1) // hmax) + 7) // 8
+           for hi, _vi, _bl in comp_planes]
+    nby = [(((h * vi + vmax - 1) // vmax) + 7) // 8
+           for _hi, vi, _bl in comp_planes]
+
+    def put_sym(put, enc, sym):
+        code, ln = enc[sym]
+        put(code, ln)
+
+    for comp_ids, ss, se, ah, al in scans:
+        ns = len(comp_ids)
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ns) + bytes([ns])
+        for ci in comp_ids:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+
+        ent, put, byte_align = _jpeg_bit_writer()
+        preds = [0] * ns
+        rst = 0
+
+        def restart():
+            nonlocal preds, rst
+            byte_align()
+            ent.extend((0xFF, 0xD0 + (rst % 8)))
+            rst += 1
+            preds = [0] * ns
+
+        def dc_first(blk, si):
+            v = blk[0] >> al  # arithmetic shift: DC point transform
+            diff = v - preds[si]
+            preds[si] = v
+            s = abs(diff).bit_length()
+            put_sym(put, dc_enc, s)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+        def dc_refine(blk):
+            put((blk[0] >> al) & 1, 1)
+
+        def ac_first(blk):
+            # values in this stage: t = |coef| >> al with coef's sign
+            run = 0
+            for k in range(ss, se + 1):
+                t = abs(blk[k]) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put_sym(put, ac_enc, 0xF0)
+                    run -= 16
+                s = t.bit_length()
+                put_sym(put, ac_enc, (run << 4) | s)
+                v = t if blk[k] > 0 else -t
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                put_sym(put, ac_enc, 0x00)  # EOB, run=1
+
+        def ac_refine(blk):
+            # mirror the decoder's walk: history = |coef| >> (al+1) != 0
+            # (nonzero after prior stages); newly significant =
+            # history-zero with (|coef| >> al) == 1
+            k = ss
+
+            def emit_corrections_until(stop_zero_slots):
+                # cross coefficients, emitting correction bits at
+                # history-nonzero ones and consuming up to
+                # stop_zero_slots history-zero slots; returns at the
+                # (stop_zero_slots+1)-th zero slot (k points there)
+                nonlocal k
+                left = stop_zero_slots
+                while k <= se:
+                    if (abs(blk[k]) >> (al + 1)) != 0:
+                        put((abs(blk[k]) >> al) & 1, 1)
+                    else:
+                        if left == 0:
+                            return
+                        left -= 1
+                    k += 1
+
+            while True:
+                if k > se:
+                    return  # band fully consumed — decoder reads no EOB
+                # find next newly-significant position at/after k and
+                # the count of history-zero slots before it
+                kn = None
+                zeros = 0
+                j = k
+                while j <= se:
+                    hist = (abs(blk[j]) >> (al + 1)) != 0
+                    if not hist:
+                        if (abs(blk[j]) >> al) == 1:
+                            kn = j
+                            break
+                        zeros += 1
+                    j += 1
+                if kn is None:
+                    # end of band: EOB (run=1) then corrections for the
+                    # remaining history coefficients
+                    put_sym(put, ac_enc, 0x00)
+                    while k <= se:
+                        if (abs(blk[k]) >> (al + 1)) != 0:
+                            put((abs(blk[k]) >> al) & 1, 1)
+                        k += 1
+                    return
+                while zeros > 15:
+                    put_sym(put, ac_enc, 0xF0)
+                    emit_corrections_until(15)
+                    k += 1  # consume the 16th zero slot
+                    zeros -= 16
+                put_sym(put, ac_enc, (zeros << 4) | 1)
+                put(1 if blk[kn] > 0 else 0, 1)  # sign precedes the walk
+                emit_corrections_until(zeros)
+                # k now at kn (the insert position); skip past it
+                k += 1
+
+        dc_scan = ss == 0
+        interleaved = ns > 1
+        nunits = mcux * mcuy if interleaved else nbx[comp_ids[0]] * nby[comp_ids[0]]
+        for u in range(nunits):
+            if restart_interval and u and u % restart_interval == 0:
+                restart()
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for si, ci in enumerate(comp_ids):
+                    hi, vi, blocks = comp_planes[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            idx = (my * vi + byi) * (mcux * hi) + (mx * hi + bxi)
+                            if ah == 0:
+                                dc_first(blocks[idx], si)
+                            else:
+                                dc_refine(blocks[idx])
+            else:
+                ci = comp_ids[0]
+                hi, vi, blocks = comp_planes[ci]
+                by, bx = divmod(u, nbx[ci])
+                idx = by * (mcux * hi) + bx
+                blk = blocks[idx]
+                if dc_scan:
+                    dc_first(blk, 0) if ah == 0 else dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk)
+                else:
+                    ac_refine(blk)
+        byte_align()
+        out += ent
+    return bytes(out + b"\xff\xd9")
+
+
 def _avi_encode(w: int, h: int, usec_per_frame: int, frames) -> bytes:
     """Minimal AVI (RIFF) writer for an MJPEG video stream: hdrl LIST
     with the 56-byte 'avih' main header and a vids/MJPG strl, then a
@@ -2190,11 +2844,14 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
     )
 
     def _jpg(mid: int) -> bytes:
-        # ids ≡ 2 (mod 5) carry DRI + restart markers (r7): the decoded
-        # pixels — and so the SQL oracle — are unchanged (RST only
-        # re-aligns bytes and resets the DC predictor), but the decoder's
-        # restart path gets driver-contract coverage
+        # ids ≡ 2 (mod 5) carry DRI + restart markers, and ids ≡ 5
+        # (mod 11) are encoded PROGRESSIVE (SOF2, the default DC+band
+        # scan script) — both re-framings of the same quantized
+        # coefficients, so the decoded pixels and the SQL oracle are
+        # unchanged while the restart and progressive decode paths get
+        # driver-contract coverage (r7)
         ri = 1 + mid % 3 if mid % 5 == 2 else 0
+        progressive = mid % 11 == 5
         if mid % 7 == 4:
             # 4:2:0 COLOR variant (r7): Y at (2,2), Cb/Cr at (1,1) over
             # mcux x 1 MCUs with 16-multiple dimensions, so no plane is
@@ -2218,6 +2875,10 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
                 (1, 1, blks(mcux, ny)),
                 (1, 1, blks(mcux, ny + mcux)),
             ]
+            if progressive:
+                return _jpeg_encode_progressive(
+                    16 * mcux, 16, planes, [16] * 64, restart_interval=ri
+                )
             return _jpeg_encode_interleaved(
                 16 * mcux, 16, planes, [16] * 64, restart_interval=ri
             )
@@ -2227,6 +2888,11 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
             blk = [0] * 64
             blk[0] = ((41 * mid + 7 * b) % 128) - 64
             blocks.append(blk)
+        if progressive:
+            return _jpeg_encode_progressive(
+                bw * 8, bh * 8, [(1, 1, blocks)], [16] * 64,
+                restart_interval=ri,
+            )
         return _jpeg_encode(bw * 8, bh * 8, blocks, [16] * 64, restart_interval=ri)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -814,6 +814,85 @@ def test_jpeg_subsampled_decode_matches_naive_idct(factors, w, h, ri, seed):
     assert abs(got[7] - ref) <= mcux * mcuy * hmax * vmax * 64 * len(factors)
 
 
+@given(
+    factors=st.sampled_from(
+        [[(1, 1)], [(1, 1), (1, 1), (1, 1)],
+         [(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]]
+    ),
+    w=st.integers(9, 36),
+    h=st.integers(9, 36),
+    ri=st.sampled_from([0, 0, 2]),
+    deep=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline(factors, w, h, ri, deep, seed):
+    """Progressive (SOF2) is a pure re-framing of the same quantized
+    coefficients: for random blocks, subsampling, restart intervals,
+    and scan scripts (default 2-stage, or a deep 3-stage successive
+    approximation with narrow custom bands), the progressive decode
+    must produce the identical facts as the baseline decode."""
+    import random
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_jpeg,
+        _jpeg_encode,
+        _jpeg_encode_interleaved,
+        _jpeg_encode_progressive,
+    )
+
+    rng = random.Random(seed)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qt = [16] + [rng.randrange(1, 32) for _ in range(63)]
+    planes = []
+    for hi, vi in factors:
+        blocks = []
+        for _ in range(mcux * hi * mcuy * vi):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-256, 256)
+            for _ in range(rng.randrange(0, 12)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-300, 300)
+            blocks.append(blk)
+        planes.append((hi, vi, blocks))
+    nf = len(factors)
+    base = (
+        _jpeg_encode_interleaved(w, h, planes, qt)
+        if nf > 1
+        else _jpeg_encode(w, h, planes[0][2], qt)
+    )
+    want = _decode_jpeg(base)
+    assert want is not None
+    scans = None
+    if deep:  # 3-stage successive approximation, narrow bands
+        scans = [
+            (list(range(nf)), 0, 0, 0, 2),
+            (list(range(nf)), 0, 0, 2, 1),
+            (list(range(nf)), 0, 0, 1, 0),
+        ]
+        for bands in ((1, 2), (3, 20), (21, 63)):
+            for ci in range(nf):
+                scans.append(([ci], bands[0], bands[1], 0, 2))
+        for ah, al in ((2, 1), (1, 0)):
+            for bands in ((1, 2), (3, 20), (21, 63)):
+                for ci in range(nf):
+                    scans.append(([ci], bands[0], bands[1], ah, al))
+    prog = _jpeg_encode_progressive(
+        w, h, planes, qt, scans=scans, restart_interval=ri
+    )
+    assert _decode_jpeg(prog) == want
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_progressive_decoder_never_raises(data):
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_jpeg
+
+    _decode_jpeg(b"\xff\xd8\xff\xc2" + data)
+
+
 def test_jpeg_restart_markers_validated():
     """Malformed restart framing is rejected, never mis-decoded: an RST
     without a DRI segment, an out-of-sequence RSTm, and a stream whose
