@@ -158,6 +158,23 @@ def test_refusals(spark, spec):
         )
 
 
+def test_batch_plan_shape(spark, spec):
+    """Scale posture: the compiled plan is ONE keyed shuffle with
+    map-side partial aggregation (the window+dims groupBy), no
+    cartesian products, no Python in the path — the shape that holds at
+    1000 executors."""
+    ev = _events(spark)
+    df = streaming_metric_view(
+        ev, spec, ts_col="ts", window_duration="1 hour"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan[:2000]
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial" in plan.lower(), plan[:2000]
+
+
 def test_measure_over_stream_stream_join(spark, spec, tmp_path):
     """The flagship composition: MEASURE() over a watermarked
     stream-stream interval join — windowed attribution metrics — equals
