@@ -4832,6 +4832,24 @@ def _q_media_decode_g711(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+def _q_media_decode_adpcm(spark, sf_dir):
+    # REAL adaptive-audio decode (round 7): IMA/DVI ADPCM WAV (format
+    # tag 0x11) — 4-bit nibbles driving the public step-table state
+    # machine (diff from step-shifted magnitude bits, sign bit, both
+    # predictor and index clamped). The nibble stream (id + 3i) mod 16
+    # sweeps all 16 codes; the DuckDB oracle SIMULATES the exact state
+    # machine with a recursive CTE over the inlined step table — the
+    # first sequential-decoder oracle in the codec family, and still
+    # pure SQL arithmetic with no binary parsing. All-integer
+    # projection.
+    from dbt_databricks_metrics_spark.ext import multimodal
+    from dbt_databricks_metrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_adpcm(docs.select("doc_id"))
+    return multimodal.decode_media(media)
+
+
 def _q_media_decode_jpeg(spark, sf_dir):
     # REAL compressed-format decode #3 (round 6): baseline JPEG (ITU
     # T.81) — marker walk, canonical huffman decode of the entropy
@@ -5584,10 +5602,13 @@ _DRIVER_PREFIX = [
     "hybrid_search",
     "ivf_topk",
     "bm25_search",
-    "substring_dedup",
     # (f) new this round (never sampled): MEASURE() over a
-    # stream-stream join (streaming/metric_stream.py)
+    # stream-stream join (streaming/metric_stream.py) and the IMA
+    # ADPCM audio decode (ext/multimodal.py) — substring_dedup yields
+    # its slot to stay at 50 (r4-stale, joins the r8 queue the guard
+    # test recomputes mechanically)
     "measure_stream_join",
+    "media_decode_adpcm",
 ]
 
 
@@ -5727,6 +5748,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": _q_media_decode_png,
         "media_decode_gif": _q_media_decode_gif,
         "media_decode_g711": _q_media_decode_g711,
+        "media_decode_adpcm": _q_media_decode_adpcm,
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_mjpeg": _q_media_decode_mjpeg,
         "mjpeg_frame_sample": _q_mjpeg_frame_sample,
@@ -8363,6 +8385,61 @@ def oracle_sql() -> dict[str, str]:
         # so payload_sum = sum_b 64*(2*dc_q + 128) = 128 * sum_b
         # ((41*id + 7*b) mod 128) — generated per-block rows, pure
         # arithmetic, no binary parsing oracle-side
+        # IMA ADPCM replay (r7): the oracle SIMULATES the decoder's
+        # step/index state machine with a recursive CTE — per media, one
+        # iteration per nibble (id + 3i) mod 16 over the INLINED public
+        # step table (oracle stays independent of the code under test),
+        # with the same shift/clamp arithmetic. ~17k total iterations at
+        # sf0.01: trivial for the recursion engine.
+        "media_decode_adpcm": """
+            WITH RECURSIVE p AS (
+              SELECT doc_id AS media_id,
+                     8 + doc_id % 9 AS nb,
+                     ((37 * doc_id) % 2048) - 1024 AS pred0,
+                     (13 * doc_id) % 89 AS idx0,
+                     CAST(8000 + 100 * (doc_id % 5) AS INT) AS rate
+              FROM documents
+            ),
+            steps AS (
+              SELECT r.i AS si, l.lst[r.i + 1] AS st
+              FROM (SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767] AS lst) l, range(89) r(i)
+            ),
+            sim AS (
+              SELECT media_id, 0 AS i, pred0 AS pred, idx0 AS idx,
+                     CAST(pred0 AS BIGINT) AS acc
+              FROM p
+              UNION ALL
+              SELECT s.media_id, s.i + 1, e.np,
+                     GREATEST(0, LEAST(88, s.idx + CASE q.n % 8
+                         WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                         WHEN 7 THEN 8 ELSE -1 END)),
+                     s.acc + e.np
+              FROM sim s
+              JOIN p ON p.media_id = s.media_id
+              JOIN steps t ON t.si = s.idx
+              CROSS JOIN LATERAL
+                (SELECT (p.media_id + 3 * s.i) % 16 AS n) q
+              CROSS JOIN LATERAL (SELECT (t.st >> 3)
+                  + CASE WHEN q.n & 1 = 1 THEN t.st >> 2 ELSE 0 END
+                  + CASE WHEN q.n & 2 = 2 THEN t.st >> 1 ELSE 0 END
+                  + CASE WHEN q.n & 4 = 4 THEN t.st ELSE 0 END AS diff) d
+              CROSS JOIN LATERAL (SELECT GREATEST(-32768, LEAST(32767,
+                  s.pred + CASE WHEN q.n >= 8 THEN -d.diff
+                                ELSE d.diff END)) AS np) e
+              WHERE s.i < 2 * p.nb
+            )
+            SELECT sim.media_id,
+                   'adpcm' AS format,
+                   CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   p.rate AS sample_rate_hz,
+                   CAST(2 * p.nb + 1 AS BIGINT) AS n_samples,
+                   CAST((2 * p.nb + 1) * 1000 // p.rate AS BIGINT)
+                       AS duration_ms,
+                   CAST(sim.acc AS BIGINT) AS payload_sum
+            FROM sim JOIN p ON p.media_id = sim.media_id
+            WHERE sim.i = 2 * p.nb
+        """,
         "media_decode_jpeg": """
             WITH p AS (
               SELECT doc_id AS media_id,

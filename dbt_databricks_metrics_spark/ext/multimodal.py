@@ -437,7 +437,8 @@ def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
 def _wav_chunks(b: bytes):
     """RIFF/WAVE chunk walk shared by :func:`_decode_wav` and
     :func:`_wav_samples`: returns (audio_fmt, channels, rate, bits,
-    data bytes) or None."""
+    block_align, data bytes) or None. 4-bit depth is accepted only for
+    the IMA ADPCM tag (0x11)."""
     import struct
 
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -455,24 +456,105 @@ def _wav_chunks(b: bytes):
     if fmt is None or data is None or len(fmt) < 16:
         return None
     audio_fmt, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if ch == 0 or rate == 0 or bits == 0 or bits % 8:
+    if ch == 0 or rate == 0:
         return None
-    return audio_fmt, ch, rate, bits, data
+    if bits == 4:
+        if audio_fmt != 0x11:
+            return None
+    elif bits == 0 or bits % 8:
+        return None
+    return audio_fmt, ch, rate, bits, block_align, data
+
+
+# IMA/DVI ADPCM tables (public IMA ADPCM specification): the 89-entry
+# quantizer step sizes and the 16-entry step-index adaptation deltas.
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+
+def _adpcm_decode_block(pred: int, index: int, nibbles) -> list:
+    """IMA ADPCM block decode: the header predictor is the block's
+    first output sample, then one sample per nibble via the standard
+    step/index state machine (diff = step>>3 plus step-shifted bits of
+    the magnitude, sign in bit 3, both predictor and index clamped)."""
+    out = [pred]
+    for n in nibbles:
+        step = _ADPCM_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += _ADPCM_INDEX[n]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out
+
+
+def _adpcm_samples(block_align: int, data: bytes):
+    """Decode a mono IMA ADPCM data payload block by block (4-byte
+    header: int16 predictor, uint8 step index, reserved). Returns the
+    sample list or None on malformed headers."""
+    import struct
+
+    if block_align < 5:
+        return None
+    out = []
+    for off in range(0, len(data), block_align):
+        blk = data[off : off + block_align]
+        if len(blk) < 5:
+            return None
+        pred = struct.unpack_from("<h", blk, 0)[0]
+        index = blk[2]
+        if index > 88:
+            return None
+        nibbles = []
+        for byte in blk[4:]:
+            nibbles.append(byte & 0x0F)  # low nibble is the FIRST sample
+            nibbles.append(byte >> 4)
+        out.extend(_adpcm_decode_block(pred, index, nibbles))
+    return out
 
 
 def _decode_wav(b: bytes):
     """WAV: fmt-chunk fields + payload sum; duration from the frame
-    count at the declared rate (integer ms, floor). Three format tags:
-    1 (PCM — payload_sum is the raw data byte sum) and the G.711
-    compressed pair 7 (mu-law) / 6 (A-law), where every data byte is a
+    count at the declared rate (integer ms, floor). Four format tags:
+    1 (PCM — payload_sum is the raw data byte sum), the G.711
+    compressed pair 7 (mu-law) / 6 (A-law) where every data byte is a
     logarithmic codeword and payload_sum is the sum of the EXPANDED
-    linear 16-bit samples — so a wrong expansion table cannot go
-    unnoticed."""
+    linear 16-bit samples, and 0x11 (IMA ADPCM, r7) where payload_sum
+    is the sum of the samples reconstructed by the block-wise
+    step/index state machine — a wrong table, clamp, or nibble order
+    cannot go unnoticed."""
     parsed = _wav_chunks(b)
     if parsed is None:
         return None
-    audio_fmt, ch, rate, bits, data = parsed
+    audio_fmt, ch, rate, bits, block_align, data = parsed
+    import numpy as np
+
+    if audio_fmt == 0x11 and bits == 4 and ch == 1:
+        samples = _adpcm_samples(block_align, data)
+        if samples is None:
+            return None
+        n = len(samples)
+        return (
+            "adpcm", None, None, 1, rate, n, n * 1000 // rate,
+            int(sum(samples)),
+        )
     if audio_fmt == 1:
         name, table = "wav", None
     elif audio_fmt == 7 and bits == 8:
@@ -481,8 +563,6 @@ def _decode_wav(b: bytes):
         name, table = "alaw", _ALAW_TABLE
     else:
         return None
-    import numpy as np
-
     frame_bytes = ch * bits // 8
     n_frames = len(data) // frame_bytes
     codes = np.frombuffer(data, dtype=np.uint8)
@@ -500,15 +580,16 @@ def _decode_wav(b: bytes):
 
 def _wav_samples(b: bytes):
     """WAV bytes -> (channels, rate, int16 sample array, interleaved):
-    16-bit PCM directly, or G.711 mu-law/A-law through the expansion
-    tables. Returns None for anything else (the stats kernel's
-    quarantine is 'contribute no rows')."""
+    16-bit PCM directly, G.711 mu-law/A-law through the expansion
+    tables, or mono IMA ADPCM through the block state machine. Returns
+    None for anything else (the stats kernel's quarantine is
+    'contribute no rows')."""
     import numpy as np
 
     parsed = _wav_chunks(b)
     if parsed is None:
         return None
-    audio_fmt, ch, rate, bits, data = parsed
+    audio_fmt, ch, rate, bits, block_align, data = parsed
     if audio_fmt == 1 and bits == 16:
         n = len(data) // 2
         samples = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
@@ -517,6 +598,11 @@ def _wav_samples(b: bytes):
             _ULAW_TABLE if audio_fmt == 7 else _ALAW_TABLE, dtype=np.int64
         )
         samples = table[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_fmt == 0x11 and bits == 4 and ch == 1:
+        dec = _adpcm_samples(block_align, data)
+        if dec is None:
+            return None
+        samples = np.asarray(dec, dtype=np.int64)
     else:
         return None
     # truncate to whole frames so windows never split a frame
@@ -2294,6 +2380,59 @@ def synthesize_g711(documents: DataFrame) -> DataFrame:
         for pdf in it:
             rows = [
                 (mid, "audio", _g711(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def synthesize_adpcm(documents: DataFrame) -> DataFrame:
+    """REAL IMA ADPCM WAV bytes (format tag 0x11, mono, one block):
+    header predictor ``((37*id) mod 2048) - 1024``, step index
+    ``(13*id) mod 89``, and nibble i = ``(id + 3*i) mod 16`` — the
+    nibble stream cycles through all 16 codes, so every magnitude bit,
+    the sign bit, and both clamp directions of the step/index state
+    machine are exercised. The decode is a deterministic state machine
+    over closed-form inputs, so a SQL oracle reproduces payload_sum
+    EXACTLY with a recursive CTE that simulates the same
+    step-table/clamp arithmetic."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _adpcm(mid: int) -> bytes:
+        rate = 8000 + 100 * (mid % 5)
+        nb = 8 + mid % 9  # data bytes -> 2*nb nibbles
+        pred0 = ((37 * mid) % 2048) - 1024
+        idx0 = (13 * mid) % 89
+        block_align = 4 + nb
+        nibbles = [(mid + 3 * i) % 16 for i in range(2 * nb)]
+        data = struct.pack("<hBB", pred0, idx0, 0) + bytes(
+            nibbles[2 * j] | (nibbles[2 * j + 1] << 4) for j in range(nb)
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 0x11, 1, rate, rate * block_align, block_align, 4
+        )
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, "audio", _adpcm(int(mid))) for mid in pdf["media_id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 

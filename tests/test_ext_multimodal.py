@@ -721,3 +721,70 @@ def test_decode_image_raster_ppm_with_trailing_bytes():
     pix = bytes(range(3 * 2 * 3))
     ppm = b"P6\n# comment\n3 2\n255\n" + pix + b"trailing-junk"
     assert _decode_image_raster(ppm) == (3, 2, pix)
+
+
+def test_adpcm_decode_matches_independent_simulation(spark):
+    """IMA ADPCM (r7): synthesize_adpcm emits one-block format-0x11
+    WAVs; decode_media must reproduce an INDEPENDENT Python simulation
+    of the public step/index state machine (clamps included), and the
+    header/rate/duration facts."""
+    from dbt_databricks_metrics_spark.ext import multimodal
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_adpcm(docs)
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert len(got) == 60
+    steps = multimodal._ADPCM_STEPS
+    for mid, r in got.items():
+        nb = 8 + mid % 9
+        rate = 8000 + 100 * (mid % 5)
+        pred = ((37 * mid) % 2048) - 1024
+        idx = (13 * mid) % 89
+        total = pred
+        for i in range(2 * nb):
+            n = (mid + 3 * i) % 16
+            st = steps[idx]
+            diff = (
+                (st >> 3)
+                + ((st >> 2) if n & 1 else 0)
+                + ((st >> 1) if n & 2 else 0)
+                + (st if n & 4 else 0)
+            )
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + multimodal._ADPCM_INDEX[n]))
+            total += pred
+        assert r["format"] == "adpcm"
+        assert r["channels"] == 1 and r["sample_rate_hz"] == rate
+        assert r["n_samples"] == 2 * nb + 1
+        assert r["duration_ms"] == (2 * nb + 1) * 1000 // rate
+        assert r["payload_sum"] == total
+
+
+def test_adpcm_malformed_rejected():
+    """Bad step index, short block, and undersized block_align return
+    None (no-row-disappears contract) instead of decoding garbage."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _adpcm_samples,
+        _decode_wav,
+    )
+
+    good = struct.pack("<hBB", 100, 5, 0) + bytes([0x21, 0x43])
+    assert _adpcm_samples(6, good) is not None
+    assert _adpcm_samples(6, struct.pack("<hBB", 100, 89, 0) + b"\x00\x00") is None
+    assert _adpcm_samples(6, good[:3]) is None  # short block
+    assert _adpcm_samples(4, good) is None  # block_align < header+1
+
+    def wav(tag, bits, ba, data):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, ba, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    assert _decode_wav(wav(0x11, 4, 6, good)) is not None
+    # 4-bit depth with a non-ADPCM tag is rejected at the chunk walk
+    assert _decode_wav(wav(1, 4, 6, good)) is None
