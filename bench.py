@@ -581,23 +581,25 @@ def main() -> None:
     timed("ext_media_decode_png", _media_decode_bench)
 
     def _media_decode_codecs_bench():
-        # the round-6 codec additions in one pass: LZW GIFs, huffman
-        # JPEGs, G.711 WAVs, and MJPEG/AVI videos synthesized over
-        # DISJOINT quarters of the corpus (doc_id % 4 == k, ADVICE r6:
-        # a shared residue-0 subset exercised only even-id paths — no
-        # A-law, no local-palette GIFs, half the JPEG geometries) and
-        # pushed through the same decode_media dispatch — codec cost at
-        # corpus scale, not per-format microbenchmarks
+        # the round-6/7 codec family in one pass: LZW GIFs, huffman
+        # JPEGs (incl. restart/4:2:0/progressive id classes), G.711 and
+        # IMA ADPCM WAVs, and MJPEG/AVI videos synthesized over
+        # DISJOINT fifths of the corpus (doc_id % 5 == k; disjoint
+        # residues per ADVICE r6 so odd-id paths — A-law, local-palette
+        # GIFs, all JPEG geometries — are exercised) and pushed through
+        # the same decode_media dispatch — codec cost at corpus scale,
+        # not per-format microbenchmarks
         from dbt_databricks_metrics_spark.ext import multimodal
 
-        def quarter(k):
-            return docs.select("doc_id").filter(F.col("doc_id") % 4 == k)
+        def fifth(k):
+            return docs.select("doc_id").filter(F.col("doc_id") % 5 == k)
 
         parts = [
-            multimodal.synthesize_gif(quarter(0)),
-            multimodal.synthesize_jpeg(quarter(1)),
-            multimodal.synthesize_g711(quarter(2)),
-            multimodal.synthesize_mjpeg(quarter(3)),
+            multimodal.synthesize_gif(fifth(0)),
+            multimodal.synthesize_jpeg(fifth(1)),
+            multimodal.synthesize_g711(fifth(2)),
+            multimodal.synthesize_mjpeg(fifth(3)),
+            multimodal.synthesize_adpcm(fifth(4)),
         ]
         media = parts[0]
         for p in parts[1:]:
