@@ -5540,10 +5540,11 @@ def _q_token_stream_pack(spark, sf_dir):
 # from the prefix (kept as contracts — their diagnostic job is done);
 # (d) all 29 contracts last sampled in r3 (the oldest cohort; the r6
 # VERDICT counted only the 46 r4 ones — the r3 cohort is older still);
-# (e) 11 of the 46 r4-stale anchors (core dbt-workflow + search/dedup ops
-# first); (f) the new measure_stream_join. The remaining 35 r4-stale
-# contracts are the r8 queue (enumerated in BASELINE.md) — with 175
-# contracts and a 50-row driver sample, full coverage takes ceil(175/50)=4
+# (e) 10 of the 46 r4-stale anchors (core dbt-workflow + search/dedup ops
+# first); (f) the new measure_stream_join and media_decode_adpcm. The
+# remaining 36 r4-stale contracts are the r8 queue (enumerated in
+# BASELINE.md) — with 176 contracts and a 50-row driver sample, full
+# coverage takes ceil(176/50)=4
 # rounds, so the enforceable staleness bound is 4 rounds, not the 2 the r6
 # VERDICT asked for; tests/test_contract_exactness.py::
 # test_prefix_rotates_oldest_contracts pins the oldest-first discipline
@@ -5591,7 +5592,7 @@ _DRIVER_PREFIX = [
     "topk_months",
     "vocab_topk",
     "winnow_overlap_pairs",
-    # (e) 12 of the 46 r4-stale anchors (rest queued for r8)
+    # (e) 10 of the 46 r4-stale anchors (rest queued for r8)
     "stg_orders",
     "routed_segment",
     "asof_join",

@@ -218,7 +218,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        # png | gif | jpeg | mjpeg | bmp | wav | ulaw | alaw | ppm
+        # png | gif | jpeg | mjpeg | bmp | wav | ulaw | alaw | adpcm | ppm
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -1149,79 +1149,14 @@ def _decode_jpeg(b: bytes):
     if w == 0 or h == 0 or w * h * nf > 128 * 1024 * 1024:
         return None
 
-    # entropy scan: unstuff 0xFF00, split into restart segments at RSTm
-    # (validating the 0-7 modulo sequence), stop at any other marker
-    segs = [bytearray()]
-    while pos < len(b):
-        c = b[pos]
-        if c != 0xFF:
-            segs[-1].append(c)
-            pos += 1
-            continue
-        if pos + 1 >= len(b):
-            return None
-        nxt = b[pos + 1]
-        if nxt == 0x00:
-            segs[-1].append(0xFF)
-            pos += 2
-            continue
-        if 0xD0 <= nxt <= 0xD7:  # restart marker
-            if ri == 0 or nxt != 0xD0 + ((len(segs) - 1) % 8):
-                return None  # RST without DRI, or out-of-sequence
-            segs.append(bytearray())
-            pos += 2
-            continue
-        break
-
-    # per-segment bit-reader state; zero tail pad enables bulk peeks
-    segs = [bytes(s) + b"\x00\x00" for s in segs]
-    seg_i = 0
-    data = segs[0]
-    bitpos = 0
-    nbits_total = 8 * (len(data) - 2)
-
-    def next_segment():
-        nonlocal seg_i, data, bitpos, nbits_total
-        seg_i += 1
-        if seg_i >= len(segs):
-            return False
-        data = segs[seg_i]
-        bitpos = 0
-        nbits_total = 8 * (len(data) - 2)
-        return True
-
-    def read_bits(n: int):
-        # bulk fetch: one int.from_bytes over the covering bytes instead
-        # of an n-iteration bit loop (VERDICT r6 #4 — the entropy decode
-        # is the codec throughput floor)
-        nonlocal bitpos
-        if n == 0:
-            return 0
-        end = bitpos + n
-        if end > nbits_total:
-            return None
-        b0, b1 = bitpos >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(data[b0:b1], "big")
-        bitpos = end
-        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
-
-    def huffdec(tab):
-        # T.81 F.16 canonical decode: peek 16 bits once, then accept at
-        # the first length whose code range covers the prefix — O(1)
-        # arithmetic per length, no per-bit dict probing
-        nonlocal bitpos
-        mincode, maxcode, valptr, vals = tab
-        b0 = bitpos >> 3
-        chunk = int.from_bytes(data[b0 : b0 + 3], "big")
-        peek = (chunk >> (8 - (bitpos & 7))) & 0xFFFF
-        for ln in range(1, 17):
-            c = peek >> (16 - ln)
-            if c <= maxcode[ln]:
-                if bitpos + ln > nbits_total:
-                    return None  # zero-padded phantom code past the end
-                bitpos += ln
-                return vals[valptr[ln] + c - mincode[ln]]
+    # entropy scan + bit reader: the shared helpers (review r7 — one
+    # unstuffer/RSTm validator and one bulk-fetch canonical reader for
+    # both the baseline and progressive decoders)
+    parsed = _jpeg_entropy_segments(b, pos, ri)
+    if parsed is None:
         return None
+    segs, _scan_end = parsed
+    read_bits, huffdec, next_segment = _jpeg_bit_reader(segs)
 
     basis = _idct_basis()
     # sampling geometry (T.81 A.1.1/A.2.3): the MCU covers an
@@ -1357,6 +1292,57 @@ def _jpeg_entropy_segments(b: bytes, pos: int, ri: int):
     return [bytes(s) + b"\x00\x00" for s in segs], pos
 
 
+def _jpeg_bit_reader(segs):
+    """The ONE entropy bit reader shared by the baseline and
+    progressive decoders (review r7): bulk ``int.from_bytes`` fetches,
+    the T.81 F.16 canonical-array huffman decode (16-bit peek, accept
+    at the first covering length, phantom codes past the segment end
+    rejected), and restart-segment switching. Returns
+    ``(read_bits, huffdec, next_segment)`` closures over one shared
+    cursor."""
+    st = {"data": segs[0], "bitpos": 0, "nbits": 8 * (len(segs[0]) - 2),
+          "seg": 0}
+
+    def read_bits(n):
+        if n == 0:
+            return 0
+        end = st["bitpos"] + n
+        if end > st["nbits"]:
+            return None
+        data = st["data"]
+        b0, b1 = st["bitpos"] >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(data[b0:b1], "big")
+        st["bitpos"] = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
+
+    def huffdec(tab):
+        mincode, maxcode, valptr, vals = tab
+        data = st["data"]
+        bitpos = st["bitpos"]
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3], "big")
+        peek = (chunk >> (8 - (bitpos & 7))) & 0xFFFF
+        for ln in range(1, 17):
+            c = peek >> (16 - ln)
+            if c <= maxcode[ln]:
+                if bitpos + ln > st["nbits"]:
+                    return None  # zero-padded phantom code past the end
+                st["bitpos"] = bitpos + ln
+                return vals[valptr[ln] + c - mincode[ln]]
+        return None
+
+    def next_segment():
+        st["seg"] += 1
+        if st["seg"] >= len(segs):
+            return False
+        st["data"] = segs[st["seg"]]
+        st["bitpos"] = 0
+        st["nbits"] = 8 * (len(st["data"]) - 2)
+        return True
+
+    return read_bits, huffdec, next_segment
+
+
 def _decode_jpeg_progressive(b: bytes):
     """REAL progressive JPEG decode (SOF2, spectral selection +
     successive approximation, T.81 Annex G), stdlib + numpy only —
@@ -1372,8 +1358,10 @@ def _decode_jpeg_progressive(b: bytes):
     (no-row-disappears contract).
 
     Memory: unlike the baseline path's O(64) streaming, progressive
-    must buffer every coefficient until all scans land — bounded by a
-    16M-sample guard (64 MB of int32) rather than the baseline 128M."""
+    must buffer every coefficient until all scans land — int64 cells
+    (overflow-safe for crafted predictor chains) under a 16M-sample
+    guard, i.e. up to ~128 MB transient per file, vs the baseline's
+    128M-pixel streaming bound."""
     import struct
 
     import numpy as np
@@ -1385,8 +1373,9 @@ def _decode_jpeg_progressive(b: bytes):
     ri = 0
     sof = None
     comps = []
-    coefs = None  # per-component (bhp, bwp, 64) int32, zigzag index space
+    coefs = None  # per-component (bhp, bwp, 64) int64, zigzag index space
     geom = None  # (hmax, vmax, mcux, mcuy, cw[], chh[], nbx[], nby[])
+    n_scans = 0
 
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -1507,8 +1496,12 @@ def _decode_jpeg_progressive(b: bytes):
                 dc_tabs, ac_tabs, segs, ri,
             ):
                 return None
+            n_scans += 1
         # APPn / COM: skipped
-    if sof is None or coefs is None:
+    if sof is None or coefs is None or n_scans == 0:
+        # a SOF2 stream with ZERO entropy scans carries no image data —
+        # fabricating all-128 facts from the empty coefficient store
+        # would defeat the quarantine contract (review r7 #2)
         return None
     w, h, nf = sof
     _hmax, _vmax, _mcux, _mcuy, cw, chh, nbx, nby = geom
@@ -1554,48 +1547,7 @@ def _jpeg_progressive_scan(
     and AC refinement (G.1.2.3: ±1<<Al inserts with correction bits
     read as the walk crosses history-nonzero coefficients)."""
     hmax, vmax, mcux, mcuy, _cw, _chh, nbx, nby = geom
-
-    seg_i = 0
-    data = segs[0]
-    bitpos = 0
-    nbits_total = 8 * (len(data) - 2)
-
-    def read_bits(n):
-        nonlocal bitpos
-        if n == 0:
-            return 0
-        end = bitpos + n
-        if end > nbits_total:
-            return None
-        b0, b1 = bitpos >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(data[b0:b1], "big")
-        bitpos = end
-        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
-
-    def huffdec(tab):
-        nonlocal bitpos
-        mincode, maxcode, valptr, vals = tab
-        b0 = bitpos >> 3
-        chunk = int.from_bytes(data[b0 : b0 + 3], "big")
-        peek = (chunk >> (8 - (bitpos & 7))) & 0xFFFF
-        for lnn in range(1, 17):
-            c = peek >> (16 - lnn)
-            if c <= maxcode[lnn]:
-                if bitpos + lnn > nbits_total:
-                    return None
-                bitpos += lnn
-                return vals[valptr[lnn] + c - mincode[lnn]]
-        return None
-
-    def next_segment():
-        nonlocal seg_i, data, bitpos, nbits_total
-        seg_i += 1
-        if seg_i >= len(segs):
-            return False
-        data = segs[seg_i]
-        bitpos = 0
-        nbits_total = 8 * (len(data) - 2)
-        return True
+    read_bits, huffdec, next_segment = _jpeg_bit_reader(segs)
 
     dc_scan = ss == 0
     if dc_scan and ah == 0:

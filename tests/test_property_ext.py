@@ -970,3 +970,21 @@ def test_avi_decoder_never_raises_on_arbitrary_bytes(data):
 
     _decode_avi_mjpeg(data)
     _decode_avi_mjpeg(b"RIFF\xff\xff\x00\x00AVI " + data)
+
+
+def test_jpeg_progressive_requires_a_scan():
+    """A SOF2 stream with ZERO entropy scans carries no image data and
+    must be quarantined (None), not decoded as all-128 pixels from the
+    empty coefficient store (review r7)."""
+    import struct
+
+    from dbt_databricks_metrics_spark.ext.multimodal import _decode_jpeg
+
+    nosos = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+        + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    assert _decode_jpeg(nosos) is None
