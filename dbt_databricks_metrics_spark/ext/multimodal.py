@@ -1910,7 +1910,9 @@ def _png_raster(b: bytes):
     re-parse the bytes without this validation, an implicit coupling):
     signature + chunk walk (IHDR / concatenated IDAT / IEND), bomb
     guard, bounded zlib inflate, and per-scanline unfiltering — 8-bit
-    depth, color types 0/2/4/6, non-interlaced. Returns
+    depth, color types 0/2/4/6, non-interlaced OR Adam7-interlaced
+    (r7: each of the 7 passes unfiltered as its own sub-image and
+    scattered back onto the pass grid). Returns
     ``(w, h, channels, raster)`` or None; both :func:`_decode_png` and
     :func:`_decode_image_raster` consume this, so parse and validation
     cannot desync."""
@@ -1936,9 +1938,19 @@ def _png_raster(b: bytes):
         return None
     w, h, depth, ctype, comp, filt, inter = struct.unpack_from(">IIBBBBB", ihdr)
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if ch is None or depth != 8 or comp or filt or inter or w == 0 or h == 0:
+    if ch is None or depth != 8 or comp or filt or inter > 1 or w == 0 or h == 0:
         return None
-    expected = h * (1 + w * ch)
+    if inter:  # Adam7 pass sub-image dimensions (empty passes skipped)
+        passes = []
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if wp and hp:
+                passes.append((x0, y0, dx, dy, wp, hp))
+                expected += hp * (1 + wp * ch)
+    else:
+        expected = h * (1 + w * ch)
     # bomb guard: the raster size is known from IHDR BEFORE inflating, so
     # (a) reject absurd declared dimensions (128 MB raster cap) and
     # (b) inflate at most expected+1 bytes via decompressobj — a crafted
@@ -1952,10 +1964,27 @@ def _png_raster(b: bytes):
         raw = dec.decompress(idat, expected + 1)
     except zlib.error:
         return None
-    raster = _png_unfilter(raw, w, h, ch)
-    if raster is None:
+    if not inter:
+        raster = _png_unfilter(raw, w, h, ch)
+        if raster is None:
+            return None
+        return w, h, ch, raster
+    if len(raw) != expected:
         return None
-    return w, h, ch, raster
+    import numpy as np
+
+    full = np.zeros((h, w, ch), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, wp, hp in passes:
+        span = hp * (1 + wp * ch)
+        sub = _png_unfilter(raw[off : off + span], wp, hp, ch)
+        if sub is None:
+            return None
+        off += span
+        full[y0::dy, x0::dx, :] = np.frombuffer(sub, np.uint8).reshape(
+            hp, wp, ch
+        )
+    return w, h, ch, full.tobytes()
 
 
 def _decode_png(b: bytes):
@@ -2159,6 +2188,54 @@ def _png_encode(w: int, h: int, ch: int, raster: bytes, filters) -> bytes:
     )
 
 
+# Adam7 interlace pass grid (PNG spec §8.2, public):
+# (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_encode_interlaced(
+    w: int, h: int, ch: int, raster: bytes, filters
+) -> bytes:
+    """Adam7-interlaced PNG writer (8-bit, interlace=1): each of the 7
+    passes is an independently-filtered sub-image (empty passes
+    contribute nothing), concatenated into ONE deflate stream — the
+    exact structure :func:`_png_raster`'s interlaced branch must undo.
+    *filters* is indexed by a running sub-image row counter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    full = np.frombuffer(raster, np.uint8).reshape(h, w, ch)
+    scan = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = full[y0::dy, x0::dx, :]
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        stride = wp * ch
+        prev = bytes(stride)
+        for r in range(hp):
+            line = sub[r].tobytes()
+            ft = filters[fi % len(filters)]
+            fi += 1
+            scan.append(ft)
+            scan += _png_filter_line(ft, line, prev, ch)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synthesize_png(documents: DataFrame) -> DataFrame:
     """REAL PNG bytes — zlib-deflated IDAT with per-scanline filters
     cycling through ALL five types ((media_id + row) mod 5), so the
@@ -2169,7 +2246,9 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
     the decoded facts without touching binary — the filters + deflate
     are exactly what :func:`_decode_png` must undo to recover them.
     Alternates RGB (color type 2) and grayscale (color type 0) by id
-    parity."""
+    parity; ids ≡ 3 (mod 7) are ADAM7-INTERLACED (r7) — interlacing
+    re-frames the same raster, so the oracle is unchanged while the
+    7-pass reconstruction gets driver-contract coverage."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -2183,6 +2262,10 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
         ch = 3 if mid % 2 == 0 else 1
         seed = (29 * mid) % 256
         raster = bytes((seed + i) % 256 for i in range(h * w * ch))
+        if mid % 7 == 3:
+            return _png_encode_interlaced(
+                w, h, ch, raster, [(mid + r) % 5 for r in range(h + 7)]
+            )
         return _png_encode(
             w, h, ch, raster, [(mid + r) % 5 for r in range(h)]
         )

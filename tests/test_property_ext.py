@@ -988,3 +988,35 @@ def test_jpeg_progressive_requires_a_scan():
         + b"\xff\xd9"
     )
     assert _decode_jpeg(nosos) is None
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_adam7_equals_plain(w, h, ch, seed):
+    """Adam7 interlacing re-frames the same raster: for random images
+    (including sizes where several passes are empty), the interlaced
+    decode must reproduce the identical raster and facts as the plain
+    encoding (round 7)."""
+    import random
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_png,
+        _png_encode,
+        _png_encode_interlaced,
+        _png_raster,
+    )
+
+    rng = random.Random(seed)
+    raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    filters = [rng.randrange(5) for _ in range(w * h + 7)]
+    plain = _png_encode(
+        w, h, ch, raster, [filters[r % len(filters)] for r in range(h)]
+    )
+    inter = _png_encode_interlaced(w, h, ch, raster, filters)
+    assert _png_raster(inter) == (w, h, ch, raster)
+    assert _decode_png(inter) == _decode_png(plain)
