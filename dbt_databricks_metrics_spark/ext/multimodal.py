@@ -845,8 +845,9 @@ def _gif_first_frame(b: bytes):
     raster fully decompressed and palette-bounds-checked. Returns
     ``(iw, ih, palette_bytes, index_raster)`` or None; both
     :func:`_decode_gif` and :func:`_decode_image_raster` consume this,
-    so parse and validation cannot desync. Interlaced images and
-    anything malformed return None (no-row-disappears contract)."""
+    so parse and validation cannot desync; interlaced images (the 4-pass
+    row sequence) are deinterlaced to natural row order (r7). Anything
+    malformed returns None (no-row-disappears contract)."""
     import struct
 
     if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -885,8 +886,9 @@ def _gif_first_frame(b: bytes):
             if len(pal) != 3 * pal_n:
                 return None
             pos += 3 * pal_n
-        if ip & 0x40 or pal_n == 0:  # interlace unsupported; no palette
+        if pal_n == 0:  # an image with no palette in scope
             return None
+        interlaced = bool(ip & 0x40)
         if pos >= len(b):
             return None
         m = b[pos]
@@ -903,6 +905,11 @@ def _gif_first_frame(b: bytes):
         idx = _gif_lzw_decode(bytes(data), m, iw * ih)
         if idx is None or len(idx) != iw * ih or max(idx) >= pal_n:
             return None
+        if interlaced:  # 4-pass row permutation back to natural order
+            rows = [b""] * ih
+            for j, r in enumerate(_gif_interlace_order(ih)):
+                rows[r] = idx[j * iw : (j + 1) * iw]
+            idx = b"".join(rows)
         return iw, ih, pal, idx
     return None
 
@@ -2283,6 +2290,16 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gif_interlace_order(h: int):
+    """GIF 4-pass interlace row sequence (spec appendix E, public):
+    every 8th row from 0, every 8th from 4, every 4th from 2, every 2nd
+    from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
 def _gif_encode(
     w: int,
     h: int,
@@ -2291,13 +2308,16 @@ def _gif_encode(
     min_code_size: int,
     local_palette: bool = False,
     extensions: bool = False,
+    interlaced: bool = False,
 ) -> bytes:
     """Minimal GIF89a writer: logical screen descriptor, global OR local
     color table (3 bytes/entry, power-of-two length), optional graphic
     control + comment extensions (to exercise the decoder's sub-block
     skip), one image descriptor, LZW-compressed index raster split into
-    <=255-byte sub-blocks. Shared by :func:`synthesize_gif` and the
-    property tests so encoder and tests cannot drift apart."""
+    <=255-byte sub-blocks; ``interlaced`` stores the rows in the 4-pass
+    interlace sequence and sets the flag (r7). Shared by
+    :func:`synthesize_gif` and the property tests so encoder and tests
+    cannot drift apart."""
     import struct
 
     n = len(palette) // 3
@@ -2312,13 +2332,18 @@ def _gif_encode(
         # graphic control (4-byte body) + a 2-sub-block comment
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
         out += b"\x21\xfe\x05synth\x03gif\x00"
+    ip = 0x40 if interlaced else 0
     out += struct.pack("<BHHHH", 0x2C, 0, 0, w, h)
     if local_palette:
-        out.append(0x80 | (pbits - 1))
+        out.append(0x80 | ip | (pbits - 1))
         out += palette
     else:
-        out.append(0)
+        out.append(ip)
     out.append(min_code_size)
+    if interlaced:
+        indices = b"".join(
+            indices[r * w : (r + 1) * w] for r in _gif_interlace_order(h)
+        )
     lzw = _gif_lzw_encode(indices, min_code_size)
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
@@ -2338,7 +2363,9 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
     a closed-form function of the id — so a SQL oracle predicts the
     raster index sum without touching binary; the variable-width LZW
     stream is exactly what :func:`_decode_gif` must undo to recover
-    it."""
+    it. ids ≡ 1 (mod 5) are stored INTERLACED (r7): same raster after
+    the 4-pass deinterlace, so the oracle is unchanged while the
+    interlace path gets driver coverage."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -2365,6 +2392,9 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
             m_colors.bit_length() - 1,
             local_palette=bool(mid % 2),
             extensions=bool(mid % 2),
+            # ids = 1 mod 5: 4-pass interlaced storage (r7) — the
+            # decoded index raster is unchanged, so the oracle is too
+            interlaced=mid % 5 == 1,
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -565,18 +565,30 @@ def test_gif_decode_roundtrips_any_geometry(w, h, mbits, seed, local, exts):
     assert _decode_gif(g) == ("gif", w, h, 1, None, w * h, None, sum(idx))
 
 
-def test_gif_decode_rejects_interlace_and_missing_palette():
+def test_gif_interlace_flag_permutes_rows_only():
+    """r7: interlace is now SUPPORTED — flipping the flag on a
+    plain-stored stream makes the decoder deinterlace rows it shouldn't,
+    which permutes the raster (index SUM is row-order-invariant, so the
+    aggregate facts still agree) but changes the row content the raster
+    path sees. Both behaviors pinned."""
     from dbt_databricks_metrics_spark.ext.multimodal import (
         _decode_gif,
         _gif_encode,
+        _gif_first_frame,
     )
 
     idx = bytes(range(16)) * 4
-    palette = bytes(48)
-    g = bytearray(_gif_encode(8, 8, palette, idx, 4))
+    palette = bytes(range(48))
+    plain = _gif_encode(8, 8, palette, idx, 4)
+    g = bytearray(plain)
     ip = g.index(0x2C, 13 + 48)  # image descriptor after header+GCT
-    g[ip + 9] |= 0x40  # interlace flag
-    assert _decode_gif(bytes(g)) is None
+    g[ip + 9] |= 0x40  # interlace flag on plain-ordered rows
+    flipped = bytes(g)
+    assert _decode_gif(flipped) == _decode_gif(plain)  # sum invariant
+    a = _gif_first_frame(plain)
+    b = _gif_first_frame(flipped)
+    assert a[:3] == b[:3] and sorted(a[3]) == sorted(b[3])
+    assert a[3] != b[3]  # but the rows really were permuted
 
 
 @given(data=st.binary(min_size=0, max_size=200))
@@ -1020,3 +1032,35 @@ def test_png_adam7_equals_plain(w, h, ch, seed):
     inter = _png_encode_interlaced(w, h, ch, raster, filters)
     assert _png_raster(inter) == (w, h, ch, raster)
     assert _decode_png(inter) == _decode_png(plain)
+
+
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 30),
+    nbits=st.sampled_from([4, 6, 8]),
+    lp=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_interlace_equals_plain(w, h, nbits, lp, seed):
+    """GIF 4-pass interlacing re-orders rows in storage only: the
+    deinterlaced first frame must equal the plain encoding's, for
+    random rasters, palette widths, and local/global palettes (r7)."""
+    import random
+
+    from dbt_databricks_metrics_spark.ext.multimodal import (
+        _decode_gif,
+        _gif_encode,
+        _gif_first_frame,
+    )
+
+    rng = random.Random(seed)
+    n = 1 << nbits
+    pal = bytes(rng.randrange(256) for _ in range(3 * n))
+    idx = bytes(rng.randrange(n) for _ in range(w * h))
+    plain = _gif_encode(w, h, pal, idx, max(2, nbits), local_palette=lp)
+    inter = _gif_encode(
+        w, h, pal, idx, max(2, nbits), local_palette=lp, interlaced=True
+    )
+    assert _gif_first_frame(inter) == (w, h, pal, idx)
+    assert _decode_gif(inter) == _decode_gif(plain)
