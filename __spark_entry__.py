@@ -5542,74 +5542,71 @@ def _q_token_stream_pack(spark, sf_dir):
 # VERDICT counted only the 46 r4 ones — the r3 cohort is older still);
 # (e) 10 of the 46 r4-stale anchors (core dbt-workflow + search/dedup ops
 # first); (f) the new measure_stream_join and media_decode_adpcm. The
-# remaining 36 r4-stale contracts are the r8 queue (enumerated in
-# BASELINE.md) — with 176 contracts and a 50-row driver sample, full
-# coverage takes ceil(176/50)=4
-# rounds, so the enforceable staleness bound is 4 rounds, not the 2 the r6
-# VERDICT asked for; tests/test_contract_exactness.py::
-# test_prefix_rotates_oldest_contracts pins the oldest-first discipline
-# mechanically (it recomputes the required set from the CORRECTNESS
-# history, so these prose counts can never silently rot the rotation).
+# Round-8 rotation (executed): the 36 contracts whose latest driver
+# row is r4 (>=3 rounds stale at prefix-build time — the guard's
+# mechanical requirement) plus 14 backfill slots from the r5 cohort,
+# oldest-first alphabetical. With 176 contracts and a 50-row driver
+# sample, full coverage takes ceil(176/50)=4 rounds, so the
+# enforceable staleness bound is 4 rounds;
+# tests/test_contract_exactness.py::test_prefix_rotates_oldest_contracts
+# pins the oldest-first discipline mechanically (it recomputes the
+# required set from the CORRECTNESS history, so these prose counts can
+# never silently rot the rotation). r9 queue = the remaining r5
+# cohort, then the r6 cohort, oldest first.
 _DRIVER_PREFIX = [
-    # (a) first driver rows: the late-r6 codec family + pricing_natural
-    "media_decode_gif",
-    "media_decode_g711",
-    "media_decode_jpeg",
-    "media_decode_mjpeg",
-    "mjpeg_frame_sample",
-    "audio_window_stats",
-    "resized_thumbs",
-    "pricing_natural",
-    # (b) shape changed this round (natural Q1 presentation) -> fresh row
-    "lineitem_pricing",
-    # (d) the 29 contracts last sampled in r3 (oldest cohort)
-    "bucketed_revenue",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "contamination_pairs",
-    "dedup_exact_summary",
-    "distinct_median_measures",
-    "doc_repetition",
-    "doc_stats",
-    "dsir_weights",
-    "dup_clusters",
-    "having_segments",
-    "interpolated_revenue",
-    "lm_doc_scores",
-    "measure_expr_sql",
-    "measure_global",
-    "measure_sql",
-    "multi_window_shared",
-    "ngram_jaccard_pairs",
-    "paragraph_dedup",
-    "pop_revenue",
-    "share_of_total",
-    "sketch_distinct",
-    "sliced_measure",
-    "spine_daily_revenue",
-    "stg_customers",
-    "streaming_doc_stats",
-    "topk_months",
-    "vocab_topk",
-    "winnow_overlap_pairs",
-    # (e) 10 of the 46 r4-stale anchors (rest queued for r8)
-    "stg_orders",
-    "routed_segment",
-    "asof_join",
-    "incremental_model",
-    "cdc_apply",
-    "snapshot_scd2",
-    "curation_v2",
-    "hybrid_search",
-    "ivf_topk",
-    "bm25_search",
-    # (f) new this round (never sampled): MEASURE() over a
-    # stream-stream join (streaming/metric_stream.py) and the IMA
-    # ADPCM audio decode (ext/multimodal.py) — substring_dedup yields
-    # its slot to stay at 50 (r4-stale, joins the r8 queue the guard
-    # test recomputes mechanically)
-    "measure_stream_join",
-    "media_decode_adpcm",
+    # (a) the 36 r4-stale contracts (BASELINE.md r8 queue, verbatim)
+    "advisor_applied_route",
+    "audience_overlap",
+    "bloom_prune",
+    "bpe_encoded",
+    "bpe_merges",
+    "data_checks",
+    "doc_vectors",
+    "funnel_steps",
+    "gopher_gate",
+    "hist_percentile",
+    "ivfpq_topk",
+    "k_anonymity",
+    "logreg_weights",
+    "media_features",
+    "metric_anomalies",
+    "multiformat_roundtrip",
+    "pagerank_dupgraph",
+    "pca_covariance",
+    "pq_codes",
+    "pq_topk",
+    "reranked_search",
+    "rollup_advisor",
+    "rollup_advisor_budget",
+    "salted_join_agg",
+    "source_freshness",
+    "source_reputation",
+    "srp_similar_pairs",
+    "ssjoin_pairs",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "streaming_dedup",
+    "streaming_rollup_serve",
+    "substring_dedup",
+    "triangle_counts",
+    "user_activity",
+    "zorder_scan",
+    # (b) 14 backfill slots: oldest of the rest = the r5 cohort,
+    # alphabetical (deterministic tie-break the guard tolerates)
+    "calibration",
+    "cluster_keep_best",
+    "cohort_retention",
+    "corpus_diff",
+    "debounced_events",
+    "derived_measure",
+    "distinct_count_salted",
+    "drift_report",
+    "drill_across",
+    "ece",
+    "embedding_drift",
+    "event_transitions",
+    "events_metric_view",
+    "gram_novelty",
 ]
 
 
