@@ -170,10 +170,10 @@ def expand_derived(query: MetricQuery):
     * projection is None when no requested measure is derived — use the
       query as-is;
     * otherwise inner_query requests the non-derived measures plus every
-      dependency of the derived ones (post-aggregation the derived expr
-      is a plain column expression over those results), and projection
-      is the ordered [(name, derived_expr_or_None)] that restores the
-      requested output via :func:`apply_derived`.
+      TRANSITIVE plain dependency of the derived ones (chains of derived
+      measures are walked down to their plain leaves), and projection is
+      {"order": topo-ordered [(derived_name, expr)], "output": requested
+      measure names} consumed by :func:`apply_derived`.
 
     Routing keys off inner_query, so a derived measure is rollup-served
     whenever its DEPENDENCIES are covered — the derived value itself is
@@ -183,26 +183,55 @@ def expand_derived(query: MetricQuery):
     if not derived:
         return query, None
     storage = [m for m in query.measures if not spec.measure(m).derived]
-    for dn in derived:
+    # Transitive closure: derived measures may reference other derived
+    # measures (chains — cycles are refused at spec validation), so walk
+    # refs down to the PLAIN measures (those go to storage / routing) and
+    # collect every derived node touched (requested or intermediate).
+    needed: list[str] = []
+    frontier = list(derived)
+    while frontier:
+        dn = frontier.pop(0)
+        if dn in needed:
+            continue
+        needed.append(dn)
         for ref in spec.measure_refs(dn):
-            if ref not in storage:
+            if spec.measure(ref).derived:
+                frontier.append(ref)
+            elif ref not in storage:
                 storage.append(ref)
     inner = MetricQuery(spec, query.dimensions, tuple(storage), where=query.where)
-    proj = [
-        (m, spec.measure(m).expr if spec.measure(m).derived else None)
-        for m in query.measures
-    ]
+    # Kahn topo-sort the derived nodes by their derived-to-derived edges
+    # so apply_derived can project them sequentially (a chain's tail
+    # resolves only after its head exists as a column).
+    pending = {
+        n: {r for r in spec.measure_refs(n) if spec.measure(r).derived}
+        for n in needed
+    }
+    order: list[str] = []
+    while pending:
+        ready = sorted(n for n, deps in pending.items() if not deps)
+        # cycles are impossible here (spec validation refuses them)
+        for n in ready:
+            order.append(n)
+            del pending[n]
+        for deps in pending.values():
+            deps.difference_update(ready)
+    proj = {
+        "order": [(n, spec.measure(n).expr) for n in order],
+        "output": list(query.measures),
+    }
     return inner, proj
 
 
 def apply_derived(df: DataFrame, query: MetricQuery, proj) -> DataFrame:
     """Project the inner result back to the requested (dims, measures):
-    derived names evaluate their expr over the computed measure columns;
-    un-requested dependencies drop here."""
-    return df.select(
-        *query.dimensions,
-        *[(F.expr(e).alias(n) if e is not None else F.col(n)) for n, e in proj],
-    )
+    derived names evaluate their expr over the computed measure columns —
+    sequentially, in dependency order, so chained derived measures
+    resolve; un-requested dependencies (plain or intermediate derived)
+    drop at the final select."""
+    for n, e in proj["order"]:
+        df = df.withColumn(n, F.expr(e))
+    return df.select(*query.dimensions, *proj["output"])
 
 
 class QueryCompiler:

@@ -327,12 +327,43 @@ class MetricViewSpec:
                     f"derived measure {m.name!r} references no sibling "
                     f"measure — declare it as a plain measure instead"
                 )
-            chained = [r for r in refs if r in derived_names]
-            if chained:
+        # Derived-to-derived chains are allowed (dbt's derived metrics
+        # compose, and avg_dollars = avg_cents / 100 is natural); only
+        # CYCLES are refused — DFS over the measure_refs edges restricted
+        # to derived siblings.
+        def _cycle_from(start: str) -> Optional[list[str]]:
+            path: list[str] = []
+            on_path: set[str] = set()
+            done: set[str] = set()
+
+            def visit(n: str) -> Optional[list[str]]:
+                if n in done:
+                    return None
+                path.append(n)
+                on_path.add(n)
+                for r in self.measure_refs(n):
+                    if r not in derived_names:
+                        continue
+                    if r in on_path:
+                        return path[path.index(r):] + [r]
+                    found = visit(r)
+                    if found:
+                        return found
+                path.pop()
+                on_path.discard(n)
+                done.add(n)
+                return None
+
+            return visit(start)
+
+        for m in self.measures:
+            if not m.derived:
+                continue
+            cycle = _cycle_from(m.name)
+            if cycle:
                 raise SpecError(
-                    f"derived measure {m.name!r} references derived "
-                    f"measure(s) {chained} — chaining is not supported; "
-                    f"reference the base measures directly"
+                    f"derived measures form a reference cycle: "
+                    f"{' -> '.join(cycle)}"
                 )
         if self.materialization:
             for r in self.materialization.materialized_views:

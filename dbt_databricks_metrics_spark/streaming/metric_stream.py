@@ -57,20 +57,47 @@ def streaming_metric_view(
 
     Returns ``window_start, window_end, <dims...>, <measures...>``.
     ``dimensions``/``measures`` select a subset by name (default: all
-    declared non-frame-crossing). Derived measures may be requested only
-    alongside the measures they reference. Pass ``watermark=None`` when
+    declared non-frame-crossing, minus derived measures that transitively
+    reference a frame-crossing one — those are underivable here and are
+    silently excluded from the DEFAULT set only; requesting one
+    explicitly still raises). Derived measures may be requested only
+    alongside the measures they reference. ``spec.filter`` is applied
+    before aggregation (batch parity); specs declaring ``joins`` are
+    refused — pre-join the stream and pass the joined frame. Pass ``watermark=None`` when
     the source ALREADY carries one — e.g. the output of
     ``stream_stream_interval_join`` — because Spark disallows redefining
     a watermark downstream of a stateful operator; the upstream
     watermark then drives window finalization.
     """
+    if spec.joins:
+        raise QueryError(
+            f"spec {spec.name!r} declares joins — the streaming metric "
+            f"layer compiles the spec against a single source; pre-join "
+            f"the stream (e.g. stream_static_enrich / "
+            f"stream_stream_interval_join) and pass the joined frame"
+        )
+
     dim_by_name = {d.name: d for d in spec.dimensions}
     mea_by_name = {m.name: m for m in spec.measures}
     dim_names = list(dimensions) if dimensions is not None else list(dim_by_name)
     if measures is not None:
         mea_names = list(measures)
-    else:  # default: every streamable measure (frame-crossing excluded)
-        mea_names = [n for n, m in mea_by_name.items() if not m.is_windowed]
+    else:  # default: every streamable measure (frame-crossing excluded),
+        # dropping derived measures whose refs (transitively) reach an
+        # excluded windowed measure — they are underivable here, and the
+        # no-args call should not error on a spec that merely CONTAINS
+        # one (ADVICE r7)
+        excluded = {n for n, m in mea_by_name.items() if m.is_windowed}
+        changed = True
+        while changed:
+            changed = False
+            for n, m in mea_by_name.items():
+                if n in excluded or not m.derived:
+                    continue
+                if any(r in excluded for r in spec.measure_refs(n)):
+                    excluded.add(n)
+                    changed = True
+        mea_names = [n for n in mea_by_name if n not in excluded]
 
     unknown = [n for n in dim_names if n not in dim_by_name]
     if unknown:
@@ -104,6 +131,10 @@ def streaming_metric_view(
             )
 
     src = source
+    if spec.filter:  # batch parity: compiler applies the spec-level
+        # filter before aggregation (plans/compiler.py source_plan);
+        # stateless, so stream-safe ahead of the watermark (ADVICE r7)
+        src = src.filter(F.expr(spec.filter))
     if src.isStreaming and watermark is not None:
         src = src.withWatermark(ts_col, watermark)
     win = (
@@ -121,7 +152,30 @@ def streaming_metric_view(
         *dim_names,
         *[F.col(m.name) for m in plain],
     )
-    for m in derived:  # stateless post-agg projection over sibling names
-        out = out.withColumn(m.name, F.expr(m.expr))
+    # Stateless post-agg projection over sibling names, in DEPENDENCY
+    # order, not request order: a derived measure may reference another
+    # derived measure requested after it, and projecting in request
+    # order would surface a raw unresolved-column AnalysisException
+    # (ADVICE r7). Kahn topo-sort over the derived-to-derived edges.
+    derived_names = {m.name for m in derived}
+    pending = {
+        m.name: [r for r in spec.measure_refs(m.name) if r in derived_names]
+        for m in derived
+    }
+    ordered: list[str] = []
+    while pending:
+        ready = sorted(n for n, deps in pending.items() if not deps)
+        if not ready:
+            raise QueryError(
+                f"derived measures form a reference cycle: "
+                f"{sorted(pending)}"
+            )
+        for n in ready:
+            ordered.append(n)
+            del pending[n]
+        for deps in pending.values():
+            deps[:] = [d for d in deps if d not in set(ordered)]
+    for n in ordered:
+        out = out.withColumn(n, F.expr(mea_by_name[n].expr))
     # present in request order (derived may interleave with plain)
     return out.select("window_start", "window_end", *dim_names, *mea_names)

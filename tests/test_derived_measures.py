@@ -124,7 +124,7 @@ measures:
         )
 
 
-def test_spec_rejects_refless_and_chained_derived():
+def test_spec_rejects_refless_derived_and_cycles():
     with pytest.raises(SpecError, match="references no sibling"):
         MetricViewSpec.from_yaml(
             """
@@ -140,9 +140,10 @@ measures:
 """,
             name="mv_x",
         )
-    with pytest.raises(SpecError, match="chaining is not supported"):
-        MetricViewSpec.from_yaml(
-            """
+    # chains are ALLOWED (r8: dbt's derived metrics compose); only
+    # cycles refuse
+    spec = MetricViewSpec.from_yaml(
+        """
 version: 0.1
 source: t
 dimensions: [{name: d, expr: d}]
@@ -156,8 +157,109 @@ measures:
     expr: d1 * 2
     derived: true
 """,
+        name="mv_x",
+    )
+    assert spec.measure("d2").derived
+    with pytest.raises(SpecError, match="reference cycle"):
+        MetricViewSpec.from_yaml(
+            """
+version: 0.1
+source: t
+dimensions: [{name: d, expr: d}]
+measures:
+  - name: base
+    expr: sum(x)
+  - name: d1
+    expr: d2 / 2 + base
+    derived: true
+  - name: d2
+    expr: d1 * 2
+    derived: true
+""",
             name="mv_x",
         )
+
+
+CHAIN_SPEC_YAML = """
+version: 0.1
+source: fct_orders
+dimensions:
+  - name: market_segment
+    expr: market_segment
+measures:
+  - name: order_count
+    expr: count(*)
+  - name: revenue_cents
+    expr: sum(cast(round(total_price * 100) as bigint))
+  - name: aov_cents
+    expr: revenue_cents / order_count
+    derived: true
+  - name: aov_dollars
+    expr: aov_cents / 100
+    derived: true
+materialization:
+  materialized_views:
+    - name: chain_base
+      type: aggregated
+      dimensions: [market_segment]
+      measures: [order_count, revenue_cents]
+"""
+
+
+@pytest.fixture(scope="module")
+def chain_engine(spark, sf_dir, tmp_path_factory):
+    eng = MetricEngine(
+        spark, build_registry(sf_dir),
+        warehouse_dir=str(tmp_path_factory.mktemp("whc")),
+    )
+    eng.run()
+    eng.register(MetricViewSpec.from_yaml(CHAIN_SPEC_YAML, name="mv_chain"))
+    return eng
+
+
+def test_chained_derived_live(chain_engine):
+    """A derived measure referencing another derived measure resolves
+    through the dependency-ordered projection (r8; chains)."""
+    mv = chain_engine.metric_view("mv_chain")
+    rows = mv.query(
+        ["market_segment"],
+        ["aov_dollars", "aov_cents", "order_count", "revenue_cents"],
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["aov_cents"] == r["revenue_cents"] / r["order_count"]
+        assert r["aov_dollars"] == r["aov_cents"] / 100
+
+
+def test_chained_derived_only_query(chain_engine):
+    """Requesting ONLY the chain tail: intermediates and plain leaves
+    compute internally and drop from the output."""
+    mv = chain_engine.metric_view("mv_chain")
+    df = mv.query(["market_segment"], ["aov_dollars"])
+    assert df.columns == ["market_segment", "aov_dollars"]
+    live = {r["market_segment"]: r["aov_dollars"] for r in df.collect()}
+    full = {
+        r["market_segment"]: r["revenue_cents"] / r["order_count"] / 100
+        for r in mv.query(
+            ["market_segment"], ["order_count", "revenue_cents"]
+        ).collect()
+    }
+    assert live == full
+
+
+def test_chained_derived_routes_via_plain_leaves(chain_engine):
+    """Routing keys off the TRANSITIVE plain dependencies, so the chain
+    tail is rollup-served whenever the leaves are covered."""
+    chain_engine.refresh("mv_chain")
+    mv = chain_engine.metric_view("mv_chain")
+    df, route = mv.query_routed(["market_segment"], ["aov_dollars"])
+    assert route == "rollup:chain_base", route
+    routed = {r["market_segment"]: r["aov_dollars"] for r in df.collect()}
+    live = {
+        r["market_segment"]: r["aov_dollars"]
+        for r in mv.query(["market_segment"], ["aov_dollars"]).collect()
+    }
+    assert routed == live
 
 
 def test_spec_rejects_materializing_derived():

@@ -263,3 +263,152 @@ measures:
     got = _normalize(spark.read.parquet(sink))
     assert got == _normalize(batch)
     assert len(got) > 0
+
+FILTERED_SPEC_YAML = """
+version: 0.1
+source: live_events
+filter: event_type <> 'view'
+dimensions:
+  - name: event_type
+    expr: event_type
+  - name: event_day
+    expr: cast(ts as date)
+measures:
+  - name: n_events
+    expr: count(*)
+  - name: value_cents
+    expr: sum(cast(round(value * 100) as bigint))
+  - name: avg_cents
+    expr: value_cents / n_events
+    derived: true
+  - name: avg_dollars
+    expr: avg_cents / 100
+    derived: true
+  - name: trailing_value
+    expr: sum(value)
+    window:
+      - order: event_day
+        range: trailing 7 day
+  - name: trailing_avg
+    expr: trailing_value / n_events
+    derived: true
+"""
+
+
+@pytest.fixture(scope="module")
+def filtered_spec():
+    return MetricViewSpec.from_yaml(FILTERED_SPEC_YAML, name="mv_filtered")
+
+
+def test_spec_filter_applied_batch_and_stream(spark, filtered_spec, tmp_path):
+    """ADVICE r7 (high): spec.filter must reach the streaming plan — a
+    filtered spec previously streamed silently-unfiltered aggregates.
+    Batch/stream parity on the same filtered spec proves the fix."""
+    ev = _events(spark)
+    batch = streaming_metric_view(
+        ev, filtered_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=["event_type"], measures=["n_events"],
+    )
+    # no 'view' rows survive the spec filter
+    assert batch.filter(F.col("event_type") == "view").count() == 0
+    manual = (
+        ev.filter("event_type <> 'view'")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events",
+        )
+    )
+    assert _normalize(batch) == _normalize(manual)
+
+    src = str(tmp_path / "evf")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    live = streaming_metric_view(
+        stream, filtered_spec, ts_col="ts", window_duration="1 hour",
+        watermark="10 minutes", dimensions=["event_type"],
+        measures=["n_events"],
+    )
+    assert live.isStreaming
+    name = f"live_filtered_{uuid.uuid4().hex[:8]}"
+    q = (
+        live.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("window_end") <= F.lit(cutoff) - F.expr("INTERVAL 10 minutes")
+    )
+    assert _normalize(spark.table(name)) == _normalize(closed)
+
+
+def test_spec_with_joins_refused(spark):
+    """ADVICE r7: a spec declaring joins must be refused loudly, not
+    silently compiled joinless."""
+    joined_spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: live_events
+joins:
+  - name: customer
+    source: dim_customer
+    on: source.user_id = customer.id
+dimensions:
+  - name: event_type
+    expr: event_type
+measures:
+  - name: n_events
+    expr: count(*)
+""",
+        name="mv_joined",
+    )
+    ev = _events(spark)
+    with pytest.raises(QueryError, match="declares joins"):
+        streaming_metric_view(
+            ev, joined_spec, ts_col="ts", window_duration="1 hour"
+        )
+
+
+def test_derived_chain_orders_topologically(spark, filtered_spec):
+    """ADVICE r7 (low): avg_dollars references avg_cents, itself
+    derived. Requesting avg_dollars BEFORE avg_cents must still resolve
+    (dependency-ordered projection), and the output keeps request
+    order."""
+    ev = _events(spark)
+    got = streaming_metric_view(
+        ev, filtered_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=[],
+        measures=["avg_dollars", "avg_cents", "n_events", "value_cents"],
+    )
+    assert got.columns == [
+        "window_start", "window_end",
+        "avg_dollars", "avg_cents", "n_events", "value_cents",
+    ]
+    row = got.orderBy("window_start").first()
+    assert row["avg_cents"] == row["value_cents"] / row["n_events"]
+    assert row["avg_dollars"] == row["avg_cents"] / 100
+
+
+def test_default_measures_drop_underivable_derived(spark, filtered_spec):
+    """ADVICE r7 (low): measures=None must not error on a spec whose
+    derived measure references a windowed one — trailing_avg is
+    excluded from the default set (transitively underivable), while the
+    derivable chain avg_cents/avg_dollars stays in."""
+    ev = _events(spark)
+    got = streaming_metric_view(
+        ev, filtered_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=[],
+    )
+    assert "trailing_avg" not in got.columns
+    assert "trailing_value" not in got.columns
+    for c in ("n_events", "value_cents", "avg_cents", "avg_dollars"):
+        assert c in got.columns
+    # explicit request of the underivable derived still refuses loudly
+    with pytest.raises(QueryError):
+        streaming_metric_view(
+            ev, filtered_spec, ts_col="ts", window_duration="1 hour",
+            measures=["trailing_avg", "n_events"],
+        )
