@@ -110,6 +110,13 @@ measures:
     # the natural grain anyway)
     expr: revenue_cents div order_count
     derived: true
+  - name: aov_dollars
+    # CHAINED derived (r8): references the derived aov_cents — spec
+    # validation allows chains (cycles refuse), expand_derived walks to
+    # the plain leaves for routing, apply_derived projects in dependency
+    # order; integer div keeps the whole chain int64
+    expr: aov_cents div 100
+    derived: true
 materialization:
   materialized_views:
     - name: seg_base
@@ -5302,6 +5309,63 @@ def _q_derived_measure(spark, sf_dir):
     return df
 
 
+def _q_measure_chain(spark, sf_dir):
+    # chained derived measures (r8): aov_dollars -> aov_cents ->
+    # {revenue_cents, order_count}. Requesting the chain TAIL alone plus
+    # one leaf proves (a) transitive expansion reaches the plain leaves,
+    # (b) the intermediate derived computes internally in dependency
+    # order and drops from the output, (c) routing keys off the leaves —
+    # the query serves from the seg_base rollup (asserted). Integer div
+    # end-to-end: the hashed projection carries only int64.
+    eng = _engine(spark, sf_dir)
+    mv = eng.metric_view("mv_derived")
+    df, route = mv.query_routed(["market_segment"], ["order_count", "aov_dollars"])
+    assert route == "rollup:seg_base", route
+    return df
+
+
+def _q_measure_stream_filtered(spark, sf_dir):
+    # spec-level filter through the STREAMING metric compiler (ADVICE r7
+    # high: spec.filter was silently dropped pre-fix). Batch DataFrame
+    # through streaming_metric_view = the identical plan minus the
+    # watermark (the module's documented batch/stream unification), so
+    # the oracle is plain SQL over epoch-aligned 1-day tumbling windows.
+    # The default measure set exercises the r8 closure rule: avg_cents
+    # (derived, int-div chain head) stays in. UTC session: F.window("1
+    # day") starts == date_trunc('day', ts).
+    from dbt_databricks_metrics_spark.sources import load_table
+    from dbt_databricks_metrics_spark.specs import MetricViewSpec
+    from dbt_databricks_metrics_spark.streaming.metric_stream import (
+        streaming_metric_view,
+    )
+
+    spec = MetricViewSpec.from_yaml(
+        """
+version: 0.1
+source: events
+filter: event_type <> 'view' AND value IS NOT NULL
+dimensions:
+  - name: event_type
+    expr: event_type
+measures:
+  - name: n_events
+    expr: count(*)
+  - name: value_cents
+    expr: sum(cast(round(value * 100) as bigint))
+  - name: avg_cents
+    expr: value_cents div n_events
+    derived: true
+""",
+        name="mv_stream_filtered",
+    )
+    return streaming_metric_view(
+        load_table(spark, sf_dir, "events"),
+        spec,
+        ts_col="ts",
+        window_duration="1 day",
+    )
+
+
 def _q_pivot_orders(spark, sf_dir):
     # crosstab surface: yearly order counts pivoted per market segment
     # (query_pivot — POST-aggregation reshape of the routed |dims×values|
@@ -5605,8 +5669,12 @@ _DRIVER_PREFIX = [
     "ece",
     "embedding_drift",
     "event_transitions",
-    "events_metric_view",
-    "gram_novelty",
+    # (c) new this round (never sampled, guard rule 1): chained derived
+    # measures routed via their plain leaves, and spec.filter through
+    # the streaming metric compiler — events_metric_view/gram_novelty
+    # yield their backfill slots (r5-fresh, rejoin the r9 queue)
+    "measure_chain",
+    "measure_stream_filtered",
 ]
 
 
@@ -5788,6 +5856,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "calibration": _q_calibration,
         "derived_measure": _q_derived_measure,
+        "measure_chain": _q_measure_chain,
+        "measure_stream_filtered": _q_measure_stream_filtered,
         "pivot_orders": _q_pivot_orders,
         "event_transitions": _q_event_transitions,
         "training_set": _q_training_set,
@@ -6210,6 +6280,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(total_price * 100) AS BIGINT))
                         AS BIGINT) // count(*) AS aov_cents
             FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # chained derived: dollars = (cents // count) // 100, all-int64
+        "measure_chain": f"""
+            SELECT market_segment,
+                   count(*) AS order_count,
+                   (CAST(sum(CAST(round(total_price * 100) AS BIGINT))
+                         AS BIGINT) // count(*)) // 100 AS aov_dollars
+            FROM ({_FCT_ORDERS}) GROUP BY market_segment
+        """,
+        # spec.filter + epoch-aligned 1-day tumbling windows + derived
+        # int-div, mirrored over the raw events table
+        "measure_stream_filtered": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       + INTERVAL 1 DAY AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) // count(*) AS avg_cents
+            FROM events
+            WHERE event_type <> 'view' AND value IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         "routed_monthly": f"""
             SELECT order_year, order_month,
