@@ -1049,10 +1049,13 @@ class MetricEngine:
     # ---------------- SQL front-end ----------------
 
     def sql(self, text: str) -> DataFrame:
-        """Thin ``MEASURE()`` SQL front-end (``README.md:124-141``)."""
-        from .sql_frontend import execute_measure_sql
+        """``MEASURE()`` SQL front-end (``README.md:124-141``), plus WITH
+        composition and plain-SQL fall-through (sql_frontend docstring):
+        MEASURE() CTEs route through the metric compiler, the rest runs
+        as ordinary Spark SQL — one entry point for every statement."""
+        from .sql_frontend import execute_sql
 
-        return execute_measure_sql(self, text)
+        return execute_sql(self, text)
 
     def ref(self, name: str) -> DataFrame:
         return self._runner.ref(name)

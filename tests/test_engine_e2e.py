@@ -284,6 +284,82 @@ def test_sql_frontend_where_and_having(engine, duck):
     )
 
 
+def test_sql_cte_composition_drill_across(engine, duck):
+    """r8 (VERDICT r7 missing #2): WITH composition — two MEASURE() CTEs
+    from DIFFERENT metric views joined by plain SQL in one statement,
+    each CTE routed through the metric compiler."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        ), cust AS (
+            SELECT market_segment, MEASURE(total_customers) AS customers
+            FROM mv_customer_metrics GROUP BY market_segment
+        )
+        SELECT r.market_segment, r.revenue, c.customers
+        FROM rev r JOIN cust c USING (market_segment)
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT o.market_segment, o.revenue, c.customers
+        FROM (SELECT market_segment, sum(total_price) AS revenue
+              FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment) o
+        JOIN (SELECT c_mktsegment AS market_segment, count(*) AS customers
+              FROM customer GROUP BY 1) c
+        USING (market_segment)
+        """,
+    )
+
+
+def test_sql_plain_fallthrough(engine):
+    """Statements addressing no metric view run as ordinary Spark SQL —
+    one entry point for everything."""
+    n = engine.sql("SELECT count(*) AS n FROM fct_orders").first()["n"]
+    assert n == engine.ref("fct_orders").count()
+    assert engine.sql("SELECT 1 AS one").first()["one"] == 1
+
+
+def test_sql_mixed_plain_and_measure_ctes(engine):
+    """A plain-SQL CTE and a MEASURE() CTE compose in the same WITH."""
+    df = engine.sql(
+        """
+        WITH seg AS (
+            SELECT DISTINCT market_segment FROM fct_orders
+        ), rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT s.market_segment, r.revenue
+        FROM seg s LEFT JOIN rev r USING (market_segment)
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["revenue"] is not None for r in rows)
+
+
+def test_sql_cte_refusals(engine):
+    from dbt_databricks_metrics_spark.sql_frontend import MeasureSQLError
+
+    # a plain CTE cannot feed a MEASURE() FINAL statement (the front-end
+    # cannot see temp CTE text) — refuse loudly
+    with pytest.raises(MeasureSQLError, match="plain-SQL CTEs"):
+        engine.sql(
+            """
+            WITH seg AS (SELECT DISTINCT market_segment FROM fct_orders)
+            SELECT market_segment, MEASURE(total_revenue) AS r
+            FROM mv_order_metrics GROUP BY market_segment
+            """
+        )
+    with pytest.raises(MeasureSQLError, match="unbalanced"):
+        engine.sql("WITH a AS (SELECT 1 AS x FROM (t SELECT count(*) FROM a")
+    with pytest.raises(MeasureSQLError, match="final SELECT"):
+        engine.sql("WITH a AS (SELECT 1 AS x)")
+
+
 def test_explain_shows_route_and_plan(engine):
     """mv.explain() ≡ the reference's EXPLAIN routing check
     (README.md:417-421): route header + physical plan. (This fixture has
