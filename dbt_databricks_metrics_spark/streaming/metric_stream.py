@@ -33,12 +33,12 @@ documented unification of the two modes).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.compiler import QueryError
+from ..plans.compiler import QueryCompiler, QueryError
 from ..specs import MetricViewSpec
 
 
@@ -51,6 +51,7 @@ def streaming_metric_view(
     watermark: Optional[str] = "1 hour",
     dimensions: Optional[Sequence[str]] = None,
     measures: Optional[Sequence[str]] = None,
+    resolve: Optional[Callable[[str], DataFrame]] = None,
 ) -> DataFrame:
     """Compile *spec* against a (streaming or batch) *source* as an
     event-time windowed MEASURE() aggregation.
@@ -62,20 +63,40 @@ def streaming_metric_view(
     silently excluded from the DEFAULT set only; requesting one
     explicitly still raises). Derived measures may be requested only
     alongside the measures they reference. ``spec.filter`` is applied
-    before aggregation (batch parity); specs declaring ``joins`` are
-    refused — pre-join the stream and pass the joined frame. Pass ``watermark=None`` when
+    before aggregation (batch parity). Specs declaring ``joins`` need
+    ``resolve`` (table name → STATIC DataFrame): the join tree compiles
+    exactly as in the batch compiler as stateless stream-static left
+    joins ahead of the watermark; a join source that is itself a stream
+    is refused — compose stream-stream joins via
+    ``stream_stream_interval_join`` and pass the joined frame. Pass ``watermark=None`` when
     the source ALREADY carries one — e.g. the output of
     ``stream_stream_interval_join`` — because Spark disallows redefining
     a watermark downstream of a stateful operator; the upstream
     watermark then drives window finalization.
     """
+    comp: Optional[QueryCompiler] = None
     if spec.joins:
-        raise QueryError(
-            f"spec {spec.name!r} declares joins — the streaming metric "
-            f"layer compiles the spec against a single source; pre-join "
-            f"the stream (e.g. stream_static_enrich / "
-            f"stream_stream_interval_join) and pass the joined frame"
-        )
+        if resolve is None:
+            raise QueryError(
+                f"spec {spec.name!r} declares joins — pass resolve= to "
+                f"supply the STATIC join sources (stream-static dim "
+                f"enrichment, stateless), or pre-join the stream (e.g. "
+                f"stream_stream_interval_join) and pass the joined frame"
+            )
+        comp = QueryCompiler(resolve)
+
+        def _check_static(joins):
+            for j in joins:
+                if resolve(j.source).isStreaming:
+                    raise QueryError(
+                        f"declared join {j.name!r} resolves to a STREAM — "
+                        f"only stream-static joins are stateless; compose "
+                        f"stream-stream joins via "
+                        f"stream_stream_interval_join and pass the result"
+                    )
+                _check_static(j.joins)
+
+        _check_static(spec.joins)
 
     dim_by_name = {d.name: d for d in spec.dimensions}
     mea_by_name = {m.name: m for m in spec.measures}
@@ -130,11 +151,19 @@ def streaming_metric_view(
                 f"{missing} that are not in the requested set"
             )
 
-    src = source
-    if spec.filter:  # batch parity: compiler applies the spec-level
-        # filter before aggregation (plans/compiler.py source_plan);
-        # stateless, so stream-safe ahead of the watermark (ADVICE r7)
-        src = src.filter(F.expr(spec.filter))
+    if comp is not None:
+        # batch parity: the SAME source assembly as the batch compiler —
+        # spec.filter first, then the declared join tree (left joins,
+        # alias-per-level). Every piece is stateless, so it composes
+        # ahead of the watermark; the static sides are dim tables Spark
+        # broadcasts under the usual threshold.
+        src = comp.source_plan(spec, source_df=source)
+    else:
+        src = source
+        if spec.filter:  # batch parity: compiler applies the spec-level
+            # filter before aggregation (plans/compiler.py source_plan);
+            # stateless, so stream-safe ahead of the watermark (ADVICE r7)
+            src = src.filter(F.expr(spec.filter))
     if src.isStreaming and watermark is not None:
         src = src.withWatermark(ts_col, watermark)
     win = (
@@ -142,9 +171,14 @@ def streaming_metric_view(
         if slide
         else F.window(F.col(ts_col), window_duration)
     )
+    def _dim_expr(expr: str) -> str:
+        # snowflake dotted paths flatten to the leaf join alias, exactly
+        # as the batch compiler rewrites them
+        return comp._rewrite_dim_expr(spec, expr) if comp is not None else expr
+
     grouped = src.groupBy(
         win.alias("_w"),
-        *[F.expr(dim_by_name[n].expr).alias(n) for n in dim_names],
+        *[F.expr(_dim_expr(dim_by_name[n].expr)).alias(n) for n in dim_names],
     ).agg(*[F.expr(m.expr).alias(m.name) for m in plain])
     out = grouped.select(
         F.col("_w.start").alias("window_start"),

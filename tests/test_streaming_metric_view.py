@@ -59,7 +59,11 @@ def _events(spark):
 
 
 def _normalize(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe sort key (left joins produce NULL dims)
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def test_batch_mode_matches_manual_agg(spark, spec):
@@ -345,11 +349,7 @@ def test_spec_filter_applied_batch_and_stream(spark, filtered_spec, tmp_path):
     assert _normalize(spark.table(name)) == _normalize(closed)
 
 
-def test_spec_with_joins_refused(spark):
-    """ADVICE r7: a spec declaring joins must be refused loudly, not
-    silently compiled joinless."""
-    joined_spec = MetricViewSpec.from_yaml(
-        """
+JOINED_SPEC_YAML = """
 version: 0.1
 source: live_events
 joins:
@@ -359,16 +359,101 @@ joins:
 dimensions:
   - name: event_type
     expr: event_type
+  - name: segment
+    expr: customer.segment
 measures:
   - name: n_events
     expr: count(*)
-""",
-        name="mv_joined",
-    )
+"""
+
+
+@pytest.fixture(scope="module")
+def joined_spec():
+    return MetricViewSpec.from_yaml(JOINED_SPEC_YAML, name="mv_joined")
+
+
+def _dim_customer(spark):
+    return spark.createDataFrame(
+        [(f"u{i}", ["RETAIL", "ENTERPRISE"][i % 2]) for i in range(4)],
+        "id string, segment string",
+    )  # u4 is deliberately absent: left join → NULL segment
+
+
+def test_spec_with_joins_needs_resolver(spark, joined_spec):
+    """ADVICE r7: a spec declaring joins must never compile joinless —
+    without a resolver it refuses loudly."""
     ev = _events(spark)
     with pytest.raises(QueryError, match="declares joins"):
         streaming_metric_view(
             ev, joined_spec, ts_col="ts", window_duration="1 hour"
+        )
+
+
+def test_stream_static_join_batch_parity(spark, joined_spec):
+    """r8: spec.joins resolve to STATIC frames — the same left-join tree
+    as the batch compiler, stateless ahead of the watermark."""
+    ev = _events(spark)
+    dim = _dim_customer(spark)
+    got = streaming_metric_view(
+        ev, joined_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=["segment"], resolve=lambda n: dim,
+    )
+    exp = (
+        ev.join(dim, ev.user_id == dim.id, "left")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "segment", "n_events",
+        )
+    )
+    assert _normalize(got) == _normalize(exp)
+    # the unmatched user (u4) survives with a NULL segment (left join)
+    assert any(r["segment"] is None for r in got.collect())
+
+
+def test_stream_static_join_streams(spark, joined_spec, tmp_path):
+    """The joined spec answers in availableNow streaming mode with the
+    batch answer on watermark-closed windows."""
+    ev = _events(spark)
+    dim = _dim_customer(spark)
+    src = str(tmp_path / "evj")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    live = streaming_metric_view(
+        stream, joined_spec, ts_col="ts", window_duration="1 hour",
+        watermark="10 minutes", dimensions=["segment"],
+        resolve=lambda n: dim,
+    )
+    assert live.isStreaming
+    name = f"live_joined_{uuid.uuid4().hex[:8]}"
+    q = (
+        live.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    batch = streaming_metric_view(
+        ev, joined_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=["segment"], resolve=lambda n: dim,
+    )
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("window_end") <= F.lit(cutoff) - F.expr("INTERVAL 10 minutes")
+    )
+    assert _normalize(spark.table(name)) == _normalize(closed)
+
+
+def test_stream_stream_join_source_refused(spark, joined_spec, tmp_path):
+    """A declared join resolving to a STREAM refuses loudly."""
+    ev = _events(spark)
+    src = str(tmp_path / "evs")
+    ev.write.parquet(src)
+    stream_dim = spark.readStream.schema(ev.schema).parquet(src)
+    with pytest.raises(QueryError, match="resolves to a STREAM"):
+        streaming_metric_view(
+            ev, joined_spec, ts_col="ts", window_duration="1 hour",
+            resolve=lambda n: stream_dim,
         )
 
 
