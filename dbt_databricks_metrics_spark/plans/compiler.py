@@ -200,24 +200,12 @@ def expand_derived(query: MetricQuery):
             elif ref not in storage:
                 storage.append(ref)
     inner = MetricQuery(spec, query.dimensions, tuple(storage), where=query.where)
-    # Kahn topo-sort the derived nodes by their derived-to-derived edges
-    # so apply_derived can project them sequentially (a chain's tail
-    # resolves only after its head exists as a column).
-    pending = {
-        n: {r for r in spec.measure_refs(n) if spec.measure(r).derived}
-        for n in needed
-    }
-    order: list[str] = []
-    while pending:
-        ready = sorted(n for n, deps in pending.items() if not deps)
-        # cycles are impossible here (spec validation refuses them)
-        for n in ready:
-            order.append(n)
-            del pending[n]
-        for deps in pending.values():
-            deps.difference_update(ready)
+    # dependency-ordered so apply_derived can project sequentially (a
+    # chain's tail resolves only after its head exists as a column)
     proj = {
-        "order": [(n, spec.measure(n).expr) for n in order],
+        "order": [
+            (n, spec.measure(n).expr) for n in spec.derived_topo_order(needed)
+        ],
         "output": list(query.measures),
     }
     return inner, proj

@@ -425,6 +425,35 @@ class MetricViewSpec:
                 out.append(tok)
         return tuple(out)
 
+    def derived_topo_order(self, names) -> list[str]:
+        """Kahn topo order of the given DERIVED measure names by their
+        derived-to-derived reference edges — the projection order that
+        lets a chain's tail resolve after its head. Shared by the batch
+        compiler (apply_derived) and the streaming layer so the two
+        cannot diverge. Cycles are refused at spec validation; raise
+        defensively rather than loop if one ever appears."""
+        pending = {
+            n: {
+                r for r in self.measure_refs(n)
+                if self.measure(r).derived and r in set(names)
+            }
+            for n in names
+        }
+        order: list[str] = []
+        while pending:
+            ready = sorted(n for n, deps in pending.items() if not deps)
+            if not ready:
+                raise SpecError(
+                    f"derived measures form a reference cycle: "
+                    f"{sorted(pending)}"
+                )
+            for n in ready:
+                order.append(n)
+                del pending[n]
+            for deps in pending.values():
+                deps.difference_update(ready)
+        return order
+
     @property
     def dimension_names(self) -> tuple[str, ...]:
         return tuple(d.name for d in self.dimensions)

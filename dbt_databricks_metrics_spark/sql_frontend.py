@@ -37,9 +37,16 @@ Statements that address no registered metric view fall through to plain
 ``spark.sql("… MEASURE(…) …")`` without this front-end would need a
 JVM-side Catalyst parser extension (``spark.sql.extensions``), which a
 pure-Python package cannot register — this CTE composition is the
-Spark-first equivalent surface. Caveat (thin-parser discipline):
-parenthesis matching ignores string literals, so a CTE body containing an
-unbalanced ``(`` inside a literal is refused rather than mis-split.
+Spark-first equivalent surface. Thin-parser discipline: the CTE splitter
+is single-quote-literal aware; WITH shapes it doesn't cover (CTE
+column-alias lists, recursive CTEs) fall through to plain ``spark.sql``
+untouched, except that any statement containing a ``MEASURE(`` token
+outside the supported shapes is refused with the front-end's clear error
+(never handed to Spark, which has no such function). MEASURE() CTEs
+register under session-unique temp names that are dropped before
+returning — CTE names never leak into or shadow the session catalog, and
+a CTE whose name collides with a metric view shadows the view for the
+rest of the statement (SQL scoping).
 """
 
 from __future__ import annotations
@@ -93,7 +100,11 @@ def _split_top_level(s: str) -> list[str]:
 
 def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     """Split ``WITH a AS (...), b AS (...) <final>`` at the top level.
-    Returns ([], text) when there is no WITH clause."""
+    Returns ([], text) when there is no WITH clause. The paren counter is
+    single-quote-literal aware, so ``'x)'`` in a CTE body never mis-splits.
+    Shapes this thin parser doesn't cover (e.g. a CTE column-alias list
+    ``a (x) AS (...)``) raise MeasureSQLError — the caller falls through
+    to plain ``spark.sql`` unless the text clearly meant the front-end."""
     s = text.strip()
     head = re.match(r"with\b", s, re.IGNORECASE)
     if not head:
@@ -108,11 +119,21 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
             )
         name = m.group(1)
         j = i + m.end()  # first char inside the body
-        depth, k = 1, j
+        depth, k, in_str = 1, j, False
         while k < len(s) and depth:
-            if s[k] == "(":
+            c = s[k]
+            if in_str:
+                if c == "'":
+                    # '' escapes a quote inside a SQL string literal
+                    if k + 1 < len(s) and s[k + 1] == "'":
+                        k += 1
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
                 depth += 1
-            elif s[k] == ")":
+            elif c == ")":
                 depth -= 1
             k += 1
         if depth:
@@ -130,41 +151,108 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     return ctes, final
 
 
-def _measure_view_target(engine: "MetricEngine", text: str) -> Optional[str]:
+def _measure_view_target(
+    engine: "MetricEngine", text: str, shadowed: frozenset = frozenset()
+) -> Optional[str]:
     """The registered metric view a statement addresses in the documented
-    MEASURE() shape, else None (→ plain Spark SQL)."""
+    MEASURE() shape, else None (→ plain Spark SQL). *shadowed* names
+    (earlier CTEs in the same statement) win over same-named catalog
+    entries, as SQL scoping requires."""
     m = _QUERY_RE.match(text)
     if not m:
         return None
     view = m.group("view").split(".")[-1]
+    if view in shadowed:
+        return None
     return view if view in engine.catalog.names() else None
+
+
+def _refuse_stray_measure(engine: "MetricEngine", text: str) -> None:
+    """A statement headed to plain ``spark.sql`` must not contain
+    MEASURE() — Spark has no such function, and the token is a clear
+    signal the user meant the front-end (typo'd view name, MEASURE over
+    a CTE, unsupported shape). Refuse with the intent-revealing error."""
+    if _MEASURE_CALL_RE.search(text):
+        raise MeasureSQLError(
+            f"MEASURE() is only valid in the documented shape against a "
+            f"registered metric view {sorted(engine.catalog.names())} "
+            f"(or as a WITH-CTE of that shape) — got: {text.strip()[:120]!r}"
+        )
 
 
 def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
     """Universal SQL entry point (module docstring): MEASURE() CTEs run
     through the metric compiler (routing applies) and register as temp
-    views under their CTE names; everything else delegates to
-    ``spark.sql``."""
-    ctes, final = _parse_ctes(text)
+    views under session-unique names — references are rewritten, so CTE
+    names never leak into or clobber the session catalog; everything
+    else delegates to ``spark.sql``."""
+    import uuid
+
+    try:
+        ctes, final = _parse_ctes(text)
+    except MeasureSQLError:
+        # a WITH shape this thin parser doesn't cover: genuine Spark SQL
+        # (CTE column-alias lists, …) falls through untouched; anything
+        # containing MEASURE() keeps the front-end's clear error
+        _refuse_stray_measure(engine, text)
+        return engine.spark.sql(text)
+
+    spark = engine.spark
+    seen: set[str] = set()  # CTE names shadow catalog objects downstream
+    alias: dict[str, str] = {}  # declared CTE name → unique temp view
     plain: list[tuple[str, str]] = []
-    for name, body in ctes:
-        if _measure_view_target(engine, body):
-            execute_measure_sql(engine, body).createOrReplaceTempView(name)
-        else:
-            plain.append((name, body))
-    if _measure_view_target(engine, final):
+    registered: list[str] = []
+
+    def subst(sql_text: str) -> str:
+        # rewrite earlier MEASURE-CTE names to their unique temp views,
+        # outside single-quoted literals
+        if not alias:
+            return sql_text
+        parts = re.split(r"('(?:[^']|'')*')", sql_text)
+        for idx, part in enumerate(parts):
+            if idx % 2:
+                continue
+            for declared, uniq in alias.items():
+                part = re.sub(
+                    rf"(?<![\w.]){re.escape(declared)}(?![\w.])", uniq, part
+                )
+            parts[idx] = part
+        return "".join(parts)
+
+    try:
+        for name, body in ctes:
+            body = subst(body)
+            if _measure_view_target(engine, body, frozenset(seen)):
+                uniq = f"_mv_cte_{name}_{uuid.uuid4().hex[:8]}"
+                execute_measure_sql(engine, body).createOrReplaceTempView(uniq)
+                registered.append(uniq)
+                alias[name] = uniq
+            else:
+                _refuse_stray_measure(engine, body)
+                plain.append((name, body))
+            seen.add(name)
+        final = subst(final)
+        if _measure_view_target(engine, final, frozenset(seen)):
+            if plain:
+                raise MeasureSQLError(
+                    f"plain-SQL CTEs {[n for n, _ in plain]} cannot feed a "
+                    f"MEASURE() final statement — make the final statement "
+                    f"plain SQL over the MEASURE() CTEs instead"
+                )
+            return execute_measure_sql(engine, final)
+        _refuse_stray_measure(engine, final)
         if plain:
-            raise MeasureSQLError(
-                f"plain-SQL CTEs {[n for n, _ in plain]} cannot feed a "
-                f"MEASURE() final statement — make the final statement "
-                f"plain SQL over the MEASURE() CTEs instead"
+            final = (
+                "WITH " + ", ".join(f"{n} AS ({b})" for n, b in plain)
+                + " " + final
             )
-        return execute_measure_sql(engine, final)
-    if plain:
-        final = (
-            "WITH " + ", ".join(f"{n} AS ({b})" for n, b in plain) + " " + final
-        )
-    return engine.spark.sql(final)
+        return spark.sql(final)
+    finally:
+        # spark.sql analyzes eagerly — temp views inline into the
+        # returned DataFrame's resolved plan at creation, so dropping
+        # them here leaves the result usable and the session clean
+        for uniq in registered:
+            spark.catalog.dropTempView(uniq)
 
 
 def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:

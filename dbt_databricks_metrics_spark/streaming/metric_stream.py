@@ -83,11 +83,21 @@ def streaming_metric_view(
                 f"enrichment, stateless), or pre-join the stream (e.g. "
                 f"stream_stream_interval_join) and pass the joined frame"
             )
-        comp = QueryCompiler(resolve)
+        # memoize: each source resolves exactly once, and the frame the
+        # static check inspects IS the frame the join uses (a
+        # non-idempotent resolver can't slip a stream past the guard)
+        resolved: dict[str, DataFrame] = {}
+
+        def _resolve_once(name: str) -> DataFrame:
+            if name not in resolved:
+                resolved[name] = resolve(name)
+            return resolved[name]
+
+        comp = QueryCompiler(_resolve_once)
 
         def _check_static(joins):
             for j in joins:
-                if resolve(j.source).isStreaming:
+                if _resolve_once(j.source).isStreaming:
                     raise QueryError(
                         f"declared join {j.name!r} resolves to a STREAM — "
                         f"only stream-static joins are stateless; compose "
@@ -171,15 +181,16 @@ def streaming_metric_view(
         if slide
         else F.window(F.col(ts_col), window_duration)
     )
-    def _dim_expr(expr: str) -> str:
+    def _jexpr(expr: str) -> str:
         # snowflake dotted paths flatten to the leaf join alias, exactly
-        # as the batch compiler rewrites them
+        # as the batch compiler rewrites them — for DIMS and MEASURES
+        # alike (batch parity: compile() rewrites measure exprs too)
         return comp._rewrite_dim_expr(spec, expr) if comp is not None else expr
 
     grouped = src.groupBy(
         win.alias("_w"),
-        *[F.expr(_dim_expr(dim_by_name[n].expr)).alias(n) for n in dim_names],
-    ).agg(*[F.expr(m.expr).alias(m.name) for m in plain])
+        *[F.expr(_jexpr(dim_by_name[n].expr)).alias(n) for n in dim_names],
+    ).agg(*[F.expr(_jexpr(m.expr)).alias(m.name) for m in plain])
     out = grouped.select(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
@@ -187,29 +198,11 @@ def streaming_metric_view(
         *[F.col(m.name) for m in plain],
     )
     # Stateless post-agg projection over sibling names, in DEPENDENCY
-    # order, not request order: a derived measure may reference another
-    # derived measure requested after it, and projecting in request
-    # order would surface a raw unresolved-column AnalysisException
-    # (ADVICE r7). Kahn topo-sort over the derived-to-derived edges.
-    derived_names = {m.name for m in derived}
-    pending = {
-        m.name: [r for r in spec.measure_refs(m.name) if r in derived_names]
-        for m in derived
-    }
-    ordered: list[str] = []
-    while pending:
-        ready = sorted(n for n, deps in pending.items() if not deps)
-        if not ready:
-            raise QueryError(
-                f"derived measures form a reference cycle: "
-                f"{sorted(pending)}"
-            )
-        for n in ready:
-            ordered.append(n)
-            del pending[n]
-        for deps in pending.values():
-            deps[:] = [d for d in deps if d not in set(ordered)]
-    for n in ordered:
+    # order, not request order (ADVICE r7): a derived measure may
+    # reference another derived measure requested after it — the shared
+    # spec.derived_topo_order keeps this identical to the batch
+    # compiler's apply_derived ordering.
+    for n in spec.derived_topo_order([m.name for m in derived]):
         out = out.withColumn(n, F.expr(mea_by_name[n].expr))
     # present in request order (derived may interleave with plain)
     return out.select("window_start", "window_end", *dim_names, *mea_names)

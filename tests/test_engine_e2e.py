@@ -354,10 +354,80 @@ def test_sql_cte_refusals(engine):
             FROM mv_order_metrics GROUP BY market_segment
             """
         )
-    with pytest.raises(MeasureSQLError, match="unbalanced"):
-        engine.sql("WITH a AS (SELECT 1 AS x FROM (t SELECT count(*) FROM a")
-    with pytest.raises(MeasureSQLError, match="final SELECT"):
-        engine.sql("WITH a AS (SELECT 1 AS x)")
+    # a MEASURE() statement against a TYPO'D view name keeps the
+    # intent-revealing front-end error instead of a cryptic Spark one
+    with pytest.raises(MeasureSQLError, match="registered metric view"):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrcs GROUP BY market_segment"
+        )
+    # MEASURE() over a CTE result is not a metric view — refuse loudly
+    with pytest.raises(MeasureSQLError, match="registered metric view"):
+        engine.sql(
+            """
+            WITH rev AS (
+                SELECT market_segment, MEASURE(total_revenue) AS revenue
+                FROM mv_order_metrics GROUP BY market_segment
+            )
+            SELECT market_segment, MEASURE(revenue) AS r
+            FROM rev GROUP BY market_segment
+            """
+        )
+    # an unparseable WITH shape CONTAINING MEASURE keeps the clear error
+    with pytest.raises(MeasureSQLError):
+        engine.sql("WITH a (x) AS (SELECT MEASURE(total_revenue)) SELECT x FROM a")
+
+
+def test_sql_cte_spark_shapes_fall_through(engine):
+    """WITH shapes the thin parser doesn't cover (CTE column-alias list)
+    and ')' inside string literals run as plain Spark SQL untouched."""
+    assert engine.sql(
+        "WITH a (x) AS (SELECT 1) SELECT x FROM a"
+    ).first()["x"] == 1
+    assert engine.sql(
+        "WITH a AS (SELECT 'x)' AS c) SELECT c FROM a"
+    ).first()["c"] == "x)"
+
+
+def test_sql_cte_names_do_not_leak_or_clobber(engine):
+    """MEASURE() CTEs register under session-unique temp names that are
+    dropped before returning: the declared CTE name never enters the
+    session catalog, and a CTE named after a MODEL temp view does not
+    clobber it."""
+    spark = engine.spark
+    before = engine.ref("fct_orders").count()
+    df = engine.sql(
+        """
+        WITH fct_orders AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT market_segment, revenue FROM fct_orders
+        """
+    )
+    assert df.count() == 5  # the CTE (5 segments), not the model
+    # the model temp view survives untouched
+    assert engine.ref("fct_orders").count() == before
+    assert "revenue" not in engine.ref("fct_orders").columns
+    # no _mv_cte_* temp views remain
+    leaked = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("_mv_cte_")
+    ]
+    assert leaked == []
+
+
+def test_sql_cte_shadows_metric_view_name(engine):
+    """A CTE whose name collides with a registered METRIC VIEW shadows
+    it for the rest of the statement (SQL scoping)."""
+    df = engine.sql(
+        """
+        WITH mv_order_metrics AS (SELECT 'ONLY' AS market_segment)
+        SELECT market_segment FROM mv_order_metrics
+        """
+    )
+    rows = df.collect()
+    assert [r["market_segment"] for r in rows] == ["ONLY"]
 
 
 def test_explain_shows_route_and_plan(engine):

@@ -154,7 +154,7 @@ def test_xxhash_path_semi_join_exact(spark, dim, fact):
 
 def test_build_plan_quality(spark, dim):
     # the probe-side gate (test_plan_gates_ext) can't see the build side
-    # past bloom_build_local's collect — gate the build plan here
+    # past bloom_build_local's eager cache — gate the build plan here
     words = bloom.bloom_build(dim, "p_partkey", M, K)
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

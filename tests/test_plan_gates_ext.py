@@ -69,8 +69,8 @@ LAZY_EXT_QUERIES = [
     "pq_topk",
     "ivfpq_topk",
     # bloom_prune's construction runs the bitset build eagerly
-    # (bloom_build_local's config-bounded collect), so the inspected plan
-    # covers only the probe side; the build side's plan is gated in
+    # (bloom_build_local's config-bounded eager cache), so the inspected
+    # plan covers only the probe side; the build side's plan is gated in
     # tests/test_operators_bloom.py::test_build_plan_quality
     "bloom_prune",
     "source_reputation",

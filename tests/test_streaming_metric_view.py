@@ -364,6 +364,8 @@ dimensions:
 measures:
   - name: n_events
     expr: count(*)
+  - name: seg_chars
+    expr: sum(length(customer.segment))
 """
 
 
@@ -396,7 +398,8 @@ def test_stream_static_join_batch_parity(spark, joined_spec):
     dim = _dim_customer(spark)
     got = streaming_metric_view(
         ev, joined_spec, ts_col="ts", window_duration="1 hour",
-        dimensions=["segment"], resolve=lambda n: dim,
+        dimensions=["segment"], measures=["n_events"],
+        resolve=lambda n: dim,
     )
     exp = (
         ev.join(dim, ev.user_id == dim.id, "left")
@@ -424,7 +427,7 @@ def test_stream_static_join_streams(spark, joined_spec, tmp_path):
     live = streaming_metric_view(
         stream, joined_spec, ts_col="ts", window_duration="1 hour",
         watermark="10 minutes", dimensions=["segment"],
-        resolve=lambda n: dim,
+        measures=["n_events"], resolve=lambda n: dim,
     )
     assert live.isStreaming
     name = f"live_joined_{uuid.uuid4().hex[:8]}"
@@ -435,7 +438,8 @@ def test_stream_static_join_streams(spark, joined_spec, tmp_path):
     assert q.awaitTermination(300)
     batch = streaming_metric_view(
         ev, joined_spec, ts_col="ts", window_duration="1 hour",
-        dimensions=["segment"], resolve=lambda n: dim,
+        dimensions=["segment"], measures=["n_events"],
+        resolve=lambda n: dim,
     )
     cutoff = ev.agg(F.max("ts")).first()[0]
     closed = batch.filter(
@@ -497,3 +501,28 @@ def test_default_measures_drop_underivable_derived(spark, filtered_spec):
             ev, filtered_spec, ts_col="ts", window_duration="1 hour",
             measures=["trailing_avg", "n_events"],
         )
+
+
+def test_joined_measure_expr_rewritten(spark, joined_spec):
+    """Measure exprs over JOINED columns rewrite through the same
+    dotted-path flattening as dims (batch-compiler parity) — and the
+    resolver is consulted once per source (memoized), not once per
+    validation + once per join."""
+    ev = _events(spark)
+    dim = _dim_customer(spark)
+    calls = []
+
+    def resolve(name):
+        calls.append(name)
+        return dim
+
+    got = streaming_metric_view(
+        ev, joined_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=["segment"], measures=["n_events", "seg_chars"],
+        resolve=resolve,
+    )
+    rows = {r["segment"]: r for r in got.collect()}
+    for seg, r in rows.items():
+        if seg is not None:
+            assert r["seg_chars"] == len(seg) * r["n_events"]
+    assert calls.count("dim_customer") == 1
