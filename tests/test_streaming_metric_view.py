@@ -526,3 +526,24 @@ def test_joined_measure_expr_rewritten(spark, joined_spec):
         if seg is not None:
             assert r["seg_chars"] == len(seg) * r["n_events"]
     assert calls.count("dim_customer") == 1
+
+def test_joined_plan_shape(spark, joined_spec):
+    """Scale posture for the joined path: the dim side broadcasts (no
+    shuffle of the stream side for the join) and the windowed agg is the
+    ONE keyed exchange, with map-side partial aggregation."""
+    ev = _events(spark)
+    dim = _dim_customer(spark)
+    df = streaming_metric_view(
+        ev, joined_spec, ts_col="ts", window_duration="1 hour",
+        dimensions=["segment"], measures=["n_events"],
+        resolve=lambda n: dim,
+    )
+    # a createDataFrame dim has no size stats, so the STATIC plan can
+    # pick SMJ; AQE converts to broadcast at runtime — gate the FINAL
+    # adaptive plan (after execution), which is what actually runs
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
