@@ -80,6 +80,13 @@ _MEASURE_RE = re.compile(r"^measure\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE)
 # MEASURE(total_revenue) / MEASURE(total_orders)
 _MEASURE_CALL_RE = re.compile(r"\bmeasure\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE)
 
+# EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <statement> — the reference's
+# routing check (README.md:417-421) as SQL; 'simple' = bare EXPLAIN
+_EXPLAIN_RE = re.compile(
+    r"^\s*explain(?:\s+(formatted|extended|codegen|cost|simple))?\s+(?=\S)",
+    re.IGNORECASE,
+)
+
 
 def _split_top_level(s: str) -> list[str]:
     out, depth, cur = [], 0, []
@@ -188,6 +195,13 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
     else delegates to ``spark.sql``."""
     import uuid
 
+    original = text
+    em = _EXPLAIN_RE.match(text)
+    explain_mode = None
+    if em:
+        explain_mode = (em.group(1) or "formatted").lower()
+        text = text[em.end():]
+
     try:
         ctes, final = _parse_ctes(text)
     except MeasureSQLError:
@@ -195,7 +209,7 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
         # (CTE column-alias lists, …) falls through untouched; anything
         # containing MEASURE() keeps the front-end's clear error
         _refuse_stray_measure(engine, text)
-        return engine.spark.sql(text)
+        return engine.spark.sql(original)
 
     spark = engine.spark
     seen: set[str] = set()  # CTE names shadow catalog objects downstream
@@ -239,13 +253,16 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
                     f"MEASURE() final statement — make the final statement "
                     f"plain SQL over the MEASURE() CTEs instead"
                 )
-            return execute_measure_sql(engine, final)
+            return execute_measure_sql(engine, final, explain_mode=explain_mode)
         _refuse_stray_measure(engine, final)
         if plain:
             final = (
                 "WITH " + ", ".join(f"{n} AS ({b})" for n, b in plain)
                 + " " + final
             )
+        if explain_mode:
+            kw = "" if explain_mode == "simple" else f" {explain_mode.upper()}"
+            final = f"EXPLAIN{kw} {final}"
         return spark.sql(final)
     finally:
         # spark.sql analyzes eagerly — temp views inline into the
@@ -255,7 +272,9 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
             spark.catalog.dropTempView(uniq)
 
 
-def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
+def execute_measure_sql(
+    engine: "MetricEngine", text: str, explain_mode: Optional[str] = None
+) -> DataFrame:
     m = _QUERY_RE.match(text)
     if not m:
         raise MeasureSQLError(
@@ -338,7 +357,7 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
                 measures.append(used)
         having_pred = _MEASURE_CALL_RE.sub(r"\1", having)
 
-    df, _route = mv.query_routed(dims, measures, where=m.group("where"))
+    df, route = mv.query_routed(dims, measures, where=m.group("where"))
     if having_pred is not None:
         df = df.filter(F.expr(having_pred))
     # project in SELECT-item order; expression items evaluate over the
@@ -364,4 +383,15 @@ def execute_measure_sql(engine: "MetricEngine", text: str) -> DataFrame:
         df = df.orderBy(*order_cols)
     if m.group("limit"):
         df = df.limit(int(m.group("limit")))
+    if explain_mode:
+        # routing decision + physical plan, mirroring MetricView.explain
+        # and Spark's own EXPLAIN result shape (one row, column `plan`)
+        spark = df.sparkSession
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(),
+            "simple" if explain_mode == "simple" else explain_mode,
+        )
+        return spark.createDataFrame(
+            [(f"== Route ==\n{route}\n\n{plan}",)], "plan string"
+        )
     return df

@@ -440,3 +440,34 @@ def test_explain_shows_route_and_plan(engine):
     assert text.startswith("== Route ==\nlive"), text[:200]
     assert "Physical Plan" in text
     assert "fct_orders" in text
+
+
+def test_sql_explain_shows_route(engine):
+    """r8: EXPLAIN <MEASURE() statement> through engine.sql returns the
+    routing decision + physical plan (the reference's EXPLAIN routing
+    check, README.md:417-421), mirroring Spark's EXPLAIN result shape."""
+    df = engine.sql(
+        "EXPLAIN SELECT market_segment, MEASURE(total_revenue) AS r "
+        "FROM mv_order_metrics GROUP BY market_segment"
+    )
+    assert df.columns == ["plan"]
+    text = df.first()["plan"]
+    assert text.startswith("== Route ==")
+    assert "live" in text.splitlines()[1]  # this fixture has no rollups
+    assert "Physical Plan" in text
+    # plain SQL EXPLAIN falls through to Spark untouched
+    sp = engine.sql("EXPLAIN SELECT count(*) FROM fct_orders")
+    assert sp.columns == ["plan"]
+    assert "Physical Plan" in sp.first()["plan"]
+    # EXPLAIN over a WITH composition: MEASURE CTEs register, the final
+    # plain statement explains through Spark
+    comp = engine.sql(
+        """
+        EXPLAIN WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT market_segment, revenue FROM rev
+        """
+    )
+    assert "Physical Plan" in comp.first()["plan"]
