@@ -43,6 +43,17 @@ def _order_col(spec: str):
     return F.col(spec)
 
 
+def explain_string_with_route(df: DataFrame, route: str, mode: str = "formatted") -> str:
+    """Routing decision + Spark explain output — shared by
+    :meth:`MetricView.explain` and the SQL front-end's ``EXPLAIN`` so the
+    route-header contract (and the one PythonSQLUtils call site) lives in
+    exactly one place."""
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+    return f"== Route ==\n{route}\n\n{plan}"
+
+
 class MetricView:
     """Queryable handle — the analyst-facing surface of one metric view."""
 
@@ -96,28 +107,35 @@ class MetricView:
         measures: Sequence[str] = (),
         where: Optional[str] = None,
         having: Optional[str] = None,
+        log_workload: bool = True,
     ) -> tuple[DataFrame, str]:
         """Like :meth:`query` but also returns the chosen route
         ('rollup:<name>' | 'baseline' | 'live') — the EXPLAIN-visible
-        routing decision of ``README.md:417-431``."""
+        routing decision of ``README.md:417-431``. ``log_workload=False``
+        skips the served-workload record (explain-type callers: an
+        EXPLAINed query was never served, so the rollup advisor must not
+        propose materializing for it — the explain_route contract)."""
         q = MetricQuery(self.spec, tuple(dimensions), tuple(measures), where=where)
         df, route = self._engine._rollups.compile_routed(q, self._rv.state)
         # the workload log records the STORAGE shape: derived measures
         # expand to their dependencies, so the rollup advisor proposes
         # materializing what routing actually needs (derived values are
         # never materializable)
-        from .plans.compiler import expand_derived
+        if log_workload:
+            from .plans.compiler import expand_derived
 
-        logged, _ = expand_derived(q)
-        shape = (
-            tuple(dimensions),
-            tuple(logged.measures),
-            tuple(getattr(q, "where_dims", ())),
-        )
-        with self._engine._query_log_lock:
-            from collections import Counter
+            logged, _ = expand_derived(q)
+            shape = (
+                tuple(dimensions),
+                tuple(logged.measures),
+                tuple(getattr(q, "where_dims", ())),
+            )
+            with self._engine._query_log_lock:
+                from collections import Counter
 
-            self._engine._query_log.setdefault(self.spec.name, Counter())[shape] += 1
+                self._engine._query_log.setdefault(self.spec.name, Counter())[
+                    shape
+                ] += 1
         if having:
             self._validate_having(having, dimensions, measures)
             from pyspark.sql import functions as F
@@ -584,13 +602,14 @@ class MetricView:
         the reference's ``EXPLAIN SELECT … MEASURE(…)`` routing check
         (``README.md:417-421``): the first line names the chosen physical
         source (rollup / baseline / live, plus any window-grain rollups),
-        the rest is Spark's explain output for the compiled plan."""
-        df, route = self.query_routed(dimensions, measures, where=where)
-        jvm = df.sparkSession._jvm
-        plan = jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), mode
+        the rest is Spark's explain output for the compiled plan.
+        Explain-only: the served-workload log is NOT written (the
+        explain_route contract — the advisor must not see explained-but-
+        never-run shapes)."""
+        df, route = self.query_routed(
+            dimensions, measures, where=where, log_workload=False
         )
-        return f"== Route ==\n{route}\n\n{plan}"
+        return explain_string_with_route(df, route, mode)
 
     def describe(self) -> dict[str, Any]:
         return self._engine.catalog.describe(self.spec.name)

@@ -107,8 +107,10 @@ def _split_top_level(s: str) -> list[str]:
 
 def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     """Split ``WITH a AS (...), b AS (...) <final>`` at the top level.
-    Returns ([], text) when there is no WITH clause. The paren counter is
-    single-quote-literal aware, so ``'x)'`` in a CTE body never mis-splits.
+    Returns ([], text) when there is no WITH clause. The paren counter
+    skips string literals ('…'/"…", doubled-quote escapes), backtick
+    identifiers, and ``--``/``/* */`` comments, so a paren inside any of
+    them never mis-splits a body.
     Shapes this thin parser doesn't cover (e.g. a CTE column-alias list
     ``a (x) AS (...)``) raise MeasureSQLError — the caller falls through
     to plain ``spark.sql`` unless the text clearly meant the front-end."""
@@ -126,18 +128,31 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
             )
         name = m.group(1)
         j = i + m.end()  # first char inside the body
-        depth, k, in_str = 1, j, False
+        depth, k = 1, j
+        # paren counting skips every context where ( ) are not syntax:
+        # '…' strings ('' escape), "…" strings ("" escape), `…` quoted
+        # identifiers, -- line comments, /* */ block comments
         while k < len(s) and depth:
             c = s[k]
-            if in_str:
-                if c == "'":
-                    # '' escapes a quote inside a SQL string literal
-                    if k + 1 < len(s) and s[k + 1] == "'":
-                        k += 1
-                    else:
-                        in_str = False
-            elif c == "'":
-                in_str = True
+            if c in ("'", '"', "`"):
+                q, k = c, k + 1
+                while k < len(s):
+                    if s[k] == q:
+                        if q != "`" and k + 1 < len(s) and s[k + 1] == q:
+                            k += 2  # doubled quote escapes itself
+                            continue
+                        break
+                    k += 1
+            elif c == "-" and s[k:k + 2] == "--":
+                nl = s.find("\n", k)
+                k = len(s) - 1 if nl < 0 else nl
+            elif c == "/" and s[k:k + 2] == "/*":
+                end = s.find("*/", k + 2)
+                if end < 0:
+                    raise MeasureSQLError(
+                        f"unterminated block comment in CTE {name!r}"
+                    )
+                k = end + 1
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -198,8 +213,10 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
     original = text
     em = _EXPLAIN_RE.match(text)
     explain_mode = None
+    explain_kw = None  # the keyword the USER wrote (None for bare EXPLAIN)
     if em:
-        explain_mode = (em.group(1) or "formatted").lower()
+        explain_kw = em.group(1)
+        explain_mode = (explain_kw or "formatted").lower()
         text = text[em.end():]
 
     try:
@@ -218,11 +235,16 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
     registered: list[str] = []
 
     def subst(sql_text: str) -> str:
-        # rewrite earlier MEASURE-CTE names to their unique temp views,
-        # outside single-quoted literals
+        # rewrite earlier MEASURE-CTE names to their unique temp views —
+        # outside string literals ('…'/"…"), backtick identifiers, and
+        # comments, so a CTE name inside any of them is never rewritten
         if not alias:
             return sql_text
-        parts = re.split(r"('(?:[^']|'')*')", sql_text)
+        parts = re.split(
+            r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`|--[^\n]*|/\*.*?\*/)",
+            sql_text,
+            flags=re.S,
+        )
         for idx, part in enumerate(parts):
             if idx % 2:
                 continue
@@ -261,7 +283,14 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
                 + " " + final
             )
         if explain_mode:
-            kw = "" if explain_mode == "simple" else f" {explain_mode.upper()}"
+            # fall-through EXPLAIN is rebuilt VERBATIM: bare stays bare
+            # (Spark's bare EXPLAIN = simple mode, not formatted) and a
+            # user-written keyword is kept; 'simple' has no SQL keyword
+            kw = (
+                f" {explain_kw.upper()}"
+                if explain_kw and explain_kw.lower() != "simple"
+                else ""
+            )
             final = f"EXPLAIN{kw} {final}"
         return spark.sql(final)
     finally:
@@ -357,7 +386,12 @@ def execute_measure_sql(
                 measures.append(used)
         having_pred = _MEASURE_CALL_RE.sub(r"\1", having)
 
-    df, route = mv.query_routed(dims, measures, where=m.group("where"))
+    df, route = mv.query_routed(
+        dims, measures, where=m.group("where"),
+        # an EXPLAINed query was never served — keep it out of the
+        # advisor's workload log (the explain_route contract)
+        log_workload=explain_mode is None,
+    )
     if having_pred is not None:
         df = df.filter(F.expr(having_pred))
     # project in SELECT-item order; expression items evaluate over the
@@ -384,14 +418,13 @@ def execute_measure_sql(
     if m.group("limit"):
         df = df.limit(int(m.group("limit")))
     if explain_mode:
-        # routing decision + physical plan, mirroring MetricView.explain
-        # and Spark's own EXPLAIN result shape (one row, column `plan`)
+        # routing decision + physical plan, SHARING MetricView.explain's
+        # plumbing; Spark's own EXPLAIN result shape (one row, `plan`)
+        from .engine import explain_string_with_route
+
         spark = df.sparkSession
-        plan = spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(),
-            "simple" if explain_mode == "simple" else explain_mode,
-        )
         return spark.createDataFrame(
-            [(f"== Route ==\n{route}\n\n{plan}",)], "plan string"
+            [(explain_string_with_route(df, route, explain_mode),)],
+            "plan string",
         )
     return df

@@ -471,3 +471,46 @@ def test_sql_explain_shows_route(engine):
         """
     )
     assert "Physical Plan" in comp.first()["plan"]
+
+
+def test_sql_explain_bare_falls_through_simple(engine):
+    """r8 review: bare EXPLAIN on plain SQL stays bare (Spark's simple
+    mode), a user-written keyword is kept verbatim, and EXPLAINed
+    MEASURE queries do not enter the advisor's workload log."""
+    import re as _re
+
+    def _norm(p):  # plan_ids are a session-global counter
+        return _re.sub(r"plan_id=\d+", "plan_id=N", p)
+
+    simple = engine.sql("EXPLAIN SELECT count(*) FROM fct_orders").first()["plan"]
+    native = engine.spark.sql("EXPLAIN SELECT count(*) FROM fct_orders").first()["plan"]
+    assert _norm(simple) == _norm(native)  # untouched fall-through
+    fmt = engine.sql(
+        "EXPLAIN FORMATTED SELECT count(*) FROM fct_orders"
+    ).first()["plan"]
+    assert fmt != simple and "(1) Scan" in fmt or "Scan" in fmt
+
+    mv = engine.metric_view("mv_order_metrics")
+    before = len(mv.observed_workload())
+    engine.sql(
+        "EXPLAIN SELECT order_priority, MEASURE(total_orders) AS n "
+        "FROM mv_order_metrics GROUP BY order_priority"
+    ).collect()
+    assert len(mv.observed_workload()) == before
+
+
+def test_sql_cte_body_comments_and_quotes(engine):
+    """Parens inside comments / double-quoted strings / backticks in CTE
+    bodies neither mis-split nor get their CTE-name tokens rewritten."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT market_segment, 'rev )' AS tag, revenue
+        FROM rev -- reading rev :)
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["tag"] == "rev )" for r in rows)

@@ -26,6 +26,13 @@ _FRAGMENT = st.one_of(
     st.from_regex(r"[A-Za-z0-9_ ,.*=<>+\-]{1,12}", fullmatch=True),
     st.sampled_from(["(1 + 2)", "f(x, y)", "( SELECT 1 )"]),
     st.sampled_from(["'('", "')'", "'))( '", "'it''s'", "'x)'", "'(('"]),
+    # r8 review: parens hidden in double-quoted strings, backtick
+    # identifiers, line comments (newline-terminated inside the body),
+    # and block comments must not mis-split
+    st.sampled_from([
+        '")"', '"(("', '"a"")("', "`w)col`", "`(ident`",
+        "-- c )\n1", "/* ) */ 1", "/* (( */ 2",
+    ]),
 )
 
 
