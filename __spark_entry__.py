@@ -5437,6 +5437,29 @@ def _q_measure_sql_cte(spark, sf_dir):
     return df.withColumn("revenue", F.round(F.col("revenue"), 2))
 
 
+def _q_measure_sql_orderby(spark, sf_dir):
+    # r9 (VERDICT r8 #4): ORDER BY through engine.sql accepts MEASURE()
+    # expressions and SELECT ordinals — `ORDER BY MEASURE(total_orders)
+    # DESC, 1` sorts the aggregated frame BEFORE the projection (the
+    # sorted-on measure is not selected; it's computed for the sort and
+    # projected away, HAVING's rule). Ties on the count break on the
+    # segment name (ordinal 1), so the LIMITed row set is deterministic.
+    # Money sum snaps to its 1e-2 grid (sum-type class, as measure_sql_cte).
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY MEASURE(total_orders) DESC, 1
+        LIMIT 3
+        """
+    )
+    return df.withColumn("revenue", F.round(F.col("revenue"), 2))
+
+
 def _q_pivot_orders(spark, sf_dir):
     # crosstab surface: yearly order counts pivoted per market segment
     # (query_pivot — POST-aggregation reshape of the routed |dims×values|
@@ -5689,65 +5712,63 @@ def _q_token_stream_pack(spark, sf_dir):
 # never silently rot the rotation). r9 queue = the remaining r5
 # cohort, then the r6 cohort, oldest first.
 _DRIVER_PREFIX = [
-    # (a) the 36 r4-stale contracts (BASELINE.md r8 queue, verbatim)
-    "advisor_applied_route",
-    "audience_overlap",
-    "bloom_prune",
-    "bpe_encoded",
-    "bpe_merges",
-    "data_checks",
-    "doc_vectors",
-    "funnel_steps",
-    "gopher_gate",
-    "hist_percentile",
-    "ivfpq_topk",
-    "k_anonymity",
-    "logreg_weights",
-    "media_features",
-    "metric_anomalies",
-    "multiformat_roundtrip",
-    "pagerank_dupgraph",
-    "pca_covariance",
-    "pq_codes",
-    "pq_topk",
-    "reranked_search",
-    "rollup_advisor",
-    "rollup_advisor_budget",
-    "salted_join_agg",
-    "source_freshness",
-    "source_reputation",
-    "srp_similar_pairs",
-    "ssjoin_pairs",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "streaming_dedup",
-    "streaming_rollup_serve",
-    "substring_dedup",
-    "triangle_counts",
-    "user_activity",
-    "zorder_scan",
-    # (b) 14 backfill slots: oldest of the rest = the r5 cohort,
-    # alphabetical (deterministic tie-break the guard tolerates)
-    "calibration",
-    "cluster_keep_best",
-    "cohort_retention",
-    "corpus_diff",
-    "debounced_events",
-    "derived_measure",
-    "distinct_count_salted",
-    "drift_report",
-    "drill_across",
-    "ece",
-    # (c) new this round (never sampled, guard rule 1): chained derived
-    # measures routed via their plain leaves, spec.filter and declared
-    # stream-static joins through the streaming metric compiler, and
-    # WITH-composition drill-across SQL — embedding_drift/
-    # event_transitions/events_metric_view/gram_novelty yield their
-    # backfill slots (r5-fresh, rejoin the r9 queue)
-    "measure_chain",
-    "measure_stream_filtered",
-    "measure_stream_joined",
-    "measure_sql_cte",
+    # (a) the 31 r5-stale contracts (VERDICT r8 #1 / BASELINE.md r9
+    # queue, verbatim — the rotation guard names exactly this set)
+    "embedding_drift",
+    "event_transitions",
+    "events_metric_view",
+    "gram_novelty",
+    "hamming_topk",
+    "hard_negatives",
+    "hist_window",
+    "incremental_refresh",
+    "incremental_targets",
+    "interval_join",
+    "json_props",
+    "keyword_search",
+    "l_diversity",
+    "lpa_communities",
+    "oov_rate",
+    "phrase_search",
+    "pivot_orders",
+    "ppl_buckets",
+    "privacy_release",
+    "profile_orders",
+    "semantic_dup_pairs",
+    "shard_plan",
+    "split_leakage",
+    "t_closeness",
+    "temperature_mix",
+    "token_budget",
+    "token_fertility",
+    "token_stream_pack",
+    "top_next_events",
+    "training_set",
+    "truncation_eval",
+    # (b) new this round (never sampled, guard rule 1): ORDER BY
+    # MEASURE-expression + ordinal through engine.sql (VERDICT r8 #4)
+    "measure_sql_orderby",
+    # (c) 18 backfill slots: oldest of the rest = the r6 cohort,
+    # alphabetical (deterministic tie-break the guard tolerates) —
+    # gets ahead of the 4-round bound per VERDICT r8 #1
+    "ab_welch",
+    "classifier_metrics",
+    "cohen_kappa",
+    "collocations",
+    "containment_pairs",
+    "cumulative_revenue",
+    "curation_stats",
+    "customer_metrics",
+    "decontaminated_docs",
+    "documents_metric_view",
+    "embedding_dup_pairs",
+    "fct_customer_summary",
+    "fct_orders",
+    "filtered_mv",
+    "fuzzy_match_pairs",
+    "kmeans_clusters",
+    "measure_by_dim",
+    "measure_multi_dim",
 ]
 
 
@@ -5932,6 +5953,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_chain": _q_measure_chain,
         "measure_stream_filtered": _q_measure_stream_filtered,
         "measure_sql_cte": _q_measure_sql_cte,
+        "measure_sql_orderby": _q_measure_sql_orderby,
         "measure_stream_joined": _q_measure_stream_joined,
         "pivot_orders": _q_pivot_orders,
         "event_transitions": _q_event_transitions,
@@ -6380,6 +6402,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT market_segment, count(*) AS customers
                   FROM ({_STG_CUSTOMERS}) GROUP BY market_segment) c
             ON o.market_segment = c.market_segment
+        """,
+        # ORDER BY MEASURE(total_orders) DESC + ordinal tiebreak + LIMIT:
+        # the top-3 row SET is deterministic (count ties break on segment)
+        "measure_sql_orderby": f"""
+            SELECT market_segment,
+                   round(sum(total_price), 2) AS revenue
+            FROM ({_FCT_ORDERS}) GROUP BY market_segment
+            ORDER BY count(*) DESC, market_segment
+            LIMIT 3
         """,
         # chained derived: dollars = (cents // count) // 100, all-int64
         "measure_chain": f"""

@@ -18,6 +18,45 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _max_row_age_rounds():
+    """Contract-evidence staleness in the parsed tail (VERDICT r7 #7 /
+    r8 #2): max over every contract in ``queries()`` of (current_round −
+    round of the contract's latest driver CORRECTNESS row). The bench
+    usually runs BEFORE the driver writes this round's file, so contracts
+    in the current ``_DRIVER_PREFIX`` count as age 0 (they receive rows
+    this round by construction) and current_round = latest recorded + 1;
+    when this round's file already landed (every prefix contract has a
+    row at the max recorded round) current_round = that max. A
+    never-sampled non-prefix contract is a rotation bug and is counted at
+    full age so it cannot hide. None when no history exists."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last: dict = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for k in rows:
+            last[k] = max(last.get(k, 0), rnd)
+    if not last:
+        return None
+    import __spark_entry__ as entry
+
+    prefix = set(entry._DRIVER_PREFIX)
+    contracts = set(entry.queries())
+    max_round = max(last.values())
+    post_driver = all(last.get(k) == max_round for k in prefix)
+    current = max_round if post_driver else max_round + 1
+    return max(
+        0 if (k in prefix and not post_driver) else current - last.get(k, 0)
+        for k in contracts
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -1093,6 +1132,7 @@ def main() -> None:
     # stays flat, so a run with calib_scan_ratio >> calib_ratio is
     # disk-state noise, not a code regression
     calib_scan_ratio = timings["calib_parquet_scan"] / R02_CALIB_PARQUET_SCAN
+    max_row_age = _max_row_age_rounds()
     payload = {
         "metric": "pipeline_plus_headline_queries",
         "value": total,
@@ -1103,6 +1143,7 @@ def main() -> None:
         "queries_median": medians,
         "calib_ratio_vs_r02": round(calib_ratio, 3),
         "calib_scan_ratio_vs_r02": round(calib_scan_ratio, 3),
+        "max_row_age_rounds": max_row_age,
         "queries": timings,
         "sf": sf,
         "routed_speedup": round(

@@ -34,6 +34,8 @@ positive — no sign-bit asymmetry between engines' shift semantics.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,7 +125,38 @@ def bloom_build_local(
     words = bloom_build(df, key_col, m_bits, n_hashes, hash_fn)
     words = words.persist()
     words.count()  # force the one evaluation now
+    _pin(words)
     return words
+
+
+# Release discipline (ADVICE r8): each bloom_build_local pins cached
+# blocks; without a release path a long session accumulates one bitset
+# per call forever. A small FIFO registry keeps the most recent bitsets
+# hot and unpersists the oldest beyond the cap — eviction is always
+# safe because the cache keeps lineage (a later action on an evicted
+# bitset just recomputes it). Callers wanting deterministic release use
+# bloom_release(words) (or bloom_release() to drop them all).
+_PINNED_CAP = 8
+_pinned: dict[int, DataFrame] = {}  # insertion-ordered (py3.7+) FIFO
+
+
+def _pin(words: DataFrame) -> None:
+    _pinned[id(words)] = words
+    while len(_pinned) > _PINNED_CAP:
+        oldest = next(iter(_pinned))
+        _pinned.pop(oldest).unpersist()
+
+
+def bloom_release(words: Optional[DataFrame] = None) -> None:
+    """Unpersist one pinned bitset (or every pinned bitset when called
+    with no argument). Safe to call at any time — downstream plans over
+    a released bitset recompute it from lineage."""
+    if words is not None:
+        _pinned.pop(id(words), None)
+        words.unpersist()
+        return
+    while _pinned:
+        _pinned.popitem()[1].unpersist()
 
 
 def with_bloom_member(

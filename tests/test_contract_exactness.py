@@ -231,3 +231,14 @@ def test_no_oracle_result_type_is_fetch_unstable(duck):
         f"fetch-unstable oracle result types (wrap the aggregate in "
         f"CAST(... AS BIGINT) / AS DOUBLE): {offenders}"
     )
+
+
+def test_bench_reports_bounded_row_age():
+    """r9 (VERDICT r7 #7 / r8 #2): bench.py emits max_row_age_rounds in
+    its parsed tail, and the greedy oldest-first rotation keeps it <= 3."""
+    import bench
+
+    age = bench._max_row_age_rounds()
+    if age is None:
+        pytest.skip("no driver correctness history present")
+    assert age <= 3, f"rotation fell behind: max contract row age {age}"

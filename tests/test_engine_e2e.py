@@ -514,3 +514,178 @@ def test_sql_cte_body_comments_and_quotes(engine):
     )
     rows = df.collect()
     assert len(rows) == 5 and all(r["tag"] == "rev )" for r in rows)
+
+
+def test_sql_order_by_measure_expr_and_ordinal(engine, duck):
+    """r9 (VERDICT r8 #4): ORDER BY accepts MEASURE() expressions and
+    SELECT ordinals — the ad-hoc idioms of the reference's analyst SQL
+    (README.md:124-141). The sorted-on measure need not be selected."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY MEASURE(total_orders) DESC, 1
+        """
+    )
+    assert df.columns == ["market_segment", "revenue"]
+    got = [r["market_segment"] for r in df.collect()]
+    want = [
+        r[0] for r in duck.execute(
+            f"""
+            SELECT market_segment FROM ({FCT_ORDERS_SQL})
+            GROUP BY market_segment
+            ORDER BY count(*) DESC, market_segment
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    # pure-ordinal form
+    df2 = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment ORDER BY 2 DESC LIMIT 2"
+    )
+    vals = [r["revenue"] for r in df2.collect()]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 2
+    # output-alias form still works (pre-r9 behavior)
+    df3 = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment ORDER BY revenue"
+    )
+    vals3 = [r["revenue"] for r in df3.collect()]
+    assert vals3 == sorted(vals3)
+    with pytest.raises(Exception, match="ordinal"):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrics GROUP BY market_segment ORDER BY 9"
+        )
+
+
+def test_sql_order_by_unselected_measure(engine, duck):
+    """A bare measure name in ORDER BY that is absent from SELECT is
+    computed for the sort and projected away (HAVING's rule)."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY total_orders DESC, market_segment
+        """
+    )
+    assert df.columns == ["market_segment", "revenue"]
+    got = [r["market_segment"] for r in df.collect()]
+    want = [
+        r[0] for r in duck.execute(
+            f"""
+            SELECT market_segment FROM ({FCT_ORDERS_SQL})
+            GROUP BY market_segment
+            ORDER BY count(*) DESC, market_segment
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_sql_cte_join_without_table_aliases(engine, duck):
+    """r9 (ADVICE r8): MEASURE-CTE references rewrite in TABLE position
+    with the declared name re-injected as the alias, so the common
+    no-alias style — qualified refs like ``rev.market_segment`` — works."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        ), cust AS (
+            SELECT market_segment, MEASURE(total_customers) AS customers
+            FROM mv_customer_metrics GROUP BY market_segment
+        )
+        SELECT rev.market_segment, rev.revenue, cust.customers
+        FROM rev JOIN cust USING (market_segment)
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT o.market_segment, o.revenue, c.customers
+        FROM (SELECT market_segment, sum(total_price) AS revenue
+              FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment) o
+        JOIN (SELECT c_mktsegment AS market_segment, count(*) AS customers
+              FROM customer GROUP BY 1) c
+        USING (market_segment)
+        """,
+    )
+
+
+def test_sql_cte_comma_from_list(engine):
+    """Comma-separated FROM lists are table positions too."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        ), cust AS (
+            SELECT market_segment, MEASURE(total_customers) AS customers
+            FROM mv_customer_metrics GROUP BY market_segment
+        )
+        SELECT rev.market_segment, rev.revenue, cust.customers
+        FROM rev, cust
+        WHERE rev.market_segment = cust.market_segment
+        """
+    )
+    assert df.count() == 5
+
+
+def test_sql_cte_name_not_rewritten_outside_table_position(engine):
+    """r9 (ADVICE r8): a column alias (or any bare identifier) that
+    happens to equal a MEASURE-CTE name is left alone — only table
+    positions rewrite. Here ``rev`` is both the CTE and an output
+    column name of the final statement."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS rev
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT market_segment, rev FROM rev
+        """
+    )
+    rows = df.collect()
+    assert df.columns == ["market_segment", "rev"]
+    assert len(rows) == 5 and all(r["rev"] is not None for r in rows)
+
+
+def test_sql_explain_composed_shows_cte_routes(engine):
+    """r9 (VERDICT r8 #5): EXPLAIN of a plain-SQL final over MEASURE()
+    CTEs keeps per-CTE routing provenance — the temp views inline into
+    Spark's plan, so the route lines are the only place the decision
+    survives composition."""
+    text = engine.sql(
+        """
+        EXPLAIN WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        ), cust AS (
+            SELECT market_segment, MEASURE(total_customers) AS customers
+            FROM mv_customer_metrics GROUP BY market_segment
+        )
+        SELECT rev.market_segment, rev.revenue, cust.customers
+        FROM rev JOIN cust USING (market_segment)
+        """
+    ).first()["plan"]
+    assert text.startswith("== Route ==")
+    assert "cte rev: " in text and "cte cust: " in text
+    assert "final: spark.sql" in text
+    assert "Physical Plan" in text
+    # a MEASURE() final composed with MEASURE() CTEs shows both routes
+    text2 = engine.sql(
+        """
+        EXPLAIN WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT order_status, MEASURE(total_orders) AS n
+        FROM mv_order_metrics GROUP BY order_status
+        """
+    ).first()["plan"]
+    assert "cte rev: " in text2 and "Physical Plan" in text2

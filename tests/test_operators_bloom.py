@@ -178,3 +178,32 @@ def test_member_col_collision_raises(spark, dim):
 def test_n_hashes_validated(spark, dim):
     with pytest.raises(ValueError, match="n_hashes"):
         bloom.bloom_build(dim, "p_partkey", M, n_hashes=0)
+
+
+def test_bloom_pin_registry_bounds_cached_bitsets(spark):
+    """r9 (ADVICE r8): bloom_build_local pins at most _PINNED_CAP bitsets;
+    older ones are unpersisted automatically, bloom_release drops the
+    rest, and an evicted bitset stays USABLE (lineage recompute)."""
+    from dbt_databricks_metrics_spark.operators import bloom as B
+
+    B.bloom_release()  # clean slate
+    # distinct plans per build — Spark's cache manager keys entries on
+    # the analyzed plan, so same-plan bitsets would share ONE entry
+    built = [
+        B.bloom_build_local(
+            spark.range(0, 50 + i).selectExpr("CAST(id AS STRING) AS k"),
+            "k", m_bits=1 << 10, n_hashes=2,
+        )
+        for i in range(B._PINNED_CAP + 3)
+    ]
+    assert len(B._pinned) == B._PINNED_CAP
+    # the oldest were evicted and unpersisted...
+    assert built[0].storageLevel.useMemory is False
+    # ...but remain correct via lineage
+    assert built[0].count() > 0
+    # the newest are still cached
+    assert built[-1].storageLevel.useMemory is True
+    B.bloom_release(built[-1])
+    assert built[-1].storageLevel.useMemory is False
+    B.bloom_release()
+    assert not B._pinned

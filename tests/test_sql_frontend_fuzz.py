@@ -21,9 +21,14 @@ _NAME = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
 )
 
 # body fragments: identifiers, balanced parens, and literals that may
-# contain unbalanced parens and doubled quotes
+# contain unbalanced parens and doubled quotes. `-` is deliberately
+# absent from the free-text class (VERDICT r8 #2): a fragment ending in
+# a bare `--` turns the CTE's closing paren into a line comment, which
+# is GENUINELY unbalanced SQL — the splitter's MeasureSQLError is the
+# correct behavior, so the round-trip premise doesn't hold for it.
+# Comment coverage lives in the curated, newline-terminated fragments.
 _FRAGMENT = st.one_of(
-    st.from_regex(r"[A-Za-z0-9_ ,.*=<>+\-]{1,12}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9_ ,.*=<>+]{1,12}", fullmatch=True),
     st.sampled_from(["(1 + 2)", "f(x, y)", "( SELECT 1 )"]),
     st.sampled_from(["'('", "')'", "'))( '", "'it''s'", "'x)'", "'(('"]),
     # r8 review: parens hidden in double-quoted strings, backtick
@@ -88,3 +93,16 @@ def test_split_examples():
         _parse_ctes("WITH a AS (SELECT (1 FROM t SELECT 2")
     with pytest.raises(MeasureSQLError, match="expected"):
         _parse_ctes("WITH a (x) AS (SELECT 1) SELECT x FROM a")
+
+
+def test_trailing_line_comment_swallows_closing_paren():
+    """The r8 post-ship hypothesis counterexample, pinned explicitly so it
+    reproduces on every host without a shared example database (VERDICT
+    r8 #7): a body whose trailing ``--`` comments out the closing paren
+    is GENUINELY unbalanced SQL — the splitter must refuse, and the old
+    fuzz generator was wrong to expect a round-trip."""
+    with pytest.raises(MeasureSQLError, match="unbalanced"):
+        _parse_ctes("WITH C AS (0 0 --) SELECT 1")
+    # newline-terminated comments round-trip fine (the curated fragment)
+    ctes, final = _parse_ctes("WITH C AS (SELECT 1 -- c )\n) SELECT 1")
+    assert ctes == [("C", "SELECT 1 -- c )")] and final == "SELECT 1"
