@@ -1,0 +1,106 @@
+"""Unit tests for the table-position CTE reference rewriter (r9,
+ADVICE r8): rewriting happens ONLY where a MEASURE-CTE name stands as a
+table reference, with the declared name re-injected as the alias unless
+the user supplied one — never on coincidental identifiers, literals,
+quoted identifiers, or comments. Pure string-level, no Spark session."""
+
+from __future__ import annotations
+
+from dbt_databricks_metrics_spark.sql_frontend import _rewrite_table_refs
+
+A = {"rev": "_u_rev", "cust": "_u_cust"}
+
+
+def test_bare_from_injects_alias():
+    assert _rewrite_table_refs("SELECT x FROM rev", A) == (
+        "SELECT x FROM _u_rev AS rev"
+    )
+
+
+def test_user_alias_kept():
+    assert _rewrite_table_refs("SELECT r.x FROM rev r", A) == (
+        "SELECT r.x FROM _u_rev r"
+    )
+    assert _rewrite_table_refs("SELECT r.x FROM rev AS r", A) == (
+        "SELECT r.x FROM _u_rev AS r"
+    )
+
+
+def test_join_and_on_qualified_refs():
+    got = _rewrite_table_refs(
+        "SELECT rev.x, cust.y FROM rev JOIN cust ON rev.k = cust.k", A
+    )
+    assert got == (
+        "SELECT rev.x, cust.y FROM _u_rev AS rev "
+        "JOIN _u_cust AS cust ON rev.k = cust.k"
+    )
+
+
+def test_comma_from_list():
+    assert _rewrite_table_refs("SELECT 1 FROM rev, cust WHERE rev.k = cust.k", A) == (
+        "SELECT 1 FROM _u_rev AS rev, _u_cust AS cust WHERE rev.k = cust.k"
+    )
+
+
+def test_qualified_table_name_untouched():
+    # `db.rev` is one token and does not equal the CTE name
+    assert _rewrite_table_refs("SELECT 1 FROM db.rev", A) == "SELECT 1 FROM db.rev"
+
+
+def test_non_table_identifiers_untouched():
+    # column named like the CTE, select alias, GROUP BY, function arg
+    s = "SELECT rev, sum(rev) AS rev FROM t GROUP BY rev"
+    assert _rewrite_table_refs(s, A) == s
+
+
+def test_literals_comments_backticks_untouched():
+    s = "SELECT 'rev', \"rev\", `rev` FROM t -- from rev\n/* join rev */"
+    assert _rewrite_table_refs(s, A) == s
+
+
+def test_subquery_in_from_rewrites_inside():
+    got = _rewrite_table_refs("SELECT * FROM (SELECT k FROM rev) x", A)
+    assert got == "SELECT * FROM (SELECT k FROM _u_rev AS rev) x"
+
+
+def test_union_rewrites_both_branches():
+    got = _rewrite_table_refs("SELECT k FROM rev UNION SELECT k FROM cust", A)
+    assert got == (
+        "SELECT k FROM _u_rev AS rev UNION SELECT k FROM _u_cust AS cust"
+    )
+
+
+def test_group_by_comma_not_a_table_slot():
+    # the FROM list ended at GROUP BY; its commas are item separators
+    s = "SELECT a, b FROM rev GROUP BY a, b"
+    assert _rewrite_table_refs(s, A) == (
+        "SELECT a, b FROM _u_rev AS rev GROUP BY a, b"
+    )
+
+
+def test_comment_between_table_and_alias():
+    got = _rewrite_table_refs("SELECT r.x FROM rev /* c */ r", A)
+    assert got == "SELECT r.x FROM _u_rev /* c */ r"
+
+
+def test_scalar_subquery_in_select_list():
+    got = _rewrite_table_refs("SELECT (SELECT max(k) FROM rev) FROM cust", A)
+    assert got == (
+        "SELECT (SELECT max(k) FROM _u_rev AS rev) FROM _u_cust AS cust"
+    )
+
+
+def test_keyword_after_table_triggers_injection():
+    got = _rewrite_table_refs("SELECT 1 FROM rev WHERE rev.k > 0", A)
+    assert got == "SELECT 1 FROM _u_rev AS rev WHERE rev.k > 0"
+
+
+def test_empty_alias_map_is_identity():
+    s = "SELECT anything FROM rev"
+    assert _rewrite_table_refs(s, {}) == s
+
+
+def test_case_insensitive_match_preserves_written_name():
+    got = _rewrite_table_refs("SELECT REV.x FROM REV", A)
+    # matched case-insensitively; the user's spelling is kept as the alias
+    assert got == "SELECT REV.x FROM _u_rev AS REV"
