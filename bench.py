@@ -18,21 +18,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _max_row_age_rounds():
-    """Contract-evidence staleness in the parsed tail (VERDICT r7 #7 /
-    r8 #2): max over every contract in ``queries()`` of (current_round −
-    round of the contract's latest driver CORRECTNESS row). The bench
-    usually runs BEFORE the driver writes this round's file, so contracts
-    in the current ``_DRIVER_PREFIX`` count as age 0 (they receive rows
-    this round by construction) and current_round = latest recorded + 1;
-    when this round's file already landed (every prefix contract has a
-    row at the max recorded round) current_round = that max. A
-    never-sampled non-prefix contract is a rotation bug and is counted at
-    full age so it cannot hide. None when no history exists."""
+def correctness_last_rows(root=None):
+    """Parse the driver's CORRECTNESS_r*.json history into
+    ``(last_row_round_by_contract, keys_of_the_latest_file)`` — shared by
+    :func:`_max_row_age_rounds` and the rotation-discipline guard test so
+    the two can never disagree about staleness (one filename/format
+    parser). Returns ``({}, set())`` when no history exists."""
     import glob
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    root = root or os.path.dirname(os.path.abspath(__file__))
     last: dict = {}
+    newest_keys: set = set()
+    newest_round = -1
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
@@ -42,6 +39,27 @@ def _max_row_age_rounds():
             continue
         for k in rows:
             last[k] = max(last.get(k, 0), rnd)
+        if rnd > newest_round:
+            newest_round, newest_keys = rnd, set(rows)
+    return last, newest_keys
+
+
+def _max_row_age_rounds():
+    """Contract-evidence staleness in the parsed tail (VERDICT r7 #7 /
+    r8 #2): max over every contract in ``queries()`` of (current_round −
+    round of the contract's latest driver CORRECTNESS row). The bench
+    usually runs BEFORE the driver writes this round's file, so contracts
+    in the current ``_DRIVER_PREFIX`` count as age 0 (they receive rows
+    this round by construction) and current_round = latest recorded + 1;
+    when this round's file already landed — detected by the latest
+    file's key set EXACTLY matching the current prefix — current_round =
+    that file's round. (A pre-driver prefix cannot coincide with the
+    previous round's sample: with 180 contracts and 50 slots the
+    oldest-first guard always forces stale contracts, absent from the
+    last sample, into the new prefix.) A never-sampled non-prefix
+    contract is a rotation bug and is counted at full age so it cannot
+    hide. None when no history exists."""
+    last, newest_keys = correctness_last_rows()
     if not last:
         return None
     import __spark_entry__ as entry
@@ -49,7 +67,7 @@ def _max_row_age_rounds():
     prefix = set(entry._DRIVER_PREFIX)
     contracts = set(entry.queries())
     max_round = max(last.values())
-    post_driver = all(last.get(k) == max_round for k in prefix)
+    post_driver = newest_keys == prefix
     current = max_round if post_driver else max_round + 1
     return max(
         0 if (k in prefix and not post_driver) else current - last.get(k, 0)

@@ -141,6 +141,13 @@ _pinned: dict[int, DataFrame] = {}  # insertion-ordered (py3.7+) FIFO
 
 
 def _pin(words: DataFrame) -> None:
+    # Spark's cache manager keys entries on the ANALYZED PLAN, so two
+    # builds from the same inputs share one cache entry — keep a single
+    # registry handle for them, else evicting the older handle would
+    # silently uncache the newer "pinned" bitset
+    for key, old in list(_pinned.items()):
+        if old is not words and old.sameSemantics(words):
+            _pinned.pop(key)
     _pinned[id(words)] = words
     while len(_pinned) > _PINNED_CAP:
         oldest = next(iter(_pinned))

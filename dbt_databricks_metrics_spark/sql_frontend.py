@@ -120,8 +120,14 @@ _POST_TABLE_KEYWORDS = frozenset(
 # not another table reference)
 _FROM_LIST_TERMINATORS = frozenset(
     "where group having order limit window qualify union except intersect "
-    "minus select".split()
+    "minus select distribute cluster sort".split()
 )
+
+# SQL special forms whose argument lists contain a FROM *keyword* that does
+# NOT introduce a table reference: EXTRACT(YEAR FROM x), TRIM(BOTH c FROM
+# x), SUBSTRING(s FROM 2 FOR 3), OVERLAY(s PLACING t FROM 1), POSITION(a IN
+# b) (kept for symmetry with the standard's FROM-bearing forms)
+_EXPR_FROM_FUNCS = frozenset("extract trim substring overlay position".split())
 
 
 def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
@@ -153,25 +159,35 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     edits: dict[int, list[tuple[int, int, str]]] = {}
     depth = 0
     in_from: dict[int, bool] = {}  # per-paren-depth "inside a FROM list"
+    expr_from: dict[int, bool] = {}  # depth opened by EXTRACT(/TRIM(/… —
+    # a FROM keyword at that depth is expression syntax, not a table slot
     expecting = False  # the next word token is a table reference
     expect_depth = 0
+    prev_word = ""  # last word token, for the special-form-( lookbehind
     for t_i, (p_i, s, e, tok) in enumerate(tokens):
         low = tok.lower()
         if tok == "(":
             if expecting and depth == expect_depth:
                 expecting = False  # derived table — its body is scanned too
             depth += 1
+            if prev_word in _EXPR_FROM_FUNCS:
+                expr_from[depth] = True
+            prev_word = ""
             continue
         if tok == ")":
             in_from.pop(depth, None)
+            expr_from.pop(depth, None)
             depth -= 1
+            prev_word = ""
             continue
         if tok == ",":
             if in_from.get(depth):
                 expecting, expect_depth = True, depth
+            prev_word = ""
             continue
         if expecting and depth == expect_depth:
             if low == "lateral":
+                prev_word = low
                 continue  # still expecting the table reference
             expecting = False
             uniq = lower_alias.get(low)
@@ -184,12 +200,17 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 )
                 repl = uniq if user_alias else f"{uniq} AS {tok}"
                 edits.setdefault(p_i, []).append((s, e, repl))
+            prev_word = low
             continue
-        if low in ("from", "join"):
+        if low == "from" and not expr_from.get(depth):
+            expecting, expect_depth = True, depth
+            in_from[depth] = True
+        elif low == "join":
             expecting, expect_depth = True, depth
             in_from[depth] = True
         elif low in _FROM_LIST_TERMINATORS:
             in_from[depth] = False
+        prev_word = low
     for p_i, part_edits in edits.items():
         text = parts[p_i]
         for s, e, repl in sorted(part_edits, reverse=True):
@@ -534,12 +555,14 @@ def _compile_measure_query(
     order = m.group("order")
     order_specs: list[tuple[str, bool]] = []  # (pre-projection expr, desc)
     if order:
-        out_expr: dict[str, str] = {}  # output column name → canonical expr
+        # SQL identifiers are case-insensitive — resolution maps key on
+        # the lowercased name and yield the canonical spelling
+        out_expr: dict[str, str] = {}  # lower(output name) → canonical expr
         for kind, payload, al in items:
             name = al or (payload if kind != "expr" else None)
             if name:
-                out_expr[name] = payload
-        known_measures = {ms.name for ms in mv.spec.measures}
+                out_expr[name.lower()] = payload
+        known_measures = {ms.name.lower(): ms.name for ms in mv.spec.measures}
         for o in _split_top_level(order):
             om = re.match(
                 r"^(.*?)(?:\s+(asc|desc))?$", o.strip(),
@@ -547,6 +570,10 @@ def _compile_measure_query(
             )
             expr_txt = om.group(1).strip()
             desc = bool(om.group(2) and om.group(2).lower() == "desc")
+            # `\`name\`` quotes an identifier — unwrap to the plain name
+            bq = re.fullmatch(r"`([^`]+)`", expr_txt)
+            if bq:
+                expr_txt = bq.group(1).strip()
             if re.fullmatch(r"\d+", expr_txt):  # ORDER BY <ordinal>
                 idx = int(expr_txt) - 1
                 if not 0 <= idx < len(items):
@@ -560,14 +587,18 @@ def _compile_measure_query(
                     if used not in measures:
                         measures.append(used)
                 order_specs.append((_MEASURE_CALL_RE.sub(r"\1", expr_txt), desc))
-            elif expr_txt in out_expr:  # output alias / selected dim
-                order_specs.append((out_expr[expr_txt], desc))
+            elif expr_txt.lower() in out_expr:  # output alias / selected dim
+                order_specs.append((out_expr[expr_txt.lower()], desc))
             elif re.fullmatch(r"[A-Za-z_]\w*", expr_txt):
                 # a dim/measure of the view not in SELECT; an unknown name
                 # surfaces as Spark's unresolved-column analysis error
-                if expr_txt in known_measures and expr_txt not in measures:
-                    measures.append(expr_txt)
-                order_specs.append((expr_txt, desc))
+                canonical = known_measures.get(expr_txt.lower())
+                if canonical is not None:
+                    if canonical not in measures:
+                        measures.append(canonical)
+                    order_specs.append((canonical, desc))
+                else:
+                    order_specs.append((expr_txt, desc))
             else:
                 raise MeasureSQLError(f"bad ORDER BY item {o!r}")
 

@@ -172,19 +172,11 @@ def test_prefix_rotates_oldest_contracts():
     3. if (1)+(2) don't fill all 50 slots, that's fine — the remainder
        is free for re-sampling reshaped or watch-listed contracts.
     """
-    import glob
-    import json
-    import os
+    import bench
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    if not files:
+    last, _ = bench.correctness_last_rows()
+    if not last:
         pytest.skip("no driver correctness history present")
-    last: dict[str, int] = {}
-    for f in files:
-        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        for k in json.load(open(f)):
-            last[k] = max(last.get(k, 0), rnd)
     max_round = max(last.values())
     prefix = set(entrymod._DRIVER_PREFIX)
     contracts = set(entrymod.queries())

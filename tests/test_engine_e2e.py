@@ -689,3 +689,30 @@ def test_sql_explain_composed_shows_cte_routes(engine):
         """
     ).first()["plan"]
     assert "cte rev: " in text2 and "Physical Plan" in text2
+
+
+def test_sql_order_by_case_insensitive_and_backticks(engine):
+    """Review r9: ORDER BY identifiers resolve case-insensitively (SQL
+    semantics — and the pre-r9 post-projection sort honored this), and
+    backtick-quoted identifiers are accepted."""
+    df = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment ORDER BY REVENUE DESC"
+    )
+    vals = [r["revenue"] for r in df.collect()]
+    assert vals == sorted(vals, reverse=True)
+    # unselected measure, arbitrary case
+    df2 = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment "
+        "ORDER BY Total_Orders DESC, market_segment"
+    )
+    assert df2.columns == ["market_segment", "revenue"]
+    assert df2.count() == 5
+    # backtick-quoted alias
+    df3 = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment ORDER BY `revenue`"
+    )
+    vals3 = [r["revenue"] for r in df3.collect()]
+    assert vals3 == sorted(vals3)

@@ -207,3 +207,28 @@ def test_bloom_pin_registry_bounds_cached_bitsets(spark):
     assert built[-1].storageLevel.useMemory is False
     B.bloom_release()
     assert not B._pinned
+
+
+def test_bloom_pin_dedupes_same_plan_builds(spark):
+    """Review r9: Spark's cache manager keys on the analyzed plan, so two
+    builds from the same inputs share ONE cache entry — the registry must
+    keep a single handle for them (evicting the older handle would
+    silently uncache the 'newer' pinned bitset)."""
+    from dbt_databricks_metrics_spark.operators import bloom as B
+
+    B.bloom_release()
+    dim = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS k")
+    w1 = B.bloom_build_local(dim, "k", m_bits=1 << 10, n_hashes=2)
+    w2 = B.bloom_build_local(dim, "k", m_bits=1 << 10, n_hashes=2)
+    assert w1.sameSemantics(w2)
+    assert len(B._pinned) == 1  # one handle for the shared cache entry
+    # filling the registry past cap must NOT uncache the shared entry
+    # through a stale duplicate handle
+    for i in range(B._PINNED_CAP):
+        B.bloom_build_local(
+            spark.range(0, 41 + i).selectExpr("CAST(id AS STRING) AS k"),
+            "k", m_bits=1 << 10, n_hashes=2,
+        )
+    assert w2.storageLevel.useMemory is False  # evicted once, as ONE entry
+    assert w2.count() > 0  # still correct via lineage
+    B.bloom_release()

@@ -104,3 +104,29 @@ def test_case_insensitive_match_preserves_written_name():
     got = _rewrite_table_refs("SELECT REV.x FROM REV", A)
     # matched case-insensitively; the user's spelling is kept as the alias
     assert got == "SELECT REV.x FROM _u_rev AS REV"
+
+
+def test_expression_from_forms_untouched():
+    """Review r9: the FROM keyword inside EXTRACT/TRIM/SUBSTRING/OVERLAY
+    special forms is expression syntax, not a table slot — a column
+    sharing a CTE name there must stay untouched."""
+    for s in (
+        "SELECT EXTRACT(YEAR FROM rev) FROM t",
+        "SELECT TRIM(BOTH 'x' FROM rev) FROM t",
+        "SELECT SUBSTRING(rev FROM 2 FOR 3) FROM t",
+        "SELECT OVERLAY(rev PLACING 'x' FROM 1) FROM t",
+    ):
+        assert _rewrite_table_refs(s, A) == s, s
+    # ...and a real subquery INSIDE such an argument still rewrites
+    got = _rewrite_table_refs(
+        "SELECT TRIM('x' FROM (SELECT k FROM rev)) FROM t", A
+    )
+    assert got == "SELECT TRIM('x' FROM (SELECT k FROM _u_rev AS rev)) FROM t"
+
+
+def test_distribute_cluster_sort_by_end_from_list():
+    """Review r9: DISTRIBUTE/CLUSTER/SORT BY commas are item separators,
+    not FROM-list continuations."""
+    for kw in ("DISTRIBUTE", "CLUSTER", "SORT"):
+        s = f"SELECT * FROM t {kw} BY a, cust"
+        assert _rewrite_table_refs(s, A) == s, s
