@@ -716,3 +716,19 @@ def test_sql_order_by_case_insensitive_and_backticks(engine):
     )
     vals3 = [r["revenue"] for r in df3.collect()]
     assert vals3 == sorted(vals3)
+
+
+def test_sql_order_by_limit_compiles_to_take_ordered(engine):
+    """Scale gate for the r9 ORDER BY path: sorting pre-projection must
+    still fuse ORDER BY + LIMIT + the final projection into ONE
+    TakeOrderedAndProject (per-partition top-k, driver merges k·p rows)
+    — never a global Sort. The measure computed only for the sort
+    (total_orders) is projected away inside the same operator."""
+    df = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+        "FROM mv_order_metrics GROUP BY market_segment "
+        "ORDER BY MEASURE(total_orders) DESC, 1 LIMIT 3"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort anywhere

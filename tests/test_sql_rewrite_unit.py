@@ -130,3 +130,54 @@ def test_distribute_cluster_sort_by_end_from_list():
     for kw in ("DISTRIBUTE", "CLUSTER", "SORT"):
         s = f"SELECT * FROM t {kw} BY a, cust"
         assert _rewrite_table_refs(s, A) == s, s
+
+
+# ---------------------------------------------------------------------------
+# property tests: the rewriter is safe on ARBITRARY SQL-ish text
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SQLISH = st.lists(
+    st.sampled_from([
+        "SELECT", "FROM", "JOIN", "WHERE", "GROUP", "ORDER", "BY", "ON",
+        "USING", "UNION", "rev", "cust", "REV", "t", "x", "db.rev",
+        "rev.x", "(", ")", ",", "=", "1", "'rev'", "\"rev\"", "`rev`",
+        "-- rev\n", "/* from rev */", "EXTRACT", "TRIM", "AS", "r",
+    ]),
+    min_size=0, max_size=25,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SQLISH)
+def test_rewrite_never_crashes_and_is_idempotent(s):
+    """Any input: no exception; literals/comments pass through unchanged;
+    a second rewrite is a no-op (rewritten names no longer match, and
+    injected aliases sit in non-table positions)."""
+    out = _rewrite_table_refs(s, A)
+    assert _rewrite_table_refs(out, A) == out
+    # odd parts of the literal split (strings, quoted idents, comments)
+    # are byte-identical before and after
+    from dbt_databricks_metrics_spark.sql_frontend import _SQL_LITERAL_SPLIT
+
+    assert _SQL_LITERAL_SPLIT.split(s)[1::2] == _SQL_LITERAL_SPLIT.split(out)[1::2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SQLISH)
+def test_rewrite_only_touches_cte_name_tokens(s):
+    """The output differs from the input only at whole tokens equal to a
+    CTE name (case-insensitively) — everything else is byte-preserved."""
+    import re as _re
+
+    out = _rewrite_table_refs(s, A)
+    # erase every whole-token CTE-name occurrence and any rewrite of one
+    # (the injected alias is always the CTE's own name) from both sides;
+    # the residue must match byte-for-byte
+    pat = _re.compile(
+        r"_u_rev( AS rev)?|_u_cust( AS cust)?|(?<![\w.])(rev|cust)(?![\w.])",
+        _re.IGNORECASE,
+    )
+    assert pat.sub("@", s) == pat.sub("@", out)
