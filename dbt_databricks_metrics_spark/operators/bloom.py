@@ -140,30 +140,48 @@ _PINNED_CAP = 8
 _pinned: dict[int, DataFrame] = {}  # insertion-ordered (py3.7+) FIFO
 
 
+def _drop_handle(df: DataFrame) -> None:
+    """Best-effort unpersist: the module-global registry can outlive a
+    SparkSession, and unpersist() on a dead-session DataFrame raises —
+    a dead handle just gets dropped (its executor blocks died with the
+    session)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def _pin(words: DataFrame) -> None:
     # Spark's cache manager keys entries on the ANALYZED PLAN, so two
     # builds from the same inputs share one cache entry — keep a single
     # registry handle for them, else evicting the older handle would
-    # silently uncache the newer "pinned" bitset
+    # silently uncache the newer "pinned" bitset. A handle whose session
+    # died can't answer sameSemantics — treat it as dead and drop it.
     for key, old in list(_pinned.items()):
-        if old is not words and old.sameSemantics(words):
+        try:
+            same = old is not words and old.sameSemantics(words)
+        except Exception:
+            _pinned.pop(key, None)
+            continue
+        if same:
             _pinned.pop(key)
     _pinned[id(words)] = words
     while len(_pinned) > _PINNED_CAP:
         oldest = next(iter(_pinned))
-        _pinned.pop(oldest).unpersist()
+        _drop_handle(_pinned.pop(oldest))
 
 
 def bloom_release(words: Optional[DataFrame] = None) -> None:
     """Unpersist one pinned bitset (or every pinned bitset when called
     with no argument). Safe to call at any time — downstream plans over
-    a released bitset recompute it from lineage."""
+    a released bitset recompute it from lineage, and handles from an
+    already-stopped session are simply dropped."""
     if words is not None:
         _pinned.pop(id(words), None)
-        words.unpersist()
+        _drop_handle(words)
         return
     while _pinned:
-        _pinned.popitem()[1].unpersist()
+        _drop_handle(_pinned.popitem()[1])
 
 
 def with_bloom_member(

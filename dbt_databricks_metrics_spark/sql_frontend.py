@@ -167,10 +167,17 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     for t_i, (p_i, s, e, tok) in enumerate(tokens):
         low = tok.lower()
         if tok == "(":
-            if expecting and depth == expect_depth:
-                expecting = False  # derived table — its body is scanned too
+            rearm = expecting and depth == expect_depth
             depth += 1
-            if prev_word in _EXPR_FROM_FUNCS:
+            if rearm:
+                # a parenthesized relation: its FIRST token may itself be
+                # a table reference — `FROM (rev JOIN cust ON …)` — or a
+                # subquery's SELECT (consumed harmlessly by the expecting
+                # branch below, which never matches a CTE name). in_from
+                # is NOT set here, so commas inside a subquery's select
+                # list stay item separators.
+                expect_depth = depth
+            elif prev_word in _EXPR_FROM_FUNCS:
                 expr_from[depth] = True
             prev_word = ""
             continue
@@ -198,7 +205,15 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 user_alias = nxt is not None and nxt not in ("(", ")", ",") and (
                     nxt == "as" or nxt not in _POST_TABLE_KEYWORDS
                 )
-                repl = uniq if user_alias else f"{uniq} AS {tok}"
+                if nxt == "tablesample":
+                    # Spark's grammar puts the sample clause BEFORE the
+                    # table alias — injecting here would not parse; the
+                    # user's own post-sample alias still works
+                    repl = uniq
+                elif user_alias:
+                    repl = uniq
+                else:
+                    repl = f"{uniq} AS {tok}"
                 edits.setdefault(p_i, []).append((s, e, repl))
             prev_word = low
             continue
@@ -208,6 +223,12 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
         elif low == "join":
             expecting, expect_depth = True, depth
             in_from[depth] = True
+        elif low == "lateral":
+            # LATERAL VIEW attaches AFTER every relation in the FROM
+            # clause; commas beyond it separate its generated-column
+            # aliases (`… LATERAL VIEW posexplode(m) x AS k, v`), never
+            # another table reference
+            in_from[depth] = False
         elif low in _FROM_LIST_TERMINATORS:
             in_from[depth] = False
         prev_word = low
@@ -570,10 +591,24 @@ def _compile_measure_query(
             )
             expr_txt = om.group(1).strip()
             desc = bool(om.group(2) and om.group(2).lower() == "desc")
-            # `\`name\`` quotes an identifier — unwrap to the plain name
+            # `\`name\`` quotes an identifier — resolve the inner name
+            # against aliases/measures, but NEVER as an ordinal (quoting
+            # explicitly means "identifier, not position")
             bq = re.fullmatch(r"`([^`]+)`", expr_txt)
             if bq:
-                expr_txt = bq.group(1).strip()
+                inner = bq.group(1).strip()
+                if inner.lower() in out_expr:
+                    order_specs.append((out_expr[inner.lower()], desc))
+                elif inner.lower() in known_measures:
+                    canonical = known_measures[inner.lower()]
+                    if canonical not in measures:
+                        measures.append(canonical)
+                    order_specs.append((canonical, desc))
+                else:
+                    # keep the quoting — a column literally named `2`
+                    # must reach Spark as an identifier, not a literal
+                    order_specs.append((expr_txt, desc))
+                continue
             if re.fullmatch(r"\d+", expr_txt):  # ORDER BY <ordinal>
                 idx = int(expr_txt) - 1
                 if not 0 <= idx < len(items):

@@ -732,3 +732,14 @@ def test_sql_order_by_limit_compiles_to_take_ordered(engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort anywhere
+
+
+def test_sql_order_by_quoted_digit_is_identifier_not_ordinal(engine):
+    """Review r9 (2nd pass): backticks mean 'identifier' — `2` must not
+    silently become a positional ordinal; it resolves (and here fails)
+    as a column named 2."""
+    with pytest.raises(Exception, match="2"):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS revenue "
+            "FROM mv_order_metrics GROUP BY market_segment ORDER BY `2`"
+        ).collect()

@@ -181,3 +181,42 @@ def test_rewrite_only_touches_cte_name_tokens(s):
         _re.IGNORECASE,
     )
     assert pat.sub("@", s) == pat.sub("@", out)
+
+
+def test_lateral_view_alias_list_commas_untouched():
+    """Review r9 (2nd pass): commas after LATERAL VIEW separate its
+    generated-column aliases, never another table reference."""
+    s = "SELECT * FROM t LATERAL VIEW posexplode(m) x AS k, rev"
+    assert _rewrite_table_refs(s, A) == s
+    # ...and a CTE in the main table slot still rewrites first
+    got = _rewrite_table_refs(
+        "SELECT * FROM rev LATERAL VIEW explode(xs) e AS a, cust", A
+    )
+    assert got == (
+        "SELECT * FROM _u_rev AS rev LATERAL VIEW explode(xs) e AS a, cust"
+    )
+
+
+def test_tablesample_suppresses_alias_injection():
+    """Review r9 (2nd pass): Spark's sample clause comes BEFORE the table
+    alias, so injection would not parse — rewrite the name only; a user
+    alias after the sample clause still works."""
+    got = _rewrite_table_refs("SELECT * FROM rev TABLESAMPLE (10 PERCENT)", A)
+    assert got == "SELECT * FROM _u_rev TABLESAMPLE (10 PERCENT)"
+    got2 = _rewrite_table_refs(
+        "SELECT r.x FROM rev TABLESAMPLE (10 PERCENT) r", A
+    )
+    assert got2 == "SELECT r.x FROM _u_rev TABLESAMPLE (10 PERCENT) r"
+
+
+def test_parenthesized_join_relation_rewrites_first_table():
+    """Review r9 (2nd pass): `FROM (rev JOIN cust …)` is a parenthesized
+    relation — its first token is a table slot too."""
+    got = _rewrite_table_refs("SELECT * FROM (rev JOIN cust USING (k)) j", A)
+    assert got == (
+        "SELECT * FROM (_u_rev AS rev JOIN _u_cust AS cust USING (k)) j"
+    )
+    # a parenthesized SUBQUERY is still recognized as such — commas in
+    # its select list are not table slots
+    s = "SELECT * FROM (SELECT a, cust FROM t) x"
+    assert _rewrite_table_refs(s, A) == s
