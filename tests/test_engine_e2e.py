@@ -743,3 +743,24 @@ def test_sql_order_by_quoted_digit_is_identifier_not_ordinal(engine):
             "SELECT market_segment, MEASURE(total_revenue) AS revenue "
             "FROM mv_order_metrics GROUP BY market_segment ORDER BY `2`"
         ).collect()
+
+
+def test_sql_explain_mixed_plain_and_measure_ctes(engine):
+    """EXPLAIN over a WITH mixing a plain-SQL CTE and a MEASURE() CTE:
+    the rebuilt plain WITH still parses under the route-augmented
+    EXPLAIN, and the measure CTE's route line is present."""
+    text = engine.sql(
+        """
+        EXPLAIN WITH seg AS (
+            SELECT DISTINCT market_segment FROM fct_orders
+        ), rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT s.market_segment, r.revenue
+        FROM seg s LEFT JOIN rev r USING (market_segment)
+        """
+    ).first()["plan"]
+    assert text.startswith("== Route ==")
+    assert "cte rev: " in text and "cte seg" not in text  # plain CTE has no route
+    assert "Physical Plan" in text
