@@ -161,7 +161,12 @@ def _pin(words: DataFrame) -> None:
         try:
             same = old is not words and old.sameSemantics(words)
         except Exception:
-            _pinned.pop(key, None)
+            # can't compare (usually a dead session) — release best-effort
+            # rather than popping silently, so a LIVE handle that merely
+            # failed the comparison never leaks its cache entry
+            handle = _pinned.pop(key, None)
+            if handle is not None:
+                _drop_handle(handle)
             continue
         if same:
             _pinned.pop(key)

@@ -149,12 +149,21 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
         return sql_text
     lower_alias = {k.lower(): v for k, v in alias.items()}
     parts = _SQL_LITERAL_SPLIT.split(sql_text)
-    # one token stream over the syntactic (even) parts — comments/literals
+    # one token stream over the syntactic (even) parts — comments/strings
     # between tokens are transparent to the state machine AND to the
-    # alias-lookahead (``FROM rev /* c */ r`` keeps the user alias)
+    # alias-lookahead (``FROM rev /* c */ r`` keeps the user alias).
+    # BACKTICK-QUOTED identifiers, however, ARE tokens (review r9 #3): a
+    # quoted table name must consume the expected-table slot (``FROM `t`
+    # JOIN rev`` — rev still rewrites) and a quoted alias must be visible
+    # to the lookahead (``FROM rev `r``` — no injection). They are never
+    # rewritten themselves: a quoted name never matches a CTE.
     tokens: list[tuple[int, int, int, str]] = []  # (part, start, end, text)
-    for idx in range(0, len(parts), 2):
-        for tm in _SQL_TOKEN_RE.finditer(parts[idx]):
+    for idx, part in enumerate(parts):
+        if idx % 2:
+            if part.startswith("`"):
+                tokens.append((idx, 0, len(part), part))
+            continue
+        for tm in _SQL_TOKEN_RE.finditer(part):
             tokens.append((idx, tm.start(), tm.end(), tm.group()))
     edits: dict[int, list[tuple[int, int, str]]] = {}
     depth = 0
@@ -207,9 +216,30 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 )
                 if nxt == "tablesample":
                     # Spark's grammar puts the sample clause BEFORE the
-                    # table alias — injecting here would not parse; the
-                    # user's own post-sample alias still works
+                    # table alias — inject the declared name AFTER the
+                    # sample's closing paren instead, unless the user
+                    # aliased there themselves (review r9 pass 3)
                     repl = uniq
+                    j = t_i + 2  # the sample clause's opening paren
+                    if j < len(tokens) and tokens[j][3] == "(":
+                        d2, j = 1, j + 1
+                        while j < len(tokens) and d2:
+                            if tokens[j][3] == "(":
+                                d2 += 1
+                            elif tokens[j][3] == ")":
+                                d2 -= 1
+                            j += 1
+                        after = (
+                            tokens[j][3].lower() if j < len(tokens) else None
+                        )
+                        post_alias = after is not None and after not in (
+                            "(", ")", ",",
+                        ) and (after == "as" or after not in _POST_TABLE_KEYWORDS)
+                        if d2 == 0 and not post_alias:
+                            close = tokens[j - 1]
+                            edits.setdefault(close[0], []).append(
+                                (close[2], close[2], f" {tok}")
+                            )
                 elif user_alias:
                     repl = uniq
                 else:
@@ -591,25 +621,12 @@ def _compile_measure_query(
             )
             expr_txt = om.group(1).strip()
             desc = bool(om.group(2) and om.group(2).lower() == "desc")
-            # `\`name\`` quotes an identifier — resolve the inner name
-            # against aliases/measures, but NEVER as an ordinal (quoting
-            # explicitly means "identifier, not position")
+            # `\`name\`` quotes an identifier — it shares the alias /
+            # measure resolution below but is NEVER an ordinal or a
+            # MEASURE() call (quoting means "identifier", nothing else)
             bq = re.fullmatch(r"`([^`]+)`", expr_txt)
-            if bq:
-                inner = bq.group(1).strip()
-                if inner.lower() in out_expr:
-                    order_specs.append((out_expr[inner.lower()], desc))
-                elif inner.lower() in known_measures:
-                    canonical = known_measures[inner.lower()]
-                    if canonical not in measures:
-                        measures.append(canonical)
-                    order_specs.append((canonical, desc))
-                else:
-                    # keep the quoting — a column literally named `2`
-                    # must reach Spark as an identifier, not a literal
-                    order_specs.append((expr_txt, desc))
-                continue
-            if re.fullmatch(r"\d+", expr_txt):  # ORDER BY <ordinal>
+            name_txt = bq.group(1).strip() if bq else expr_txt
+            if not bq and re.fullmatch(r"\d+", expr_txt):  # ORDER BY <ordinal>
                 idx = int(expr_txt) - 1
                 if not 0 <= idx < len(items):
                     raise MeasureSQLError(
@@ -617,23 +634,25 @@ def _compile_measure_query(
                         f"(1..{len(items)})"
                     )
                 order_specs.append((items[idx][1], desc))
-            elif _MEASURE_CALL_RE.search(expr_txt):  # ORDER BY MEASURE(x) …
+            elif not bq and _MEASURE_CALL_RE.search(expr_txt):  # MEASURE(x) …
                 for used in _MEASURE_CALL_RE.findall(expr_txt):
                     if used not in measures:
                         measures.append(used)
                 order_specs.append((_MEASURE_CALL_RE.sub(r"\1", expr_txt), desc))
-            elif expr_txt.lower() in out_expr:  # output alias / selected dim
-                order_specs.append((out_expr[expr_txt.lower()], desc))
-            elif re.fullmatch(r"[A-Za-z_]\w*", expr_txt):
+            elif name_txt.lower() in out_expr:  # output alias / selected dim
+                order_specs.append((out_expr[name_txt.lower()], desc))
+            elif bq or re.fullmatch(r"[A-Za-z_]\w*", name_txt):
                 # a dim/measure of the view not in SELECT; an unknown name
                 # surfaces as Spark's unresolved-column analysis error
-                canonical = known_measures.get(expr_txt.lower())
+                canonical = known_measures.get(name_txt.lower())
                 if canonical is not None:
                     if canonical not in measures:
                         measures.append(canonical)
                     order_specs.append((canonical, desc))
                 else:
-                    order_specs.append((expr_txt, desc))
+                    # a quoted unknown name keeps its backticks — a column
+                    # literally named `2` must stay an identifier
+                    order_specs.append((expr_txt if bq else name_txt, desc))
             else:
                 raise MeasureSQLError(f"bad ORDER BY item {o!r}")
 

@@ -145,6 +145,7 @@ _SQLISH = st.lists(
         "USING", "UNION", "rev", "cust", "REV", "t", "x", "db.rev",
         "rev.x", "(", ")", ",", "=", "1", "'rev'", "\"rev\"", "`rev`",
         "-- rev\n", "/* from rev */", "EXTRACT", "TRIM", "AS", "r",
+        "TABLESAMPLE", "LATERAL", "VIEW", "`t`",
     ]),
     min_size=0, max_size=25,
 ).map(" ".join)
@@ -174,13 +175,14 @@ def test_rewrite_only_touches_cte_name_tokens(s):
 
     out = _rewrite_table_refs(s, A)
     # erase every whole-token CTE-name occurrence and any rewrite of one
-    # (the injected alias is always the CTE's own name) from both sides;
-    # the residue must match byte-for-byte
+    # from both sides (the injected alias — inline `AS rev` or deferred
+    # past a TABLESAMPLE clause — is always the CTE's own name, so it is
+    # erased too); the residues must match modulo whitespace
     pat = _re.compile(
         r"_u_rev( AS rev)?|_u_cust( AS cust)?|(?<![\w.])(rev|cust)(?![\w.])",
         _re.IGNORECASE,
     )
-    assert pat.sub("@", s) == pat.sub("@", out)
+    assert " ".join(pat.sub(" ", s).split()) == " ".join(pat.sub(" ", out).split())
 
 
 def test_lateral_view_alias_list_commas_untouched():
@@ -197,16 +199,45 @@ def test_lateral_view_alias_list_commas_untouched():
     )
 
 
-def test_tablesample_suppresses_alias_injection():
-    """Review r9 (2nd pass): Spark's sample clause comes BEFORE the table
-    alias, so injection would not parse — rewrite the name only; a user
-    alias after the sample clause still works."""
-    got = _rewrite_table_refs("SELECT * FROM rev TABLESAMPLE (10 PERCENT)", A)
-    assert got == "SELECT * FROM _u_rev TABLESAMPLE (10 PERCENT)"
+def test_tablesample_defers_alias_injection():
+    """Review r9 (passes 2+3): Spark's sample clause comes BEFORE the
+    table alias, so the declared name is injected AFTER the sample's
+    closing paren — qualified refs keep resolving; a user alias after
+    the sample clause suppresses the injection."""
+    got = _rewrite_table_refs(
+        "SELECT rev.x FROM rev TABLESAMPLE (10 PERCENT)", A
+    )
+    assert got == "SELECT rev.x FROM _u_rev TABLESAMPLE (10 PERCENT) rev"
     got2 = _rewrite_table_refs(
         "SELECT r.x FROM rev TABLESAMPLE (10 PERCENT) r", A
     )
     assert got2 == "SELECT r.x FROM _u_rev TABLESAMPLE (10 PERCENT) r"
+    # nested parens inside the sample clause (e.g. a bucket expr)
+    got3 = _rewrite_table_refs(
+        "SELECT 1 FROM rev TABLESAMPLE (BUCKET 1 OUT OF (4)) WHERE rev.k > 0",
+        A,
+    )
+    assert got3 == (
+        "SELECT 1 FROM _u_rev TABLESAMPLE (BUCKET 1 OUT OF (4)) rev "
+        "WHERE rev.k > 0"
+    )
+
+
+def test_backtick_identifiers_are_visible_tokens():
+    """Review r9 (3rd pass): quoted identifiers consume the table slot
+    and serve as alias lookahead — but are never rewritten."""
+    # quoted table consumed the slot; the CTE after JOIN still rewrites
+    got = _rewrite_table_refs("SELECT * FROM `t` JOIN rev ON rev.k = 1", A)
+    assert got == "SELECT * FROM `t` JOIN _u_rev AS rev ON rev.k = 1"
+    # quoted table, then GROUP BY commas stay item separators
+    s = "SELECT a, cust FROM `t` GROUP BY a, cust"
+    assert _rewrite_table_refs(s, A) == s
+    # quoted user alias is visible to the lookahead — no injection
+    got2 = _rewrite_table_refs("SELECT 1 FROM rev `r`", A)
+    assert got2 == "SELECT 1 FROM _u_rev `r`"
+    # a quoted name never matches a CTE (quoting is exact-identifier)
+    s2 = "SELECT 1 FROM `rev`"
+    assert _rewrite_table_refs(s2, A) == s2
 
 
 def test_parenthesized_join_relation_rewrites_first_table():
