@@ -18,18 +18,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def correctness_last_rows(root=None):
+def correctness_last_rows(root=None, exclude_newest=False):
     """Parse the driver's CORRECTNESS_r*.json history into
     ``(last_row_round_by_contract, keys_of_the_latest_file)`` — shared by
     :func:`_max_row_age_rounds` and the rotation-discipline guard test so
     the two can never disagree about staleness (one filename/format
-    parser). Returns ``({}, set())`` when no history exists."""
+    parser). ``exclude_newest=True`` drops the highest-numbered file —
+    i.e. reconstructs the history as it looked at prefix-BUILD time, for
+    validating a committed prefix after its own driver round has landed
+    (VERDICT r9 #3). Returns ``({}, set())`` when no history exists."""
     import glob
 
     root = root or os.path.dirname(os.path.abspath(__file__))
-    last: dict = {}
-    newest_keys: set = set()
-    newest_round = -1
+    by_round: dict = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
@@ -37,10 +38,15 @@ def correctness_last_rows(root=None):
                 rows = json.load(fh)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        for k in rows:
+        by_round[rnd] = set(rows)
+    if exclude_newest and by_round:
+        by_round.pop(max(by_round))
+    last: dict = {}
+    newest_keys: set = set()
+    for rnd in sorted(by_round):
+        newest_keys = by_round[rnd]
+        for k in newest_keys:
             last[k] = max(last.get(k, 0), rnd)
-        if rnd > newest_round:
-            newest_round, newest_keys = rnd, set(rows)
     return last, newest_keys
 
 
@@ -52,13 +58,15 @@ def _max_row_age_rounds():
     in the current ``_DRIVER_PREFIX`` count as age 0 (they receive rows
     this round by construction) and current_round = latest recorded + 1;
     when this round's file already landed — detected by the latest
-    file's key set EXACTLY matching the current prefix — current_round =
-    that file's round. (A pre-driver prefix cannot coincide with the
-    previous round's sample: with 180 contracts and 50 slots the
-    oldest-first guard always forces stale contracts, absent from the
-    last sample, into the new prefix.) A never-sampled non-prefix
-    contract is a rotation bug and is counted at full age so it cannot
-    hide. None when no history exists."""
+    file's key set CONTAINING the current prefix (superset, not exact
+    equality: a partial driver re-run or a diagnostic extra key must not
+    silently flip the accounting back to pre-driver; ADVICE r9 #4) —
+    current_round = that file's round. (A pre-driver prefix cannot be a
+    subset of the previous round's sample: with ~180 contracts and 50
+    slots the oldest-first guard always forces stale contracts, absent
+    from the last sample, into the new prefix.) A never-sampled
+    non-prefix contract is a rotation bug and is counted at full age so
+    it cannot hide. None when no history exists."""
     last, newest_keys = correctness_last_rows()
     if not last:
         return None
@@ -67,7 +75,7 @@ def _max_row_age_rounds():
     prefix = set(entry._DRIVER_PREFIX)
     contracts = set(entry.queries())
     max_round = max(last.values())
-    post_driver = newest_keys == prefix
+    post_driver = prefix <= newest_keys
     current = max_round if post_driver else max_round + 1
     return max(
         0 if (k in prefix and not post_driver) else current - last.get(k, 0)

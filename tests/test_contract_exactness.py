@@ -171,12 +171,31 @@ def test_prefix_rotates_oldest_contracts():
        skipped this round) must be in the prefix;
     3. if (1)+(2) don't fill all 50 slots, that's fine — the remainder
        is free for re-sampling reshaped or watch-listed contracts.
+
+    Round-boundary defusal (VERDICT r9 #3): the driver writes
+    CORRECTNESS_r{N} AFTER the builder's final commit, so for three
+    rounds running a fresh clone of a just-closed round opened with this
+    guard red — the committed prefix was validated against a history one
+    file NEWER than the one it was built from. The guard now checks the
+    prefix against the history AS OF BUILD TIME: when the newest
+    correctness file already reflects the committed prefix (its key set
+    contains the prefix — the same post-driver predicate bench.py uses),
+    that file is excluded from the staleness computation. The discipline
+    is still enforced at prefix-build time (pre-driver, nothing is
+    excluded), and a prefix that ignores its own build-time backlog
+    still fails.
     """
     import bench
 
-    last, _ = bench.correctness_last_rows()
+    last, newest_keys = bench.correctness_last_rows()
     if not last:
         pytest.skip("no driver correctness history present")
+    if set(entrymod._DRIVER_PREFIX) <= newest_keys:
+        # post-driver: this prefix's own round already landed — validate
+        # against the history the prefix was actually built from
+        last, _ = bench.correctness_last_rows(exclude_newest=True)
+        if not last:
+            pytest.skip("no pre-prefix correctness history present")
     max_round = max(last.values())
     prefix = set(entrymod._DRIVER_PREFIX)
     contracts = set(entrymod.queries())
@@ -195,6 +214,33 @@ def test_prefix_rotates_oldest_contracts():
         f"prefix violates oldest-first rotation — never-sampled or "
         f">=3-round-stale contracts left out: {missing}"
     )
+
+
+@pytest.mark.parametrize("name", ["pricing_probe_int", "pricing_probe_double"])
+def test_retired_probe_twins_stay_bit_exact(spark, sf_dir, duck, name):
+    """VERDICT r9 #4: the diagnostic probe twins are retired from the
+    driver-sampled contract set (their r4-r5 bisect job is done and the
+    no-HUGEINT invariant is pinned statically over all live oracles by
+    test_no_oracle_result_type_is_fetch_unstable), but their bit-exactness
+    — including the double projection that was the r5 signal — stays
+    asserted here at the same EXACT-equality bar the driver hash applied."""
+    df = entrymod.retired_queries()[name](spark, sf_dir)
+    cols, srows = _strict_rows(df)
+    orows = _oracle_rows(duck, entrymod.retired_oracle_sql()[name], cols)
+    assert len(srows) == len(orows)
+    for a, b in zip(srows, orows):
+        assert a == b, f"{name}: {a} != {b}"
+
+
+def test_retired_contracts_not_in_live_registry():
+    """Retired names must not re-enter queries()/oracle_sql() silently —
+    the rotation accounting (bench._max_row_age_rounds, the guard above)
+    assumes they are gone."""
+    live_q, live_o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    retired = set(entrymod.retired_queries())
+    assert retired == set(entrymod.retired_oracle_sql())
+    assert not (retired & live_q), retired & live_q
+    assert not (retired & live_o), retired & live_o
 
 
 def _walk_duck_type(t):
