@@ -180,9 +180,24 @@ def bloom_release(words: Optional[DataFrame] = None) -> None:
     """Unpersist one pinned bitset (or every pinned bitset when called
     with no argument). Safe to call at any time — downstream plans over
     a released bitset recompute it from lineage, and handles from an
-    already-stopped session are simply dropped."""
+    already-stopped session are simply dropped.
+
+    Release matches by SEMANTICS, not object identity (ADVICE r9 #3):
+    Spark's cache manager keys entries on the analyzed plan, so a
+    semantically-equal handle pinned under a different object (the
+    _pin dedupe case) shares the SAME cache entry — releasing *words*
+    must also pop that registry entry, or the FIFO cap keeps counting
+    a handle whose cache entry this call just dropped."""
     if words is not None:
         _pinned.pop(id(words), None)
+        for key, old in list(_pinned.items()):
+            try:
+                same = old.sameSemantics(words)
+            except Exception:
+                # dead session — its blocks are gone; drop the entry
+                same = True
+            if same:
+                _pinned.pop(key, None)
         _drop_handle(words)
         return
     while _pinned:

@@ -232,3 +232,22 @@ def test_bloom_pin_dedupes_same_plan_builds(spark):
     assert w2.storageLevel.useMemory is False  # evicted once, as ONE entry
     assert w2.count() > 0  # still correct via lineage
     B.bloom_release()
+
+
+def test_bloom_release_matches_by_semantics(spark):
+    """ADVICE r9 #3: releasing a bitset through a semantically-equal but
+    DIFFERENT handle object (the _pin dedupe case keeps only the first
+    handle) must also pop the registry entry — otherwise the FIFO cap
+    tracks a handle whose cache entry the release just dropped."""
+    from dbt_databricks_metrics_spark.operators import bloom as B
+
+    B.bloom_release()
+    dim = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS k")
+    w1 = B.bloom_build_local(dim, "k", m_bits=1 << 10, n_hashes=2)
+    w2 = B.bloom_build_local(dim, "k", m_bits=1 << 10, n_hashes=2)
+    assert len(B._pinned) == 1 and id(w2) in B._pinned  # w2 is the handle
+    B.bloom_release(w1)  # release via the OTHER (deduped-away) handle
+    assert not B._pinned, "registry kept a dead entry after release"
+    assert w2.storageLevel.useMemory is False
+    assert w2.count() > 0  # lineage recompute still correct
+    B.bloom_release()
