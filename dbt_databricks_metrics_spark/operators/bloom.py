@@ -194,8 +194,17 @@ def bloom_release(words: Optional[DataFrame] = None) -> None:
             try:
                 same = old.sameSemantics(words)
             except Exception:
-                # dead session — its blocks are gone; drop the entry
-                same = True
+                # comparison failed — ONE side's session is dead. Only
+                # drop `old` if it is the dead one (its blocks died with
+                # its session); when the dead handle is `words` itself, a
+                # LIVE registry entry must survive untouched — popping it
+                # here would orphan its still-persisted cache entry
+                # (review r10 #3, mirroring _pin's converse handling).
+                try:
+                    old.storageLevel  # raises iff old's session is dead
+                    same = False
+                except Exception:
+                    same = True
             if same:
                 _pinned.pop(key, None)
         _drop_handle(words)

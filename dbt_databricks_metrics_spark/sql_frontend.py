@@ -95,11 +95,15 @@ _EXPLAIN_RE = re.compile(
     re.IGNORECASE,
 )
 
-# string literals ('' escape), double-quoted strings ("" escape), backtick
-# identifiers, -- line comments, /* */ block comments — every context where
-# an identifier-looking token is NOT an identifier
+# string literals ('' doubling AND \-escapes — Spark's default lexer
+# honors backslash escapes, review r10 #4: 'it\'s a group by' is ONE
+# literal), double-quoted strings (same two escapes), backtick
+# identifiers, -- line comments, /* */ block comments — every context
+# where an identifier-looking token is NOT an identifier
 _SQL_LITERAL_SPLIT = re.compile(
-    r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`|--[^\n]*|/\*.*?\*/)", re.S
+    r"('(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"|`[^`]*`"
+    r"|--[^\n]*|/\*.*?\*/)",
+    re.S,
 )
 
 # identifiers (possibly dot-qualified — matched as ONE token so `db.rev`
@@ -117,10 +121,18 @@ def _mask_literals(s: str) -> str:
     WHERE at the literal, and a quoted comma/paren in a select expression
     must not split the item). ``_`` is a plain identifier character: it
     can never complete a keyword, and a run of it parses as a harmless
-    identifier wherever the regexes look at structure."""
+    identifier wherever the regexes look at structure. COMMENTS mask to
+    spaces, not ``_`` (review r10): a comment is whitespace to the SQL
+    grammar — filling it with identifier characters would glue a fake
+    token onto its neighbors (``ORDER BY x -- note`` must still end in
+    an identifier, and a trailing comment must not break the clause
+    regex's ``$`` anchor)."""
     parts = _SQL_LITERAL_SPLIT.split(s)
     return "".join(
-        p if i % 2 == 0 else "_" * len(p) for i, p in enumerate(parts)
+        p
+        if i % 2 == 0
+        else (" " if p.startswith(("--", "/*")) else "_") * len(p)
+        for i, p in enumerate(parts)
     )
 
 
@@ -165,10 +177,12 @@ def _strip_measure_calls(expr: str) -> str:
 def _split_select_alias(item: str) -> tuple[str, Optional[str]]:
     """Split a select item into (expression, trailing ``AS alias``),
     alias-matching over the masked copy so an `` as `` inside a string
-    literal never splits the item. Both halves slice the original."""
+    literal never splits the item. Both halves slice the original. The
+    masked copy is right-stripped first: a trailing comment masks to
+    spaces, which would otherwise break the ``$`` anchor."""
     am = re.match(
         r"^(.*?)\s+as\s+([A-Za-z_]\w*)$",
-        _mask_literals(item),
+        _mask_literals(item).rstrip(),
         re.IGNORECASE | re.DOTALL,
     )
     if not am:
@@ -218,7 +232,14 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
 
     A CTE referenced in a position this scanner does not recognize as a
     table slot keeps its declared name and surfaces as Spark's ordinary
-    "table not found" — never a silent wrong answer."""
+    "table not found" — never a silent wrong answer.
+
+    Inner ``WITH`` clauses SHADOW (review r10 #2): a subquery may declare
+    its own CTE with the same name as an outer MEASURE-CTE, and SQL
+    scoping says the inner declaration wins inside that subquery — so the
+    scanner records ``<name> AS (`` declarations that follow a nested
+    ``WITH`` and suppresses rewriting of those names at that depth and
+    deeper, until the enclosing paren closes."""
     if not alias:
         return sql_text
     lower_alias = {k.lower(): v for k, v in alias.items()}
@@ -244,6 +265,10 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     in_from: dict[int, bool] = {}  # per-paren-depth "inside a FROM list"
     expr_from: dict[int, bool] = {}  # depth opened by EXTRACT(/TRIM(/… —
     # a FROM keyword at that depth is expression syntax, not a table slot
+    shadow: dict[int, set[str]] = {}  # depth → names an inner WITH at
+    # that depth declares; they suppress rewriting at that depth and
+    # deeper (SQL scoping, review r10 #2) until the paren closes
+    cte_decl: dict[int, bool] = {}  # depth → between WITH and its SELECT
     expecting = False  # the next word token is a table reference
     expect_depth = 0
     prev_word = ""  # last word token, for the special-form-( lookbehind
@@ -270,6 +295,8 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
         if tok == ")":
             in_from.pop(depth, None)
             expr_from.pop(depth, None)
+            shadow.pop(depth, None)  # inner-WITH scope ends with its paren
+            cte_decl.pop(depth, None)
             depth -= 1
             prev_word = ""
             continue
@@ -283,6 +310,10 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 prev_word = low
                 continue  # still expecting the table reference
             expecting = False
+            if low == "with":
+                # `FROM (WITH …)` — a subquery with its own CTEs; arm the
+                # declaration capture so those names shadow at this depth
+                cte_decl[depth] = True
             if low not in ("select", "values", "with") and not in_from.get(
                 depth
             ):
@@ -294,6 +325,11 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 # item/row separators, never table slots.
                 in_from[depth] = True
             uniq = lower_alias.get(low)
+            if uniq and any(
+                low in shadow.get(d2, ()) for d2 in range(depth + 1)
+            ):
+                uniq = None  # an inner WITH re-declared this name — SQL
+                # scoping: the inner CTE wins inside its subquery
             if uniq:
                 nxt = (
                     tokens[t_i + 1][3].lower() if t_i + 1 < len(tokens) else None
@@ -334,6 +370,19 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 edits.setdefault(p_i, []).append((s, e, repl))
             prev_word = low
             continue
+        if cte_decl.get(depth):
+            if (
+                re.fullmatch(r"[A-Za-z_]\w*", tok)
+                and low not in ("with", "select")
+                and t_i + 2 < len(tokens)
+                and tokens[t_i + 1][3].lower() == "as"
+                and tokens[t_i + 2][3] == "("
+            ):
+                # `<name> AS (` after a nested WITH: an inner CTE
+                # declaration — shadow it at this depth and deeper
+                shadow.setdefault(depth, set()).add(low)
+            elif low == "select":
+                cte_decl[depth] = False  # the WITH's final statement
         if low == "from" and not expr_from.get(depth):
             expecting, expect_depth = True, depth
             in_from[depth] = True
@@ -346,6 +395,10 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
             # aliases (`… LATERAL VIEW posexplode(m) x AS k, v`), never
             # another table reference
             in_from[depth] = False
+        elif low == "with":
+            # a nested WITH outside a table slot (scalar subquery, IN (…))
+            # still declares shadowing CTEs at this depth
+            cte_decl[depth] = True
         elif low in _FROM_LIST_TERMINATORS:
             in_from[depth] = False
         prev_word = low
@@ -379,9 +432,10 @@ def _split_top_level(s: str) -> list[str]:
 def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     """Split ``WITH a AS (...), b AS (...) <final>`` at the top level.
     Returns ([], text) when there is no WITH clause. The paren counter
-    skips string literals ('…'/"…", doubled-quote escapes), backtick
-    identifiers, and ``--``/``/* */`` comments, so a paren inside any of
-    them never mis-splits a body.
+    runs over the literal-masked copy (:func:`_mask_literals` — ONE
+    implementation of literal/comment skipping for the whole module,
+    review r10 #6) and slices bodies from the original by index, so a
+    paren inside '…'/"…"/backticks/comments never mis-splits a body.
     Shapes this thin parser doesn't cover (e.g. a CTE column-alias list
     ``a (x) AS (...)``) raise MeasureSQLError — the caller falls through
     to plain ``spark.sql`` unless the text clearly meant the front-end."""
@@ -389,42 +443,21 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     head = re.match(r"with\b", s, re.IGNORECASE)
     if not head:
         return [], s
+    masked = _mask_literals(s)
     i = head.end()
     ctes: list[tuple[str, str]] = []
     while True:
-        m = re.match(r"\s*([A-Za-z_]\w*)\s+as\s*\(", s[i:], re.IGNORECASE)
+        m = re.match(r"\s*([A-Za-z_]\w*)\s+as\s*\(", masked[i:], re.IGNORECASE)
         if not m:
             raise MeasureSQLError(
                 f"expected '<name> AS (...)' in WITH clause at: {s[i:i+40]!r}"
             )
-        name = m.group(1)
+        name = s[i + m.start(1):i + m.end(1)]
         j = i + m.end()  # first char inside the body
         depth, k = 1, j
-        # paren counting skips every context where ( ) are not syntax:
-        # '…' strings ('' escape), "…" strings ("" escape), `…` quoted
-        # identifiers, -- line comments, /* */ block comments
-        while k < len(s) and depth:
-            c = s[k]
-            if c in ("'", '"', "`"):
-                q, k = c, k + 1
-                while k < len(s):
-                    if s[k] == q:
-                        if q != "`" and k + 1 < len(s) and s[k + 1] == q:
-                            k += 2  # doubled quote escapes itself
-                            continue
-                        break
-                    k += 1
-            elif c == "-" and s[k:k + 2] == "--":
-                nl = s.find("\n", k)
-                k = len(s) - 1 if nl < 0 else nl
-            elif c == "/" and s[k:k + 2] == "/*":
-                end = s.find("*/", k + 2)
-                if end < 0:
-                    raise MeasureSQLError(
-                        f"unterminated block comment in CTE {name!r}"
-                    )
-                k = end + 1
-            elif c == "(":
+        while k < len(masked) and depth:
+            c = masked[k]
+            if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -433,7 +466,7 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
             raise MeasureSQLError(f"unbalanced parentheses in CTE {name!r}")
         ctes.append((name, s[j:k - 1].strip()))
         i = k
-        tail = re.match(r"\s*,", s[i:])
+        tail = re.match(r"\s*,", masked[i:])
         if tail:
             i += tail.end()
             continue
@@ -710,10 +743,12 @@ def _compile_measure_query(
         for o in _split_top_level(order):
             # direction/NULLS keywords located over the masked copy so a
             # literal ' desc' / ' nulls last' inside the expression never
-            # matches; the expression itself slices the original
+            # matches; the expression itself slices the original. The
+            # masked copy is right-stripped: a trailing comment masks to
+            # spaces, which would otherwise unanchor the keyword match
             om = re.match(
                 r"^(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?$",
-                _mask_literals(o),
+                _mask_literals(o).rstrip(),
                 re.IGNORECASE | re.DOTALL,
             )
             expr_txt = o[om.start(1):om.end(1)].strip()
@@ -759,17 +794,28 @@ def _compile_measure_query(
                 raise MeasureSQLError(f"bad ORDER BY item {o!r}")
             else:
                 # arbitrary scalar expression over the aggregated frame
-                # (ADVICE r9 #2: `ORDER BY upper(seg)`): any bare measure
-                # name it references is computed pre-projection like the
-                # MEASURE() branch; an unknown column surfaces as Spark's
-                # analysis error (fail-loud, never silent)
+                # (ADVICE r9 #2: `ORDER BY upper(seg)`). Guard FIRST
+                # against alias-shaped items (review r10 #1): Spark's
+                # expression grammar accepts `expr ident` as a NAMED
+                # expression, so a typo'd direction (`market_segment
+                # dsc`) would silently sort ascending — reject it loudly
+                # instead of handing it to F.expr.
+                _reject_alias_shaped_order_item(expr_txt, o)
+                # SELECT output aliases resolve inside the expression
+                # (review r10 #5: `ORDER BY abs(revenue)` where revenue
+                # aliases MEASURE(total_revenue)), mirroring the bare-
+                # name branch's alias-first precedence; then any bare
+                # measure name is computed pre-projection like the
+                # MEASURE() branch, and an unknown column surfaces as
+                # Spark's analysis error (fail-loud, never silent)
+                resolved_txt = _substitute_output_aliases(expr_txt, out_expr)
                 for ident in re.findall(
-                    r"[A-Za-z_]\w*", _mask_literals(expr_txt)
+                    r"[A-Za-z_]\w*", _mask_literals(resolved_txt)
                 ):
                     canonical = known_measures.get(ident.lower())
                     if canonical is not None and canonical not in measures:
                         measures.append(canonical)
-                order_specs.append((expr_txt, desc, nulls))
+                order_specs.append((resolved_txt, desc, nulls))
 
     df, route = mv.query_routed(
         dims, measures, where=grp("where"),
@@ -794,6 +840,82 @@ def _compile_measure_query(
     if grp("limit"):
         df = df.limit(int(grp("limit")))
     return df, route
+
+
+# words that may legally END an ORDER BY expression as its LAST token —
+# operand-consuming keywords (`x IS NOT NULL`, `CASE … END`) and interval
+# units (`ts + interval 1 day`); any OTHER trailing bare identifier is the
+# named-expression (alias) shape, i.e. almost certainly a typo'd direction
+_ORDER_TRAILING_OK = frozenset(
+    "null true false end unknown day days hour hours minute minutes "
+    "second seconds month months year years week weeks quarter quarters "
+    "millisecond milliseconds microsecond microseconds".split()
+)
+# operator words whose RIGHT OPERAND is a bare identifier (`a AND b`,
+# `x LIKE pat`): a trailing identifier after one of these is an operand,
+# not an alias
+_ORDER_OPERATOR_WORDS = frozenset(
+    "and or not is like ilike rlike regexp in between escape then when "
+    "else case div xor distinct all any some exists from interval by "
+    "over filter collate at zone".split()
+)
+
+
+def _reject_alias_shaped_order_item(expr_txt: str, original_item: str) -> None:
+    """Raise when an ORDER BY expression ends in a bare identifier that
+    Spark's grammar would parse as a named-expression ALIAS (review r10
+    #1): ``F.expr("market_segment dsc")`` silently builds
+    ``market_segment AS dsc`` and sorts ascending — the typo'd direction
+    must fail loud like it did before the expression branch existed.
+    Heuristic over the masked token stream: trailing identifier + the
+    token before it is itself an operand (identifier / number / ``)`` /
+    ``]``) and not an operand-consuming operator word."""
+    toks = re.findall(
+        r"[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\S", _mask_literals(expr_txt)
+    )
+    if len(toks) < 2:
+        return
+    last, prev = toks[-1].lower(), toks[-2].lower()
+    if (
+        re.fullmatch(r"[a-z_]\w*", last)
+        and last not in _ORDER_TRAILING_OK
+        and (
+            prev in (")", "]")
+            or (
+                re.fullmatch(r"[\w.]+", prev)
+                and prev not in _ORDER_OPERATOR_WORDS
+            )
+        )
+    ):
+        raise MeasureSQLError(
+            f"bad ORDER BY item {original_item!r}: trailing word {last!r} "
+            f"is not ASC, DESC, or NULLS FIRST|LAST (Spark would silently "
+            f"read it as a column alias and ignore your sort direction)"
+        )
+
+
+def _substitute_output_aliases(expr_txt: str, out_expr: dict[str, str]) -> str:
+    """Replace SELECT output aliases inside an ORDER BY expression with
+    their pre-projection payloads (review r10 #5): the sort runs BEFORE
+    the final projection, so ``abs(revenue)`` must become
+    ``abs((total_revenue))`` when revenue aliases MEASURE(total_revenue).
+    Identifier spans are located over the masked copy; qualified names
+    (``t.x``) and function-call names (``abs(``) are never substituted."""
+    masked = _mask_literals(expr_txt)
+    out = expr_txt
+    for m in reversed(list(re.finditer(r"[A-Za-z_]\w*", masked))):
+        s_, e_ = m.span()
+        if s_ > 0 and masked[s_ - 1] == ".":
+            continue  # `t.x` — qualified, not an output alias
+        tail = masked[e_:].lstrip()
+        if tail[:1] in (".", "("):
+            continue  # qualifier prefix or a function-call name
+        name = expr_txt[s_:e_]
+        payload = out_expr.get(name.lower())
+        if payload is None or payload.lower() == name.lower():
+            continue  # unaliased output names substitute to themselves
+        out = out[:s_] + "(" + payload + ")" + out[e_:]
+    return out
 
 
 def _sort_col(expr: str, desc: bool, nulls: Optional[str]):

@@ -251,17 +251,16 @@ def test_rewrite_parenthesized_comma_join():
     # VALUES rows are never table slots
     out = _rewrite_table_refs("SELECT * FROM (VALUES (rev), (cust)) t", alias)
     assert "_u_" not in out
-    # an inner WITH is a subquery, not a relation list
+    # an inner WITH is a subquery, not a relation list — AND its CTE
+    # declarations SHADOW same-named outer MEASURE-CTEs (review r10 #2:
+    # SQL scoping says the inner `rev` wins inside the subquery, so
+    # rewriting `FROM rev` there would silently swap in the outer rows)
     out = _rewrite_table_refs(
         "SELECT * FROM (WITH rev AS (SELECT 1 AS a), cust AS (SELECT 2 AS a)"
         " SELECT * FROM rev) s",
         alias,
     )
-    # the inner FROM rev is a genuine table slot and SHOULD rewrite
-    # (inner CTE shadowing is the documented unsupported edge — shapes
-    # the scanner can't scope fail loud via Spark, never silently), but
-    # the comma between the inner CTE declarations must not
-    assert "_u_cust" not in out
+    assert "_u_rev" not in out and "_u_cust" not in out
 
 
 def test_rewrite_comma_join_live(engine, duck):
@@ -386,9 +385,11 @@ def test_mask_literals_is_length_preserving():
     s = "SELECT 'a, (b' AS x, \"d\"\"e)\" FROM t -- c,\n/* ) */ WHERE `q(`"
     masked = _mask_literals(s)
     assert len(masked) == len(s)
-    # every literal/comment region is pure filler; syntax text survives
+    # literals/quoted identifiers fill with `_` (a harmless value token);
+    # comments fill with SPACES — they are whitespace to the grammar
+    # (review r10: `_` fill glued fake tokens onto comment neighbors)
     assert masked == (
-        "SELECT _______ AS x, _______ FROM t _____\n_______ WHERE ____"
+        "SELECT _______ AS x, _______ FROM t      \n        WHERE ____"
     )
 
 
@@ -431,3 +432,173 @@ def test_regression_unterminated_literal_stays_loud(engine):
             "FROM mv_order_metrics WHERE market_segment = 'oops "
             "GROUP BY market_segment"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# r10 review-pass regressions (findings applied the same round)
+# ---------------------------------------------------------------------------
+
+
+def test_backslash_escaped_quote_in_literal(engine, duck):
+    """Review r10 #4: Spark's default lexer honors backslash escapes, so
+    'it\\'s a group by test' is ONE literal — the masker must not end it
+    at the escaped quote and expose ' group by ' as syntax. The oracle
+    spells the same value with ANSI ''-doubling."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        WHERE market_segment <> 'it\\'s a group by test'
+        GROUP BY market_segment
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL})
+        WHERE market_segment <> 'it''s a group by test'
+        GROUP BY market_segment
+        """,
+    )
+
+
+def test_rewrite_shadow_scope_ends_with_subquery():
+    """Review r10 #2: the inner-WITH shadow applies only inside its
+    subquery — the same name in table position AFTER the paren closes
+    still rewrites to the MEASURE-CTE temp view."""
+    alias = {"rev": "_u_rev"}
+    out = _rewrite_table_refs(
+        "SELECT * FROM (WITH rev AS (SELECT 1 AS a) SELECT * FROM rev) s"
+        " JOIN rev ON s.a = rev.a",
+        alias,
+    )
+    inner, outer = out.split(" JOIN ", 1)
+    assert "_u_rev" not in inner  # shadowed inside the subquery
+    assert outer.startswith("_u_rev AS rev")  # rewritten outside it
+
+
+def test_inner_with_shadowing_returns_inner_rows(engine):
+    """Live: a subquery's own CTE named like a MEASURE-CTE must win
+    inside that subquery (SQL scoping) — the statement returns the inner
+    CTE's rows, not the metric view's."""
+    df = engine.sql(
+        """
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT * FROM (WITH rev AS (SELECT 1 AS one) SELECT * FROM rev) s
+        """
+    )
+    assert [r.asDict() for r in df.collect()] == [{"one": 1}]
+
+
+def test_typoed_direction_keyword_fails_loud(engine):
+    """Review r10 #1: Spark's grammar reads `expr ident` as a NAMED
+    expression, so a typo'd direction would silently sort ascending —
+    the front-end must reject it like it did before the expression
+    branch existed."""
+    for bad in ("dsc", "descending", "dasc"):
+        with pytest.raises(MeasureSQLError, match="ASC, DESC"):
+            engine.sql(
+                f"""
+                SELECT market_segment, MEASURE(total_revenue) AS revenue
+                FROM mv_order_metrics
+                GROUP BY market_segment
+                ORDER BY market_segment {bad}
+                """
+            )
+    # alias-shaped expression items reject too (`abs(x) foo`, `x AS y`)
+    with pytest.raises(MeasureSQLError, match="ASC, DESC"):
+        engine.sql(
+            """
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+            ORDER BY abs(revenue) foo
+            """
+        )
+
+
+def test_operator_trailing_identifiers_still_pass(engine):
+    """The alias-shape guard must NOT reject genuine expressions whose
+    last token is an operand or operand-consuming keyword."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY market_segment IS NULL, revenue DESC
+        """
+    )
+    rows = df.collect()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_order_by_alias_inside_expression(engine, duck):
+    """Review r10 #5: a SELECT output alias resolves INSIDE an ORDER BY
+    expression (`abs(revenue)`) exactly like the bare-name branch — the
+    alias substitutes to its pre-projection payload before the sort."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY abs(revenue) DESC, market_segment ASC
+        LIMIT 3
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL})
+        GROUP BY market_segment
+        ORDER BY abs(revenue) DESC, market_segment ASC
+        LIMIT 3
+        """,
+    )
+
+
+def test_comments_parse_as_whitespace(engine, duck):
+    """Comments mask to SPACES (review r10): a comment between clauses,
+    a trailing line comment after a direction keyword, and a comment
+    inside a select item must all parse — with `_` fill each of these
+    glued a fake identifier onto its neighbor."""
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics /* between clauses */
+        GROUP BY market_segment
+        ORDER BY revenue DESC -- trailing comment
+        LIMIT 3
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL})
+        GROUP BY market_segment
+        ORDER BY revenue DESC
+        LIMIT 3
+        """,
+    )
+
+
+def test_parse_ctes_backslash_literal_body():
+    """Review r10 #6: _parse_ctes now shares _mask_literals — a CTE body
+    whose literal carries a backslash-escaped quote and a paren splits at
+    the right closing paren."""
+    from dbt_databricks_metrics_spark.sql_frontend import _parse_ctes
+
+    ctes, final = _parse_ctes(
+        "WITH a AS (SELECT 'it\\') (' AS x), b AS (SELECT 2 AS y) SELECT 1"
+    )
+    assert [n for n, _ in ctes] == ["a", "b"]
+    assert ctes[0][1] == "SELECT 'it\\') (' AS x"
+    assert final == "SELECT 1"
