@@ -136,6 +136,19 @@ def _mask_literals(s: str) -> str:
     )
 
 
+def _strip_comments(s: str) -> str:
+    """*s* with comments replaced by one space each and the ends trimmed
+    (NOT length-preserving — for payloads about to face an anchored
+    identifier regex, where a comment is whitespace: ``market_segment
+    /* note */`` must pass the dim check; review r10 pass 2 #4). String
+    literals keep any comment-looking content."""
+    parts = _SQL_LITERAL_SPLIT.split(s)
+    return "".join(
+        " " if i % 2 and p.startswith(("--", "/*")) else p
+        for i, p in enumerate(parts)
+    ).strip()
+
+
 def _match_query(text: str):
     """``_QUERY_RE`` over the literal-masked copy of *text*. Returns
     ``(match, grp)`` where ``grp(name)`` slices the ORIGINAL text by the
@@ -371,17 +384,35 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
             prev_word = low
             continue
         if cte_decl.get(depth):
-            if (
-                re.fullmatch(r"[A-Za-z_]\w*", tok)
-                and low not in ("with", "select")
-                and t_i + 2 < len(tokens)
-                and tokens[t_i + 1][3].lower() == "as"
-                and tokens[t_i + 2][3] == "("
-            ):
-                # `<name> AS (` after a nested WITH: an inner CTE
-                # declaration — shadow it at this depth and deeper
-                shadow.setdefault(depth, set()).add(low)
-            elif low == "select":
+            # a declared name is a bare identifier OR a backtick-quoted
+            # one (`` `rev` `` declares rev — strip the quotes, review
+            # r10 pass 2 #1); the declaration shape is `<name> AS (` or
+            # `<name> (col, …) AS (` (column-alias list)
+            decl = (
+                low[1:-1].strip().lower()
+                if tok.startswith("`")
+                else (low if re.fullmatch(r"[A-Za-z_]\w*", tok) else None)
+            )
+            if decl and decl not in ("with", "select"):
+                j = t_i + 1
+                if j < len(tokens) and tokens[j][3] == "(":
+                    # maybe a column-alias list — skip the balanced group
+                    d2, j = 1, j + 1
+                    while j < len(tokens) and d2:
+                        if tokens[j][3] == "(":
+                            d2 += 1
+                        elif tokens[j][3] == ")":
+                            d2 -= 1
+                        j += 1
+                if (
+                    j + 1 < len(tokens)
+                    and tokens[j][3].lower() == "as"
+                    and tokens[j + 1][3] == "("
+                ):
+                    # an inner CTE declaration — shadow it at this depth
+                    # and deeper
+                    shadow.setdefault(depth, set()).add(decl)
+            if low == "select":
                 cte_decl[depth] = False  # the WITH's final statement
         if low == "from" and not expr_from.get(depth):
             expecting, expect_depth = True, depth
@@ -444,6 +475,12 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     if not head:
         return [], s
     masked = _mask_literals(s)
+    if "/*" in masked:
+        # comments mask to spaces, so a surviving `/*` is an UNTERMINATED
+        # block comment — its parens would count as syntax and silently
+        # mis-split the CTE list (review r10 pass 2 #5: keep the precise
+        # front-end error the refactor dropped)
+        raise MeasureSQLError("unterminated block comment in WITH statement")
     i = head.end()
     ctes: list[tuple[str, str]] = []
     while True:
@@ -453,6 +490,16 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
                 f"expected '<name> AS (...)' in WITH clause at: {s[i:i+40]!r}"
             )
         name = s[i + m.start(1):i + m.end(1)]
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            # the masked match can cover a backtick-quoted name (its `_`
+            # filler looks like an identifier) — that shape is not this
+            # thin parser's; raise so the caller falls through to plain
+            # spark.sql, keeping the 'a quoted name never matches a CTE'
+            # invariant (review r10 pass 2 #3)
+            raise MeasureSQLError(
+                f"quoted CTE name {name!r} is not supported by the "
+                f"MEASURE() front-end"
+            )
         j = i + m.end()  # first char inside the body
         depth, k = 1, j
         while k < len(masked) and depth:
@@ -660,6 +707,10 @@ def _compile_measure_query(
     items: list[tuple[str, str, Optional[str]]] = []
     for item in _split_top_level(grp("items")):
         item, alias = _split_select_alias(item)
+        # comments are whitespace — drop them before the anchored shape
+        # checks (`market_segment /* note */` is a dim; `MEASURE(x) -- c`
+        # is a bare measure; review r10 pass 2 #4)
+        item = _strip_comments(item)
         mm = _MEASURE_RE.match(item)
         if mm:
             name = mm.group(1)
@@ -689,7 +740,7 @@ def _compile_measure_query(
 
     group = grp("group")
     if group:
-        group_items = _split_top_level(group)
+        group_items = [_strip_comments(g) for g in _split_top_level(group)]
         resolved = []
         for g in group_items:
             if re.match(r"^\d+$", g):  # ordinal GROUP BY (fct_customer_summary style)
@@ -751,7 +802,9 @@ def _compile_measure_query(
                 _mask_literals(o).rstrip(),
                 re.IGNORECASE | re.DOTALL,
             )
-            expr_txt = o[om.start(1):om.end(1)].strip()
+            # comments are whitespace here too — a commented ordinal
+            # (`/* c */ 1`) must stay an ordinal, not become a constant
+            expr_txt = _strip_comments(o[om.start(1):om.end(1)])
             desc = bool(om.group(2) and om.group(2).lower() == "desc")
             nulls = om.group(3).lower() if om.group(3) else None
             # `\`name\`` quotes an identifier — it shares the alias /
@@ -876,6 +929,8 @@ def _reject_alias_shaped_order_item(expr_txt: str, original_item: str) -> None:
     if len(toks) < 2:
         return
     last, prev = toks[-1].lower(), toks[-2].lower()
+    if prev == ".":
+        return  # `max(s).field` — a struct-field access, not an alias
     if (
         re.fullmatch(r"[a-z_]\w*", last)
         and last not in _ORDER_TRAILING_OK

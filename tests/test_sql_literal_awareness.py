@@ -602,3 +602,89 @@ def test_parse_ctes_backslash_literal_body():
     assert [n for n, _ in ctes] == ["a", "b"]
     assert ctes[0][1] == "SELECT 'it\\') (' AS x"
     assert final == "SELECT 1"
+
+
+# ---------------------------------------------------------------------------
+# r10 review pass 2 (findings on the pass-1 fixes themselves)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_shadowing_covers_collist_and_backtick_names():
+    """Pass-2 #1: an inner CTE declared with a column-alias list
+    (`rev (one) AS (...)`) or a backtick-quoted name (`` `rev` AS
+    (...) ``) shadows the outer MEASURE-CTE just like the bare shape."""
+    alias = {"rev": "_u_rev"}
+    out = _rewrite_table_refs(
+        "SELECT * FROM (WITH rev (one) AS (SELECT 1) SELECT * FROM rev) s",
+        alias,
+    )
+    assert "_u_rev" not in out
+    out = _rewrite_table_refs(
+        "SELECT * FROM (WITH `rev` AS (SELECT 1 AS a) SELECT * FROM rev) s",
+        alias,
+    )
+    assert "_u_rev" not in out
+
+
+def test_order_guard_allows_struct_field_access(engine):
+    """Pass-2 #2: `expr.field` ends in an identifier preceded by `.` —
+    a struct-field access, never an alias; the guard must not fire."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        _reject_alias_shaped_order_item,
+    )
+
+    _reject_alias_shaped_order_item(
+        "max(named_struct('a', revenue)).a", "item"
+    )  # must not raise
+    df = engine.sql(
+        """
+        SELECT market_segment, MEASURE(total_revenue) AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment
+        ORDER BY named_struct('r', revenue).r DESC
+        """
+    )
+    revs = [r["revenue"] for r in df.collect()]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_backtick_cte_name_falls_through_to_spark(engine):
+    """Pass-2 #3: a backtick-quoted CTE name is not the thin parser's
+    shape — the whole statement falls through to plain spark.sql and
+    runs there (the 'a quoted name never matches a CTE' invariant)."""
+    rows = engine.sql(
+        "WITH `rev` AS (SELECT 1 AS a) SELECT * FROM `rev`"
+    ).collect()
+    assert [r.asDict() for r in rows] == [{"a": 1}]
+
+
+def test_comments_adjacent_to_select_and_group_items(engine, duck):
+    """Pass-2 #4: a comment INSIDE the select list or GROUP BY payload
+    is whitespace — the dim/measure shape checks must still pass."""
+    df = engine.sql(
+        """
+        SELECT market_segment /* note */, MEASURE(total_revenue) -- m
+               AS revenue
+        FROM mv_order_metrics
+        GROUP BY market_segment /* grouped */
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL})
+        GROUP BY market_segment
+        """,
+    )
+
+
+def test_unterminated_block_comment_is_loud():
+    """Pass-2 #5: an unterminated `/*` must not let its parens silently
+    mis-split the CTE list — the precise front-end error survives the
+    _mask_literals refactor."""
+    from dbt_databricks_metrics_spark.sql_frontend import _parse_ctes
+
+    with pytest.raises(MeasureSQLError, match="unterminated block comment"):
+        _parse_ctes("WITH a AS (SELECT 1 /* oops ) SELECT 2")
