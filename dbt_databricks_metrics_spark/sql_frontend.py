@@ -231,6 +231,20 @@ _FROM_LIST_TERMINATORS = frozenset(
 _EXPR_FROM_FUNCS = frozenset("extract trim substring overlay position".split())
 
 
+def _skip_balanced(tokens: list, j: int) -> int:
+    """Given ``tokens[j] == '('``, return the index just past its
+    matching ``')'``, or ``-1`` when the group never closes (callers
+    treat unbalanced input as shape-not-recognized)."""
+    d2, j = 1, j + 1
+    while j < len(tokens) and d2:
+        if tokens[j][3] == "(":
+            d2 += 1
+        elif tokens[j][3] == ")":
+            d2 -= 1
+        j += 1
+    return j if d2 == 0 else -1
+
+
 def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     """Rewrite references to earlier MEASURE-CTE names to their unique temp
     views — ONLY in table position (after FROM/JOIN, or after a comma inside
@@ -282,12 +296,22 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     # that depth declares; they suppress rewriting at that depth and
     # deeper (SQL scoping, review r10 #2) until the paren closes
     cte_decl: dict[int, bool] = {}  # depth → between WITH and its SELECT
+    pending_open: dict[int, str] = {}  # token index of a declaration's
+    # body '(' → declared name; activation is DEFERRED to the body's
+    # CLOSE (review r10 pass 3 #3): inside its own body the name still
+    # resolves to the OUTER scope (non-recursive SQL), so suppression
+    # must start only after the body ends
+    active_pending: dict[int, list[str]] = {}  # depth → names whose body
+    # is currently open at depth+1; moved into shadow[depth] on close
     expecting = False  # the next word token is a table reference
     expect_depth = 0
     prev_word = ""  # last word token, for the special-form-( lookbehind
     for t_i, (p_i, s, e, tok) in enumerate(tokens):
         low = tok.lower()
         if tok == "(":
+            nm = pending_open.pop(t_i, None)
+            if nm is not None:
+                active_pending.setdefault(depth, []).append(nm)
             rearm = expecting and depth == expect_depth
             depth += 1
             if rearm:
@@ -310,7 +334,14 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
             expr_from.pop(depth, None)
             shadow.pop(depth, None)  # inner-WITH scope ends with its paren
             cte_decl.pop(depth, None)
+            active_pending.pop(depth, None)
             depth -= 1
+            if depth in active_pending:
+                # a declaration's body just closed — its name shadows
+                # from here to the end of this WITH's scope
+                shadow.setdefault(depth, set()).update(
+                    active_pending.pop(depth)
+                )
             prev_word = ""
             continue
         if tok == ",":
@@ -358,20 +389,16 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                     repl = uniq
                     j = t_i + 2  # the sample clause's opening paren
                     if j < len(tokens) and tokens[j][3] == "(":
-                        d2, j = 1, j + 1
-                        while j < len(tokens) and d2:
-                            if tokens[j][3] == "(":
-                                d2 += 1
-                            elif tokens[j][3] == ")":
-                                d2 -= 1
-                            j += 1
+                        j = _skip_balanced(tokens, j)
                         after = (
-                            tokens[j][3].lower() if j < len(tokens) else None
+                            tokens[j][3].lower()
+                            if 0 <= j < len(tokens)
+                            else None
                         )
                         post_alias = after is not None and after not in (
                             "(", ")", ",",
                         ) and (after == "as" or after not in _POST_TABLE_KEYWORDS)
-                        if d2 == 0 and not post_alias:
+                        if j != -1 and not post_alias:
                             close = tokens[j - 1]
                             edits.setdefault(close[0], []).append(
                                 (close[2], close[2], f" {tok}")
@@ -397,21 +424,16 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
                 j = t_i + 1
                 if j < len(tokens) and tokens[j][3] == "(":
                     # maybe a column-alias list — skip the balanced group
-                    d2, j = 1, j + 1
-                    while j < len(tokens) and d2:
-                        if tokens[j][3] == "(":
-                            d2 += 1
-                        elif tokens[j][3] == ")":
-                            d2 -= 1
-                        j += 1
+                    j = _skip_balanced(tokens, j)
                 if (
-                    j + 1 < len(tokens)
+                    j != -1
+                    and j + 1 < len(tokens)
                     and tokens[j][3].lower() == "as"
                     and tokens[j + 1][3] == "("
                 ):
-                    # an inner CTE declaration — shadow it at this depth
-                    # and deeper
-                    shadow.setdefault(depth, set()).add(decl)
+                    # an inner CTE declaration — registered against its
+                    # BODY's '(' so shadowing activates at body CLOSE
+                    pending_open[j + 1] = decl
             if low == "select":
                 cte_decl[depth] = False  # the WITH's final statement
         if low == "from" and not expr_from.get(depth):
@@ -471,10 +493,13 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     ``a (x) AS (...)``) raise MeasureSQLError — the caller falls through
     to plain ``spark.sql`` unless the text clearly meant the front-end."""
     s = text.strip()
-    head = re.match(r"with\b", s, re.IGNORECASE)
+    masked = _mask_literals(s)
+    # the WITH head is detected over the MASKED copy (review r10 pass 3
+    # #1): a leading comment is whitespace, so `-- note\nWITH …` must
+    # still parse as a WITH statement
+    head = re.match(r"\s*with\b", masked, re.IGNORECASE)
     if not head:
         return [], s
-    masked = _mask_literals(s)
     if "/*" in masked:
         # comments mask to spaces, so a surviving `/*` is an UNTERMINATED
         # block comment — its parens would count as syntax and silently
@@ -575,7 +600,13 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
 
     try:
         ctes, final = _parse_ctes(text)
-    except MeasureSQLError:
+    except MeasureSQLError as exc:
+        if "unterminated block comment" in str(exc):
+            # a definite SYNTAX error, not an uncovered shape — surface
+            # it instead of the misleading stray-MEASURE refusal or a
+            # downstream Spark error on mangled text (review r10 pass 3
+            # #2)
+            raise
         # a WITH shape this thin parser doesn't cover: genuine Spark SQL
         # (CTE column-alias lists, …) falls through untouched; anything
         # containing MEASURE() keeps the front-end's clear error

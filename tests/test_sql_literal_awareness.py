@@ -688,3 +688,59 @@ def test_unterminated_block_comment_is_loud():
 
     with pytest.raises(MeasureSQLError, match="unterminated block comment"):
         _parse_ctes("WITH a AS (SELECT 1 /* oops ) SELECT 2")
+
+
+# ---------------------------------------------------------------------------
+# r10 review pass 3 (findings on the pass-2 fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_leading_comment_before_with(engine, duck):
+    """Pass-3 #1: a header comment before WITH is whitespace — the CTE
+    composition must still parse instead of being refused as a stray
+    MEASURE()."""
+    df = engine.sql(
+        """
+        -- provenance header
+        WITH rev AS (
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+        )
+        SELECT market_segment, revenue FROM rev
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS revenue
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        """,
+    )
+
+
+def test_unterminated_comment_error_reaches_user(engine):
+    """Pass-3 #2: the precise unterminated-comment error must surface
+    through engine.sql, not be swallowed into the stray-MEASURE
+    refusal."""
+    with pytest.raises(MeasureSQLError, match="unterminated block comment"):
+        engine.sql(
+            "WITH a AS (SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrics GROUP BY market_segment) "
+            "SELECT * FROM a /* oops"
+        )
+
+
+def test_outer_cte_visible_inside_inner_body():
+    """Pass-3 #3: inside an inner CTE's OWN body the declared name still
+    resolves to the OUTER scope (non-recursive SQL) — shadowing starts
+    only after the body closes."""
+    alias = {"rev": "_u_rev"}
+    out = _rewrite_table_refs(
+        "SELECT * FROM (WITH rev AS (SELECT * FROM rev WHERE k > 0)"
+        " SELECT * FROM rev) t",
+        alias,
+    )
+    body, final = out.split(" WHERE k > 0)", 1)
+    assert "_u_rev AS rev" in body  # body's FROM rev = the OUTER CTE
+    assert "_u_rev" not in final  # final's FROM rev = the inner CTE
