@@ -744,3 +744,67 @@ def test_outer_cte_visible_inside_inner_body():
     body, final = out.split(" WHERE k > 0)", 1)
     assert "_u_rev AS rev" in body  # body's FROM rev = the OUTER CTE
     assert "_u_rev" not in final  # final's FROM rev = the inner CTE
+
+
+# ---------------------------------------------------------------------------
+# exhaustive shape matrices for the r10 scoping + guard invariants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("decl", ["rev", "other"])
+@pytest.mark.parametrize("collist", [False, True])
+@pytest.mark.parametrize("backtick", [False, True])
+def test_shadowing_matrix(decl, collist, backtick):
+    """Every inner-declaration shape × name combination obeys SQL
+    scoping: the inner body sees the OUTER name; the inner final SELECT
+    sees the inner declaration (shadow iff same name); outside the
+    subquery the outer name always rewrites."""
+    alias = {"rev": "_u_rev"}
+    name = f"`{decl}`" if backtick else decl
+    cols = " (a)" if collist else ""
+    sql = (
+        f"SELECT * FROM (WITH {name}{cols} AS (SELECT * FROM rev)"
+        f" SELECT * FROM rev) s JOIN rev r2 ON 1 = 1"
+    )
+    out = _rewrite_table_refs(sql, alias)
+    body_ref = out.split("AS (SELECT * FROM ", 1)[1].split(")", 1)[0]
+    assert body_ref == "_u_rev AS rev"  # body ref = outer scope, always
+    inner_final = out.split(") SELECT * FROM ", 1)[1].split(")", 1)[0]
+    if decl == "rev":
+        assert inner_final == "rev"  # shadowed by the declaration
+    else:
+        assert inner_final == "_u_rev AS rev"  # no shadowing — rewrites
+    outside = out.rsplit(" JOIN ", 1)[1]
+    assert outside.startswith("_u_rev")  # outside the subquery, always
+
+
+_GUARD_OK_EXPRS = [
+    "upper(seg)",
+    "a + b",
+    "a and b",
+    "x is not null",
+    "case when a then b else c end",
+    "f(a, 'x,y')",
+    "s || 'desc'",
+    "named_struct('a', b).a",
+    "m['k']",
+    "revenue",
+    "t.col",
+    "coalesce(a, b)",
+    "ts + interval 1 day",
+]
+
+
+@pytest.mark.parametrize("expr", _GUARD_OK_EXPRS)
+def test_order_guard_matrix(expr):
+    """Every legitimate expression shape passes the alias-shape guard,
+    and the SAME expression with a trailing typo'd direction raises —
+    the guard discriminates exactly on the trailing-bare-identifier
+    (named-expression) shape."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        _reject_alias_shaped_order_item,
+    )
+
+    _reject_alias_shaped_order_item(expr, expr)  # must not raise
+    with pytest.raises(MeasureSQLError, match="ASC, DESC"):
+        _reject_alias_shaped_order_item(f"{expr} dsc", f"{expr} dsc")
