@@ -73,6 +73,14 @@ class MeasureSQLError(ValueError):
     pass
 
 
+class MeasureSQLSyntaxError(MeasureSQLError):
+    """A definite SYNTAX error (e.g. an unterminated block comment) — as
+    opposed to a shape this thin parser doesn't cover. execute_sql
+    surfaces these instead of falling through to plain spark.sql or the
+    stray-MEASURE refusal (review r10 pass 4: catching by TYPE keeps the
+    contract structural, not coupled to message text)."""
+
+
 _QUERY_RE = re.compile(
     r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<view>[A-Za-z_][\w.]*)"
     r"(?:\s+where\s+(?P<where>.*?))?"
@@ -493,6 +501,10 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     ``a (x) AS (...)``) raise MeasureSQLError — the caller falls through
     to plain ``spark.sql`` unless the text clearly meant the front-end."""
     s = text.strip()
+    if not re.match(r"with\b|--|/\*", s, re.IGNORECASE):
+        # fast path (review r10 pass 4 #4): only WITH- or comment-headed
+        # statements need the masked look; a plain SELECT skips masking
+        return [], s
     masked = _mask_literals(s)
     # the WITH head is detected over the MASKED copy (review r10 pass 3
     # #1): a leading comment is whitespace, so `-- note\nWITH …` must
@@ -505,7 +517,9 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
         # block comment — its parens would count as syntax and silently
         # mis-split the CTE list (review r10 pass 2 #5: keep the precise
         # front-end error the refactor dropped)
-        raise MeasureSQLError("unterminated block comment in WITH statement")
+        raise MeasureSQLSyntaxError(
+            "unterminated block comment in WITH statement"
+        )
     i = head.end()
     ctes: list[tuple[str, str]] = []
     while True:
@@ -598,15 +612,24 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
         explain_mode = (explain_kw or "formatted").lower()
         text = text[em.end():]
 
+    if "/*" in text and "/*" in _mask_literals(text):
+        # statement-LEVEL unterminated-block-comment check (review r10
+        # pass 4 #1: not just WITH statements — a plain MEASURE() query
+        # with a comment typo must get the precise error, never the
+        # misleading stray-MEASURE refusal). The cheap substring scan
+        # gates the masking cost to statements that contain `/*` at all.
+        raise MeasureSQLSyntaxError(
+            "unterminated block comment in SQL statement"
+        )
+
     try:
         ctes, final = _parse_ctes(text)
-    except MeasureSQLError as exc:
-        if "unterminated block comment" in str(exc):
-            # a definite SYNTAX error, not an uncovered shape — surface
-            # it instead of the misleading stray-MEASURE refusal or a
-            # downstream Spark error on mangled text (review r10 pass 3
-            # #2)
-            raise
+    except MeasureSQLSyntaxError:
+        # a definite SYNTAX error, not an uncovered shape — surface it
+        # instead of the misleading stray-MEASURE refusal or a
+        # downstream Spark error on mangled text (review r10 pass 3 #2)
+        raise
+    except MeasureSQLError:
         # a WITH shape this thin parser doesn't cover: genuine Spark SQL
         # (CTE column-alias lists, …) falls through untouched; anything
         # containing MEASURE() keeps the front-end's clear error
@@ -962,6 +985,12 @@ def _reject_alias_shaped_order_item(expr_txt: str, original_item: str) -> None:
     last, prev = toks[-1].lower(), toks[-2].lower()
     if prev == ".":
         return  # `max(s).field` — a struct-field access, not an alias
+    if set(last) == {"_"}:
+        # a masked string literal — an OPERAND, never an alias (Spark
+        # aliases are identifiers): `ts - timestamp '2020-01-01'` and
+        # every typed literal end this way (review r10 pass 4 #2); a
+        # true alias-shaped `seg 'x'` is a Spark parse error — loud
+        return
     if (
         re.fullmatch(r"[a-z_]\w*", last)
         and last not in _ORDER_TRAILING_OK

@@ -792,6 +792,9 @@ _GUARD_OK_EXPRS = [
     "t.col",
     "coalesce(a, b)",
     "ts + interval 1 day",
+    "ts - timestamp '2020-01-01'",
+    "d - date '2020-01-01'",
+    "s || 'plain trailing literal'",
 ]
 
 
@@ -808,3 +811,38 @@ def test_order_guard_matrix(expr):
     _reject_alias_shaped_order_item(expr, expr)  # must not raise
     with pytest.raises(MeasureSQLError, match="ASC, DESC"):
         _reject_alias_shaped_order_item(f"{expr} dsc", f"{expr} dsc")
+
+
+# ---------------------------------------------------------------------------
+# r10 review pass 4 (findings on the pass-3 fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_unterminated_comment_in_plain_measure_query(engine):
+    """Pass-4 #1: the precise syntax error fires for NON-WITH MEASURE
+    queries too — never the misleading stray-MEASURE refusal."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        MeasureSQLSyntaxError,
+    )
+
+    with pytest.raises(MeasureSQLSyntaxError, match="unterminated block"):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrics GROUP BY market_segment /* oops"
+        )
+    # a '/*' INSIDE a literal is content — no false positive
+    row = engine.sql("SELECT '/*' AS s").first()
+    assert row["s"] == "/*"
+
+
+def test_guard_error_shows_real_text(engine):
+    """Pass-4 #2: the guard's error names the user's trailing word, not
+    masked filler."""
+    with pytest.raises(MeasureSQLError, match="'dsc'"):
+        engine.sql(
+            """
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+            ORDER BY market_segment dsc
+            """
+        )
