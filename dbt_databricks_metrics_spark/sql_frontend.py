@@ -134,7 +134,14 @@ def _mask_literals(s: str) -> str:
     grammar — filling it with identifier characters would glue a fake
     token onto its neighbors (``ORDER BY x -- note`` must still end in
     an identifier, and a trailing comment must not break the clause
-    regex's ``$`` anchor)."""
+    regex's ``$`` anchor).
+
+    Known limitation (review r10 pass 5 #4): Spark 3.0+ NESTED bracketed
+    comments (``/* a /* b */ c */``) are masked non-greedily to the first
+    ``*/`` — the tail survives as junk tokens, so such statements get a
+    LOUD shape error rather than parsing; never a silent wrong answer.
+    A regex cannot count nesting; supporting it means rewriting this
+    masker (and the split consumers) as a scanner."""
     parts = _SQL_LITERAL_SPLIT.split(s)
     return "".join(
         p
@@ -512,11 +519,13 @@ def _parse_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     head = re.match(r"\s*with\b", masked, re.IGNORECASE)
     if not head:
         return [], s
-    if "/*" in masked:
+    if "/*" in masked and "'" not in masked and '"' not in masked:
         # comments mask to spaces, so a surviving `/*` is an UNTERMINATED
         # block comment — its parens would count as syntax and silently
         # mis-split the CTE list (review r10 pass 2 #5: keep the precise
-        # front-end error the refactor dropped)
+        # front-end error the refactor dropped). A surviving quote means
+        # an unterminated LITERAL instead — fall through to the ordinary
+        # shape error rather than misdiagnose (review r10 pass 5 #2).
         raise MeasureSQLSyntaxError(
             "unterminated block comment in WITH statement"
         )
@@ -612,15 +621,21 @@ def execute_sql(engine: "MetricEngine", text: str) -> DataFrame:
         explain_mode = (explain_kw or "formatted").lower()
         text = text[em.end():]
 
-    if "/*" in text and "/*" in _mask_literals(text):
+    if "/*" in text:
         # statement-LEVEL unterminated-block-comment check (review r10
         # pass 4 #1: not just WITH statements — a plain MEASURE() query
         # with a comment typo must get the precise error, never the
         # misleading stray-MEASURE refusal). The cheap substring scan
         # gates the masking cost to statements that contain `/*` at all.
-        raise MeasureSQLSyntaxError(
-            "unterminated block comment in SQL statement"
-        )
+        # A surviving QUOTE means an UNTERMINATED LITERAL instead — the
+        # `/*` may be inside the broken literal, so don't misdiagnose
+        # (review r10 pass 5 #2); that statement proceeds and fails loud
+        # downstream on the real problem.
+        masked = _mask_literals(text)
+        if "/*" in masked and "'" not in masked and '"' not in masked:
+            raise MeasureSQLSyntaxError(
+                "unterminated block comment in SQL statement"
+            )
 
     try:
         ctes, final = _parse_ctes(text)
@@ -977,23 +992,39 @@ def _reject_alias_shaped_order_item(expr_txt: str, original_item: str) -> None:
     Heuristic over the masked token stream: trailing identifier + the
     token before it is itself an operand (identifier / number / ``)`` /
     ``]``) and not an operand-consuming operator word."""
-    toks = re.findall(
-        r"[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\S", _mask_literals(expr_txt)
+    toks = list(
+        re.finditer(
+            r"[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\S", _mask_literals(expr_txt)
+        )
     )
     if len(toks) < 2:
         return
-    last, prev = toks[-1].lower(), toks[-2].lower()
-    if prev == ".":
-        return  # `max(s).field` — a struct-field access, not an alias
-    if set(last) == {"_"}:
-        # a masked string literal — an OPERAND, never an alias (Spark
-        # aliases are identifiers): `ts - timestamp '2020-01-01'` and
-        # every typed literal end this way (review r10 pass 4 #2); a
-        # true alias-shaped `seg 'x'` is a Spark parse error — loud
+    last, prev = toks[-1].group().lower(), toks[-2].group().lower()
+    if prev.endswith("."):
+        # `max(s).field` (struct-field access) or a dangling qualifier
+        # (`t.` before a quoted column, ``t.`col` ``) — never an alias
         return
+    if set(last) == {"_"}:
+        # a masked quoted region — check the ORIGINAL text for the quote
+        # kind (review r10 pass 5 #1): a string literal is an OPERAND,
+        # never an alias (`ts - timestamp '2020-01-01'`; an alias-shaped
+        # `seg 'x'` is a Spark parse error — loud), but a BACKTICK-quoted
+        # token is an identifier and `seg \`dsc\`` IS the silent-alias
+        # shape the guard exists for
+        orig_last = expr_txt[toks[-1].start():toks[-1].end()]
+        if not orig_last.startswith("`"):
+            return
+        last, quoted_ident = orig_last, True
+    else:
+        quoted_ident = False
     if (
-        re.fullmatch(r"[a-z_]\w*", last)
-        and last not in _ORDER_TRAILING_OK
+        (
+            quoted_ident  # quoting MEANS identifier — always alias-shaped
+            or (
+                re.fullmatch(r"[a-z_]\w*", last)
+                and last not in _ORDER_TRAILING_OK
+            )
+        )
         and (
             prev in (")", "]")
             or (

@@ -846,3 +846,56 @@ def test_guard_error_shows_real_text(engine):
             ORDER BY market_segment dsc
             """
         )
+
+
+# ---------------------------------------------------------------------------
+# r10 review pass 5 (findings on the pass-4 fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_backtick_quoted_trailing_alias_still_rejects(engine):
+    """Pass-5 #1: a BACKTICK-quoted trailing token is an identifier —
+    `ORDER BY seg \\`dsc\\`` is the silent-alias shape and must raise,
+    while a qualified quoted column (`t.\\`col\\``) passes the guard."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        _reject_alias_shaped_order_item,
+    )
+
+    with pytest.raises(MeasureSQLError, match="ASC, DESC"):
+        engine.sql(
+            """
+            SELECT market_segment, MEASURE(total_revenue) AS revenue
+            FROM mv_order_metrics GROUP BY market_segment
+            ORDER BY upper(market_segment) `dsc`
+            """
+        )
+    _reject_alias_shaped_order_item("t.`col`", "item")  # must not raise
+
+
+def test_unterminated_literal_not_misdiagnosed_as_comment(engine):
+    """Pass-5 #2: an unterminated string literal that happens to contain
+    `/*` must not be reported as an unterminated comment — the statement
+    proceeds and fails loud on the real problem."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        MeasureSQLSyntaxError,
+    )
+
+    try:
+        engine.sql("SELECT 'abc /* def FROM t").collect()
+        raise AssertionError("expected a loud failure")
+    except MeasureSQLSyntaxError:
+        raise AssertionError("misdiagnosed as unterminated comment")
+    except Exception:
+        pass  # Spark's own (accurate) parse error
+
+
+def test_nested_block_comment_stays_loud(engine):
+    """Pass-5 #4 (documented limitation): Spark-3.0-style NESTED
+    bracketed comments aren't understood by the masker — the statement
+    must fail LOUD (shape error), never silently mis-parse."""
+    with pytest.raises(Exception):
+        engine.sql(
+            "SELECT market_segment, MEASURE(total_revenue) AS r "
+            "FROM mv_order_metrics /* a /* b */ c */ "
+            "GROUP BY market_segment"
+        ).collect()
