@@ -103,20 +103,90 @@ _EXPLAIN_RE = re.compile(
     re.IGNORECASE,
 )
 
-# string literals ('' doubling AND \-escapes — Spark's default lexer
-# honors backslash escapes, review r10 #4: 'it\'s a group by' is ONE
-# literal), double-quoted strings (same two escapes), backtick
-# identifiers, -- line comments, /* */ block comments — every context
-# where an identifier-looking token is NOT an identifier
-_SQL_LITERAL_SPLIT = re.compile(
-    r"('(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"|`[^`]*`"
-    r"|--[^\n]*|/\*.*?\*/)",
-    re.S,
-)
-
 # identifiers (possibly dot-qualified — matched as ONE token so `db.rev`
 # never half-matches a CTE named `rev`) plus the three structural symbols
 _SQL_TOKEN_RE = re.compile(r"[A-Za-z_][\w.]*|[(),]")
+
+
+def _split_literals(s: str) -> list[str]:
+    """Split *s* into alternating [syntax, special, syntax, special, …]
+    segments (the ``re.split``-with-one-capture-group contract: EVEN
+    indices are plain SQL syntax, ODD indices are regions where an
+    identifier-looking token is NOT an identifier). Special regions:
+
+    - ``'…'`` string literals — ``''`` doubling AND ``\\x`` escapes
+      (Spark's default lexer honors backslash escapes, review r10 #4:
+      ``'it\\'s a group by'`` is ONE literal)
+    - ``"…"`` double-quoted strings (same two escapes)
+    - `` `…` `` backtick identifiers (no escapes, to the next backtick)
+    - ``--`` line comments (to end of line, newline excluded)
+    - ``/* … */`` block comments — NESTED, as Spark 3.0+ lexes them
+      (``/* a /* b */ c */`` is ONE comment; review r10 pass 5 #4 —
+      this is why a hand scanner replaced the old non-greedy regex,
+      which a nested comment's tail escaped as junk tokens)
+
+    An UNTERMINATED literal or comment is left in the SYNTAX segment
+    (not consumed as special) — its opening quote / ``/*`` survives
+    masking, which is exactly how the front-end's unterminated-input
+    diagnostics detect it."""
+    parts: list[str] = []
+    n, i, seg = len(s), 0, 0  # seg = start of the current syntax segment
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:
+                        j += 2  # doubled quote escapes itself
+                        continue
+                    break
+                j += 1
+            if j < n:  # terminated — emit [syntax, literal]
+                parts.append(s[seg:i])
+                parts.append(s[i:j + 1])
+                seg = i = j + 1
+                continue
+            i += 1  # unterminated: the opener is ordinary syntax; keep
+            # scanning so later special regions still split out (the
+            # old regex rescanned from the next position the same way)
+        elif c == "`":
+            j = s.find("`", i + 1)
+            if j != -1:
+                parts.append(s[seg:i])
+                parts.append(s[i:j + 1])
+                seg = i = j + 1
+                continue
+            i += 1
+        elif c == "-" and s[i:i + 2] == "--":
+            j = s.find("\n", i)
+            j = n if j == -1 else j  # newline stays in syntax
+            parts.append(s[seg:i])
+            parts.append(s[i:j])
+            seg = i = j
+        elif c == "/" and s[i:i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if s[j:j + 2] == "/*":
+                    depth, j = depth + 1, j + 2
+                elif s[j:j + 2] == "*/":
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            if depth == 0:
+                parts.append(s[seg:i])
+                parts.append(s[i:j])
+                seg = i = j
+                continue
+            i += 1  # unterminated (at any nesting depth): opener stays
+            # syntax — `/*` survives masking for the diagnostics
+        else:
+            i += 1
+    parts.append(s[seg:])
+    return parts
 
 
 def _mask_literals(s: str) -> str:
@@ -134,15 +204,11 @@ def _mask_literals(s: str) -> str:
     grammar — filling it with identifier characters would glue a fake
     token onto its neighbors (``ORDER BY x -- note`` must still end in
     an identifier, and a trailing comment must not break the clause
-    regex's ``$`` anchor).
-
-    Known limitation (review r10 pass 5 #4): Spark 3.0+ NESTED bracketed
-    comments (``/* a /* b */ c */``) are masked non-greedily to the first
-    ``*/`` — the tail survives as junk tokens, so such statements get a
-    LOUD shape error rather than parsing; never a silent wrong answer.
-    A regex cannot count nesting; supporting it means rewriting this
-    masker (and the split consumers) as a scanner."""
-    parts = _SQL_LITERAL_SPLIT.split(s)
+    regex's ``$`` anchor). Nested bracketed comments (Spark 3.0+,
+    ``/* a /* b */ c */``) mask as ONE comment — :func:`_split_literals`
+    is a scanner precisely because a regex cannot count that nesting
+    (review r10 pass 5 #4, closed)."""
+    parts = _split_literals(s)
     return "".join(
         p
         if i % 2 == 0
@@ -157,7 +223,7 @@ def _strip_comments(s: str) -> str:
     identifier regex, where a comment is whitespace: ``market_segment
     /* note */`` must pass the dim check; review r10 pass 2 #4). String
     literals keep any comment-looking content."""
-    parts = _SQL_LITERAL_SPLIT.split(s)
+    parts = _split_literals(s)
     return "".join(
         " " if i % 2 and p.startswith(("--", "/*")) else p
         for i, p in enumerate(parts)
@@ -186,7 +252,7 @@ def _measure_calls(expr: str) -> list[str]:
     string, not a call."""
     return [
         name
-        for i, part in enumerate(_SQL_LITERAL_SPLIT.split(expr))
+        for i, part in enumerate(_split_literals(expr))
         if i % 2 == 0
         for name in _MEASURE_CALL_RE.findall(part)
     ]
@@ -195,7 +261,7 @@ def _measure_calls(expr: str) -> list[str]:
 def _strip_measure_calls(expr: str) -> str:
     """Rewrite ``MEASURE(name)`` → ``name``, skipping literals/comments
     (the literal-bearing twin of ``_MEASURE_CALL_RE.sub``)."""
-    parts = _SQL_LITERAL_SPLIT.split(expr)
+    parts = _split_literals(expr)
     return "".join(
         _MEASURE_CALL_RE.sub(r"\1", p) if i % 2 == 0 else p
         for i, p in enumerate(parts)
@@ -285,7 +351,7 @@ def _rewrite_table_refs(sql_text: str, alias: dict[str, str]) -> str:
     if not alias:
         return sql_text
     lower_alias = {k.lower(): v for k, v in alias.items()}
-    parts = _SQL_LITERAL_SPLIT.split(sql_text)
+    parts = _split_literals(sql_text)
     # one token stream over the syntactic (even) parts — comments/strings
     # between tokens are transparent to the state machine AND to the
     # alias-lookahead (``FROM rev /* c */ r`` keeps the user alias).

@@ -889,13 +889,69 @@ def test_unterminated_literal_not_misdiagnosed_as_comment(engine):
         pass  # Spark's own (accurate) parse error
 
 
-def test_nested_block_comment_stays_loud(engine):
-    """Pass-5 #4 (documented limitation): Spark-3.0-style NESTED
-    bracketed comments aren't understood by the masker — the statement
-    must fail LOUD (shape error), never silently mis-parse."""
-    with pytest.raises(Exception):
+def test_nested_block_comment_parses(engine, duck):
+    """Pass-5 #4 CLOSED: the literal splitter is a scanner, so a
+    Spark-3.0-style NESTED bracketed comment masks as one comment and
+    the statement parses — and an unterminated nesting (`/* /* */`)
+    gets the precise syntax error the old regex missed."""
+    from dbt_databricks_metrics_spark.sql_frontend import (
+        MeasureSQLSyntaxError,
+    )
+
+    df = engine.sql(
+        "SELECT market_segment, MEASURE(total_revenue) AS r "
+        "FROM mv_order_metrics /* a /* nested */ c */ "
+        "GROUP BY market_segment"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT market_segment, sum(total_price) AS r
+        FROM ({FCT_ORDERS_SQL}) GROUP BY market_segment
+        """,
+    )
+    with pytest.raises(MeasureSQLSyntaxError, match="unterminated block"):
         engine.sql(
             "SELECT market_segment, MEASURE(total_revenue) AS r "
-            "FROM mv_order_metrics /* a /* b */ c */ "
+            "FROM mv_order_metrics /* outer /* inner */ "
             "GROUP BY market_segment"
-        ).collect()
+        )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="ab'\"`,()-/*\\\n _GROUPBYselectwherefromas",
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_split_literals_properties(s):
+    """The literal scanner's structural contract under fuzz: segments
+    concatenate back to the input byte-for-byte; odd segments are
+    complete special regions (quote-delimited, line comments, or
+    balanced nested block comments); the mask is length-preserving."""
+    from dbt_databricks_metrics_spark.sql_frontend import _split_literals
+
+    parts = _split_literals(s)
+    assert "".join(parts) == s
+    for p in parts[1::2]:
+        assert p, "empty special segment"
+        if p.startswith("--"):
+            assert "\n" not in p
+        elif p.startswith("/*"):
+            assert p.endswith("*/") and len(p) >= 4
+            depth = 0
+            k = 0
+            while k < len(p):
+                if p[k:k + 2] == "/*":
+                    depth, k = depth + 1, k + 2
+                elif p[k:k + 2] == "*/":
+                    depth, k = depth - 1, k + 2
+                else:
+                    k += 1
+            assert depth == 0, "unbalanced nested comment emitted"
+        else:
+            assert p[0] in "'\"`" and p[-1] == p[0] and len(p) >= 2
+    assert len(_mask_literals(s)) == len(s)

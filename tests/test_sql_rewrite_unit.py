@@ -161,9 +161,9 @@ def test_rewrite_never_crashes_and_is_idempotent(s):
     assert _rewrite_table_refs(out, A) == out
     # odd parts of the literal split (strings, quoted idents, comments)
     # are byte-identical before and after
-    from dbt_databricks_metrics_spark.sql_frontend import _SQL_LITERAL_SPLIT
+    from dbt_databricks_metrics_spark.sql_frontend import _split_literals
 
-    assert _SQL_LITERAL_SPLIT.split(s)[1::2] == _SQL_LITERAL_SPLIT.split(out)[1::2]
+    assert _split_literals(s)[1::2] == _split_literals(out)[1::2]
 
 
 @settings(max_examples=200, deadline=None)
