@@ -107,6 +107,12 @@ _EXPLAIN_RE = re.compile(
 # never half-matches a CTE named `rev`) plus the three structural symbols
 _SQL_TOKEN_RE = re.compile(r"[A-Za-z_][\w.]*|[(),]")
 
+# any character that can OPEN a special region — a C-speed pre-scan that
+# lets _split_literals skip its per-character walk for the common
+# literal-free statement (`-`/`/` alone are arithmetic, so the two
+# comment openers match as pairs)
+_SPLIT_FAST_RE = re.compile(r"['\"`]|--|/\*")
+
 
 def _split_literals(s: str) -> list[str]:
     """Split *s* into alternating [syntax, special, syntax, special, …]
@@ -128,23 +134,37 @@ def _split_literals(s: str) -> list[str]:
     An UNTERMINATED literal or comment is left in the SYNTAX segment
     (not consumed as special) — its opening quote / ``/*`` survives
     masking, which is exactly how the front-end's unterminated-input
-    diagnostics detect it."""
+    diagnostics detect it. A literal ending in a doubled quote at EOF
+    (``'abc''``) closes at the FIRST quote of the pair, like the regex
+    it replaced backtracked (review r10 pass 6 #1) — the stray quote
+    survives as syntax."""
+    if not _SPLIT_FAST_RE.search(s):
+        # fast path (review r10 pass 6 #2): no quote or comment opener
+        # anywhere — the whole text is one syntax segment
+        return [s]
     parts: list[str] = []
     n, i, seg = len(s), 0, 0  # seg = start of the current syntax segment
     while i < n:
         c = s[i]
         if c in ("'", '"'):
             j = i + 1
+            last_pair = -1  # first quote of the latest doubled pair
             while j < n:
                 if s[j] == "\\":
                     j += 2
                     continue
                 if s[j] == c:
                     if j + 1 < n and s[j + 1] == c:
+                        last_pair = j
                         j += 2  # doubled quote escapes itself
                         continue
                     break
                 j += 1
+            if j >= n and last_pair != -1:
+                # unterminated ONLY because the final doubled pair was
+                # taken as an escape — backtrack: close at its first
+                # quote, leaving the second as stray syntax
+                j = last_pair
             if j < n:  # terminated — emit [syntax, literal]
                 parts.append(s[seg:i])
                 parts.append(s[i:j + 1])

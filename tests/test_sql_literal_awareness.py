@@ -955,3 +955,22 @@ def test_split_literals_properties(s):
         else:
             assert p[0] in "'\"`" and p[-1] == p[0] and len(p) >= 2
     assert len(_mask_literals(s)) == len(s)
+
+
+def test_split_literals_regex_parity_on_malformed_tails():
+    """Pass-6 #1: a literal whose terminator is missing because its
+    final doubled quote was taken as an escape closes at the FIRST
+    quote of the pair (regex-backtracking parity) — the stray quote
+    survives as syntax, keeping unterminated-input diagnostics and
+    masked token shapes identical to the old regex."""
+    from dbt_databricks_metrics_spark.sql_frontend import _split_literals
+
+    assert _split_literals("n = 'abc'' GROUP BY a") == [
+        "n = ", "'abc'", "' GROUP BY a",
+    ]
+    assert _split_literals("'a''b''") == ["", "'a''b'", "'"]
+    assert _split_literals("'a''bc") == ["", "'a'", "'bc"]
+    # fast path: literal-free text returns one syntax segment untouched
+    assert _split_literals("SELECT a - b / c FROM t") == [
+        "SELECT a - b / c FROM t"
+    ]
