@@ -92,15 +92,26 @@ def gram_novelty(
     as `ngram_contamination`); NULL-text documents surface with counts
     0 and NULL fraction — nothing disappears.
     """
-    g = _exploded_ngrams(corpus, id_col, text_col, n, "doc_id", hash_ngrams)
-    df_counts = g.groupBy("_ngram").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        g.join(df_counts, "_ngram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count_if(F.col("_df") > 1).alias("n_dup_grams"),
-        )
+    # the per-gram document frequency comes from a WINDOW over the gram
+    # key instead of a groupBy + join-back: the gram explode is computed
+    # and shuffled exactly ONCE (the agg+join diamond re-derived it on
+    # both join sides — two scans, two gram-keyed exchanges; guide §2.4).
+    # WindowExec sorts within gram-partitions and spills, so a hot
+    # boilerplate gram degrades to disk, not to an OOM.
+    from pyspark.sql import Window
+
+    # NULL grams (NULL-text docs emit one) never matched the old inner
+    # join's key; the window keeps every row, so drop them explicitly
+    g = _exploded_ngrams(
+        corpus, id_col, text_col, n, "doc_id", hash_ngrams
+    ).filter(F.col("_ngram").isNotNull())
+    with_df = g.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("_ngram")).alias("_df"),
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("_df") > 1).alias("n_dup_grams"),
     )
     ids = corpus.select(F.col(id_col).alias("doc_id")).distinct()
     return (

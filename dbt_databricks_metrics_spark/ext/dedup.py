@@ -433,29 +433,73 @@ def containment_pairs(
         raise ValueError(f"threshold must be (num>=0, den>0), got {threshold}")
     if max_df < 2:
         raise ValueError(f"max_df must be >= 2, got {max_df}")
+    # Plan (one linear chain — the shingle explode is computed ONCE; the
+    # old shape re-derived it four times: df-count aggregate, join probe,
+    # and both sides of the candidate self-join; guide §2.4):
+    #   1. window over the shingle key marks each (shingle, id) row with
+    #      the shingle's document frequency (sort-based, spills — a hot
+    #      boilerplate shingle degrades to disk, never an OOM) and drops
+    #      stop-shingles (_df > max_df) BEFORE anything fans out;
+    #   2. a second window over the doc id attaches each doc's
+    #      df-filtered shingle-set size (the same integer the old
+    #      ``sizes`` aggregate computed);
+    #   3. the surviving rows — already partitioned by shingle — collapse
+    #      to one (shingle, [(id, size)…]) row per shingle with NO new
+    #      exchange, and the candidate pairs are generated MAP-SIDE from
+    #      that ≤max_df-element list (the old self-join's fan-out, minus
+    #      the join), carrying both sizes so no join-back is needed.
+    from pyspark.sql import Window
+
+    # NULL shingles (NULL-text docs emit one) never matched the old inner
+    # join's key; the window keeps every row, so drop them explicitly
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(text_col, k)).alias("_sh"),
+    ).filter(F.col("_sh").isNotNull())
+    kept = sh.select(
+        "_id",
+        "_sh",
+        F.count(F.lit(1)).over(Window.partitionBy("_sh")).alias("_df"),
+    ).filter(F.col("_df") <= max_df)
+    sized = kept.select(
+        "_id",
+        "_sh",
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_size"),
     )
-    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    kept = sh.join(
-        dfreq.filter(F.col("_df") <= max_df).select("_sh"), "_sh"
+    occ = sized.groupBy("_sh").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_size"))).alias("_occ")
     )
-    sizes = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # all ordered pairs (x, y), x.id != y.id, from the per-shingle list —
+    # flatten(transform(occ, x -> filter+transform)) is pure codegen
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_occ"),
+                lambda x: F.transform(
+                    F.filter(F.col("_occ"), lambda y: y["_id"] != x["_id"]),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_a"),
+                        y["_id"].alias("id_b"),
+                        x["_size"].alias("size_a"),
+                        y["_size"].alias("size_b"),
+                    ),
+                ),
+            )
+        )
+    )
     shared = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") != F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        occ.select(pair.alias("_p"))
+        .groupBy(
+            F.col("_p.id_a").alias("id_a"),
+            F.col("_p.id_b").alias("id_b"),
+            F.col("_p.size_a").alias("size_a"),
+            F.col("_p.size_b").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
-        shared.join(sizes.select(F.col("_id").alias("id_a"),
-                                 F.col("_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"),
-                           F.col("_size").alias("size_b")), "id_b")
-        .filter(F.col("shared") * t_den >= t_num * F.col("size_a"))
-        .select("id_a", "id_b", "shared", "size_a", "size_b")
-    )
+    return shared.filter(
+        F.col("shared") * t_den >= t_num * F.col("size_a")
+    ).select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
 def duplicate_clusters(

@@ -92,12 +92,26 @@ def dedup_exact_substrings(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    # The dup-count and first-occurrence aggregates come from a WINDOW
+    # over the fingerprint instead of a groupBy + self-join: the per-char
+    # gram explode — the largest intermediate in this operator — is
+    # computed and shuffled exactly ONCE (the old agg+join diamond
+    # re-derived it on both join sides: two scans, two exchanges; join-key
+    # null-inference pushes asymmetric filters into the branches, which
+    # defeats exchange reuse). Guide §2.4: establish the partitioning
+    # once. WindowExec sorts within fp-partitions and spills, so a hot
+    # fingerprint degrades to disk, not to an OOM.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
     grams = _gram_starts(docs, id_col, text_col, min_len, hash_fn)
-    by_fp = grams.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    marked = grams.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(w).alias("_first"),
     )
-    dup = grams.join(by_fp.filter(F.col("_cnt") > 1), "fp")
+    dup = marked.filter(F.col("_cnt") > 1)
     if keep == "first":
         dup = dup.filter(
             ~(
