@@ -75,13 +75,11 @@ def logreg_train(
         if first is None:
             raise ValueError("logreg_train: empty input")
         dim = int(first["d"])
-    n = feats.count()
-    if n == 0:
-        # reachable with an explicit dim (the inference branch above is
-        # skipped); without this the weight update divides by zero
-        raise ValueError("logreg_train: empty input")
+    # n folds into round 1's gradient aggregate (one job instead of two);
+    # it is constant across rounds
+    n: int | None = None
     w = [0.0] * dim
-    for _ in range(n_iter):
+    for it in range(n_iter):
         wlits = F.array(*[F.lit(float(x)) for x in w])
         z = F.aggregate(
             F.zip_with(F.col("_x"), wlits, lambda a, b: a * b),
@@ -89,16 +87,39 @@ def logreg_train(
             lambda acc, v: acc + v,
         )
         resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
-        contrib = F.col("_r") * F.col("xi")
-        if grad_scale is not None:
-            contrib = F.round(contrib * F.lit(float(grad_scale))).cast("bigint")
-        grad_rows = (
-            feats.select(resid.alias("_r"), F.posexplode("_x").alias("i", "xi"))
-            .groupBy("i")
-            .agg(F.sum(contrib).alias("g"))
-            .collect()
+
+        # ONE single-row aggregate per round: dim sum() columns over a
+        # projected residual. The old shape posexploded every row dim
+        # ways and shuffled a groupBy(i) — dim× the rows into an
+        # exchange that partial aggregation then collapsed anyway; the
+        # flat agg ships the same dim partial sums per partition with no
+        # Generate and no Exchange at all (guide §2.3 "aggregate before
+        # you shuffle" taken to its limit — there is nothing left to
+        # shuffle). Per-row contribution arithmetic is identical; only
+        # the (already partition-order-dependent) float summation order
+        # changes, which the round-6 contract grid absorbs and the
+        # grad_scale integer grid makes exactly order-free.
+        def _contrib(i: int):
+            # F.get (0-based) — NULL beyond a ragged row's width, like the
+            # old posexplode which simply emitted no row there (ANSI
+            # element_at would throw instead)
+            c = F.col("_r") * F.get(F.col("_x"), i)
+            if grad_scale is not None:
+                c = F.round(c * F.lit(float(grad_scale))).cast("bigint")
+            return F.sum(c).alias(f"_g{i}")
+
+        row = (
+            feats.select(resid.alias("_r"), "_x")
+            .agg(F.count(F.lit(1)).alias("_n"), *[_contrib(i) for i in range(dim)])
+            .first()
         )
-        grad = {r["i"]: r["g"] for r in grad_rows}
+        if n is None:
+            n = int(row["_n"])
+            if n == 0:
+                # reachable with an explicit dim (the inference branch
+                # above is skipped); without this the update divides by 0
+                raise ValueError("logreg_train: empty input")
+        grad = {i: row[f"_g{i}"] for i in range(dim)}
         if grad_scale is not None:
             # identical driver-side IEEE ops to the oracle's unrolled
             # update: (w - lr * (g_int / scale) / n), left-associative
@@ -107,7 +128,12 @@ def logreg_train(
                 for i, wi in enumerate(w)
             ]
         else:
-            w = [wi - lr * grad.get(i, 0.0) / n for i, wi in enumerate(w)]
+            # sum() is NULL when every contribution for a dim was NULL
+            # (the old posexplode emitted no row there) — treat as 0
+            w = [
+                wi - lr * (grad.get(i) if grad.get(i) is not None else 0.0) / n
+                for i, wi in enumerate(w)
+            ]
     return w
 
 

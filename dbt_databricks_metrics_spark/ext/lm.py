@@ -54,22 +54,24 @@ def _token_col(text_col: str) -> Column:
     )
 
 
+def _bigrams_of(toks: Column) -> Column:
+    """Bigram array from an already-bound token array."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + F.lit(1)).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _bigram_col(text_col: str) -> Column:
     """Array of "w1 w2" bigram strings (order-preserving, with repeats)."""
-    return _bind_once(
-        _token_col(text_col),
-        lambda toks: F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i.cast("int")),
-                    F.element_at(toks, (i + F.lit(1)).cast("int")),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    return _bind_once(_token_col(text_col), _bigrams_of)
 
 
 def train_bigram_lm(
@@ -116,22 +118,60 @@ def lm_doc_scores(
     """
     self_trained = lm is None
     if self_trained:
-        lm = train_bigram_lm(df, text_col)
-        if materialize_model:
-            lm = lm.localCheckpoint(eager=True)
-    # context totals and vocabulary size over the TRAINED event space.
-    # With an external model, V must come from the MODEL (its w1 ∪ w2
-    # vocabulary), not from the batch being scored — otherwise the same
-    # document's score would depend on what it is scored alongside.
-    # Self-scoring keeps the full corpus vocabulary (model tokens ⊆ it).
-    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
-    if self_trained:
-        vocab_src = df.select(F.explode(_token_col(text_col)).alias("tok"))
-    else:
-        vocab_src = lm.select(
-            F.explode(F.array(F.col("w1"), F.col("w2"))).alias("tok")
+        # ONE corpus pass trains the model AND counts the vocabulary:
+        # each document explodes its bigrams (kind 0) and its distinct
+        # tokens (kind 1) together; the (kind, key) count aggregate is
+        # the bigram model where kind = 0 and — because groupBy already
+        # de-duplicates keys — the vocabulary rows where kind = 1, so
+        # count_distinct over a SECOND full corpus explode disappears
+        # (guide §1.2: remove a whole pass before tuning anything in it).
+        # Counting each doc's DISTINCT tokens keeps the kind-1 fan-out
+        # sub-linear while leaving the global distinct set identical.
+        both = df.select(
+            F.explode(
+                _bind_once(
+                    _token_col(text_col),
+                    lambda toks: F.concat(
+                        F.transform(
+                            _bigrams_of(toks),
+                            lambda b: F.struct(
+                                F.lit(0).alias("kind"), b.alias("key")
+                            ),
+                        ),
+                        F.transform(
+                            F.array_distinct(toks),
+                            lambda t: F.struct(
+                                F.lit(1).alias("kind"), t.alias("key")
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("e")
         )
-    vocab_n = vocab_src.agg(F.count_distinct("tok").alias("v"))
+        counts = both.groupBy(
+            F.col("e.kind").alias("kind"), F.col("e.key").alias("key")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        if materialize_model:
+            counts = counts.localCheckpoint(eager=True)
+        lm = counts.filter(F.col("kind") == 0).select(
+            F.split_part(F.col("key"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("key"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c",
+        )
+        vocab_n = (
+            counts.filter(F.col("kind") == 1)
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+    else:
+        # With an external model, V must come from the MODEL (its w1 ∪ w2
+        # vocabulary), not from the batch being scored — otherwise the
+        # same document's score would depend on what it is scored
+        # alongside.
+        vocab_n = lm.select(
+            F.explode(F.array(F.col("w1"), F.col("w2"))).alias("tok")
+        ).agg(F.count_distinct("tok").alias("v"))
+    # context totals over the TRAINED event space
+    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
 
     events = df.select(
         F.col(id_col), F.explode_outer(_bigram_col(text_col)).alias("bigram")

@@ -57,23 +57,24 @@ def hashed_doc_vectors(
     """
     if dim < 1:
         raise ValueError(f"dim must be positive, got {dim}")
+    if not idf:
+        return _hashed_vectors_maponly(
+            docs, dim, normalize, id_col, text_col, hash_fn
+        )
     toks = docs.select(
         F.col(id_col), F.explode(_token_col(text_col)).alias("tok")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    if idf:
-        n_docs = docs.select(id_col).distinct().count()
-        dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        weighted = tf.join(dfreq, "tok").select(
-            id_col,
-            "tok",
-            (
-                F.col("tf")
-                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-            ).alias("w"),
-        )
-    else:
-        weighted = tf.select(id_col, "tok", F.col("tf").cast("double").alias("w"))
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    weighted = tf.join(dfreq, "tok").select(
+        id_col,
+        "tok",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("w"),
+    )
 
     by_bucket = (
         weighted.withColumn("b", _bucket(F.col("tok"), dim, hash_fn))
@@ -120,4 +121,69 @@ def hashed_doc_vectors(
     )
     return ids.join(out, id_col, "left").select(
         id_col, F.coalesce(F.col("vector"), zero).alias("vector")
+    )
+
+
+def _hashed_vectors_maponly(
+    docs: DataFrame,
+    dim: int,
+    normalize: bool,
+    id_col: str,
+    text_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """The ``idf=False`` fast path: bucket counts fold per row with a
+    higher-order aggregate (zero shuffles, zero joins — the old shape
+    shuffled (id, token) rows through three exchanges plus a zero-vector
+    join-back), then ONE id-keyed combine of dim-wide count arrays merges
+    multi-row ids and restores the one-row-per-distinct-id contract. All
+    entries are integer token counts summed as doubles — exact under any
+    order, so the output is bit-identical to the exchange-based plan
+    (guide §2.3/§2.4: shuffle dim doubles per doc instead of every
+    token)."""
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    bkts = F.transform(_token_col(text_col), lambda t: _bucket(t, dim, hash_fn))
+    raw = F.aggregate(
+        bkts,
+        zeros,
+        lambda acc, b: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(i.cast("long") == b, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+    per_row = docs.select(F.col(id_col), raw.alias("_r"))
+    total = F.aggregate(
+        F.col("_rs"),
+        zeros,
+        lambda acc, r: F.zip_with(acc, r, lambda a, b: a + b),
+    )
+    combined = (
+        per_row.groupBy(id_col)
+        .agg(F.collect_list("_r").alias("_rs"))
+        .select(
+            F.col(id_col),
+            # a NULL id never matched the old zero-vector join-back, so
+            # NULL-id docs surface with the zero vector there — keep that
+            F.when(F.col(id_col).isNull(), zeros)
+            .otherwise(total)
+            .alias("_raw"),
+        )
+    )
+    if not normalize:
+        return combined.select(F.col(id_col), F.col("_raw").alias("vector"))
+    return combined.select(
+        id_col,
+        "_raw",
+        F.sqrt(
+            F.aggregate(F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("_n"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("_n") > 0,
+            F.transform(F.col("_raw"), lambda x: x / F.col("_n")),
+        )
+        .otherwise(F.col("_raw"))
+        .alias("vector"),
     )
