@@ -59,24 +59,35 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
+    # out-degree joins into the node table ONCE and rides along in every
+    # round's checkpointed state: the old loop re-aggregated out_deg and
+    # re-joined it twice per round (once for the dangling mass, once for
+    # the contributions) — 4 joins + 2 aggregates per round become 2
+    # joins, and the dangling mass is a map-only filter over the
+    # checkpointed state (guide §2.4: establish a keying once). 0 marks
+    # a dangling node (no out-edges), exactly the rows the old left-join
+    # left NULL.
+    deg = (
+        nodes.join(out_deg, nodes.id == out_deg.src, "left")
+        .select(
+            "id", F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg")
+        )
+        .localCheckpoint(eager=True)
     )
+    ranks = deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
     for _ in range(n_iter):
-        with_deg = ranks.join(out_deg, ranks.id == out_deg.src, "left")
         # dangling mass: ranks of nodes with no out-edges (1-row aggregate)
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         contribs = (
             e.join(ranks, e.src == ranks.id)
-            .join(out_deg, "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            deg.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
@@ -85,10 +96,11 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / F.lit(float(n)))
                 ).alias("rank"),
+                "out_deg",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def triangle_counts(
