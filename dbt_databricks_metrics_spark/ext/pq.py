@@ -120,18 +120,22 @@ def _assign(
     sv = F.col("sv")
     pick = None
     for s in sorted(by_sub):
-        cands = F.array(
-            *[
-                F.struct(
-                    _rdist2(
-                        sv, F.array(*[F.lit(x) for x in cent])
-                    ).alias("d"),
-                    F.lit(code).alias("code"),
-                )
-                for code, cent in sorted(by_sub[s])
-            ]
-        )
-        choice = F.array_min(cands)["code"]
+        lst = sorted(by_sub[s])
+        # ONE nested Literal per sub for the whole k×d_sub codeword
+        # block (the kmeans._literal_argmax lesson: per-element
+        # F.lit trees explode the expression tree and the per-action
+        # analysis cost with it)
+        cvs = F.lit([cent for _, cent in lst])
+        cds = F.lit([code for code, _ in lst])
+        choice = F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(lst))),
+                lambda i: F.struct(
+                    _rdist2(sv, F.element_at(cvs, i.cast("int"))).alias("d"),
+                    F.element_at(cds, i.cast("int")).alias("code"),
+                ),
+            )
+        )["code"]
         branch = F.when(F.col("sub") == s, choice)
         pick = branch if pick is None else pick.when(F.col("sub") == s, choice)
     # a sub with no codebook rows never matched the old inner join —
@@ -328,20 +332,19 @@ def ivfpq_topk(
             id_col, vec_col, cent_rows,
         )
     v = _as_double_array(F.col(vec_col))
+    # one nested Literal for the whole n_cells×d centroid block (see
+    # _assign: per-element F.lit trees blow up analysis cost)
+    cvs = F.lit([[float(x) for x in r["cv"]] for r in cent_rows])
+    ncids = F.lit([-int(r["cid"]) for r in cent_rows])
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine_similarity(
-                            v, F.array(*[F.lit(float(x)) for x in r["cv"]])
-                        ),
-                        6,
-                    ).alias("cos"),
-                    F.lit(-int(r["cid"])).alias("neg_cid"),
-                )
-                for r in cent_rows
-            ]
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cent_rows))),
+            lambda i: F.struct(
+                F.round(
+                    cosine_similarity(v, F.element_at(cvs, i.cast("int"))), 6
+                ).alias("cos"),
+                F.element_at(ncids, i.cast("int")).alias("neg_cid"),
+            ),
         )
     )
     assign = corpus.select(
