@@ -99,40 +99,19 @@ def bpe_train(
     )
     merges: list[tuple] = []
     for rank in range(n_merges):
-        # ONE job per round instead of two: the best pair is a 1-row
-        # min_by aggregate (same (cnt desc, left, right) order the old
-        # TakeOrderedAndProject used) that broadcast-crossJoins into the
-        # same rewrite+checkpoint pass; the driver then reads the chosen
-        # pair from the ALREADY MATERIALIZED table with a free first().
-        # The old shape ran the pair-count aggregate to a collect, threw
-        # the scan away, and re-ran the table for the rewrite checkpoint.
-        best = _pair_counts(wf).agg(
-            F.min_by(
-                F.struct(F.col("left"), F.col("right"), F.col("cnt")),
-                F.struct(
-                    (-F.col("cnt")).alias("nc"), F.col("left"), F.col("right")
-                ),
-            ).alias("_b")
+        best = (
+            _pair_counts(wf)
+            .orderBy(F.desc("cnt"), "left", "right")
+            .limit(1)
+            .collect()
         )
-        b = F.col("_b")
-        do = b.isNotNull() & (b["cnt"] >= 2)
-        pat = F.concat(F.lit(" "), b["left"], F.lit(" "), b["right"], F.lit(" "))
-        rep = F.concat(F.lit(" "), b["left"], b["right"], F.lit(" "))
-        merged_sym = F.when(
-            do, F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
-        ).otherwise(F.col("sym"))
-        staged = wf.crossJoin(F.broadcast(best)).select(
-            merged_sym.alias("sym"), "freq", "_b"
-        ).localCheckpoint(eager=True)
-        wf = staged.select("sym", "freq")
-        row = staged.select("_b").first()
-        picked = row["_b"] if row is not None else None
-        if picked is None or picked["cnt"] < 2:
+        if not best or best[0]["cnt"] < 2:
             break
-        merges.append(
-            (rank, picked["left"], picked["right"],
-             picked["left"] + picked["right"], picked["cnt"])
-        )
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        merges.append((rank, left, right, left + right, cnt))
+        wf = wf.select(
+            _apply_merge(F.col("sym"), left, right).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
     )

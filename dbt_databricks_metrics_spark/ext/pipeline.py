@@ -122,21 +122,41 @@ def curation_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """One-row funnel: counts after each stage + curated token totals."""
-    scored = ts.document_stats(documents, text_col).cache()
-    after_q = scored.filter(F.col("quality_score_raw") >= min_quality)
-    after_l = after_q.filter(F.col("lang_guess").isin(list(langs))) if langs else after_q
-    curated = (
-        dd.exact_dedup(after_l, id_col, text_col)
-        if dedup_mode == "exact"
-        else curate(
+    """One-row funnel: counts after each stage + curated token totals.
+
+    The three stage counts are CONDITIONAL aggregates in one pass over a
+    narrow cached projection (no text column in the cache), and exact
+    dedup reuses the cached ``fingerprint`` — the old shape cached the
+    full feature frame (text included) and scanned it five times, twice
+    re-hashing the text (guide §1.2: remove whole passes first)."""
+    q = F.col("quality_score_raw") >= min_quality
+    lang_ok = F.col("lang_guess").isin(list(langs)) if langs else F.lit(True)
+    if dedup_mode == "exact":
+        scored = ts.document_stats(documents, text_col).select(
+            F.col(id_col),
+            "quality_score_raw",
+            "lang_guess",
+            "fingerprint",
+            "ws_token_count",
+            "bpe_piece_count",
+        ).cache()
+        # exact_dedup's semantics on the precomputed fingerprint column
+        # (same xxhash64-of-normalized-text expression): keep rows whose
+        # (fingerprint, id) matches the per-fingerprint min id
+        after_l = scored.filter(q & lang_ok)
+        keep = after_l.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        curated = after_l.join(keep, ["fingerprint", id_col], "inner")
+    else:
+        scored = ts.document_stats(documents, text_col).cache()
+        curated = curate(
             documents, min_quality, langs, dedup_mode, text_col=text_col, id_col=id_col
         )
-    )
     return (
-        scored.agg(F.count(F.lit(1)).alias("n_raw"))
-        .crossJoin(after_q.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(after_l.agg(F.count(F.lit(1)).alias("n_lang")))
+        scored.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(q).alias("n_quality"),
+            F.count_if(q & lang_ok).alias("n_lang"),
+        )
         .crossJoin(
             curated.agg(
                 F.count(F.lit(1)).alias("n_curated"),
@@ -248,17 +268,36 @@ def curation_v2_stats(
     """
     from .substr import dedup_exact_substrings
 
-    scored = ts.document_stats(documents, text_col).cache()
-    after_q = scored.filter(F.col("quality_score_raw") >= min_quality)
-    after_g = ts.gopher_gate(
-        after_q,
+    # The cached projection carries BOTH per-row gate signals (quality
+    # score + gopher_pass, identical per-row values whichever stage
+    # computes them) and the dedup fingerprint, so:
+    # * gopher_gate's ~15 regex/HOF passes run ONCE per row at cache
+    #   materialization — the old shape re-derived them for the count
+    #   branch and both exact-dedup join sides;
+    # * the three funnel counts are conditional aggregates in ONE pass;
+    # * n_dedup rides in the substring-cleaner's aggregate (one output
+    #   row per surviving doc), so no fourth count branch exists.
+    # (guide §1.2: fix the number of passes before anything per-pass.)
+    q = F.col("quality_score_raw") >= min_quality
+    scored = ts.gopher_gate(
+        ts.document_stats(documents, text_col),
         text_col,
         min_words=gopher_min_words,
         required_words=gopher_required_words,
-    ).filter(F.col("gopher_pass"))
-    after_d = dd.exact_dedup(after_g, id_col, text_col)
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        "quality_score_raw",
+        "gopher_pass",
+        "fingerprint",
+    ).cache()
+    after_g = scored.filter(q & F.col("gopher_pass"))
+    # exact_dedup on the precomputed fingerprint (same xxhash64 of the
+    # normalized text): keep the per-fingerprint min-id rows
+    keep = after_g.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = after_g.join(keep, ["fingerprint", id_col], "inner")
     cleaned = dedup_exact_substrings(
-        after_d.select(F.col(id_col), F.col(text_col)),
+        survivors.select(F.col(id_col), F.col(text_col)),
         id_col,
         text_col,
         min_len=substr_min_len,
@@ -269,12 +308,14 @@ def curation_v2_stats(
         F.length(F.trim(F.col("text_clean"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text_clean")), r"\s+")))
     return (
-        scored.agg(F.count(F.lit(1)).alias("n_raw"))
-        .crossJoin(after_q.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(after_g.agg(F.count(F.lit(1)).alias("n_gopher")))
-        .crossJoin(after_d.agg(F.count(F.lit(1)).alias("n_dedup")))
+        scored.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(q).alias("n_quality"),
+            F.count_if(q & F.col("gopher_pass")).alias("n_gopher"),
+        )
         .crossJoin(
             cleaned.agg(
+                F.count(F.lit(1)).alias("n_dedup"),
                 F.count(F.when(F.col("n_dup_spans") > 0, 1)).alias(
                     "n_substr_touched"
                 ),

@@ -83,16 +83,45 @@ def bm25_search(
     terms = [t for t in query.lower().split() if t]
     if not terms:
         raise ValueError("empty query")
+    stats = _bm25_stats(docs, terms, text_col)
+    return _bm25_topk(docs, terms, stats, k, k1, b, id_col, text_col)
+
+
+def _bm25_stats(
+    docs: DataFrame,
+    terms: list,
+    text_col: str,
+    extra_aggs: tuple = (),
+):
+    """The one-pass corpus statistics BM25 folds into its scoring scan:
+    N, avgdl, per-term document frequencies — plus any caller-supplied
+    aggregate columns (hybrid search rides count(distinct id) along so
+    its dense branch skips a separate corpus job)."""
     toks_all = _all_tokens(text_col)
     toks_set = _tokens(text_col)
-    stats = docs.agg(
+    return docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(toks_all)).alias("avgdl"),
         *[
             F.count_if(F.array_contains(toks_set, t)).alias(f"df_{i}")
             for i, t in enumerate(terms)
         ],
+        *extra_aggs,
     ).first()
+
+
+def _bm25_topk(
+    docs: DataFrame,
+    terms: list,
+    stats,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The scoring scan given precomputed stats (see bm25_search)."""
+    toks_all = _all_tokens(text_col)
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if avgdl <= 0:
         raise ValueError("corpus has no tokens")
@@ -193,8 +222,19 @@ def hybrid_search_rrf(
     from .vectors import hashed_doc_vectors
 
     spark = docs.sparkSession
-    lex = bm25_search(
-        docs, query, k=k_each, id_col=id_col, text_col=text_col
+    # ONE stats pass serves both branches: BM25's N/avgdl/dfs AND the
+    # dense vectorizer's count(distinct id) ride in the same aggregate,
+    # so the old separate distinct().count() corpus job disappears
+    # (guide §1.2). Values are identical — same aggregate semantics.
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    stats = _bm25_stats(
+        docs, terms, text_col,
+        extra_aggs=(F.count_distinct(F.col(id_col)).alias("_n_ids"),),
+    )
+    lex = _bm25_topk(
+        docs, terms, stats, k_each, 1.2, 0.75, id_col, text_col
     ).withColumn(
         "lex_rank",
         F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col))),
@@ -208,6 +248,7 @@ def hybrid_search_rrf(
     dvec = hashed_doc_vectors(
         docs, dim=dim, idf=True, normalize=True,
         id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+        n_docs=int(stats["_n_ids"]),
     )
     dot = F.aggregate(
         F.zip_with(

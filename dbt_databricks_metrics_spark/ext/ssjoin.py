@@ -66,13 +66,24 @@ def ssjoin_pairs(
         F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
     ).localCheckpoint(eager=False)
 
-    tok = sets.select("_id", F.explode("_sh").alias("_t"))
-    tok_df = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency via a WINDOW over the token key — the exploded
+    # (id, token) table is computed and shuffled once instead of feeding
+    # both an aggregate and a join-back (guide §2.4; NULL tokens are
+    # filtered as the old inner join's key would have dropped them)
+    from pyspark.sql import Window
+
+    tok = sets.select("_id", F.explode("_sh").alias("_t")).filter(
+        F.col("_t").isNotNull()
+    )
+    with_df = tok.select(
+        "_id",
+        "_t",
+        F.count(F.lit(1)).over(Window.partitionBy("_t")).alias("_df"),
+    )
     # per-doc tokens in global rarest-first order; prefix keeps the first
     # n - ceil(tau*n) + 1 of them
     ordered = (
-        tok.join(tok_df, "_t")
-        .groupBy("_id")
+        with_df.groupBy("_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_df"), F.col("_t")))
@@ -87,7 +98,11 @@ def ssjoin_pairs(
             ).alias("_prefix"),
         )
     )
-    pre = ordered.select("_id", F.explode("_prefix").alias("_t"))
+    # explicit repartition on the prefix token: both (identical) sides of
+    # the candidate self-join consume ONE exchange via AQE stage reuse
+    pre = ordered.select("_id", F.explode("_prefix").alias("_t")).repartition(
+        F.col("_t")
+    )
     cand = (
         pre.alias("a")
         .join(pre.alias("b"), "_t")

@@ -47,6 +47,7 @@ def hashed_doc_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """``(id, vector array<double>)`` — hashed bag-of-words, optionally
     IDF-weighted (smooth: ``ln((N+1)/(df+1)) + 1``) and L2-normalized
@@ -65,7 +66,10 @@ def hashed_doc_vectors(
         F.col(id_col), F.explode(_token_col(text_col)).alias("tok")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(id_col).distinct().count()
+    if n_docs is None:
+        # callers that already hold count(distinct id) (e.g. hybrid
+        # search's fused stats pass) pass it in and skip this job
+        n_docs = docs.select(id_col).distinct().count()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     weighted = tf.join(dfreq, "tok").select(
         id_col,
