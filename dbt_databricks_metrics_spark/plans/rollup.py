@@ -306,6 +306,13 @@ class RollupManager:
             grouped = grouped.cache()
         out: dict[str, BuiltRollup] = {}
         try:
+            # every grain's row count in ONE job over the cached grouping
+            # sets (the router's cost estimate) — the old per-rollup
+            # parquet read-back ran one count job per grain
+            gid_counts = {
+                int(row["_gid"]): int(row["count"])
+                for row in grouped.groupBy("_gid").count().collect()
+            }
             n = len(all_dims)
             for r in rollups:
                 # grouping_id: leftmost grouping column = most significant
@@ -324,9 +331,11 @@ class RollupManager:
                 slice_df = grouped.filter(F.col("_gid") == gid).select(*cols)
                 path = self._path(spec.name, r.name)
                 _swap_write(slice_df, self.spark, path)
-                row_count = self.spark.read.parquet(path).count()
                 out[r.name] = BuiltRollup(
-                    spec=r, path=path, decompositions=decs, n_rows=row_count
+                    spec=r,
+                    path=path,
+                    decompositions=decs,
+                    n_rows=gid_counts.get(gid, 0),
                 )
         finally:
             if len(rollups) > 1:
