@@ -158,6 +158,14 @@ def lm_doc_scores(
             F.split_part(F.col("key"), F.lit(" "), F.lit(2)).alias("w2"),
             "c",
         )
+        if materialize_model:
+            # re-materialize the bigram slice on its own: the scoring
+            # join's build-side size estimate must reflect the MODEL, not
+            # the combined (model + vocabulary) table — a doubled
+            # estimate flips the broadcast join to sort-merge right at
+            # the threshold (measured 3x on the 4x-scale corpus). This
+            # pass reads the already-checkpointed counts, not the corpus.
+            lm = lm.localCheckpoint(eager=True)
         vocab_n = (
             counts.filter(F.col("kind") == 1)
             .agg(F.count(F.lit(1)).alias("v"))

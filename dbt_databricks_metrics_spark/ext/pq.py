@@ -77,74 +77,17 @@ def subspace_slices(
     )
 
 
-_LITERAL_CODEBOOK_MAX = 256  # beyond this fall back to the join+window
-
-
-def _assign(
-    slices: DataFrame,
-    codebook: DataFrame,
-    id_col: str,
-    rows=None,
-    keep_sv: bool = False,
-) -> DataFrame:
+def _assign(slices: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
     """(id, sub, code): argmin codeword per subvector (rounded distance,
-    lowest code breaks ties).
-
-    The codebook is model state (m×k rows — 32 here): like
-    ``kmeans._literal_argmax``, fold it into the scan as LITERALS and
-    take ``array_min`` over (rounded distance, code) structs — MAP-ONLY,
-    no broadcast join, no (id, sub)-keyed window shuffle+sort (the old
-    plan shuffled k× the slice rows to rank them). Distance arithmetic
-    is the same ``_rdist2`` fold, so the rounded decisions — and the
-    null-distance ordering (null-field structs sort smallest, exactly
-    where the window's asc-nulls-first put them) — are identical.
-    Oversized codebooks keep the join+window path."""
-    if rows is None:
-        rows = codebook.select("sub", "code", "cent").collect()
-    extra = ["sv"] if keep_sv else []
-    if not rows or len(rows) > _LITERAL_CODEBOOK_MAX:
-        cand = slices.join(F.broadcast(codebook), "sub")
-        w = Window.partitionBy(id_col, "sub").orderBy(
-            _rdist2(F.col("sv"), F.col("cent")).asc(), F.col("code").asc()
-        )
-        return (
-            cand.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(id_col, "sub", "code", *extra)
-        )
-    by_sub: dict = {}
-    for r in rows:
-        by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["code"]), [float(x) for x in r["cent"]])
-        )
-    sv = F.col("sv")
-    pick = None
-    for s in sorted(by_sub):
-        lst = sorted(by_sub[s])
-        # ONE nested Literal per sub for the whole k×d_sub codeword
-        # block (the kmeans._literal_argmax lesson: per-element
-        # F.lit trees explode the expression tree and the per-action
-        # analysis cost with it)
-        cvs = F.lit([cent for _, cent in lst])
-        cds = F.lit([code for code, _ in lst])
-        choice = F.array_min(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(len(lst))),
-                lambda i: F.struct(
-                    _rdist2(sv, F.element_at(cvs, i.cast("int"))).alias("d"),
-                    F.element_at(cds, i.cast("int")).alias("code"),
-                ),
-            )
-        )["code"]
-        branch = F.when(F.col("sub") == s, choice)
-        pick = branch if pick is None else pick.when(F.col("sub") == s, choice)
-    # a sub with no codebook rows never matched the old inner join —
-    # the when-chain leaves it NULL, and the filter drops it the same way
+    lowest code breaks ties). Codebook is m×k rows — always broadcast."""
+    cand = slices.join(F.broadcast(codebook), "sub")
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        _rdist2(F.col("sv"), F.col("cent")).asc(), F.col("code").asc()
+    )
     return (
-        slices.select(
-            F.col(id_col), F.col("sub"), pick.cast("int").alias("code"), *extra
-        )
-        .filter(F.col("code").isNotNull())
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "sub", "code")
     )
 
 
@@ -182,40 +125,21 @@ def pq_train(
         ) - 1).alias("code"),
     )
     codebook = slices.join(seeds, id_col).select("sub", "code", F.col("sv").alias("cent"))
-    # Each round collects the m×k codebook (model state — the kmeans.py
-    # parameter-server shape) and folds it into the next round's literal
-    # argmin, so assignment is MAP-ONLY and the per-round (id, sub) window
-    # shuffle+sort AND the assignment-to-slices join-back both disappear:
-    # one posexplode + one (sub, code, i) partial-mean shuffle per round.
-    rows = codebook.collect()
-    spark = corpus.sparkSession
-    schema = "sub INT, code INT, cent ARRAY<DOUBLE>"
     for _ in range(n_iter):
-        if not rows:
-            break
-        if len(rows) <= _LITERAL_CODEBOOK_MAX:
-            assigned = _assign(slices, None, id_col, rows=rows, keep_sv=True)
-        else:
-            cb = spark.createDataFrame(
-                [(int(r["sub"]), int(r["code"]), list(r["cent"])) for r in rows],
-                schema,
-            )
-            assigned = _assign(slices, cb, id_col, keep_sv=True)
+        a = _assign(slices, codebook, id_col)
         dims = (
-            assigned.select("sub", "code", F.posexplode("sv").alias("i", "x"))
+            a.join(slices, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("i", "x"))
             .groupBy("sub", "code", "i")
             .agg(F.round(F.avg("x"), 6).alias("mval"))
         )
-        nxt = dims.groupBy("sub", "code").agg(
+        codebook = dims.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "mval"))),
                 lambda s: s["mval"],
             ).alias("cent")
         )
-        rows = nxt.collect()
-    return spark.createDataFrame(
-        [(int(r["sub"]), int(r["code"]), list(r["cent"])) for r in rows], schema
-    )
+    return codebook
 
 
 def pq_encode(
@@ -306,100 +230,13 @@ def ivfpq_topk(
     from .kmeans import _init_order
     from .similarity import cosine_similarity
 
-    # The n_cells coarse centroids are model state: collect them ONCE
-    # (TakeOrderedAndProject over the corpus) and fold them into the
-    # cell-assignment scan as literals — argmax is array_max over
-    # (rounded cosine, -cid) structs, MAP-ONLY, replacing the old
-    # broadcast crossJoin + per-id row_number window (a full shuffle +
-    # sort of n_cells× the corpus). cosine_similarity is the same fold,
-    # so the rounded decisions and the null-cosine ordering (null-field
-    # structs sort smallest — where desc-nulls-last put them) match the
-    # window path bit-for-bit. Probe ranking reuses the collected rows.
-    cent_rows = (
+    cents = (
         corpus.select(
             F.col(id_col).alias("cid"),
             _as_double_array(F.col(vec_col)).alias("cv"),
         )
         .orderBy(_init_order("cid"), F.col("cid"))
         .limit(n_cells)
-        .collect()
-    )
-    if any(not isinstance(r["cid"], int) for r in cent_rows):
-        # non-numeric ids cannot use the (cos, -cid) struct tie-break —
-        # keep the window path for them
-        return _ivfpq_topk_window(
-            corpus, codes, codebook, query_vec, k, n_probe, m, dim,
-            id_col, vec_col, cent_rows,
-        )
-    v = _as_double_array(F.col(vec_col))
-    # one nested Literal for the whole n_cells×d centroid block (see
-    # _assign: per-element F.lit trees blow up analysis cost)
-    cvs = F.lit([[float(x) for x in r["cv"]] for r in cent_rows])
-    ncids = F.lit([-int(r["cid"]) for r in cent_rows])
-    best = F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(len(cent_rows))),
-            lambda i: F.struct(
-                F.round(
-                    cosine_similarity(v, F.element_at(cvs, i.cast("int"))), 6
-                ).alias("cos"),
-                F.element_at(ncids, i.cast("int")).alias("neg_cid"),
-            ),
-        )
-    )
-    assign = corpus.select(
-        F.col(id_col), (-best["neg_cid"]).cast("long").alias("cid")
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_df = corpus.sparkSession.createDataFrame(
-        [(int(r["cid"]), list(r["cv"])) for r in cent_rows],
-        "cid BIGINT, cv ARRAY<DOUBLE>",
-    )
-    probe_cells = [
-        r["cid"]
-        for r in probe_df.select(
-            "cid", F.round(cosine_similarity(F.col("cv"), q), 6).alias("c")
-        )
-        .orderBy(F.col("c").desc(), F.col("cid"))
-        .limit(n_probe)
-        .collect()
-    ]
-    probed = (
-        codes.join(assign, id_col)
-        .filter(F.col("cid").isin(probe_cells))
-        .drop("cid")
-    )
-    d_sub = dim // m
-    qs_rows = [
-        (s, [float(x) for x in query_vec[s * d_sub:(s + 1) * d_sub]])
-        for s in range(m)
-    ]
-    spark = corpus.sparkSession
-    query_slices = spark.createDataFrame(qs_rows, "sub INT, sv ARRAY<DOUBLE>")
-    return pq_adc_topk(probed, codebook, query_slices, k=k, m=m, id_col=id_col)
-
-
-def _ivfpq_topk_window(
-    corpus, codes, codebook, query_vec, k, n_probe, m, dim,
-    id_col, vec_col, cent_rows,
-):
-    """The pre-literal cell-assignment path (broadcast crossJoin + per-id
-    rank window), kept for non-numeric id columns where the (cos, -cid)
-    struct tie-break cannot apply."""
-    from .similarity import cosine_similarity
-
-    spark = corpus.sparkSession
-    id_type = corpus.schema[id_col].dataType
-    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
-
-    cents = spark.createDataFrame(
-        [(r["cid"], list(r["cv"])) for r in cent_rows],
-        StructType(
-            [
-                StructField("cid", id_type),
-                StructField("cv", ArrayType(DoubleType())),
-            ]
-        ),
     )
     scored = corpus.select(
         F.col(id_col), _as_double_array(F.col(vec_col)).alias("_v")
@@ -433,5 +270,6 @@ def _ivfpq_topk_window(
         (s, [float(x) for x in query_vec[s * d_sub:(s + 1) * d_sub]])
         for s in range(m)
     ]
+    spark = corpus.sparkSession
     query_slices = spark.createDataFrame(qs_rows, "sub INT, sv ARRAY<DOUBLE>")
     return pq_adc_topk(probed, codebook, query_slices, k=k, m=m, id_col=id_col)
