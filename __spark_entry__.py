@@ -5712,64 +5712,65 @@ def _q_token_stream_pack(spark, sf_dir):
 # never silently rot the rotation). r9 queue = the remaining r5
 # cohort, then the r6 cohort, oldest first.
 _DRIVER_PREFIX = [
-    # ROUND-10 PREFIX (VERDICT r9 #1/#4): (a) the r6-stale cohort — the
-    # 31 contracts the r9 guard named, MINUS the two probe twins retired
-    # from the contract set this round (VERDICT r9 #4; they live on under
-    # pytest via retired_queries()/retired_oracle_sql()) = 29 contracts
-    # whose latest driver row is r6 (3 rounds old at prefix-build time);
-    "media_decode",
-    "media_decode_png",
-    "metric_anomalies_robust",
-    "minhash_lsh_pairs",
-    "pack_bins",
-    "quantize_roundtrip",
-    "redact_documents",
-    "revenue_by_brand",
-    "revenue_by_nation",
-    "routed_monthly",
-    "routed_pricing",
-    "seed_lookup",
-    "semiadditive_first",
-    "session_metrics_view",
-    "session_stats",
-    "sessionize",
-    "simhash_pairs",
-    "sliding_window",
-    "star_segment_year",
-    "stateful_sessions",
-    "stratified_sample",
-    "time_in_state",
-    "topk_docs_per_lang",
-    "topk_join",
-    "topk_similar",
-    "trailing_7d_revenue",
-    "trailing_month_revenue",
-    "tumbling_window",
-    "ytd_revenue",
-    # (b) 21 backfill slots from the next-oldest (r7) cohort,
+    # ROUND-11 PREFIX (VERDICT r10 "Next round" #9): pure rotation —
+    # (a) the 29 contracts whose latest driver row is r7 (the oldest
+    # cohort; 3 rounds stale at prefix-build time), alphabetical. This
+    # set includes the r10-touched contracts that fell outside the r10
+    # driver sample (lm_doc_scores, paragraph_dedup), putting fresh
+    # driver hashes on last round's optimizations;
+    "lm_doc_scores",
+    "measure_expr_sql",
+    "measure_global",
+    "measure_sql",
+    "measure_stream_join",
+    "media_decode_adpcm",
+    "media_decode_g711",
+    "media_decode_gif",
+    "media_decode_jpeg",
+    "media_decode_mjpeg",
+    "mjpeg_frame_sample",
+    "multi_window_shared",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup",
+    "pop_revenue",
+    "pricing_natural",
+    "resized_thumbs",
+    "routed_segment",
+    "share_of_total",
+    "sketch_distinct",
+    "sliced_measure",
+    "snapshot_scd2",
+    "spine_daily_revenue",
+    "stg_customers",
+    "stg_orders",
+    "streaming_doc_stats",
+    "topk_months",
+    "vocab_topk",
+    "winnow_overlap_pairs",
+    # (b) 21 backfill slots from the next-oldest (r8) cohort,
     # alphabetical (the deterministic tie-break the guard tolerates) —
     # keeps the greedy oldest-first discipline ahead of the 4-round bound
-    "asof_join",
-    "audio_window_stats",
-    "bm25_search",
-    "bucketed_revenue",
-    "cdc_apply",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "contamination_pairs",
-    "curation_v2",
-    "dedup_exact_summary",
-    "distinct_median_measures",
-    "doc_repetition",
-    "doc_stats",
-    "dsir_weights",
-    "dup_clusters",
-    "having_segments",
-    "hybrid_search",
-    "incremental_model",
-    "interpolated_revenue",
-    "ivf_topk",
-    "lineitem_pricing",
+    "advisor_applied_route",
+    "audience_overlap",
+    "bloom_prune",
+    "bpe_encoded",
+    "bpe_merges",
+    "calibration",
+    "cluster_keep_best",
+    "cohort_retention",
+    "corpus_diff",
+    "data_checks",
+    "debounced_events",
+    "derived_measure",
+    "distinct_count_salted",
+    "doc_vectors",
+    "drift_report",
+    "drill_across",
+    "ece",
+    "funnel_steps",
+    "gopher_gate",
+    "hist_percentile",
+    "ivfpq_topk",
 ]
 
 

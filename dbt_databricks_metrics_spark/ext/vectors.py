@@ -65,18 +65,41 @@ def hashed_doc_vectors(
     toks = docs.select(
         F.col(id_col), F.explode(_token_col(text_col)).alias("tok")
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    if n_docs is None:
-        # callers that already hold count(distinct id) (e.g. hybrid
-        # search's fused stats pass) pass it in and skip this job
-        n_docs = docs.select(id_col).distinct().count()
+    # tf feeds BOTH the document-frequency aggregate and the IDF join's
+    # probe side; Catalyst plans are trees, so without a checkpoint the
+    # token explode + (id, tok) aggregation runs twice — once per branch
+    # (guide §5: cut the diamond at its smallest edge). The checkpoint
+    # holds one row per distinct (id, token): far smaller than the raw
+    # token stream, and the per-row values are unchanged, so results are
+    # bit-identical.
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    weighted = tf.join(dfreq, "tok").select(
+    joined = tf.join(dfreq, "tok")
+    if n_docs is not None:
+        # callers that already hold count(distinct id) (e.g. hybrid
+        # search's fused stats pass) pass it in as a literal
+        n_col = F.lit(n_docs)
+    else:
+        # N rides in the lazy plan as a broadcast 1-row aggregate instead
+        # of an eager distinct().count() driver round-trip — one fewer
+        # Spark job per call, same integer (distinct-then-count keeps a
+        # NULL id as one group, exactly like the old .count()),
+        # bit-identical weights
+        n_row = (
+            docs.select(id_col).distinct().agg(F.count(F.lit(1)).alias("_N"))
+        )
+        joined = joined.crossJoin(F.broadcast(n_row))
+        n_col = F.col("_N")
+    weighted = joined.select(
         id_col,
         "tok",
         (
             F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            * (F.log((n_col + 1.0) / (F.col("df") + 1.0)) + 1.0)
         ).alias("w"),
     )
 
