@@ -298,12 +298,46 @@ class RollupManager:
             decs_per_rollup[r.name] = decs
 
         sets = [[d for d in all_dims if d in r.dimensions] for r in rollups]
-        grouped = flat.groupingSets(sets, *[F.col(d) for d in all_dims]).agg(
-            *[F.expr(e).alias(c) for c, e in partial_cols.items()],
-            F.grouping_id().alias("_gid"),
-        )
-        if len(rollups) > 1:
-            grouped = grouped.cache()
+        merge_fns: dict[str, str] = {}
+        for decs in decs_per_rollup.values():
+            for dec in decs.values():
+                for c, fn in dec.merges.items():
+                    merge_fns.setdefault(c, fn)
+        if all_dims and all(sets) and all(c in merge_fns for c in partial_cols):
+            # Two-level aggregation (guide §1.2/§2.3): GROUPING SETS over
+            # the source Expand-duplicates every input row once per grain
+            # (G× rows into the hash aggregate — measured ~2x the
+            # single-grain aggregate's time on the 6M-row pricing
+            # replica). Instead, ONE aggregation at the union-of-dims
+            # FINE grain collapses the source without row duplication,
+            # and the grouping sets run over the (|dim-combination|-row)
+            # fine table with each partial's MERGE function — valid
+            # because partial states re-aggregate associatively by
+            # construction (the same property the router and the
+            # incremental folds rely on). Declared rollup dim unions are
+            # low-cardinality (days × enums); worst case |fine| ≈ |src|
+            # costs one extra aggregate, typical case removes the Expand
+            # entirely. Fallback to direct grouping sets for a
+            # zero-dimension grain: a global-aggregate set emits one row
+            # even on empty input, where the merge level would turn
+            # count-partials of an empty source into NULL instead of 0.
+            fine = flat.groupBy(*[F.col(d) for d in all_dims]).agg(
+                *[F.expr(e).alias(c) for c, e in partial_cols.items()]
+            )
+            grouped = fine.groupingSets(sets, *[F.col(d) for d in all_dims]).agg(
+                *[merge_column(merge_fns[c], c).alias(c) for c in partial_cols],
+                F.grouping_id().alias("_gid"),
+            )
+        else:
+            grouped = flat.groupingSets(sets, *[F.col(d) for d in all_dims]).agg(
+                *[F.expr(e).alias(c) for c, e in partial_cols.items()],
+                F.grouping_id().alias("_gid"),
+            )
+        # cache unconditionally (VERDICT r10 #2): the slice writes AND the
+        # one-job gid row-count below all re-read `grouped`; for a single
+        # rollup the uncached path recomputed the full aggregate per
+        # consumer
+        grouped = grouped.cache()
         out: dict[str, BuiltRollup] = {}
         try:
             # every grain's row count in ONE job over the cached grouping
@@ -338,8 +372,7 @@ class RollupManager:
                     n_rows=gid_counts.get(gid, 0),
                 )
         finally:
-            if len(rollups) > 1:
-                grouped.unpersist()
+            grouped.unpersist()
         return out
 
     def _path(self, mv_name: str, rollup_name: str) -> str:
