@@ -168,8 +168,19 @@ def keyword_search(
     terms = [t for t in query.lower().split() if t]
     if not terms:
         raise ValueError("empty query")
-    n_docs = docs.count()
-    dfs = term_document_frequencies(docs, terms, text_col)
+    # N and every term's df come from ONE aggregate pass (guide §1.2 —
+    # the old shape ran a count() job AND a dfs job; same integers, so
+    # the driver-side idf literals are bit-identical)
+    toks_set = _tokens(text_col)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.count_if(F.array_contains(toks_set, t.lower())).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs = int(row["_n"])
+    dfs = {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)}
     toks = _tokens(text_col)
     score = None
     matched = None

@@ -382,6 +382,9 @@ def collocation_pairs(
     from .dedup import _norm_col
 
     vocab = vocab_topk(df, k=vocab_k, id_col=id_col, text_col=text_col)
+    # checkpoint the presence table: it feeds the marginals AND both
+    # sides of the pair self-join — a Catalyst tree would recompute the
+    # explode + semi-join + distinct THREE times (guide §5)
     toks = (
         df.select(
             F.col(id_col).alias("_doc"),
@@ -391,8 +394,13 @@ def collocation_pairs(
         .join(F.broadcast(vocab.select("token")), "token", "left_semi")
         .select("_doc", "token")
         .distinct()  # presence per doc — the collocation event space
+        .localCheckpoint(eager=False)
     )
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # N rides in the lazy plan (broadcast 1-row aggregate) instead of an
+    # eager distinct().count() job — same integer, same output column
+    n_row = (
+        df.select(F.col(id_col)).distinct().agg(F.count(F.lit(1)).alias("_N"))
+    )
     marg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     a, b = toks.alias("a"), toks.alias("b")
     pairs = (
@@ -416,7 +424,8 @@ def collocation_pairs(
             F.broadcast(marg.select(F.col("token").alias("token_b"),
                                     F.col("_df").alias("n_b"))), "token_b"
         )
-        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("n_docs", F.col("_N").cast("bigint"))
         .select("token_a", "token_b", "n_ab", "n_a", "n_b", "n_docs")
     )
     return out.orderBy(

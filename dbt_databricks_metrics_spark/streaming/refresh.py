@@ -203,10 +203,6 @@ def fold_retractions(
         merged = merge_partials(
             spark.read.parquet(built.path), pos.unionByName(neg), built
         )
-    # the witness scan below and the swap write both consume `merged`;
-    # without a persist the state read + shuffle aggregation would run
-    # twice per fold (review round 6)
-    merged = merged.persist()
     # Mid-history witness scan over the merged rows (|batch| when
     # bootstrapping, |state|+|batch| with state — one pass over the
     # persisted merge either way), BOTH paths (ADVICE r5): a
@@ -235,23 +231,41 @@ def fold_retractions(
     bad = F.col(count_col) < 0
     for lv in leftovers:
         bad = bad | (count_zero & lv)
-    try:
-        if merged.filter(bad).limit(1).count() > 0:
-            where = (
-                f"no rollup state at {built.path!r} and the change batch"
-                if bootstrap
-                else f"the rollup state at {built.path!r} plus this change batch"
-            )
-            raise ValueError(
-                f"fold_retractions: {where} retracts rows that were never "
-                f"inserted (negative count partial, or zero count with "
-                f"surviving mass) — a changelog starting mid-history cannot "
-                f"be folded; build the rollup from a source snapshot first, "
-                f"then fold changes"
-            )
-        _swap_write(merged.filter(F.col(count_col) != 0), spark, built.path)
-    finally:
-        merged.unpersist()
+    # The witness count RIDES THE WRITE as an observed metric instead of
+    # running as its own job over a persisted merge (guide §1.2: one pass
+    # where two ran — the old shape was witness-scan job + write job +
+    # persist/unpersist). Safety is unchanged: the write goes to the swap
+    # TEMP dir first, the observation is read after that job finishes,
+    # and a dirty batch discards the temp dir without ever swapping — the
+    # stored state is untouched on refusal, exactly as before. The
+    # observation point sits ABOVE the zero-count prune so the witness
+    # sees every merged row, like the old standalone scan did.
+    import shutil
+    import uuid
+
+    from pyspark.sql import Observation
+
+    ob = Observation()
+    observed = merged.observe(ob, F.count_if(bad).alias("n_bad"))
+    tmp = f"{built.path}.tmp-{uuid.uuid4().hex[:8]}"
+    observed.filter(F.col(count_col) != 0).write.mode("overwrite").parquet(tmp)
+    if int(ob.get["n_bad"]) > 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        where = (
+            f"no rollup state at {built.path!r} and the change batch"
+            if bootstrap
+            else f"the rollup state at {built.path!r} plus this change batch"
+        )
+        raise ValueError(
+            f"fold_retractions: {where} retracts rows that were never "
+            f"inserted (negative count partial, or zero count with "
+            f"surviving mass) — a changelog starting mid-history cannot "
+            f"be folded; build the rollup from a source snapshot first, "
+            f"then fold changes"
+        )
+    if os.path.exists(built.path):
+        shutil.rmtree(built.path)
+    os.replace(tmp, built.path)
 
 
 def streaming_rollup_cdc(
