@@ -209,7 +209,10 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    ).select("_id", "bk.band", "bk.key").localCheckpoint(eager=False)
+    # checkpointed: the self-join's two sides otherwise each recompute
+    # the signatures — num_perm xxhash64 calls PER SHINGLE, the heaviest
+    # per-row compute in this family — twice per call (guide §5)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -240,9 +243,11 @@ def minhash_lsh_pairs(
     is missed with probability (1-0.8^4)^32 ≈ 5e-8.
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, k, num_perm, bands)
+    # checkpointed: both verification join sides read one shingle
+    # materialization instead of re-deriving the shingle arrays per side
     sh = df.select(
         F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     j = (
         cand.join(sh.alias("sa"), cand.id_a == F.col("sa._id"))
         .join(sh.alias("sb"), cand.id_b == F.col("sb._id"))
@@ -354,7 +359,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("_id", "_sim", "bc.band", "bc.chunk")
+    ).select("_id", "_sim", "bc.band", "bc.chunk").localCheckpoint(eager=False)
+    # checkpointed: the self-join's two sides otherwise each recompute
+    # the per-token simhash fold over the corpus (guide §5)
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
     return (

@@ -209,7 +209,10 @@ def srp_candidates(
                 ]
             )
         ).alias("bc"),
-    ).select("_id", "bc.band", "bc.chunk")
+    ).select("_id", "bc.band", "bc.chunk").localCheckpoint(eager=False)
+    # checkpointed: the self-join's two sides otherwise each recompute
+    # the SRP signature (n_planes dot products per row) over the corpus
+    # (guide §5)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
