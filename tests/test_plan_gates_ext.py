@@ -125,6 +125,7 @@ _SINGLE_PARTITION_OK = {
     "profile_orders",  # single stats row, unpivoted driver-side
     "simhash_pairs",  # banded-vs-brute delta reduction (1-row counts)
     "dsir_weights",  # two 1-row model-total aggregates broadcast
+    "doc_vectors",  # 1-row corpus-count aggregate broadcast (lazy N, r11)
     "funnel_steps",  # 1-row step-count vector, unpivoted
     "interpolated_revenue",  # 1-row spine min/max bounds aggregate
     "hybrid_search",  # rank windows over two top-k_each (20-row) lists
