@@ -304,7 +304,32 @@ class RollupManager:
                 for c, fn in dec.merges.items():
                     merge_fns.setdefault(c, fn)
         out: dict[str, BuiltRollup] = {}
-        if all_dims and all(sets) and all(c in merge_fns for c in partial_cols):
+        # cost-based switch for the two-level shape below: the fine-grain
+        # pre-aggregation adds one exchange, which only pays off when the
+        # source is large enough that Expand-duplicating it dominates.
+        # Catalyst's own size estimate (driver-side, no job) decides —
+        # the same statistic autoBroadcastJoinThreshold trusts. The
+        # measured break-even on this workload sits between an ~11 MiB
+        # estimate (600k-row pricing source: two-level 0.98×, a wash)
+        # and ~20 MiB (6M-row replica: 0.66×); 16 MiB splits them.
+        # Estimates are compressed-file-sized, so any real table is
+        # orders of magnitude above the constant — it only matters at
+        # toy scale, where the direct grouping sets avoid paying an
+        # extra job-floor exchange. Estimation failure falls back to
+        # two-level (the scale-safe default).
+        try:
+            src_bytes = int(
+                flat._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            src_bytes = 1 << 62
+        two_level_worthwhile = src_bytes >= 16 * 1024 * 1024
+        if (
+            two_level_worthwhile
+            and all_dims
+            and all(sets)
+            and all(c in merge_fns for c in partial_cols)
+        ):
             # Two-level aggregation (guide §1.2/§2.3): GROUPING SETS over
             # the source Expand-duplicates every input row once per grain
             # (G× rows into the hash aggregate — measured ~2x the
